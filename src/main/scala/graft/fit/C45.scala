@@ -1,0 +1,207 @@
+package graft.fit
+
+import graft.meta.C45Schema
+import graft.model.{CatEq, NumGT, NumLE, Rule, Split}
+import graft.stats.InfoStats
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Tuning knobs for [[C45.fit]]. `minDataRatio` is the reference's 10%
+  * both-sides guard on numeric boundaries (MyReducer.java:34,188-190);
+  * `maxDepth` bounds the level loop (the reference's only bound is
+  * attribute exhaustion). */
+case class C45Params(minDataRatio: Double = InfoStats.DefaultMinDataRatio,
+                     maxDepth: Int = 30)
+
+/** A fitted C4.5 model: the leaf rule set (root-to-leaf conjunctions,
+  * exactly the reference's printed deliverable, Main.java:128-131) plus
+  * a majority-class fallback and a prediction phase the reference lacks
+  * (SURVEY.md §0). */
+case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String) {
+  def ruleStrings: Seq[String] = leaves.map(_.encode)
+
+  /** Score a DataFrame: adds `outputCol` with the leaf label. Leaves
+    * partition the training space, so this compiles to one flat
+    * CASE WHEN (codegen-friendly, no UDF); rows reaching no leaf (an
+    * attribute value unseen in training) fall back to the global
+    * majority class. */
+  def transform(df: DataFrame, outputCol: String = "prediction"): DataFrame = {
+    val names = schema.attrNames
+    val pred = leaves.headOption match {
+      case None => lit(majority)
+      case Some(h) =>
+        leaves.tail.foldLeft(
+          when(h.toPredicate(names), lit(h.label.get))) { (acc, r) =>
+          acc.when(r.toPredicate(names), lit(r.label.get))
+        }.otherwise(lit(majority))
+    }
+    df.withColumn(outputCol, pred)
+  }
+
+  /** The model as a DataFrame (rule codec string, label, depth). */
+  def toDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    leaves.map(r => (r.encode, r.label.getOrElse(""), r.depth))
+      .toDF("rule", "label", "depth")
+  }
+}
+
+/** Level-wise C4.5 fit (SURVEY.md O4): the reference's one-MapReduce-job-
+  * per-tree-level driver loop (Main.java:59-123) over a persisted
+  * DataFrame. Per level, ALL open rules are scored simultaneously: rules
+  * at one level have mutually disjoint predicates, so a single flat
+  * CASE WHEN assigns each row its rule id, and one shuffled aggregation
+  * per attribute kind scores every (rule, attribute) pair — replacing
+  * the reference's rule-queue HDFS files, distributed-cache side input
+  * and combiner-less raw-pair shuffle (SURVEY.md §3.4, §4).
+  *
+  * Semantics choices vs the reference (SURVEY.md §2 quirks, all chosen
+  * "correct", regression-documented in C45QuirksSpec):
+  *  #1 numeric boundaries compare as typed doubles, never truncated
+  *     strings; #2 leaves take the majority class, not last-seen;
+  *  #3 boundaries are per (rule, attr), no cross-rule contamination;
+  *  #4 rules with no positive-gain candidate close as majority leaves
+  *     instead of silently dropping their rows; #5 an attribute is used
+  *     at most once per path (replicated — it defines tree shape);
+  *  #6 the ε=1e-5 splitInfo==0 case never wins (a zero-gain "split"
+  *     replays the same node), so such rules close as majority leaves.
+  */
+object C45 {
+
+  private case class Cand(aid: Int, gainRatio: Double, gain: Double,
+                          boundary: Option[Double])
+
+  def fit(df: DataFrame, schema: C45Schema,
+          params: C45Params = C45Params()): C45Model = {
+    val spark = df.sparkSession
+    val names = schema.attrNames
+    val clsCol = schema.classCol
+    val catAttrs = schema.categoricalAttrs
+    val numAttrs = schema.numericAttrs
+    val data = df.select((names :+ clsCol).map(col): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // closed class-label set: declared, else discovered once (the
+    // reference requires the declared set, Main.java:154-158)
+    val classLabels: Seq[String] =
+      if (schema.classLabels.nonEmpty) schema.classLabels
+      else data.select(col(clsCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+
+    // explode(map(aid -> value)) = the F2 candidate emission, one row
+    // per (record, candidate attr), typed per attribute kind
+    def attrPairs(attrs: Seq[graft.meta.AttrMeta], castTo: String): Seq[Column] =
+      attrs.flatMap(a =>
+        Seq(lit(schema.attrIndex(a.name)), col(a.name).cast(castTo)))
+
+    var open = Vector(Rule.root)
+    var closed = Vector.empty[Rule]
+    var globalMajority: Option[String] = None
+    var level = 0
+
+    while (open.nonEmpty && level <= params.maxDepth) {
+      // one flat CASE WHEN routes each row to its (disjoint) open rule
+      val ridCol = {
+        val first = when(open.head.toPredicate(names), 0)
+        open.zipWithIndex.tail.foldLeft(first) { case (acc, (r, i)) =>
+          acc.when(r.toPredicate(names), lit(i))
+        }.otherwise(lit(-1))
+      }
+      val base = data.withColumn("__rid", ridCol)
+        .filter(col("__rid") >= 0)
+        .withColumn("__cls", col(clsCol).cast("string"))
+
+      // per-rule × class counts (A2) — tiny result, collected
+      val clsCounts: Map[Int, Map[String, Long]] =
+        base.groupBy(col("__rid"), col("__cls")).count().collect()
+          .groupBy(_.getInt(0))
+          .map { case (rid, rows) =>
+            rid -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+          }
+
+      // categorical: contingency cells + gain-ratio stats in one shuffle
+      val (catStats, catValues) =
+        if (catAttrs.isEmpty) (Map.empty[(Int, Int), Cand], Map.empty[(Int, Int), Seq[String]])
+        else {
+          val cells = base
+            .select(col("__rid"), col("__cls").as("cls"),
+              explode(map(attrPairs(catAttrs, "string"): _*)).as(Seq("aid", "val")))
+            .groupBy("__rid", "aid", "val", "cls")
+            .agg(count(lit(1)).as("cnt"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val stats = InfoStats
+            .categoricalSplitStats(cells, Seq("__rid", "aid"))
+            .collect()
+            .map(r => (r.getInt(0), r.getInt(1)) ->
+              Cand(r.getInt(1), r.getDouble(7), r.getDouble(6), None))
+            .toMap
+          val values = cells.select("__rid", "aid", "val").distinct().collect()
+            .groupBy(r => (r.getInt(0), r.getInt(1)))
+            .map { case (k, rows) => k -> rows.map(_.getString(2)).toSeq.sorted }
+          cells.unpersist()
+          (stats, values)
+        }
+
+      // numeric: one-pass window split search per (rule, attr)
+      val numStats: Map[(Int, Int), Cand] =
+        if (numAttrs.isEmpty) Map.empty
+        else {
+          val numDf = base
+            .select(col("__rid"), col("__cls").as("cls"),
+              explode(map(attrPairs(numAttrs, "double"): _*)).as(Seq("aid", "val")))
+            .filter(col("val").isNotNull)
+          val scan = InfoStats.boundaryScan(numDf, Seq("__rid", "aid"),
+            classLabels, minDataRatio = params.minDataRatio)
+          InfoStats.bestSplits(scan, Seq("__rid", "aid")).collect()
+            .map(r => (r.getInt(0), r.getInt(1)) ->
+              Cand(r.getInt(1), r.getDouble(10), r.getDouble(9),
+                Some(r.getDouble(2))))
+            .toMap
+        }
+
+      // driver-side per-rule decision (O3/O4): tiny tables only
+      val nextOpen = Vector.newBuilder[Rule]
+      open.zipWithIndex.foreach { case (rule, rid) =>
+        val counts = clsCounts.getOrElse(rid, Map.empty)
+        if (counts.isEmpty) {
+          // no rows reached this rule (possible only via races in input);
+          // close with global majority rather than silently dropping (#4)
+          closed :+= rule.closed(globalMajority.getOrElse(classLabels.head))
+        } else {
+          val majority = counts.toSeq.maxBy { case (l, n) => (n, l) }._1
+          if (globalMajority.isEmpty && rid == 0 && level == 0)
+            globalMajority = Some(majority)
+          val pure = counts.size == 1
+          val cands = (catStats ++ numStats).collect {
+            case ((r, aid), c)
+              if r == rid && !rule.usedAttrs.contains(aid) &&
+                c.gain > 1e-12 && c.gainRatio > InfoStats.Epsilon => c
+          }
+          if (pure || cands.isEmpty || rule.depth >= params.maxDepth) {
+            closed :+= rule.closed(majority)
+          } else {
+            val best = cands.maxBy(c => (c.gainRatio, -c.aid))
+            best.boundary match {
+              case Some(b) =>
+                nextOpen += rule.withCondition(best.aid, NumLE(b))
+                nextOpen += rule.withCondition(best.aid, NumGT(b))
+              case None =>
+                // one child per value observed at this node (#4: children
+                // for absent domain values would hold zero rows)
+                catValues((rid, best.aid)).foreach { v =>
+                  nextOpen += rule.withCondition(best.aid, CatEq(v))
+                }
+            }
+          }
+        }
+      }
+      open = nextOpen.result()
+      level += 1
+    }
+    // maxDepth exhaustion: close any survivors as majority leaves (#4)
+    open.foreach { r => closed :+= r.closed(globalMajority.getOrElse(classLabels.head)) }
+    data.unpersist()
+    C45Model(schema.copy(classLabels = classLabels), closed, globalMajority.getOrElse(classLabels.head))
+  }
+}

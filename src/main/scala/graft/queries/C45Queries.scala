@@ -1,0 +1,376 @@
+package graft.queries
+
+import graft.fit.{C45, C45Params}
+import graft.meta.{AttrMeta, C45Schema}
+import graft.sources.Tables
+import graft.stats.InfoStats
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The SURVEY.md §2 operator inventory as named queries over the
+  * driver testdata, each paired with an equivalent DuckDB oracle SQL
+  * (driver contract — see SparkEntry).
+  *
+  * Conventions for oracle hash-parity:
+  *  - every aggregate / computed column is aliased identically in the
+  *    DataFrame code and the SQL;
+  *  - every query ends with a total deterministic ORDER BY;
+  *  - floating outputs are `round(x, 6)` on BOTH sides (float noise from
+  *    differing summation order / libm rounding is << 1e-6);
+  *  - exact money sums go through DECIMAL(18,2) then cast to double.
+  *
+  * The C4.5 "training view" of the testdata (FIXTURES.md §2): table
+  * `lineitem`, categorical attrs `l_returnflag` + `l_linenumber` (cast
+  * to string), numeric attrs `l_quantity`/`l_discount`/`l_tax`/
+  * `l_extendedprice`, class `l_linestatus` (labels F, O).
+  */
+object C45Queries {
+
+  private val ClassLabels = Seq("F", "O")
+  private def li(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "lineitem")
+  private def r6(c: Column): Column = round(c, 6)
+
+  /** SQL fragment: x·log2(x) with 0·log2(0)=0 (InfoStats.plogp). */
+  private def plogpSql(x: String): String =
+    s"(CASE WHEN $x > 0 THEN $x * log2($x) ELSE 0 END)"
+
+  // ---- S1: columnar scan + projection (pushdown visible in .explain) ----
+  def qScan(s: SparkSession, dir: String): DataFrame =
+    li(s, dir).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+  val qScanSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- F1: conjunctive rule-predicate filter (typed numeric compare) ----
+  def qFilter(s: SparkSession, dir: String): DataFrame = {
+    val rule = graft.model.Rule(Vector(
+      0 -> graft.model.CatEq("A"),
+      1 -> graft.model.NumLE(25.0),
+      2 -> graft.model.NumGT(0.05)))
+    li(s, dir)
+      .filter(rule.toPredicate(Seq("l_returnflag", "l_quantity", "l_discount")))
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+  val qFilterSql: String =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_discount
+      |FROM lineitem
+      |WHERE l_returnflag = 'A' AND l_quantity <= 25.0 AND l_discount > 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- A1: count ----
+  def qCount(s: SparkSession, dir: String): DataFrame =
+    li(s, dir).agg(count(lit(1)).as("n"))
+  val qCountSql: String = "SELECT count(*) AS n FROM lineitem"
+
+  // ---- A2: per-class counts ----
+  def qClassCounts(s: SparkSession, dir: String): DataFrame =
+    li(s, dir).groupBy(col("l_linestatus").as("cls"))
+      .agg(count(lit(1)).as("cnt")).orderBy("cls")
+  val qClassCountsSql: String =
+    "SELECT l_linestatus AS cls, count(*) AS cnt FROM lineitem GROUP BY 1 ORDER BY 1"
+
+  // ---- A3 / X1: contingency table (shuffle with partial aggregation) ----
+  def qContingency(s: SparkSession, dir: String): DataFrame =
+    li(s, dir).groupBy(col("l_returnflag").as("val"), col("l_linestatus").as("cls"))
+      .agg(count(lit(1)).as("cnt")).orderBy("val", "cls")
+  val qContingencySql: String =
+    """SELECT l_returnflag AS val, l_linestatus AS cls, count(*) AS cnt
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- F2: candidate expansion flatMap (numeric attrs), aggregated ----
+  def qExpand(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .select(col("l_linestatus").as("cls"),
+        explode(map(
+          lit("l_quantity"), col("l_quantity").cast("double"),
+          lit("l_discount"), col("l_discount").cast("double"),
+          lit("l_tax"), col("l_tax").cast("double"))).as(Seq("aid", "val")))
+      .groupBy("aid", "val", "cls").agg(count(lit(1)).as("cnt"))
+      .orderBy("aid", "val", "cls")
+  val qExpandSql: String =
+    """SELECT aid, val, cls, cnt FROM (
+      |  SELECT 'l_quantity' AS aid, l_quantity AS val, l_linestatus AS cls, count(*) AS cnt
+      |    FROM lineitem GROUP BY 2, 3
+      |  UNION ALL
+      |  SELECT 'l_discount', l_discount, l_linestatus, count(*) FROM lineitem GROUP BY 2, 3
+      |  UNION ALL
+      |  SELECT 'l_tax', l_tax, l_linestatus, count(*) FROM lineitem GROUP BY 2, 3
+      |) ORDER BY aid, val, cls""".stripMargin
+
+  // ---- A4: class entropy (scalar) ----
+  def qEntropy(s: SparkSession, dir: String): DataFrame = {
+    val counts = li(s, dir).groupBy("l_linestatus").agg(count(lit(1)).as("cnt"))
+    InfoStats.entropyOfCounts(counts, Seq.empty)
+      .select(r6(col("entropy")).as("entropy"))
+  }
+  val qEntropySql: String =
+    s"""WITH c AS (SELECT count(*) AS cnt FROM lineitem GROUP BY l_linestatus)
+       |SELECT round(log2(sum(cnt)) - sum(${plogpSql("cnt")}) / sum(cnt), 6) AS entropy
+       |FROM c""".stripMargin
+
+  // ---- A5: split information (entropy of attr-value marginals) ----
+  def qSplitInfo(s: SparkSession, dir: String): DataFrame = {
+    val counts = li(s, dir).groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+    InfoStats.entropyOfCounts(counts, Seq.empty)
+      .select(r6(col("entropy")).as("split_info"))
+  }
+  val qSplitInfoSql: String =
+    s"""WITH c AS (SELECT count(*) AS cnt FROM lineitem GROUP BY l_returnflag)
+       |SELECT round(log2(sum(cnt)) - sum(${plogpSql("cnt")}) / sum(cnt), 6) AS split_info
+       |FROM c""".stripMargin
+
+  // ---- A6: conditional entropy H(class | l_returnflag) ----
+  def qCondEntropy(s: SparkSession, dir: String): DataFrame = {
+    val cells = li(s, dir)
+      .groupBy(col("l_returnflag").as("val"), col("l_linestatus").as("cls"))
+      .agg(count(lit(1)).as("cnt"))
+    val perVal = cells.groupBy("val")
+      .agg(sum("cnt").as("nv"), sum(InfoStats.plogp(col("cnt"))).as("s"))
+    perVal.agg(
+      r6((sum(InfoStats.plogp(col("nv"))) - sum(col("s"))) / sum(col("nv")))
+        .as("cond_entropy"))
+  }
+  val qCondEntropySql: String =
+    s"""WITH cells AS (
+       |  SELECT l_returnflag AS val, l_linestatus AS cls, count(*) AS cnt
+       |  FROM lineitem GROUP BY 1, 2),
+       |pv AS (SELECT val, sum(cnt) AS nv, sum(${plogpSql("cnt")}) AS s FROM cells GROUP BY 1)
+       |SELECT round((sum(${plogpSql("nv")}) - sum(s)) / sum(nv), 6) AS cond_entropy
+       |FROM pv""".stripMargin
+
+  // ---- A7: full gain-ratio table over the categorical attrs ----
+  def qGainRatio(s: SparkSession, dir: String): DataFrame = {
+    val cells = li(s, dir)
+      .select(col("l_linestatus").as("cls"),
+        explode(map(
+          lit("l_returnflag"), col("l_returnflag"),
+          lit("l_linenumber"), col("l_linenumber").cast("string"))).as(Seq("attr", "val")))
+      .groupBy("attr", "val", "cls").agg(count(lit(1)).as("cnt"))
+    InfoStats.categoricalSplitStats(cells, Seq("attr"))
+      .select(col("attr"), col("n").cast("long").as("n"),
+        r6(col("info")).as("info"), r6(col("split_info")).as("split_info"),
+        r6(col("cond_entropy")).as("cond_entropy"), r6(col("gain")).as("gain"),
+        r6(col("gain_ratio")).as("gain_ratio"))
+      .orderBy("attr")
+  }
+  val qGainRatioSql: String = {
+    val info = "(log2(v.n) - c.s_cls / v.n)"
+    val splitInfo = "(log2(v.n) - v.s_val / v.n)"
+    val condE = "((v.s_val - v.s_cell) / v.n)"
+    s"""WITH cells AS (
+       |  SELECT 'l_returnflag' AS attr, l_returnflag AS val, l_linestatus AS cls, count(*) AS cnt
+       |    FROM lineitem GROUP BY 2, 3
+       |  UNION ALL
+       |  SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR), l_linestatus, count(*)
+       |    FROM lineitem GROUP BY 2, 3),
+       |perval AS (
+       |  SELECT attr, val, sum(cnt) AS nv, sum(${plogpSql("cnt")}) AS s_cell_v
+       |  FROM cells GROUP BY 1, 2),
+       |percls AS (SELECT attr, cls, sum(cnt) AS mc FROM cells GROUP BY 1, 2),
+       |vagg AS (
+       |  SELECT attr, sum(nv) AS n, sum(${plogpSql("nv")}) AS s_val, sum(s_cell_v) AS s_cell
+       |  FROM perval GROUP BY 1),
+       |cagg AS (SELECT attr, sum(${plogpSql("mc")}) AS s_cls FROM percls GROUP BY 1)
+       |SELECT v.attr AS attr, CAST(v.n AS BIGINT) AS n,
+       |  round($info, 6) AS info,
+       |  round($splitInfo, 6) AS split_info,
+       |  round($condE, 6) AS cond_entropy,
+       |  round($info - $condE, 6) AS gain,
+       |  round(CASE WHEN abs($splitInfo) < 1e-12
+       |        THEN (CASE WHEN abs($info) < 1e-12 THEN 0 ELSE 0.00001 END)
+       |        ELSE ($info - $condE) / $splitInfo END, 6) AS gain_ratio
+       |FROM vagg v JOIN cagg c USING (attr) ORDER BY attr""".stripMargin
+  }
+
+  // ---- O2: one-pass numeric boundary scan (window) for l_quantity ----
+  def qSplitScan(s: SparkSession, dir: String): DataFrame = {
+    val df = li(s, dir).select(col("l_quantity").as("val"),
+      col("l_linestatus").as("cls"))
+    InfoStats.boundaryScan(df, Seq.empty, ClassLabels)
+      .select(col("boundary"), col("left_n"), col("right_n"),
+        r6(col("cond_entropy")).as("cond_entropy"),
+        r6(col("gain")).as("gain"), r6(col("gain_ratio")).as("gain_ratio"))
+      .orderBy("boundary")
+  }
+  private def scanSql(valExpr: String, table: String = "lineitem"): String =
+    s"""SELECT v AS boundary, CAST(lfc + loc AS BIGINT) AS left_n,
+       |  CAST(tfc + toc - lfc - loc AS BIGINT) AS right_n,
+       |  CAST(tfc + toc AS BIGINT) AS n, tfc, toc, lfc, loc
+       |FROM (
+       |  SELECT v,
+       |    sum(cF) OVER (ORDER BY v) AS lfc, sum(cO) OVER (ORDER BY v) AS loc,
+       |    sum(cF) OVER () AS tfc, sum(cO) OVER () AS toc
+       |  FROM (
+       |    SELECT $valExpr AS v,
+       |      count(*) FILTER (WHERE l_linestatus = 'F') AS cF,
+       |      count(*) FILTER (WHERE l_linestatus = 'O') AS cO
+       |    FROM $table GROUP BY 1))""".stripMargin
+  val qSplitScanSql: String = {
+    val sLeft = s"(${plogpSql("lfc")} + ${plogpSql("loc")})"
+    val sRight = s"(${plogpSql("(tfc - lfc)")} + ${plogpSql("(toc - loc)")})"
+    val sTot = s"(${plogpSql("tfc")} + ${plogpSql("toc")})"
+    val condE = s"(((left_n * log2(left_n) - $sLeft) + (right_n * log2(right_n) - $sRight)) / n)"
+    val info = s"(log2(n) - $sTot / n)"
+    val splitInfo = s"(log2(n) - (${plogpSql("left_n")} + ${plogpSql("right_n")}) / n)"
+    s"""SELECT boundary, left_n, right_n,
+       |  round($condE, 6) AS cond_entropy,
+       |  round($info - $condE, 6) AS gain,
+       |  round(($info - $condE) / $splitInfo, 6) AS gain_ratio
+       |FROM (${scanSql("CAST(l_quantity AS DOUBLE)")})
+       |WHERE right_n > 0 AND left_n >= n * 0.1 AND right_n >= n * 0.1
+       |ORDER BY boundary""".stripMargin
+  }
+
+  // ---- O3: deterministic per-group top-1 (argmax) ----
+  def qArgmax(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    li(s, dir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy("l_returnflag")
+  }
+  val qArgmaxSql: String =
+    """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
+      |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem) WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
+
+  // ---- O1: distributed sort + limit ----
+  def qSort(s: SparkSession, dir: String): DataFrame =
+    li(s, dir).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+  val qSortSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+
+  // ---- U1: scalar function surface (concat/upper/substr/log2) ----
+  def qScalar(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "part")
+      .select(col("p_partkey"),
+        concat_ws("&", col("p_brand"), col("p_type")).as("brand_type"),
+        upper(col("p_name")).as("uname"),
+        r6(log2(col("p_size"))).as("log2_size"),
+        substring(col("p_type"), 1, 5).as("type5"))
+      .orderBy("p_partkey")
+  val qScalarSql: String =
+    """SELECT p_partkey, concat_ws('&', p_brand, p_type) AS brand_type,
+      |  upper(p_name) AS uname, round(log2(p_size), 6) AS log2_size,
+      |  substr(p_type, 1, 5) AS type5
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---- joins + exact decimal aggregation (engine surface beyond the
+  //      single-table reference; broadcast dims) ----
+  def qJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val l = li(s, dir)
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer")
+    val n = Tables.load(s, dir, "nation")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(18,2)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+  val qJoinAggSql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           CAST((1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---- O4: the full iterative fit (not SQL-expressible; rows-only) ----
+  def qFitTree(s: SparkSession, dir: String): DataFrame = {
+    val schema = C45Schema(
+      Seq(AttrMeta("l_returnflag", isNumeric = false),
+        AttrMeta("l_linenumber", isNumeric = false),
+        AttrMeta("l_quantity", isNumeric = true),
+        AttrMeta("l_discount", isNumeric = true),
+        AttrMeta("l_tax", isNumeric = true)),
+      "l_linestatus", ClassLabels)
+    val df = li(s, dir).withColumn("l_linenumber", col("l_linenumber").cast("string"))
+    C45.fit(df, schema, C45Params(maxDepth = 3)).toDF(s).orderBy("rule")
+  }
+
+  /** Flagship (SparkEntry.entry): rank every attribute by root gain
+    * ratio — the reference's level-0 decision, end to end. */
+  def rootRank(s: SparkSession, dir: String): DataFrame = {
+    val d = li(s, dir)
+    val catCells = d.select(col("l_linestatus").as("cls"),
+      explode(map(
+        lit("l_returnflag"), col("l_returnflag"),
+        lit("l_linenumber"), col("l_linenumber").cast("string"))).as(Seq("attr", "val")))
+      .groupBy("attr", "val", "cls").agg(count(lit(1)).as("cnt"))
+    val cat = InfoStats.categoricalSplitStats(catCells, Seq("attr"))
+      .select(col("attr"), lit(null).cast("double").as("boundary"),
+        col("gain").as("gain"), col("gain_ratio").as("gain_ratio"))
+    val numDf = d.select(col("l_linestatus").as("cls"),
+      explode(map(
+        lit("l_quantity"), col("l_quantity").cast("double"),
+        lit("l_discount"), col("l_discount").cast("double"),
+        lit("l_tax"), col("l_tax").cast("double"),
+        lit("l_extendedprice"), col("l_extendedprice").cast("double"))).as(Seq("attr", "val")))
+    val num = InfoStats.bestSplits(
+      InfoStats.boundaryScan(numDf, Seq("attr"), ClassLabels), Seq("attr"))
+      .select(col("attr"), col("boundary"), col("gain"), col("gain_ratio"))
+    cat.unionByName(num)
+      .select(col("attr"), col("boundary"), r6(col("gain")).as("gain"),
+        r6(col("gain_ratio")).as("gain_ratio"))
+      .orderBy(col("gain_ratio").desc, col("attr"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan" -> (qScan _),
+    "q_filter" -> (qFilter _),
+    "q_count" -> (qCount _),
+    "q_class_counts" -> (qClassCounts _),
+    "q_contingency" -> (qContingency _),
+    "q_expand" -> (qExpand _),
+    "q_entropy" -> (qEntropy _),
+    "q_split_info" -> (qSplitInfo _),
+    "q_cond_entropy" -> (qCondEntropy _),
+    "q_gain_ratio" -> (qGainRatio _),
+    "q_split_scan" -> (qSplitScan _),
+    "q_argmax" -> (qArgmax _),
+    "q_sort" -> (qSort _),
+    "q_scalar" -> (qScalar _),
+    "q_join_agg" -> (qJoinAgg _),
+    "q_fit_tree" -> (qFitTree _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scan" -> qScanSql,
+    "q_filter" -> qFilterSql,
+    "q_count" -> qCountSql,
+    "q_class_counts" -> qClassCountsSql,
+    "q_contingency" -> qContingencySql,
+    "q_expand" -> qExpandSql,
+    "q_entropy" -> qEntropySql,
+    "q_split_info" -> qSplitInfoSql,
+    "q_cond_entropy" -> qCondEntropySql,
+    "q_gain_ratio" -> qGainRatioSql,
+    "q_split_scan" -> qSplitScanSql,
+    "q_argmax" -> qArgmaxSql,
+    "q_sort" -> qSortSql,
+    "q_scalar" -> qScalarSql,
+    "q_join_agg" -> qJoinAggSql,
+    // q_fit_tree: iterative, not SQL-expressible → rows-only check
+  )
+}

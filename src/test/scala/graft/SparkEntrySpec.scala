@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SparkEntrySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("entry (flagship root gain-ratio ranking) returns a ranked row per attribute") {
+    val df = SparkEntry.entry(spark)
+    val rows = df.collect()
+    assert(rows.length == 6) // 2 categorical + 4 numeric attrs
+    val grs = rows.map(_.getAs[Double]("gain_ratio"))
+    assert(grs.sameElements(grs.sortBy(-_))) // ranked descending
+  }
+
+  test("every oracle key has a query implementation") {
+    SparkEntry.oracleSql.keys.foreach { k =>
+      assert(SparkEntry.queries.contains(k), s"oracle without query: $k")
+    }
+  }
+
+  test("all queries run at sf0.001 and return rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, "/root/testdata/sf0.001").count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+}
