@@ -1,0 +1,26 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, cross-engine-portable hashing built on md5 — the one
+  * hash both Spark and DuckDB compute identically (Spark's `hash`/
+  * `xxhash64` and DuckDB's `hash` are different algorithms, so every
+  * sketch operator here — minhash, simhash, LSH bands — derives its
+  * hash family from salted md5 instead).
+  *
+  * hash60: first 15 hex chars of md5 → unsigned 60-bit value in a
+  * long. DuckDB equivalent:
+  * `CAST('0x' || substr(md5(concat('<salt>|', x)), 1, 15) AS BIGINT)`.
+  */
+object Hashing {
+
+  /** 60-bit salted hash of a string column. */
+  def hash60(c: Column, salt: Int = 0): Column =
+    conv(substring(md5(concat(lit(s"$salt|"), c)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** SQL fragment mirroring [[hash60]] for the DuckDB oracle. */
+  def hash60Sql(expr: String, salt: Int = 0): String =
+    s"CAST(('0x' || substr(md5(concat('$salt|', $expr)), 1, 15)) AS BIGINT)"
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpus curation: exact
+  * (hash-groupBy), canonical-fingerprint, n-gram Jaccard set-similarity
+  * join, MinHash+LSH banding, and SimHash — all formulated as
+  * shuffle-minimal DataFrame pipelines:
+  *
+  *  - candidate generation is always a key-equality join (shared
+  *    shingle / LSH band bucket), never a cross join, so it scales as
+  *    Σ bucket² instead of n²;
+  *  - per-doc set statistics are pre-aggregated before the pair join
+  *    (partial aggregation under every shuffle);
+  *  - all hashes derive from salted md5 (Hashing.hash60), so results
+  *    are deterministic and reproducible across engines.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical normalized text by md5. Returns one
+    * row per distinct content: (text_hash, n_docs, min_doc_id). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_doc_id"))
+
+  /** Canonical-fingerprint dedup (token-set equality — catches
+    * reordering/repetition). */
+  def byFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_doc_id"))
+
+  /** Distinct word n-grams of a text column as an array (n=1 → token
+    * set). */
+  def shingles(c: Column, n: Int): Column = {
+    val t = split(trim(lower(c)), "\\s+")
+    if (n == 1) array_distinct(t)
+    else array_distinct(transform(
+      sequence(lit(0), size(t) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
+  }
+
+  /** Exact n-gram Jaccard similarity join: all pairs (i < j) with
+    * J(shingles_i, shingles_j) >= threshold.
+    *
+    * Plan shape (the 100-TB-safe formulation): explode distinct
+    * shingles → self-equi-join on shingle → count common per pair
+    * (this shuffles by shingle, then by pair — both with partial
+    * aggregation) → join tiny per-doc set sizes → Jaccard filter.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
+    val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
+    val common = exploded.as("a").join(exploded.as("b"), col("a.s") === col("b.s"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "i").withColumnRenamed("sz", "sz_i"), "i")
+      .join(sizes.withColumnRenamed("id", "j").withColumnRenamed("sz", "sz_j"), "j")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_i") + col("sz_j") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), col("jaccard"))
+  }
+
+  /** MinHash signatures over the distinct token/shingle set: k salted
+    * 60-bit hash functions, one `min` aggregation each, ALL computed in
+    * a single shuffled groupBy (k aggregates, one pass). Output:
+    * (id, m0 .. m{k-1}). */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, n: Int = 1): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+    exploded.groupBy("id")
+      .agg(min(Hashing.hash60(col("s"), 0)).as("m0"),
+        (1 until k).map(i => min(Hashing.hash60(col("s"), i)).as(s"m$i")): _*)
+  }
+
+  /** MinHash-LSH near-duplicate pairs: band the k-component signature
+    * into bands of `rowsPerBand`, hash each band, equi-join on
+    * (band, bandHash) for candidates, then verify candidates with the
+    * exact n-gram Jaccard (no false positives; recall is the standard
+    * 1-(1-J^r)^b curve). */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int, rowsPerBand: Int, threshold: Double,
+                      n: Int = 1): DataFrame = {
+    require(k % rowsPerBand == 0, "k must be a multiple of rowsPerBand")
+    val sig = minHashSignatures(df, idCol, textCol, k, n)
+    val nBands = k / rowsPerBand
+    val bands = sig.select(col("id"),
+      explode(map((0 until nBands).flatMap { b =>
+        val bandCols = (0 until rowsPerBand)
+          .map(r => col(s"m${b * rowsPerBand + r}").cast("string"))
+        Seq(lit(b), Hashing.hash60(concat_ws("|", bandCols: _*), 1000 + b))
+      }: _*)).as(Seq("band", "bh")))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
+    // verify: exact Jaccard on the candidate pairs only
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    cands
+      .join(sh.select(col("id").as("i"), col("sh").as("sh_i")), "i")
+      .join(sh.select(col("id").as("j"), col("sh").as("sh_j")), "j")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
+          size(array_union(col("sh_i"), col("sh_j"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), col("jaccard"))
+  }
+
+  /** SimHash: `bits`-bit locality-sensitive content signature. Each
+    * token (with multiplicity) votes ±1 per bit position of its 60-bit
+    * hash; the signature sets bit j iff the vote sum is positive.
+    * One explode + one groupBy with `bits` sums — a single shuffle of
+    * pre-aggregated partial sums. */
+  def simHash(df: DataFrame, idCol: String, textCol: String,
+              bits: Int = 32): DataFrame = {
+    require(bits <= 60, "hash60 provides 60 bits")
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
+      .withColumn("h", Hashing.hash60(col("t")))
+    val votes = toks.groupBy("id").agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("b0"),
+      (1 until bits).map(j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+          .as(s"b$j")): _*)
+    val sig = (0 until bits).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    votes.select(col("id"), sig.as("simhash"))
+  }
+
+  /** Embedding near-duplicate pairs by cosine similarity (brute-force
+    * verify; for candidate pruning at scale see Similarity.ivfTopK's
+    * bucketing). */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      Similarity.unitVector(col(vecCol)).as("u"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        Similarity.dot(col("a.u"), col("b.u")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream sessionization (batch formulation): split each user's
+  * event sequence into sessions at inactivity gaps > `gapMs`.
+  *
+  * Classic gaps-and-islands: lag over (user, time) → new-session flag →
+  * running sum = session index → per-session aggregate. One shuffle by
+  * user (the window) feeding one pre-aggregated groupBy — scale-safe as
+  * long as a single user's history fits an executor (salt by time range
+  * if a user is genuinely unbounded). Timestamps are compared in epoch
+  * millis so results are identical across engines regardless of
+  * parquet timestamp precision. The streaming-native equivalent lives
+  * in graft.streaming.StreamingSessionize. */
+object Sessionize {
+
+  val DefaultGapMs: Long = 30 * 60 * 1000L
+
+  def sessionize(events: DataFrame, userCol: String = "user_id",
+                 tsCol: String = "ts", idCol: String = "event_id",
+                 valueCol: String = "value",
+                 gapMs: Long = DefaultGapMs): DataFrame = {
+    // ns-precision parquet arrives as LongType under
+    // spark.sql.legacy.parquet.nanosAsLong — integer `div` keeps the
+    // ns→ms conversion exact (a double division of ~1e18 would not be)
+    val tsMs = events.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType => expr(s"$tsCol div 1000000")
+      case _ => unix_millis(col(tsCol))
+    }
+    val w = Window.partitionBy(userCol).orderBy(col("ts_ms"), col(idCol))
+    events
+      .withColumn("ts_ms", tsMs)
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > gapMs, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(
+        min(col("ts_ms")).as("start_ms"),
+        max(col("ts_ms")).as("end_ms"),
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+}

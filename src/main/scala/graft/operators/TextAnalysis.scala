@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.functions.Hashing
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: tokenization,
+  * quality statistics, language ID, document fingerprinting. All are
+  * pure `Column` compositions (codegen'd built-ins, no UDFs) so filters
+  * over them still push down and stay inside whole-stage codegen.
+  *
+  * Every definition has an exact DuckDB mirror (see ExtQueries) — the
+  * regexes are restricted to syntax Java and RE2 agree on.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish word/number/symbol tokens (count of regex matches). */
+  val WordTokenRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def wordTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(WordTokenRe), lit(0)))
+
+  /** Punctuation characters (explicit class — portable across regex
+    * dialects). */
+  val PunctRe = "[.,!?;:'\"()\\[\\]{}-]"
+  def punctCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(PunctRe), lit(0)))
+
+  /** Language-specific stopword sets for the n-gram/stopword language
+    * heuristic. Closed, tiny, deterministic. */
+  val StopWords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Stopword hits (English set) / token count — a quality signal. */
+  def stopwordRatio(c: Column): Column = {
+    val t = tokens(c)
+    hitCount(t, StopWords.find(_._1 == "en").get._2).cast("double") / size(t)
+  }
+
+  /** Average token length: non-whitespace chars / token count. */
+  def avgTokenLen(c: Column): Column =
+    length(regexp_replace(c, "\\s", "")).cast("double") / tokenCount(c)
+
+  /** Composite quality score in [0,1]-ish: rewards stopword presence
+    * and moderate token length, penalizes punctuation density. */
+  def qualityScore(c: Column): Column =
+    stopwordRatio(c) * lit(2.0) +
+      (lit(1.0) - punctCount(c).cast("double") / length(c)) -
+      abs(avgTokenLen(c) - lit(5.0)) / lit(10.0)
+
+  /** Deterministic language guess: argmax of per-language stopword
+    * hits; ties and all-zero resolve to the lexicographically first
+    * language among the maxima ('und' when nothing hits at all). */
+  def langGuess(c: Column): Column = {
+    val t = tokens(c)
+    val scored = StopWords.map { case (lang, ws) => lang -> hitCount(t, ws) }
+    val maxHits = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    val first = scored.foldRight(lit("und")) { case ((lang, hits), acc) =>
+      when(hits === maxHits && maxHits > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight keeps the FIRST (lexicographic) max: each earlier lang
+    // overwrites later ones in the when-chain
+    first
+  }
+
+  /** Canonical token-set fingerprint (OpenRefine-style): lowercase,
+    * tokenize, distinct, sort, join, md5. Catches reordered / repeated
+    * word near-duplicates exactly. */
+  def fingerprint(c: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(lower(c))))))
+
+  /** Rolling 60-bit content signature: min over token hashes — a
+    * 1-permutation minhash usable as a cheap document sketch. */
+  def docSignature(c: Column): Column =
+    array_min(transform(array_distinct(tokens(lower(c))), t => Hashing.hash60(t)))
+}

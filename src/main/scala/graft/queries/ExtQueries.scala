@@ -1,0 +1,289 @@
+package graft.queries
+
+import graft.functions.Hashing
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The training-data-pipeline extension surface (dedup, similarity
+  * search, text analysis, sessionization, multimodal plumbing) as named
+  * queries with DuckDB oracles — same parity conventions as C45Queries.
+  *
+  * Pairwise queries bound their input (`doc_id/vec_id < 1000`) IN THE
+  * QUERY (mirrored in the oracle): the testdata vocabulary is 31 words,
+  * so similarity joins degenerate toward n² candidate pairs — the bound
+  * keeps the bench workload honest while the operators themselves stay
+  * scale-shaped (bucketed candidate generation + verify). */
+object ExtQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+  private def r6(c: Column): Column = round(c, 6)
+
+  private val SplitToksSql = "string_split_regex(trim(text), '\\s+')"
+  private val SplitToksLowerSql = "string_split_regex(trim(lower(text)), '\\s+')"
+
+  // ---- text statistics (token counting, quality scoring) ----
+  def qTextStats(s: SparkSession, dir: String): DataFrame = {
+    val c = col("text")
+    docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(c).cast("long").as("n_tokens"),
+      TextAnalysis.wordTokenCount(c).cast("long").as("n_wtokens"),
+      TextAnalysis.punctCount(c).cast("long").as("n_punct"),
+      r6(TextAnalysis.stopwordRatio(c)).as("stop_ratio"),
+      r6(TextAnalysis.avgTokenLen(c)).as("avg_tok_len"),
+      r6(TextAnalysis.qualityScore(c)).as("quality"))
+      .orderBy("doc_id")
+  }
+  val qTextStatsSql: String = {
+    val toks = SplitToksSql
+    val stopRatio = s"len(list_filter($toks, t -> list_contains(['the','a','of','and','to','is'], t)))::DOUBLE / len($toks)"
+    val punct = """len(regexp_extract_all(text, '[.,!?;:''"()\[\]{}-]'))"""
+    val avgLen = s"length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE / len($toks)"
+    s"""SELECT doc_id,
+       |  len($toks) AS n_tokens,
+       |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_wtokens,
+       |  $punct AS n_punct,
+       |  round($stopRatio, 6) AS stop_ratio,
+       |  round($avgLen, 6) AS avg_tok_len,
+       |  round($stopRatio * 2.0 + (1.0 - $punct::DOUBLE / length(text)) - abs($avgLen - 5.0) / 10.0, 6) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- language ID (stopword-hit argmax heuristic) ----
+  def qLangId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.langGuess(col("text")).as("lang_guess"))
+      .orderBy("doc_id")
+  val qLangIdSql: String = {
+    val hits = TextAnalysis.StopWords.map { case (lang, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter($SplitToksSql, t -> list_contains($lst, t))) AS h_$lang"
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.StopWords.map(_._1)
+    val mx = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN h_$l = mx THEN '$l'").mkString(" ")
+    s"""WITH h AS (SELECT doc_id, $hits FROM documents),
+       |m AS (SELECT doc_id, *, $mx AS mx FROM h)
+       |SELECT doc_id, CASE WHEN mx = 0 THEN 'und' $cases END AS lang_guess
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- document fingerprinting (canonical token set + rolling-min sketch) ----
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.docSignature(col("text")).as("sig"))
+      .orderBy("doc_id")
+  val qFingerprintSql: String =
+    s"""SELECT doc_id,
+       |  md5(array_to_string(list_sort(list_distinct($SplitToksLowerSql)), ' ')) AS fp,
+       |  list_min([${Hashing.hash60Sql("t")} FOR t IN list_distinct($SplitToksLowerSql)]) AS sig
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- exact dedup (hash groupBy) ----
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir), "doc_id", "text").orderBy("text_hash")
+  val qDedupExactSql: String =
+    """SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- fingerprint dedup (order/repetition-insensitive) ----
+  def qDedupFp(s: SparkSession, dir: String): DataFrame =
+    Dedup.byFingerprint(docs(s, dir), "doc_id", "text").orderBy("fp")
+  val qDedupFpSql: String =
+    s"""SELECT md5(array_to_string(list_sort(list_distinct($SplitToksLowerSql)), ' ')) AS fp,
+       |  count(*) AS n_docs, min(doc_id) AS min_doc_id
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- minhash signatures (k=8, one-pass aggregation) ----
+  private val MinHashK = 8
+  def qMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashSignatures(docs(s, dir), "doc_id", "text", MinHashK)
+      .withColumnRenamed("id", "doc_id").orderBy("doc_id")
+  val qMinhashSql: String = {
+    val mins = (0 until MinHashK).map(i =>
+      s"list_min([${Hashing.hash60Sql("t", i)} FOR t IN list_distinct($SplitToksLowerSql)]) AS m$i")
+      .mkString(",\n  ")
+    s"SELECT doc_id,\n  $mins\nFROM documents ORDER BY doc_id"
+  }
+
+  // ---- exact n-gram (token-set) Jaccard similarity join ----
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+      docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text",
+      n = 1, threshold = 0.8)
+      .select(col("i"), col("j"), r6(col("jaccard")).as("jaccard"))
+      .orderBy("i", "j")
+  val qNgramJaccardSql: String =
+    s"""WITH sh AS (SELECT doc_id AS id, list_distinct($SplitToksLowerSql) AS s
+       |  FROM documents WHERE doc_id < 1000),
+       |sz AS (SELECT id, len(s) AS sz FROM sh),
+       |ex AS (SELECT id, unnest(s) AS tok FROM sh),
+       |common AS (SELECT a.id AS i, b.id AS j, count(*) AS c
+       |  FROM ex a JOIN ex b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2)
+       |SELECT i, j, round(c::DOUBLE / (si.sz + sj.sz - c), 6) AS jaccard
+       |FROM common JOIN sz si ON si.id = i JOIN sz sj ON sj.id = j
+       |WHERE c::DOUBLE / (si.sz + sj.sz - c) >= 0.8
+       |ORDER BY i, j""".stripMargin
+
+  // ---- minhash-LSH near-dup pairs (candidate gen + exact verify);
+  //      recall < 1 by construction → rows-only check ----
+  def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLshPairs(
+      docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text",
+      k = 16, rowsPerBand = 2, threshold = 0.5)
+      .select(col("i"), col("j"), r6(col("jaccard")).as("jaccard"))
+      .orderBy("i", "j")
+
+  // ---- simhash (32-bit) ----
+  private val SimHashBits = 32
+  def qSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHash(docs(s, dir), "doc_id", "text", SimHashBits)
+      .withColumnRenamed("id", "doc_id").orderBy("doc_id")
+  val qSimhashSql: String = {
+    val votes = (0 until SimHashBits).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n  ")
+    val assemble = (0 until SimHashBits).map(j =>
+      s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id AS id, unnest($SplitToksLowerSql) AS t FROM documents),
+       |h AS (SELECT id, ${Hashing.hash60Sql("t")} AS h FROM toks),
+       |votes AS (SELECT id, $votes FROM h GROUP BY 1)
+       |SELECT id AS doc_id, $assemble AS simhash FROM votes ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- embedding cosine near-dup pairs ----
+  def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    // norms precomputed once per vector (not per pair); numerically
+    // identical to the per-pair form, so oracle parity holds
+    val v = emb(s, dir).filter(col("vec_id") < 1000)
+      .select(col("vec_id").as("id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        (Similarity.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .filter(col("cosine") >= 0.3)
+      .select(col("i"), col("j"), r6(col("cosine")).as("cosine"))
+      .orderBy("i", "j")
+  }
+  val qEmbedNearDupSql: String =
+    """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+      |  FROM embeddings WHERE vec_id < 1000),
+      |p AS (SELECT a.id AS i, b.id AS j,
+      |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+      |  FROM e a JOIN e b ON a.id < b.id)
+      |SELECT i, j, round(cosine, 6) AS cosine FROM p
+      |WHERE cosine >= 0.3 ORDER BY i, j""".stripMargin
+
+  // ---- brute-force cosine top-k (similarity-search baseline) ----
+  def qKnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 3), "vec_id", "embedding", k = 10)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("qid", "rank")
+  }
+  val qKnnBruteSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+      |scored AS (SELECT qid, e.vec_id AS id,
+      |    round(list_dot_product(e.v, qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+      |  FROM q, e)
+      |SELECT qid, id, cosine, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
+      |  FROM scored) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  // ---- IVF approximate top-k (bucketed scale path; approximate →
+  //      rows-only check, recall asserted in SimilaritySpec) ----
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfTopK(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 3), "vec_id", "embedding",
+      k = 10, nCentroids = 8, nProbe = 3)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("qid", "rank")
+  }
+
+  // ---- event sessionization (gaps-and-islands) ----
+  def qSessionize(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionize(Tables.load(s, dir, "events"))
+      .orderBy("user_id", "session_id")
+  val qSessionizeSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events),
+       |l AS (SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_ms FROM e),
+       |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > ${Sessionize.DefaultGapMs} THEN 1 ELSE 0 END AS is_new FROM l),
+       |s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM f)
+       |SELECT user_id, session_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+       |  count(*) AS n_events,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- multimodal: binary column + batched feature extraction ----
+  def qMultimodal(s: SparkSession, dir: String): DataFrame =
+    Multimodal.featuresFromDocuments(s, docs(s, dir))
+      .select(col("media_id"), col("kind"), col("n_bytes").cast("long").as("n_bytes"),
+        col("sig"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+      .orderBy("media_id")
+  val qMultimodalSql: String =
+    """SELECT doc_id AS media_id, 'image' AS kind,
+      |  octet_length(encode(text)) AS n_bytes, md5(text) AS sig,
+      |  octet_length(encode(text)) % 64 + 1 AS width,
+      |  octet_length(encode(text)) % 48 + 1 AS height
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  // ---- multimodal: frame sampling (binary slicing) ----
+  def qFrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.mediaFromDocuments(docs(s, dir)), frameSize = 32, stride = 16)
+      .select(col("media_id"), col("offset").cast("long").as("frame_off"),
+        md5(col("frame")).as("frame_sig"))
+      .orderBy("media_id", "frame_off")
+  val qFrameSampleSql: String =
+    """SELECT doc_id AS media_id, CAST(frame_off AS BIGINT) AS frame_off,
+      |  md5(substr(text, frame_off, 32)) AS frame_sig
+      |FROM documents,
+      |  LATERAL (SELECT unnest(generate_series(1, greatest(octet_length(encode(text)) - 31, 1), 16)) AS frame_off)
+      |ORDER BY media_id, frame_off""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> (qTextStats _),
+    "q_lang_id" -> (qLangId _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_fp" -> (qDedupFp _),
+    "q_minhash" -> (qMinhash _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_simhash" -> (qSimhash _),
+    "q_embed_neardup" -> (qEmbedNearDup _),
+    "q_knn_brute" -> (qKnnBrute _),
+    "q_ann_ivf" -> (qAnnIvf _),
+    "q_sessionize" -> (qSessionize _),
+    "q_multimodal" -> (qMultimodal _),
+    "q_frame_sample" -> (qFrameSample _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" -> qTextStatsSql,
+    "q_lang_id" -> qLangIdSql,
+    "q_fingerprint" -> qFingerprintSql,
+    "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_fp" -> qDedupFpSql,
+    "q_minhash" -> qMinhashSql,
+    "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_simhash" -> qSimhashSql,
+    "q_embed_neardup" -> qEmbedNearDupSql,
+    "q_knn_brute" -> qKnnBruteSql,
+    "q_sessionize" -> qSessionizeSql,
+    "q_multimodal" -> qMultimodalSql,
+    "q_frame_sample" -> qFrameSampleSql,
+    // q_minhash_lsh, q_ann_ivf: approximate → rows-only checks
+  )
+}

@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("exact dedup collapses identical texts to one group") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exact(df, "doc_id", "text").collect()
+    assert(got.length == 2)
+    val dup = got.find(_.getAs[Long]("n_docs") == 2).get
+    assert(dup.getAs[Long]("min_doc_id") == 1L)
+  }
+
+  test("fingerprint dedup is order- and repetition-insensitive") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "b a c a"), (2L, "a  b c"), (3L, "a b d"))
+      .toDF("doc_id", "text")
+    val got = Dedup.byFingerprint(df, "doc_id", "text").collect()
+    assert(got.length == 2)
+    assert(got.map(_.getAs[Long]("n_docs")).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("ngram jaccard: identical doc pair scores 1.0, disjoint pair absent") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "p q r s"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", 2, 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("i") == 1 && pairs(0).getAs[Long]("j") == 2)
+    assert(pairs(0).getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("minhash LSH pairs have no false positives and high recall vs exact") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 1, 0.5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      k = 16, rowsPerBand = 2, threshold = 0.5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "verify step must kill false positives")
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall too low (|exact|=${exact.size})")
+  }
+
+  test("simhash: identical docs share a signature; signatures spread overall") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val sig = Dedup.simHash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("IVF with nProbe == nCentroids equals brute force exactly") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 3)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "cosine", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val brute = key(Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", 10))
+    val ivfAll = key(Similarity.ivfTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", 10, nCentroids = 8, nProbe = 8))
+    assert(ivfAll == brute)
+  }
+
+  test("IVF with partial probe returns k rows per query with valid cosines") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val got = Similarity.ivfTopK(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 3), "vec_id", "embedding",
+      10, nCentroids = 8, nProbe = 3)
+    val counts = got.groupBy("qid").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ == 10))
+    assert(got.filter(col("cosine") > 1.000001 || col("cosine") < -1.000001).count() == 0)
+  }
+
+  test("sessionize splits at the gap and aggregates per session") {
+    val s = spark
+    import s.implicits._
+    val ts = (ms: Long) => new java.sql.Timestamp(ms)
+    val ev = Seq(
+      (1L, 10L, ts(0L), 1.0), (2L, 10L, ts(60000L), 2.0),          // session 1
+      (3L, 10L, ts(60000L + Sessionize.DefaultGapMs + 60000), 3.0), // session 2
+      (4L, 20L, ts(5000L), 4.0))                                    // other user
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = Sessionize.sessionize(ev).orderBy("user_id", "session_id").collect()
+    assert(got.length == 3)
+    assert(got(0).getAs[Long]("n_events") == 2 &&
+      got(0).getAs[Double]("sum_value") == 3.0)
+    assert(got(1).getAs[Long]("n_events") == 1)
+    assert(got(2).getAs[Long]("user_id") == 20L)
+  }
+
+  test("multimodal feature extraction: md5 + stub dims match the content") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val got = Multimodal.featuresFromDocuments(spark, df).collect()(0)
+    assert(got.getAs[Int]("n_bytes") == 11)
+    assert(got.getAs[String]("sig") ==
+      "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
+    assert(got.getAs[Int]("width") == 11 % 64 + 1)
+  }
+
+  test("frame sampling covers the content at the stride") {
+    val s = spark
+    import s.implicits._
+    val text = "a" * 100
+    val media = Multimodal.mediaFromDocuments(
+      Seq((1L, text)).toDF("doc_id", "text"))
+    val frames = Multimodal.sampleFrames(media, frameSize = 32, stride = 16)
+      .collect()
+    // offsets 1, 17, 33, 49, 65 (greatest(100-31,1)=69 → last start ≤ 69)
+    assert(frames.map(_.getAs[Int]("offset")).sorted.toSeq == Seq(1, 17, 33, 49, 65))
+    assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 32))
+  }
+
+  test("langGuess picks the dominant stopword language deterministically") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "the cat of the house is big"),
+      (2L, "el gato de la casa que es"),
+      (3L, "qwerty zxcvb")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextAnalysis.langGuess(col("text")).as("lg")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en" && got(2L) == "es" && got(3L) == "und")
+  }
+}
