@@ -112,41 +112,67 @@ object C45 {
         .filter(col("__rid") >= 0)
         .withColumn("__cls", col(clsCol).cast("string"))
 
-      // per-rule × class counts (A2) — tiny result, collected
-      val clsCounts: Map[Int, Map[String, Long]] =
-        base.groupBy(col("__rid"), col("__cls")).count().collect()
-          .groupBy(_.getInt(0))
-          .map { case (rid, rows) =>
-            rid -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
-          }
+      // The per-level actions are independent — run them concurrently
+      // (the reference serializes one MR job per level; we overlap the
+      // categorical and numeric stat jobs on the same cached data).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
 
-      // categorical: contingency cells + gain-ratio stats in one shuffle
-      val (catStats, catValues) =
-        if (catAttrs.isEmpty) (Map.empty[(Int, Int), Cand], Map.empty[(Int, Int), Seq[String]])
-        else {
-          val cells = base
-            .select(col("__rid"), col("__cls").as("cls"),
-              explode(map(attrPairs(catAttrs, "string"): _*)).as(Seq("aid", "val")))
-            .groupBy("__rid", "aid", "val", "cls")
-            .agg(count(lit(1)).as("cnt"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          val stats = InfoStats
-            .categoricalSplitStats(cells, Seq("__rid", "aid"))
-            .collect()
-            .map(r => (r.getInt(0), r.getInt(1)) ->
-              Cand(r.getInt(1), r.getDouble(7), r.getDouble(6), None))
-            .toMap
-          val values = cells.select("__rid", "aid", "val").distinct().collect()
-            .groupBy(r => (r.getInt(0), r.getInt(1)))
-            .map { case (k, rows) => k -> rows.map(_.getString(2)).toSeq.sorted }
-          cells.unpersist()
-          (stats, values)
+      val catCells =
+        if (catAttrs.isEmpty) None
+        else Some(base
+          .select(col("__rid"), col("__cls").as("cls"),
+            explode(map(attrPairs(catAttrs, "string"): _*)).as(Seq("aid", "val")))
+          .groupBy("__rid", "aid", "val", "cls")
+          .agg(count(lit(1)).as("cnt"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+
+      // per-rule class counts: derived from the categorical cell table
+      // when one exists (marginal over the first categorical attribute),
+      // else a dedicated tiny aggregation
+      val clsCountsF: Future[Map[Int, Map[String, Long]]] = catCells match {
+        case Some(cells) =>
+          val firstAid = schema.attrIndex(catAttrs.head.name)
+          Future {
+            cells.filter(col("aid") === firstAid)
+              .groupBy("__rid", "cls").agg(sum("cnt").as("n")).collect()
+              .groupBy(_.getInt(0))
+              .map { case (rid, rows) =>
+                rid -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+              }
+          }
+        case None => Future {
+          base.groupBy(col("__rid"), col("__cls")).count().collect()
+            .groupBy(_.getInt(0))
+            .map { case (rid, rows) =>
+              rid -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+            }
+        }
+      }
+
+      val catF: Future[(Map[(Int, Int), Cand], Map[(Int, Int), Seq[String]])] =
+        catCells match {
+          case None => Future.successful(
+            (Map.empty[(Int, Int), Cand], Map.empty[(Int, Int), Seq[String]]))
+          case Some(cells) => Future {
+            val stats = InfoStats
+              .categoricalSplitStats(cells, Seq("__rid", "aid"))
+              .collect()
+              .map(r => (r.getInt(0), r.getInt(1)) ->
+                Cand(r.getInt(1), r.getDouble(7), r.getDouble(6), None))
+              .toMap
+            val values = cells.select("__rid", "aid", "val").distinct().collect()
+              .groupBy(r => (r.getInt(0), r.getInt(1)))
+              .map { case (k, rows) => k -> rows.map(_.getString(2)).toSeq.sorted }
+            (stats, values)
+          }
         }
 
       // numeric: one-pass window split search per (rule, attr)
-      val numStats: Map[(Int, Int), Cand] =
-        if (numAttrs.isEmpty) Map.empty
-        else {
+      val numF: Future[Map[(Int, Int), Cand]] =
+        if (numAttrs.isEmpty) Future.successful(Map.empty)
+        else Future {
           val numDf = base
             .select(col("__rid"), col("__cls").as("cls"),
               explode(map(attrPairs(numAttrs, "double"): _*)).as(Seq("aid", "val")))
@@ -159,6 +185,11 @@ object C45 {
                 Some(r.getDouble(2))))
             .toMap
         }
+
+      val clsCounts = Await.result(clsCountsF, Duration.Inf)
+      val (catStats, catValues) = Await.result(catF, Duration.Inf)
+      val numStats = Await.result(numF, Duration.Inf)
+      catCells.foreach(_.unpersist())
 
       // driver-side per-rule decision (O3/O4): tiny tables only
       val nextOpen = Vector.newBuilder[Rule]

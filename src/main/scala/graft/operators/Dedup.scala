@@ -68,17 +68,34 @@ object Dedup {
       .select(col("i"), col("j"), col("jaccard"))
   }
 
-  /** MinHash signatures over the distinct token/shingle set: k salted
-    * 60-bit hash functions, one `min` aggregation each, ALL computed in
-    * a single shuffled groupBy (k aggregates, one pass). Output:
-    * (id, m0 .. m{k-1}). */
+  /** Modulus for the Carter-Wegman minhash family (a prime; keeps
+    * i·h1 far from int64 overflow, which DuckDB would reject). */
+  val MinHashMod = 1000000007L
+
+  /** MinHash signatures over the distinct token/shingle set via the
+    * Carter-Wegman family h_i = (h0 + i·h1) mod p with h0, h1 < p:
+    * TWO md5 evaluations per shingle (not k), then k cheap arithmetic
+    * mins — ALL computed in a single shuffled groupBy (k aggregates,
+    * one pass). Both terms are reduced mod p FIRST so they share a
+    * magnitude (an unreduced 60-bit h0 would dominate i·h1 and collapse
+    * the k functions into one); i·h1 < k·p ≈ 2^34 keeps every
+    * intermediate far from int64 overflow, which the SQL oracle's
+    * BIGINT arithmetic requires. Output: (id, m0 .. m{k-1}). */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int, n: Int = 1): DataFrame = {
+    // ONE md5 per shingle: h0/h1 are disjoint 60-bit slices of the
+    // same digest (md5 chars 1-15 and 16-30), reduced mod p
+    val digest = md5(concat(lit("0|"), col("s")))
     val exploded = df
       .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+      .withColumn("d", digest)
+      .withColumn("h0", conv(substring(col("d"), 1, 15), 16, 10).cast("long") % MinHashMod)
+      .withColumn("h1", conv(substring(col("d"), 16, 15), 16, 10).cast("long") % MinHashMod)
+      .drop("d")
     exploded.groupBy("id")
-      .agg(min(Hashing.hash60(col("s"), 0)).as("m0"),
-        (1 until k).map(i => min(Hashing.hash60(col("s"), i)).as(s"m$i")): _*)
+      .agg(min(col("h0")).as("m0"),
+        (1 until k).map(i =>
+          min((col("h0") + lit(i.toLong) * col("h1")) % MinHashMod).as(s"m$i")): _*)
   }
 
   /** MinHash-LSH near-duplicate pairs: band the k-component signature

@@ -19,10 +19,11 @@ object Similarity {
 
   def toDoubleVec(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Sequential left-to-right dot product — matches DuckDB's
-    * list_dot_product accumulation for oracle parity. */
+  /** Sequential left-to-right dot product — a native codegen'd Catalyst
+    * expression (graft.functions.DotProduct); same accumulation order
+    * as DuckDB's list_dot_product for oracle parity. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -31,8 +32,7 @@ object Similarity {
   /** Pre-normalized double vector: cosine becomes a plain dot. */
   def unitVector(c: Column): Column = {
     val d = toDoubleVec(c)
-    val n = sqrt(aggregate(transform(d, x => x * x), lit(0.0), (acc, x) => acc + x))
-    transform(d, x => x / n)
+    transform(d, x => x / sqrt(dot(d, d)))
   }
 
   /** Exact top-k by cosine for each query vector (brute force).

@@ -106,10 +106,16 @@ object ExtQueries {
     Dedup.minHashSignatures(docs(s, dir), "doc_id", "text", MinHashK)
       .withColumnRenamed("id", "doc_id").orderBy("doc_id")
   val qMinhashSql: String = {
+    val p = Dedup.MinHashMod
+    val h0 = s"(CAST(('0x' || substr(d, 1, 15)) AS BIGINT) % $p)"
+    val h1 = s"(CAST(('0x' || substr(d, 16, 15)) AS BIGINT) % $p)"
     val mins = (0 until MinHashK).map(i =>
-      s"list_min([${Hashing.hash60Sql("t", i)} FOR t IN list_distinct($SplitToksLowerSql)]) AS m$i")
+      s"list_min([($h0 + $i * $h1) % $p FOR d IN ds]) AS m$i")
       .mkString(",\n  ")
-    s"SELECT doc_id,\n  $mins\nFROM documents ORDER BY doc_id"
+    s"""WITH t AS (SELECT doc_id,
+       |  [md5(concat('0|', tok)) FOR tok IN list_distinct($SplitToksLowerSql)] AS ds
+       |  FROM documents)
+       |SELECT doc_id,\n  $mins\nFROM t ORDER BY doc_id""".stripMargin
   }
 
   // ---- exact n-gram (token-set) Jaccard similarity join ----
