@@ -45,6 +45,26 @@ case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String) {
     leaves.map(r => (r.encode, r.label.getOrElse(""), r.depth))
       .toDF("rule", "label", "depth")
   }
+
+  /** Persist the rule set in the reference's queue-file text format
+    * (one encoded rule per line — Main.java:272-289 / Rule.java:22-33);
+    * driver-side IO, the model is tiny by construction. */
+  def saveRules(path: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      (ruleStrings :+ s":$majority").mkString("\n"))
+}
+
+object C45Model {
+  /** Inverse of [[C45Model.saveRules]]: the final `:label` line (a
+    * condition-less closed rule) carries the global majority. */
+  def loadRules(path: String, schema: C45Schema): C45Model = {
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path)).toArray.map(_.toString).filter(_.nonEmpty)
+    val rules = lines.map(graft.model.Rule.decode).toVector
+    val majority = rules.last.label.getOrElse(
+      sys.error(s"model file $path has no majority line"))
+    C45Model(schema, rules.init, majority)
+  }
 }
 
 /** Level-wise C4.5 fit (SURVEY.md O4): the reference's one-MapReduce-job-

@@ -258,7 +258,40 @@ object ExtQueries {
       |  LATERAL (SELECT unnest(generate_series(1, greatest(octet_length(encode(text)) - 31, 1), 16)) AS frame_off)
       |ORDER BY media_id, frame_off""".stripMargin
 
+  // ---- streaming sessionization, driven synchronously (AvailableNow →
+  //      memory sink): the streaming engine's answer must match the
+  //      batch oracle for every session CLOSED by a later event (the
+  //      still-open tail session per user stays in state) ----
+  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger()
+  def qStreamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"graft_stream_sess_${streamRuns.incrementAndGet()}"
+    val q = graft.streaming.StreamingSessionize.sessionize(
+        graft.streaming.StreamingSessionize.readEventStream(s, dir))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    s.table(name)
+      .select(col("user_id"), col("session_id"), col("start_ms"), col("end_ms"),
+        col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+  val qStreamSessionizeSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events),
+       |l AS (SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_ms FROM e),
+       |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > ${Sessionize.DefaultGapMs} THEN 1 ELSE 0 END AS is_new FROM l),
+       |s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM f),
+       |agg AS (SELECT user_id, session_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+       |    count(*) AS n_events,
+       |    round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+       |  FROM s GROUP BY 1, 2),
+       |mx AS (SELECT user_id, max(session_id) AS last_sid FROM agg GROUP BY 1)
+       |SELECT user_id, session_id, start_ms, end_ms, n_events, sum_value
+       |FROM agg JOIN mx USING (user_id) WHERE session_id <> last_sid
+       |ORDER BY user_id, session_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_sessionize" -> (qStreamSessionize _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
     "q_fingerprint" -> (qFingerprint _),
@@ -277,6 +310,7 @@ object ExtQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stream_sessionize" -> qStreamSessionizeSql,
     "q_text_stats" -> qTextStatsSql,
     "q_lang_id" -> qLangIdSql,
     "q_fingerprint" -> qFingerprintSql,

@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming windowed aggregation over the events stream: tumbling
+  * event-time windows with a watermark — the readStream → transform →
+  * writeStream shape for continuous pipeline statistics (per-window
+  * per-type counts and value sums, e.g. for monitoring an ingestion
+  * pipeline's rates). Verified against the identical batch computation
+  * in StreamingSpec. */
+object StreamingStats {
+
+  /** Windowed per-event-type stats over a streaming events DataFrame
+    * whose `ts` column is ns-epoch LongType (nanosAsLong). */
+  def windowedTypeStats(events: DataFrame, windowLen: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts_time", timestamp_millis(expr("ts div 1000000")))
+      .withWatermark("ts_time", watermark)
+      .groupBy(window(col("ts_time"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_millis(col("w.start")).as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Batch twin of [[windowedTypeStats]] (no watermark — batch plans
+    * reject it) for differential testing. */
+  def windowedTypeStatsBatch(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts_time", timestamp_millis(expr("ts div 1000000")))
+      .groupBy(window(col("ts_time"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_millis(col("w.start")).as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.operators.Sessionize
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential tests: the streaming formulations must agree with
+  * their batch duals on the same events data. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming sessionization matches batch gaps-and-islands " +
+    "(all sessions closed by a later event)") {
+    val stream = StreamingSessionize.readEventStream(spark, sf)
+    val q = StreamingSessionize.sessionize(stream).writeStream
+      .format("memory").queryName("sess_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sess_out")
+      .select("user_id", "session_id", "start_ms", "end_ms", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+
+    // batch dual, minus each user's final (still-open) session
+    val batch = Sessionize.sessionize(
+      spark.read.parquet(s"$sf/events.parquet"))
+    val lastPerUser = batch.groupBy("user_id")
+      .agg(max("session_id").as("session_id"))
+    val closedBatch = batch.join(lastPerUser,
+        Seq("user_id", "session_id"), "left_anti")
+      .select("user_id", "session_id", "start_ms", "end_ms", "n_events", "sum_value")
+      .collect().map { r =>
+        // batch sums via decimal; streaming sums doubles sequentially —
+        // normalize to 2 decimals for comparison
+        r.toSeq.updated(5, math.round(r.getDouble(5) * 100) / 100.0)
+      }.toSet
+    val streamedNorm = streamed.map(s =>
+      s.updated(5, math.round(s(5).asInstanceOf[Double] * 100) / 100.0))
+    assert(streamedNorm == closedBatch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming windowed stats match the batch twin") {
+    val stream = spark.readStream
+      .schema(StreamingSessionize.eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sf)
+    val q = StreamingStats.windowedTypeStats(stream).writeStream
+      .format("memory").queryName("win_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // append mode only emits windows the watermark has passed; every
+    // emitted row must match the batch twin exactly
+    val streamed = spark.table("win_out").collect().map(_.toSeq).toSet
+    val batch = StreamingStats.windowedTypeStatsBatch(
+        spark.read.parquet(s"$sf/events.parquet"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.subsetOf(batch))
+    assert(streamed.nonEmpty)
+  }
+}
