@@ -296,6 +296,78 @@ object C45Queries {
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // ---- grouping sets: rollup + cube (engine surface; the reference
+  //      has no grouping sets — SURVEY.md §2 absent categories) ----
+  def qRollup(s: SparkSession, dir: String): DataFrame = {
+    // spark.sql surface: DataFrame-API rollup over a multi-join child
+    // trips Spark's ambiguous-self-join detector (the rollup Expand
+    // duplicates the grouping attribute), so this query exercises the
+    // SQL entry point instead — same Catalyst plan underneath
+    li(s, dir).createOrReplaceTempView("lineitem")
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+    Tables.load(s, dir, "nation").createOrReplaceTempView("nation")
+    s.sql(
+      """SELECT /*+ BROADCAST(customer), BROADCAST(nation) */
+        |  coalesce(n_name, 'ALL') AS n_name,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name) ORDER BY 1""".stripMargin)
+  }
+  val qRollupSql: String =
+    """SELECT coalesce(n_name, 'ALL') AS n_name,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP (n_name) ORDER BY 1""".stripMargin
+
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    li(s, dir).cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("cnt"), col("sum_price"))
+      .orderBy("rf", "ls")
+  val qCubeSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls, count(*) AS cnt,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---- distinct aggregates ----
+  def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
+    li(s, dir).groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag")
+  val qDistinctAggSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+      |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_items
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- set operations ----
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val f = o.filter(col("o_orderstatus") === "F").select("o_custkey").distinct()
+    val open = o.filter(col("o_orderstatus") === "O").select("o_custkey").distinct()
+    f.except(open).orderBy("o_custkey")
+  }
+  val qSetOpsSql: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY o_custkey""".stripMargin
+
   // ---- O4: the full iterative fit (not SQL-expressible; rows-only) ----
   def qFitTree(s: SparkSession, dir: String): DataFrame = {
     val schema = C45Schema(
@@ -352,6 +424,10 @@ object C45Queries {
     "q_sort" -> (qSort _),
     "q_scalar" -> (qScalar _),
     "q_join_agg" -> (qJoinAgg _),
+    "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_distinct_agg" -> (qDistinctAgg _),
+    "q_setops" -> (qSetOps _),
     "q_fit_tree" -> (qFitTree _),
   )
 
@@ -371,6 +447,10 @@ object C45Queries {
     "q_sort" -> qSortSql,
     "q_scalar" -> qScalarSql,
     "q_join_agg" -> qJoinAggSql,
+    "q_rollup" -> qRollupSql,
+    "q_cube" -> qCubeSql,
+    "q_distinct_agg" -> qDistinctAggSql,
+    "q_setops" -> qSetOpsSql,
     // q_fit_tree: iterative, not SQL-expressible → rows-only check
   )
 }
