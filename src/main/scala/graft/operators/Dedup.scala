@@ -120,14 +120,17 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
-    // verify: exact Jaccard on the candidate pairs only
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    // verify: exact Jaccard on the candidate pairs only — sorted-array
+    // merge scan (native expression) instead of per-pair hash sets
+    val sh = df.select(col(idCol).as("id"),
+      array_sort(shingles(col(textCol), n)).as("sh"))
     cands
       .join(sh.select(col("id").as("i"), col("sh").as("sh_i")), "i")
       .join(sh.select(col("id").as("j"), col("sh").as("sh_j")), "j")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
-          size(array_union(col("sh_i"), col("sh_j"))))
+      .withColumn("common", graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("sh_i"), col("sh_j")))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_i")) + size(col("sh_j")) - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("i"), col("j"), col("jaccard"))
   }
