@@ -10,9 +10,15 @@ import org.apache.spark.storage.StorageLevel
 /** Tuning knobs for [[C45.fit]]. `minDataRatio` is the reference's 10%
   * both-sides guard on numeric boundaries (MyReducer.java:34,188-190);
   * `maxDepth` bounds the level loop (the reference's only bound is
-  * attribute exhaustion). */
+  * attribute exhaustion). `maxBins` caps candidate boundaries per
+  * numeric attribute: attributes with more distinct values are
+  * quantile-discretized once up front (MLlib-style), keeping the
+  * per-(rule,attr) window in the split search bounded at any data
+  * scale — the reference instead buffers and rescans EVERY distinct
+  * value inside one reducer (MyReducer.java:112-205). 0 disables. */
 case class C45Params(minDataRatio: Double = InfoStats.DefaultMinDataRatio,
-                     maxDepth: Int = 30)
+                     maxDepth: Int = 30,
+                     maxBins: Int = 256)
 
 /** A fitted C4.5 model: the leaf rule set (root-to-leaf conjunctions,
   * exactly the reference's printed deliverable, Main.java:128-131) plus
@@ -115,6 +121,38 @@ object C45 {
       attrs.flatMap(a =>
         Seq(lit(schema.attrIndex(a.name)), col(a.name).cast(castTo)))
 
+    // quantile-bin high-cardinality numeric attributes ONCE (maxBins):
+    // one approx-distinct job decides which attrs need it, one
+    // approxQuantile job produces the edges; values then snap to the
+    // smallest edge >= v via a codegen'd binary search, which preserves
+    // split semantics exactly (snap(v) <= e ⟺ v <= e for any edge e)
+    val binEdges: Map[Int, Array[Double]] =
+      if (params.maxBins <= 0 || numAttrs.isEmpty) Map.empty
+      else {
+        val dc = data.agg(
+          approx_count_distinct(col(numAttrs.head.name)).as(numAttrs.head.name),
+          numAttrs.tail.map(a => approx_count_distinct(col(a.name)).as(a.name)): _*)
+          .collect()(0)
+        val need = numAttrs.filter(a => dc.getAs[Long](a.name) > params.maxBins)
+        if (need.isEmpty) Map.empty
+        else {
+          val probs = (1 until params.maxBins).map(_.toDouble / params.maxBins).toArray
+          val qs = data.stat.approxQuantile(need.map(_.name).toArray, probs, 1e-4)
+          need.map(_.name).zip(qs).collect {
+            case (nm, edges) if edges.nonEmpty =>
+              schema.attrIndex(nm) -> edges.distinct.sorted
+          }.toMap
+        }
+      }
+    def numValCol(a: graft.meta.AttrMeta): Column = {
+      val raw = col(a.name).cast("double")
+      binEdges.get(schema.attrIndex(a.name))
+        .map(e => graft.functions.SortedCeilSnap.snapTo(e, raw))
+        .getOrElse(raw)
+    }
+    def numPairs(attrs: Seq[graft.meta.AttrMeta]): Seq[Column] =
+      attrs.flatMap(a => Seq(lit(schema.attrIndex(a.name)), numValCol(a)))
+
     var open = Vector(Rule.root)
     var closed = Vector.empty[Rule]
     var globalMajority: Option[String] = None
@@ -195,7 +233,10 @@ object C45 {
         else Future {
           val numDf = base
             .select(col("__rid"), col("__cls").as("cls"),
-              explode(map(attrPairs(numAttrs, "double"): _*)).as(Seq("aid", "val")))
+              explode(map(numPairs(numAttrs): _*)).as(Seq("aid", "val")))
+            // +Inf (the top bin) stays IN: those rows belong to the
+            // right side of every candidate split; +Inf itself is the
+            // group maximum, which the scan already skips as a boundary
             .filter(col("val").isNotNull)
           val scan = InfoStats.boundaryScan(numDf, Seq("__rid", "aid"),
             classLabels, minDataRatio = params.minDataRatio)
