@@ -1,0 +1,35 @@
+package graft
+
+import graft.functions.{DotProduct, SortedCeilSnap, SortedIntersectCount}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for graft's native expressions: register on an existing
+  * session (`GraftFunctions.register(spark)`) or install at build time
+  * via `.withExtensions(new GraftExtensions)` /
+  * `spark.sql.extensions=graft.GraftExtensions` — after which
+  * `graft_dot(a, b)` and `graft_sorted_intersect_count(x, y)` are
+  * callable from plain SQL. */
+object GraftFunctions {
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (args => DotProduct(args(0), args(1))),
+    "graft_sorted_intersect_count" ->
+      (args => SortedIntersectCount(args(0), args(1))))
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+}
+
+/** Session-extension installer for the same functions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, b) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), b))
+    }
+}

@@ -224,6 +224,42 @@ object C45Queries {
        |ORDER BY boundary""".stripMargin
   }
 
+  // ---- O2+O3 composed: best boundary per numeric attribute (the
+  //      whole split decision, windows partitioned per attr) ----
+  def qBestSplit(s: SparkSession, dir: String): DataFrame = {
+    val numDf = li(s, dir).select(col("l_linestatus").as("cls"),
+      explode(map(
+        lit("l_quantity"), col("l_quantity").cast("double"),
+        lit("l_discount"), col("l_discount").cast("double"),
+        lit("l_tax"), col("l_tax").cast("double"))).as(Seq("aid", "val")))
+    InfoStats.bestSplits(
+      InfoStats.boundaryScan(numDf, Seq("aid"), ClassLabels), Seq("aid"))
+      .select(col("aid"), col("boundary"), col("left_n"), col("right_n"),
+        r6(col("cond_entropy")).as("cond_entropy"),
+        r6(col("gain")).as("gain"), r6(col("gain_ratio")).as("gain_ratio"))
+      .orderBy("aid")
+  }
+  val qBestSplitSql: String = {
+    val sLeft = s"(${plogpSql("lfc")} + ${plogpSql("loc")})"
+    val sRight = s"(${plogpSql("(tfc - lfc)")} + ${plogpSql("(toc - loc)")})"
+    val sTot = s"(${plogpSql("tfc")} + ${plogpSql("toc")})"
+    val condE = s"(((left_n * log2(left_n) - $sLeft) + (right_n * log2(right_n) - $sRight)) / n)"
+    val info = s"(log2(n) - $sTot / n)"
+    val splitInfo = s"(log2(n) - (${plogpSql("left_n")} + ${plogpSql("right_n")}) / n)"
+    def scored(aid: String) =
+      s"""SELECT '$aid' AS aid, boundary, left_n, right_n,
+         |  $condE AS ce, $info - $condE AS g, ($info - $condE) / $splitInfo AS gr
+         |FROM (${scanSql(s"CAST($aid AS DOUBLE)")})
+         |WHERE right_n > 0 AND left_n >= n * 0.1 AND right_n >= n * 0.1""".stripMargin
+    s"""WITH u AS (
+       |${Seq("l_quantity", "l_discount", "l_tax").map(scored).mkString("\n UNION ALL\n")}
+       |)
+       |SELECT aid, boundary, left_n, right_n, round(ce, 6) AS cond_entropy,
+       |  round(g, 6) AS gain, round(gr, 6) AS gain_ratio
+       |FROM (SELECT *, row_number() OVER (PARTITION BY aid ORDER BY ce, boundary) AS rn FROM u)
+       |WHERE rn = 1 ORDER BY aid""".stripMargin
+  }
+
   // ---- O3: deterministic per-group top-1 (argmax) ----
   def qArgmax(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_returnflag")
@@ -420,6 +456,7 @@ object C45Queries {
     "q_cond_entropy" -> (qCondEntropy _),
     "q_gain_ratio" -> (qGainRatio _),
     "q_split_scan" -> (qSplitScan _),
+    "q_best_split" -> (qBestSplit _),
     "q_argmax" -> (qArgmax _),
     "q_sort" -> (qSort _),
     "q_scalar" -> (qScalar _),
@@ -443,6 +480,7 @@ object C45Queries {
     "q_cond_entropy" -> qCondEntropySql,
     "q_gain_ratio" -> qGainRatioSql,
     "q_split_scan" -> qSplitScanSql,
+    "q_best_split" -> qBestSplitSql,
     "q_argmax" -> qArgmaxSql,
     "q_sort" -> qSortSql,
     "q_scalar" -> qScalarSql,

@@ -44,6 +44,16 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native expressions are callable from SQL after registration") {
+    graft.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |  graft_sorted_intersect_count(array('a','b'), array('b','c')) AS c
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(1) == 1L)
+  }
+
   test("expressions survive both codegen and interpreted paths") {
     val s = spark
     import s.implicits._
