@@ -404,6 +404,63 @@ object C45Queries {
       |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
       |ORDER BY o_custkey""".stripMargin
 
+  // ---- model scoring (the prediction phase the reference lacks): a
+  //      FIXED rule set compiled to one flat CASE WHEN — SQL-oracled,
+  //      which also oracles multi-rule predicate compilation (F1) ----
+  def qPredict(s: SparkSession, dir: String): DataFrame = {
+    import graft.fit.C45Model
+    import graft.meta.{AttrMeta, C45Schema}
+    import graft.model.Rule
+    val schema = C45Schema(
+      Seq(AttrMeta("l_returnflag", isNumeric = false),
+        AttrMeta("l_quantity", isNumeric = true),
+        AttrMeta("l_discount", isNumeric = true)),
+      "l_linestatus", ClassLabels)
+    val model = C45Model(schema, Vector(
+      Rule.decode("0,A&1,<=25.0:F"),
+      Rule.decode("0,A&1,>25.0:O"),
+      Rule.decode("0,N&2,<=0.05:O"),
+      Rule.decode("0,N&2,>0.05:F"),
+      Rule.decode("0,R:O")), majority = "O")
+    model.transform(li(s, dir))
+      .select(col("l_orderkey"), col("l_linenumber"), col("prediction"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+  val qPredictSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN l_returnflag = 'A' AND l_quantity <= 25.0 THEN 'F'
+      |       WHEN l_returnflag = 'A' AND l_quantity > 25.0 THEN 'O'
+      |       WHEN l_returnflag = 'N' AND l_discount <= 0.05 THEN 'O'
+      |       WHEN l_returnflag = 'N' AND l_discount > 0.05 THEN 'F'
+      |       WHEN l_returnflag = 'R' THEN 'O'
+      |       ELSE 'O' END AS prediction
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- general window surface: per-customer running order value
+  //      (orders: o_orderkey is unique → total window order, no ties;
+  //      lineitem's (orderkey, linenumber) is NOT unique in testdata) ----
+  def qRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderkey"))
+    Tables.load(s, dir, "orders")
+      .withColumn("p", col("o_totalprice").cast("decimal(18,2)"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("p")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double").as("running_total"),
+        lag(col("p"), 1).over(w).cast("double").as("prev_total"),
+        row_number().over(w).cast("long").as("seq"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+  val qRunningSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+      |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+      |  CAST(lag(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS DOUBLE) AS prev_total,
+      |  CAST(row_number()
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT) AS seq
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // ---- O4: the full iterative fit (not SQL-expressible; rows-only) ----
   def qFitTree(s: SparkSession, dir: String): DataFrame = {
     val schema = C45Schema(
@@ -465,6 +522,8 @@ object C45Queries {
     "q_cube" -> (qCube _),
     "q_distinct_agg" -> (qDistinctAgg _),
     "q_setops" -> (qSetOps _),
+    "q_predict" -> (qPredict _),
+    "q_running" -> (qRunning _),
     "q_fit_tree" -> (qFitTree _),
   )
 
@@ -489,6 +548,8 @@ object C45Queries {
     "q_cube" -> qCubeSql,
     "q_distinct_agg" -> qDistinctAggSql,
     "q_setops" -> qSetOpsSql,
+    "q_predict" -> qPredictSql,
+    "q_running" -> qRunningSql,
     // q_fit_tree: iterative, not SQL-expressible → rows-only check
   )
 }
