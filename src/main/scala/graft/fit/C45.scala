@@ -182,6 +182,10 @@ object C45 {
         else Some(base
           .select(col("__rid"), col("__cls").as("cls"),
             explode(map(attrPairs(catAttrs, "string"): _*)).as(Seq("aid", "val")))
+          // null attribute values are unsupported in fit (as in the
+          // reference, which would NPE on them): such rows still count
+          // for every OTHER attribute, but produce no null-valued child
+          .filter(col("val").isNotNull)
           .groupBy("__rid", "aid", "val", "cls")
           .agg(count(lit(1)).as("cnt"))
           .persist(StorageLevel.MEMORY_AND_DISK))

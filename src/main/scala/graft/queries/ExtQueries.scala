@@ -23,6 +23,13 @@ object ExtQueries {
     Tables.load(s, dir, "embeddings")
   private def r6(c: Column): Column = round(c, 6)
 
+  /** Half-up rounding spelled as explicit float ops so BOTH engines
+    * compute bit-identical results even when the value sits EXACTLY on
+    * a .5 decimal boundary (dyadic ratios like 130.2/128 do — Spark's
+    * BigDecimal HALF_UP and DuckDB's round() disagree there). */
+  private def r6x(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+  private def r6xSql(x: String): String = s"floor(($x) * 1000000 + 0.5) / 1000000"
+
   private val SplitToksSql = "string_split_regex(trim(text), '\\s+')"
   private val SplitToksLowerSql = "string_split_regex(trim(lower(text)), '\\s+')"
 
@@ -34,9 +41,9 @@ object ExtQueries {
       TextAnalysis.tokenCount(c).cast("long").as("n_tokens"),
       TextAnalysis.wordTokenCount(c).cast("long").as("n_wtokens"),
       TextAnalysis.punctCount(c).cast("long").as("n_punct"),
-      r6(TextAnalysis.stopwordRatio(c)).as("stop_ratio"),
-      r6(TextAnalysis.avgTokenLen(c)).as("avg_tok_len"),
-      r6(TextAnalysis.qualityScore(c)).as("quality"))
+      r6x(TextAnalysis.stopwordRatio(c)).as("stop_ratio"),
+      r6x(TextAnalysis.avgTokenLen(c)).as("avg_tok_len"),
+      r6x(TextAnalysis.qualityScore(c)).as("quality"))
       .orderBy("doc_id")
   }
   val qTextStatsSql: String = {
@@ -48,9 +55,9 @@ object ExtQueries {
        |  len($toks) AS n_tokens,
        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_wtokens,
        |  $punct AS n_punct,
-       |  round($stopRatio, 6) AS stop_ratio,
-       |  round($avgLen, 6) AS avg_tok_len,
-       |  round($stopRatio * 2.0 + (1.0 - $punct::DOUBLE / length(text)) - abs($avgLen - 5.0) / 10.0, 6) AS quality
+       |  ${r6xSql(stopRatio)} AS stop_ratio,
+       |  ${r6xSql(avgLen)} AS avg_tok_len,
+       |  ${r6xSql(s"$stopRatio * 2.0 + (1.0 - $punct::DOUBLE / length(text)) - abs($avgLen - 5.0) / 10.0")} AS quality
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
