@@ -237,6 +237,22 @@ object ExtQueries {
        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- daily event statistics (batch windowing over event time;
+  //      day index from exact ms arithmetic — ts arrives as ns longs) ----
+  def qEventDaily(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .withColumn("ts_ms", expr("ts div 1000000"))
+      .groupBy(expr("ts_ms div 86400000").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("day", "event_type")
+  val qEventDailySql: String =
+    """SELECT epoch_ms(ts) // 86400000 AS day, event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- multimodal: binary column + batched feature extraction ----
   def qMultimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.featuresFromDocuments(s, docs(s, dir))
@@ -312,6 +328,7 @@ object ExtQueries {
     "q_knn_brute" -> (qKnnBrute _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_sessionize" -> (qSessionize _),
+    "q_event_daily" -> (qEventDaily _),
     "q_multimodal" -> (qMultimodal _),
     "q_frame_sample" -> (qFrameSample _),
   )
@@ -329,6 +346,7 @@ object ExtQueries {
     "q_embed_neardup" -> qEmbedNearDupSql,
     "q_knn_brute" -> qKnnBruteSql,
     "q_sessionize" -> qSessionizeSql,
+    "q_event_daily" -> qEventDailySql,
     "q_multimodal" -> qMultimodalSql,
     "q_frame_sample" -> qFrameSampleSql,
     // q_minhash_lsh, q_ann_ivf: approximate → rows-only checks
