@@ -486,12 +486,21 @@ object C45Queries {
     val cat = InfoStats.categoricalSplitStats(catCells, Seq("attr"))
       .select(col("attr"), lit(null).cast("double").as("boundary"),
         col("gain").as("gain"), col("gain_ratio").as("gain_ratio"))
+    // l_extendedprice is effectively-continuous: quantile-bin it so the
+    // per-attr scan window stays bounded at any scale (same maxBins
+    // treatment the fit applies; the other attrs are low-cardinality)
+    val epEdges = d.stat.approxQuantile("l_extendedprice",
+      (1 until 256).map(_ / 256.0).toArray, 1e-4).distinct.sorted
+    val epCol =
+      if (epEdges.isEmpty) col("l_extendedprice").cast("double")
+      else graft.functions.SortedCeilSnap.snapTo(epEdges,
+        col("l_extendedprice").cast("double"))
     val numDf = d.select(col("l_linestatus").as("cls"),
       explode(map(
         lit("l_quantity"), col("l_quantity").cast("double"),
         lit("l_discount"), col("l_discount").cast("double"),
         lit("l_tax"), col("l_tax").cast("double"),
-        lit("l_extendedprice"), col("l_extendedprice").cast("double"))).as(Seq("attr", "val")))
+        lit("l_extendedprice"), epCol)).as(Seq("attr", "val")))
     val num = InfoStats.bestSplits(
       InfoStats.boundaryScan(numDf, Seq("attr"), ClassLabels), Seq("attr"))
       .select(col("attr"), col("boundary"), col("gain"), col("gain_ratio"))
