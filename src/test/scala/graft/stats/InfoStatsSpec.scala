@@ -89,6 +89,21 @@ class InfoStatsSpec extends AnyFunSuite {
     assert(tight.map(_.getAs[Double]("boundary")).toSet == (3 to 7).map(_.toDouble).toSet)
   }
 
+  test("per-group boundaries stay independent — quirk #3 (the reference " +
+    "shares one boundary across rules via the global attVal, Main.java:242-246)") {
+    val s = spark
+    import s.implicits._
+    // two rule groups whose optimal boundaries differ; each must keep its own
+    val df = Seq(
+      (0, 1.0, "a"), (0, 1.0, "a"), (0, 2.0, "b"), (0, 2.0, "b"),
+      (1, 5.0, "a"), (1, 5.0, "a"), (1, 6.0, "b"), (1, 6.0, "b"))
+      .toDF("rid", "val", "cls")
+    val best = InfoStats.bestSplits(
+      InfoStats.boundaryScan(df, Seq("rid"), Seq("a", "b")), Seq("rid"))
+      .collect().map(r => r.getInt(0) -> r.getAs[Double]("boundary")).toMap
+    assert(best == Map(0 -> 1.0, 1 -> 5.0))
+  }
+
   test("row-permutation invariance of the chosen split") {
     val base = Fixtures.tennis(spark)
       .select(col("humidity").as("val"), col("play").as("cls"))
