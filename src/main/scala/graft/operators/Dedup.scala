@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.Hashing
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale corpus curation: exact
