@@ -134,6 +134,51 @@ object Dedup {
       .select(col("i"), col("j"), col("jaccard"))
   }
 
+  /** Connected components over a near-duplicate pair list — the dedup
+    * DELIVERABLE: every document labeled with its duplicate-cluster id
+    * (the minimum doc id reachable through the similarity graph), so a
+    * keep-one-per-cluster policy is a single filter.
+    *
+    * Iterative min-label propagation: each round joins the (tiny
+    * relative to the corpus) edge list against current labels and takes
+    * the per-node min — the standard large-scale CC formulation
+    * (alternating shuffled join + pre-aggregated min; rounds = graph
+    * diameter, which is small for near-dup clusters). Runs to an exact
+    * fixpoint, so the result is the true components independent of
+    * iteration schedule. */
+  def connectedComponents(pairs: DataFrame, iCol: String = "i",
+                          jCol: String = "j", maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(iCol).as("src"), col(jCol).as("dst"))
+      .union(pairs.select(col(jCol).as("src"), col(iCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (eager) each round: truncates the logical-plan
+    // lineage, without which per-iteration analysis cost grows with the
+    // iteration count — the classic iterative-DataFrame pitfall
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("cluster_id"))
+      val next = viaNeighbor.union(labels)
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** SimHash: `bits`-bit locality-sensitive content signature. Each
     * token (with multiplicity) votes ±1 per bit position of its 60-bit
     * hash; the signature sets bit j iff the vote sum is positive.

@@ -144,6 +144,35 @@ object ExtQueries {
        |WHERE c::DOUBLE / (si.sz + sj.sz - c) >= 0.8
        |ORDER BY i, j""".stripMargin
 
+  // ---- near-dup clustering: connected components over the exact
+  //      Jaccard similarity graph (min-reachable-id labels) ----
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(
+        docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text",
+        n = 1, threshold = 0.8))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  val qDedupClustersSql: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id AS id, list_distinct($SplitToksLowerSql) AS s
+       |  FROM documents WHERE doc_id < 1000),
+       |sz AS (SELECT id, len(s) AS sz FROM sh),
+       |ex AS (SELECT id, unnest(s) AS tok FROM sh),
+       |common AS (SELECT a.id AS i, b.id AS j, count(*) AS c
+       |  FROM ex a JOIN ex b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT i, j FROM common
+       |  JOIN sz si ON si.id = i JOIN sz sj ON sj.id = j
+       |  WHERE c::DOUBLE / (si.sz + sj.sz - c) >= 0.8),
+       |edges AS (SELECT i AS src, j AS dst FROM pairs UNION SELECT j, i FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
+       |SELECT id AS doc_id, min(lbl) AS cluster_id
+       |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- minhash-LSH near-dup pairs (candidate gen + exact verify);
   //      recall < 1 by construction → rows-only check ----
   def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
@@ -322,6 +351,7 @@ object ExtQueries {
     "q_dedup_fp" -> (qDedupFp _),
     "q_minhash" -> (qMinhash _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_simhash" -> (qSimhash _),
     "q_embed_neardup" -> (qEmbedNearDup _),
@@ -342,6 +372,7 @@ object ExtQueries {
     "q_dedup_fp" -> qDedupFpSql,
     "q_minhash" -> qMinhashSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_dedup_clusters" -> qDedupClustersSql,
     "q_simhash" -> qSimhashSql,
     "q_embed_neardup" -> qEmbedNearDupSql,
     "q_knn_brute" -> qKnnBruteSql,

@@ -1,0 +1,31 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("label propagation finds exact components (chain, triangle, isolated pair)") {
+    val s = spark
+    import s.implicits._
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("i", "j")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("long path converges to the true minimum (diameter > 1 iteration)") {
+    val s = spark
+    import s.implicits._
+    // path 100-99-98-...-90: min label must propagate the full length
+    val pairs = (90L until 100L).map(i => (i, i + 1)).toDF("i", "j")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(90L))
+    assert(got.keySet == (90L to 100L).toSet)
+  }
+}
