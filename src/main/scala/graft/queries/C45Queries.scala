@@ -407,8 +407,8 @@ object C45Queries {
   // ---- model scoring (the prediction phase the reference lacks): a
   //      FIXED rule set compiled to one flat CASE WHEN — SQL-oracled,
   //      which also oracles multi-rule predicate compilation (F1) ----
-  def qPredict(s: SparkSession, dir: String): DataFrame = {
-    import graft.fit.C45Model
+  /** Fixed demo model for the scoring/evaluation queries. */
+  private lazy val demoModel: graft.fit.C45Model = {
     import graft.meta.{AttrMeta, C45Schema}
     import graft.model.Rule
     val schema = C45Schema(
@@ -416,13 +416,16 @@ object C45Queries {
         AttrMeta("l_quantity", isNumeric = true),
         AttrMeta("l_discount", isNumeric = true)),
       "l_linestatus", ClassLabels)
-    val model = C45Model(schema, Vector(
+    graft.fit.C45Model(schema, Vector(
       Rule.decode("0,A&1,<=25.0:F"),
       Rule.decode("0,A&1,>25.0:O"),
       Rule.decode("0,N&2,<=0.05:O"),
       Rule.decode("0,N&2,>0.05:F"),
       Rule.decode("0,R:O")), majority = "O")
-    model.transform(li(s, dir))
+  }
+
+  def qPredict(s: SparkSession, dir: String): DataFrame = {
+    demoModel.transform(li(s, dir))
       .select(col("l_orderkey"), col("l_linenumber"), col("prediction"))
       .orderBy("l_orderkey", "l_linenumber")
   }
@@ -435,6 +438,23 @@ object C45Queries {
       |       WHEN l_returnflag = 'R' THEN 'O'
       |       ELSE 'O' END AS prediction
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- model evaluation: confusion matrix of the fixed q_predict
+  //      model against the actual class ----
+  def qConfusion(s: SparkSession, dir: String): DataFrame =
+    graft.fit.Evaluation.confusionMatrix(
+      demoModel.transform(li(s, dir)), "l_linestatus")
+      .orderBy("actual", "predicted")
+  val qConfusionSql: String =
+    """SELECT l_linestatus AS actual,
+      |  CASE WHEN l_returnflag = 'A' AND l_quantity <= 25.0 THEN 'F'
+      |       WHEN l_returnflag = 'A' AND l_quantity > 25.0 THEN 'O'
+      |       WHEN l_returnflag = 'N' AND l_discount <= 0.05 THEN 'O'
+      |       WHEN l_returnflag = 'N' AND l_discount > 0.05 THEN 'F'
+      |       WHEN l_returnflag = 'R' THEN 'O'
+      |       ELSE 'O' END AS predicted,
+      |  count(*) AS cnt
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---- general window surface: per-customer running order value
   //      (orders: o_orderkey is unique → total window order, no ties;
@@ -532,6 +552,7 @@ object C45Queries {
     "q_distinct_agg" -> (qDistinctAgg _),
     "q_setops" -> (qSetOps _),
     "q_predict" -> (qPredict _),
+    "q_confusion" -> (qConfusion _),
     "q_running" -> (qRunning _),
     "q_fit_tree" -> (qFitTree _),
   )
@@ -558,6 +579,7 @@ object C45Queries {
     "q_distinct_agg" -> qDistinctAggSql,
     "q_setops" -> qSetOpsSql,
     "q_predict" -> qPredictSql,
+    "q_confusion" -> qConfusionSql,
     "q_running" -> qRunningSql,
     // q_fit_tree: iterative, not SQL-expressible → rows-only check
   )
