@@ -481,6 +481,20 @@ object C45Queries {
       |    OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT) AS seq
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ---- exact distributed percentiles (distribution statistics) ----
+  def qQuantiles(s: SparkSession, dir: String): DataFrame =
+    li(s, dir).groupBy("l_returnflag")
+      .agg(r6(percentile(col("l_extendedprice"), lit(0.25))).as("p25"),
+        r6(percentile(col("l_extendedprice"), lit(0.5))).as("p50"),
+        r6(percentile(col("l_extendedprice"), lit(0.95))).as("p95"))
+      .orderBy("l_returnflag")
+  val qQuantilesSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+      |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- O4: the full iterative fit (not SQL-expressible; rows-only) ----
   def qFitTree(s: SparkSession, dir: String): DataFrame = {
     val schema = C45Schema(
@@ -554,6 +568,7 @@ object C45Queries {
     "q_predict" -> (qPredict _),
     "q_confusion" -> (qConfusion _),
     "q_running" -> (qRunning _),
+    "q_quantiles" -> (qQuantiles _),
     "q_fit_tree" -> (qFitTree _),
   )
 
@@ -581,6 +596,7 @@ object C45Queries {
     "q_predict" -> qPredictSql,
     "q_confusion" -> qConfusionSql,
     "q_running" -> qRunningSql,
+    "q_quantiles" -> qQuantilesSql,
     // q_fit_tree: iterative, not SQL-expressible → rows-only check
   )
 }

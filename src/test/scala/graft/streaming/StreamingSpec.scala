@@ -44,6 +44,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dedup keeps exactly one row per distinct content hash") {
+    val q = StreamingDedup.dedupStream(
+        StreamingDedup.readDocStream(spark, sf))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dedup_out")
+    val batch = graft.operators.Dedup.exact(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+    assert(streamed.count() == batch.count())
+    assert(streamed.select("text_hash").distinct().count() == streamed.count())
+  }
+
   test("streaming windowed stats match the batch twin") {
     val stream = spark.readStream
       .schema(StreamingSessionize.eventSchema)
