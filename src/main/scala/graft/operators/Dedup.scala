@@ -158,6 +158,12 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .localCheckpoint()
+    // labels only ever decrease (min-propagation), so Σ cluster_id is a
+    // strictly-decreasing fixpoint witness: convergence is one cheap
+    // aggregate per round, no change-detection join
+    def checksum(df: DataFrame): Long =
+      df.agg(sum("cluster_id")).collect()(0).getLong(0)
+    var prevSum = checksum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -167,12 +173,10 @@ object Dedup {
       val next = viaNeighbor.union(labels)
         .groupBy("id").agg(min("cluster_id").as("cluster_id"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-        .count()
+      val nextSum = checksum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
     edges.unpersist()
