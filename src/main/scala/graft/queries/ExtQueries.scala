@@ -296,6 +296,38 @@ object ExtQueries {
       |  octet_length(encode(text)) % 48 + 1 AS height
       |FROM documents ORDER BY media_id""".stripMargin
 
+  // ---- rolling hash / content-defined chunking over the byte payload
+  //      (incremental Rabin-Karp expression vs the direct per-window
+  //      polynomial in SQL — mathematically identical values) ----
+  private val RhWindow = 8
+  def qRollingHash(s: SparkSession, dir: String): DataFrame = {
+    val rh = graft.functions.RollingHash.rollingHash(
+      col("text").cast("binary"), RhWindow)
+    docs(s, dir)
+      .select(col("doc_id"), rh.as("rh"))
+      .select(col("doc_id"),
+        size(col("rh")).cast("long").as("n_windows"),
+        array_min(col("rh")).as("min_hash"),
+        size(filter(col("rh"), h => h % 64 === 0)).cast("long").as("n_chunks"))
+      .orderBy("doc_id")
+  }
+  val qRollingHashSql: String = {
+    val b = graft.functions.RollingHash.B
+    val p = graft.functions.RollingHash.P
+    // direct formula: Σ_j byte(i+j)·B^(w-1-j) mod P, powers as literals
+    val pows = (0 until RhWindow).map(j =>
+      (0 until (RhWindow - 1 - j)).foldLeft(1L)((acc, _) => acc * b % p))
+    val terms = (0 until RhWindow).map(j =>
+      s"${pows(j)}::BIGINT * ascii(substr(text, i + $j, 1))").mkString(" + ")
+    s"""WITH r AS (
+       |  SELECT doc_id,
+       |    [($terms) % $p FOR i IN range(1, octet_length(encode(text)) - ${RhWindow - 2})] AS rh
+       |  FROM documents)
+       |SELECT doc_id, len(rh) AS n_windows, list_min(rh) AS min_hash,
+       |  len(list_filter(rh, h -> h % 64 = 0)) AS n_chunks
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   // ---- multimodal: frame sampling (binary slicing) ----
   def qFrameSample(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
@@ -360,6 +392,7 @@ object ExtQueries {
     "q_sessionize" -> (qSessionize _),
     "q_event_daily" -> (qEventDaily _),
     "q_multimodal" -> (qMultimodal _),
+    "q_rolling_hash" -> (qRollingHash _),
     "q_frame_sample" -> (qFrameSample _),
   )
 
@@ -379,6 +412,7 @@ object ExtQueries {
     "q_sessionize" -> qSessionizeSql,
     "q_event_daily" -> qEventDailySql,
     "q_multimodal" -> qMultimodalSql,
+    "q_rolling_hash" -> qRollingHashSql,
     "q_frame_sample" -> qFrameSampleSql,
     // q_minhash_lsh, q_ann_ivf: approximate → rows-only checks
   )

@@ -54,6 +54,45 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.getLong(1) == 1L)
   }
 
+  test("RollingHash incremental slide equals the direct per-window polynomial") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(13)
+    val rows = (1 to 30).map { i =>
+      (i.toLong, rnd.alphanumeric.take(rnd.nextInt(40) + 4).mkString)
+    }
+    val w = 8
+    val got = rows.toDF("id", "text")
+      .select(col("id"),
+        RollingHash.rollingHash(col("text").cast("binary"), w).as("rh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rows.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val expected =
+        if (bytes.length < w) Seq.empty[Long]
+        else (0 to bytes.length - w).map { i =>
+          (0 until w).foldLeft(0L)((h, j) =>
+            (h * RollingHash.B + (bytes(i + j) & 0xff)) % RollingHash.P)
+        }
+      assert(got(id) == expected, s"id $id")
+    }
+  }
+
+  test("RollingHash is insertion-robust where fixed framing is not") {
+    val s = spark
+    import s.implicits._
+    // inserting one byte at the front shifts every fixed frame, but the
+    // rolling window hash set still shares all windows after the edit
+    val a = "the quick brown fox jumps over the lazy dog"
+    val b = "X" + a
+    val df = Seq((1L, a), (2L, b)).toDF("id", "text")
+    val hs = df.select(col("id"),
+      RollingHash.rollingHash(col("text").cast("binary"), 8).as("rh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val shared = hs(1L).intersect(hs(2L)).size.toDouble / hs(1L).size
+    assert(shared > 0.9, s"shared fraction $shared")
+  }
+
   test("expressions survive both codegen and interpreted paths") {
     val s = spark
     import s.implicits._
