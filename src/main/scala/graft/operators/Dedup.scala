@@ -148,15 +148,25 @@ object Dedup {
     * iteration schedule. */
   def connectedComponents(pairs: DataFrame, iCol: String = "i",
                           jCol: String = "j", maxIter: Int = 50): DataFrame = {
+    // co-partition edges and labels by node id up front: every
+    // iteration's join then reuses the same hash partitioning (one
+    // shuffle at setup, none per round on the edge side); partition
+    // count scales with the EDGE table (small relative to the corpus),
+    // not the session default
+    val nParts = math.max(2, math.min(
+      pairs.sparkSession.sparkContext.defaultParallelism,
+      (pairs.count() / 50000L).toInt + 1))
     val edges = pairs.select(col(iCol).as("src"), col(jCol).as("dst"))
       .union(pairs.select(col(jCol).as("src"), col(iCol).as("dst")))
       .distinct()
+      .repartition(nParts, col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // localCheckpoint (eager) each round: truncates the logical-plan
     // lineage, without which per-iteration analysis cost grows with the
     // iteration count — the classic iterative-DataFrame pitfall
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
+      .repartition(nParts, col("id"))
       .localCheckpoint()
     // labels only ever decrease (min-propagation), so Σ cluster_id is a
     // strictly-decreasing fixpoint witness: convergence is one cheap
