@@ -70,6 +70,22 @@ object Multimodal {
       .select(col("media_id"), col("offset"),
         col("content").substr(col("offset"), lit(frameSize)).as("frame"))
 
+  /** Every `factor`-th byte of a payload (gather via sequence +
+    * transform over 1-byte substrings — pure Column ops, SQL-portable). */
+  def strideBytes(c: org.apache.spark.sql.Column, factor: Int): org.apache.spark.sql.Column =
+    array_join(transform(
+      sequence(lit(1), greatest(length(c), lit(1)), lit(factor)),
+      i => c.substr(i, lit(1)).cast("string")), "")
+
+  /** STUB resize: deterministic stride-downsample of the payload
+    * standing in for a real image resample (the decode/resample codec
+    * is the swap-in point); keeps (media_id, resized content + its
+    * size) with the original untouched. */
+  def resize(media: DataFrame, factor: Int): DataFrame =
+    media.select(col("media_id"),
+      strideBytes(col("content"), factor).cast("binary").as("content_small"))
+      .withColumn("n_bytes_small", length(col("content_small")).cast("long"))
+
   /** End-to-end pipeline DataFrame for the query surface. */
   def featuresFromDocuments(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._

@@ -328,6 +328,18 @@ object ExtQueries {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  // ---- multimodal: resize (stride-downsample stub) ----
+  def qResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resize(Multimodal.mediaFromDocuments(docs(s, dir)), factor = 4)
+      .select(col("media_id"), md5(col("content_small")).as("small_sig"),
+        col("n_bytes_small"))
+      .orderBy("media_id")
+  val qResizeSql: String =
+    """SELECT doc_id AS media_id,
+      |  md5(array_to_string([substr(text, i, 1) FOR i IN range(1, greatest(length(text), 1) + 1, 4)], '')) AS small_sig,
+      |  len(range(1, greatest(length(text), 1) + 1, 4))::BIGINT AS n_bytes_small
+      |FROM documents ORDER BY media_id""".stripMargin
+
   // ---- multimodal: frame sampling (binary slicing) ----
   def qFrameSample(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
@@ -393,6 +405,7 @@ object ExtQueries {
     "q_event_daily" -> (qEventDaily _),
     "q_multimodal" -> (qMultimodal _),
     "q_rolling_hash" -> (qRollingHash _),
+    "q_resize" -> (qResize _),
     "q_frame_sample" -> (qFrameSample _),
   )
 
@@ -413,6 +426,7 @@ object ExtQueries {
     "q_event_daily" -> qEventDailySql,
     "q_multimodal" -> qMultimodalSql,
     "q_rolling_hash" -> qRollingHashSql,
+    "q_resize" -> qResizeSql,
     "q_frame_sample" -> qFrameSampleSql,
     // q_minhash_lsh, q_ann_ivf: approximate → rows-only checks
   )
