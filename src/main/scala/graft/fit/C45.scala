@@ -190,27 +190,18 @@ object C45 {
           .agg(count(lit(1)).as("cnt"))
           .persist(StorageLevel.MEMORY_AND_DISK))
 
-      // per-rule class counts: derived from the categorical cell table
-      // when one exists (marginal over the first categorical attribute),
-      // else a dedicated tiny aggregation
-      val clsCountsF: Future[Map[Int, Map[String, Long]]] = catCells match {
-        case Some(cells) =>
-          val firstAid = schema.attrIndex(catAttrs.head.name)
-          Future {
-            cells.filter(col("aid") === firstAid)
-              .groupBy("__rid", "cls").agg(sum("cnt").as("n")).collect()
-              .groupBy(_.getInt(0))
-              .map { case (rid, rows) =>
-                rid -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
-              }
+      // per-rule class counts: ALWAYS the dedicated tiny aggregation
+      // over base (it runs concurrently with the stat jobs anyway).
+      // Deriving it as the marginal of one categorical attribute's cell
+      // table would silently drop rows holding a null in that attribute
+      // (cells are filtered to val IS NOT NULL), skewing majority labels
+      // and the pure-node check.
+      val clsCountsF: Future[Map[Int, Map[String, Long]]] = Future {
+        base.groupBy(col("__rid"), col("__cls")).count().collect()
+          .groupBy(_.getInt(0))
+          .map { case (rid, rows) =>
+            rid -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
           }
-        case None => Future {
-          base.groupBy(col("__rid"), col("__cls")).count().collect()
-            .groupBy(_.getInt(0))
-            .map { case (rid, rows) =>
-              rid -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
-            }
-        }
       }
 
       val catF: Future[(Map[(Int, Int), Cand], Map[(Int, Int), Seq[String]])] =

@@ -32,13 +32,17 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_doc_id"))
 
   /** Distinct word n-grams of a text column as an array (n=1 → token
-    * set). */
+    * set). A document with fewer than n tokens has no n-grams → empty
+    * array (an unguarded sequence(0, size-n) would auto-step -1 and
+    * index out of range under ANSI mode). */
   def shingles(c: Column, n: Int): Column = {
     val t = split(trim(lower(c)), "\\s+")
     if (n == 1) array_distinct(t)
-    else array_distinct(transform(
-      sequence(lit(0), size(t) - n),
-      i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
+    else array_distinct(
+      when(size(t) >= n, transform(
+        sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>")))
   }
 
   /** Exact n-gram Jaccard similarity join: all pairs (i < j) with
@@ -148,6 +152,19 @@ object Dedup {
     * iteration schedule. */
   def connectedComponents(pairs: DataFrame, iCol: String = "i",
                           jCol: String = "j", maxIter: Int = 50): DataFrame = {
+    // persist the undirected edge set BEFORE anything counts or joins
+    // it: `pairs` is typically an expensive similarity self-join, and
+    // both the partition sizing below and the iteration consume edges —
+    // without the persist the whole pair pipeline would run twice
+    val undirected = pairs.select(col(iCol).as("src"), col(jCol).as("dst"))
+      .union(pairs.select(col(jCol).as("src"), col(iCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = undirected.count()
+    if (nEdges == 0) { // no near-dups: every label table is empty
+      undirected.unpersist()
+      return pairs.select(col(iCol).as("id"), col(iCol).as("cluster_id")).limit(0)
+    }
     // co-partition edges and labels by node id up front: every
     // iteration's join then reuses the same hash partitioning (one
     // shuffle at setup, none per round on the edge side); partition
@@ -155,10 +172,8 @@ object Dedup {
     // not the session default
     val nParts = math.max(2, math.min(
       pairs.sparkSession.sparkContext.defaultParallelism,
-      (pairs.count() / 50000L).toInt + 1))
-    val edges = pairs.select(col(iCol).as("src"), col(jCol).as("dst"))
-      .union(pairs.select(col(jCol).as("src"), col(iCol).as("dst")))
-      .distinct()
+      (nEdges / 100000L).toInt + 1))
+    val edges = undirected
       .repartition(nParts, col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // localCheckpoint (eager) each round: truncates the logical-plan
@@ -168,11 +183,13 @@ object Dedup {
       .withColumn("cluster_id", col("id"))
       .repartition(nParts, col("id"))
       .localCheckpoint()
+    undirected.unpersist() // edges is materialized by the line above
     // labels only ever decrease (min-propagation), so Σ cluster_id is a
     // strictly-decreasing fixpoint witness: convergence is one cheap
     // aggregate per round, no change-detection join
     def checksum(df: DataFrame): Long =
-      df.agg(sum("cluster_id")).collect()(0).getLong(0)
+      Option(df.agg(sum("cluster_id")).collect()(0).get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
     var prevSum = checksum(labels)
     var iter = 0
     var converged = false

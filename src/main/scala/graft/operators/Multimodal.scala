@@ -70,12 +70,16 @@ object Multimodal {
       .select(col("media_id"), col("offset"),
         col("content").substr(col("offset"), lit(frameSize)).as("frame"))
 
-  /** Every `factor`-th byte of a payload (gather via sequence +
-    * transform over 1-byte substrings — pure Column ops, SQL-portable). */
+  /** Every `factor`-th byte of a payload, as binary. Gathers 1-byte
+    * binary slices and folds them with binary concat — no string
+    * round-trip, so arbitrary (non-UTF8) payloads survive byte-exact.
+    * An empty payload yields an empty payload. */
   def strideBytes(c: org.apache.spark.sql.Column, factor: Int): org.apache.spark.sql.Column =
-    array_join(transform(
-      sequence(lit(1), greatest(length(c), lit(1)), lit(factor)),
-      i => c.substr(i, lit(1)).cast("string")), "")
+    when(length(c) === 0, lit(Array.emptyByteArray))
+      .otherwise(aggregate(
+        sequence(lit(1), length(c), lit(factor)),
+        lit(Array.emptyByteArray),
+        (acc, i) => concat(acc, c.substr(i, lit(1)))))
 
   /** STUB resize: deterministic stride-downsample of the payload
     * standing in for a real image resample (the decode/resample codec
@@ -83,7 +87,7 @@ object Multimodal {
     * size) with the original untouched. */
   def resize(media: DataFrame, factor: Int): DataFrame =
     media.select(col("media_id"),
-      strideBytes(col("content"), factor).cast("binary").as("content_small"))
+      strideBytes(col("content"), factor).as("content_small"))
       .withColumn("n_bytes_small", length(col("content_small")).cast("long"))
 
   /** End-to-end pipeline DataFrame for the query surface. */

@@ -336,8 +336,8 @@ object ExtQueries {
       .orderBy("media_id")
   val qResizeSql: String =
     """SELECT doc_id AS media_id,
-      |  md5(array_to_string([substr(text, i, 1) FOR i IN range(1, greatest(length(text), 1) + 1, 4)], '')) AS small_sig,
-      |  len(range(1, greatest(length(text), 1) + 1, 4))::BIGINT AS n_bytes_small
+      |  md5(array_to_string([substr(text, i, 1) FOR i IN range(1, length(text) + 1, 4)], '')) AS small_sig,
+      |  len(range(1, length(text) + 1, 4))::BIGINT AS n_bytes_small
       |FROM documents ORDER BY media_id""".stripMargin
 
   // ---- multimodal: frame sampling (binary slicing) ----

@@ -41,6 +41,29 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(pairs(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("shingles n>1 on docs shorter than n yields empty, not an error") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "lone"), (2L, "two words"), (3L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), size(Dedup.shingles(col("text"), 3)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 0, 3L -> 3))
+    // and the full pair pipelines survive a corpus containing short docs
+    assert(Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.5).count() == 0)
+    assert(Dedup.minHashLshPairs(df, "doc_id", "text",
+      k = 4, rowsPerBand = 2, threshold = 0.5, n = 3).count() == 0)
+  }
+
+  test("connected components on an empty pair list returns empty labels") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("i", "j")
+    val got = Dedup.connectedComponents(empty)
+    assert(got.columns.toSeq == Seq("id", "cluster_id"))
+    assert(got.count() == 0)
+  }
+
   test("minhash LSH pairs have no false positives and high recall vs exact") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 1, 0.5)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -113,6 +136,21 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got.getAs[String]("sig") ==
       "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
     assert(got.getAs[Int]("width") == 11 % 64 + 1)
+  }
+
+  test("strideBytes is binary-safe (non-UTF8 payloads) and empty-safe") {
+    val s = spark
+    import s.implicits._
+    // bytes 0x00..0xFF — invalid as UTF8; must survive byte-exact
+    val raw = (0 until 256).map(_.toByte).toArray
+    val df = Seq((1L, raw), (2L, Array.emptyByteArray)).toDF("media_id", "content")
+    val got = Multimodal.resize(df, factor = 4).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Array[Byte]]("content_small"), r.getAs[Long]("n_bytes_small"))).toMap
+    val expected = (0 until 256 by 4).map(_.toByte).toArray
+    assert(got(1L)._1.toSeq == expected.toSeq)
+    assert(got(1L)._2 == 64L)
+    assert(got(2L)._1.isEmpty && got(2L)._2 == 0L)
   }
 
   test("frame sampling covers the content at the stride") {
