@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and cardinality sketching for training-data
+  * curation. Everything derives from the portable salted-md5 hash
+  * (graft.functions.Hashing), so a sample is (a) reproducible across
+  * runs and engines, (b) stable under repartitioning — unlike
+  * `df.sample`, whose output depends on partition layout — and (c) a
+  * pure pushdown-friendly filter (no shuffle at all for Bernoulli
+  * sampling; one window shuffle for fixed-size).
+  */
+object Sampling {
+
+  /** Per-row keep decision: hash of the id lands in [0, permille) of
+    * the per-mille scale. */
+  private def keep(idCol: Column, permille: Column): Column =
+    Hashing.hash60(idCol.cast("string")) % 1000 < permille
+
+  /** Deterministic Bernoulli sample: keep ~permille/1000 of rows,
+    * chosen by id hash (reproducible, partition-independent). */
+  def bernoulli(df: DataFrame, idCol: String, permille: Int): DataFrame =
+    df.filter(keep(col(idCol), lit(permille)))
+
+  /** Deterministic stratified sample: a per-stratum sampling rate (in
+    * per-mille), defaulting to `defaultPermille` for unlisted strata.
+    * Pure filter — no shuffle, scans once, pushdown-safe. */
+  def stratified(df: DataFrame, strataCol: String, idCol: String,
+                 permilleByStratum: Map[String, Int],
+                 defaultPermille: Int): DataFrame = {
+    val rate = permilleByStratum.foldLeft(lit(defaultPermille)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(keep(col(idCol), rate))
+  }
+
+  /** Deterministic fixed-size sample per stratum: the n rows with the
+    * smallest id hashes in each stratum (a rank-based reservoir — same
+    * result regardless of data order or partitioning). One window
+    * shuffle by stratum. */
+  def fixedPerStratum(df: DataFrame, strataCol: String, idCol: String,
+                      n: Int): DataFrame = {
+    val w = Window.partitionBy(strataCol)
+      .orderBy(Hashing.hash60(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** KMV (k-minimum-values) distinct-count sketch: keep the k smallest
+    * 60-bit hashes of the column's distinct values; the estimator is
+    * `(k-1) · 2^60 / h_(k)` (Bar-Yossef et al., RANDOM 2002). When
+    * fewer than k distinct values exist the sketch IS the exact count.
+    *
+    * Unlike HLL this sketch is exactly deterministic and
+    * engine-portable (same md5 family both sides), so it hash-matches
+    * a SQL oracle. Scale shape: distinct (partial-aggregated shuffle)
+    * → global top-k via orderBy+limit (TakeOrdered — per-partition
+    * heaps, no full sort).
+    *
+    * Output: one row (k_actual, kth_hash, est_distinct). */
+  def kmvDistinct(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    val twoPow60 = 1152921504606846976.0 // 2^60, exact in double
+    df.select(Hashing.hash60(col(valueCol).cast("string")).as("h"))
+      .distinct()
+      .orderBy("h").limit(k)
+      .agg(count(lit(1)).as("k_actual"), max(col("h")).as("kth_hash"))
+      .select(col("k_actual"), col("kth_hash"),
+        (floor(when(col("k_actual") < k, col("k_actual").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(twoPow60) /
+            col("kth_hash").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("est_distinct"))
+  }
+}

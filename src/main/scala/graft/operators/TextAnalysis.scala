@@ -84,4 +84,30 @@ object TextAnalysis {
     * 1-permutation minhash usable as a cheap document sketch. */
   def docSignature(c: Column): Column =
     array_min(transform(array_distinct(tokens(lower(c))), t => Hashing.hash60(t)))
+
+  /** Per-(doc, term) TF-IDF over lowercase whitespace tokens:
+    * tf = term occurrences in the doc, df = number of docs containing
+    * the term, idf = ln((1+N)/(1+df)) + 1 (the smoothed sklearn
+    * variant — never negative, defined for df == N).
+    *
+    * Scale shape: explode → groupBy(doc, term) with partial
+    * aggregation; document frequency re-aggregates the (already tiny
+    * relative to the corpus) tf table by term; the term join is a
+    * plain equi-join (vocabulary can exceed broadcast size at corpus
+    * scale — AQE will broadcast it when it is small); the one-row
+    * corpus count joins via broadcast. */
+  def tfIdf(docs: org.apache.spark.sql.DataFrame, idCol: String,
+            textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("idf",
+        log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + lit(1.0))
+      .withColumn("tfidf", col("tf") * col("idf"))
+      .select("doc_id", "term", "tf", "df", "tfidf")
+  }
 }

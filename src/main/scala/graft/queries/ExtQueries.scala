@@ -4,6 +4,7 @@ import graft.functions.Hashing
 import graft.operators._
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The training-data-pipeline extension surface (dedup, similarity
@@ -354,6 +355,72 @@ object ExtQueries {
       |  LATERAL (SELECT unnest(generate_series(1, greatest(octet_length(encode(text)) - 31, 1), 16)) AS frame_off)
       |ORDER BY media_id, frame_off""".stripMargin
 
+  // ---- TF-IDF: top-3 terms per document (smoothed idf; ranked by the
+  //      ROUNDED score with a term tiebreak so the cutoff is portable) ----
+  def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    val base = TextAnalysis
+      .tfIdf(docs(s, dir).filter(col("doc_id") < 100), "doc_id", "text")
+      .withColumn("tfidf", r6x(col("tfidf")))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
+    base.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+  val qTfidfSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($SplitToksLowerSql) AS term
+       |  FROM documents WHERE doc_id < 100),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents WHERE doc_id < 100),
+       |sc AS (SELECT doc_id, term, tf, df,
+       |    ${r6xSql("tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0)")} AS tfidf
+       |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+       |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rnk FROM sc)
+       |SELECT doc_id, term, tf, df, tfidf, rnk FROM rk
+       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
+  // ---- deterministic stratified sampling (hash-Bernoulli per
+  //      stratum: pure filter, reproducible, partition-independent) ----
+  def qSampleStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratified(Tables.load(s, dir, "events"), "event_type", "event_id",
+        Map("click" -> 200, "purchase" -> 500), defaultPermille = 50)
+      .select(col("event_id"), col("event_type"))
+      .orderBy("event_id")
+  val qSampleStratifiedSql: String =
+    s"""SELECT event_id, event_type FROM events
+       |WHERE ${Hashing.hash60Sql("event_id")} % 1000 <
+       |  CASE event_type WHEN 'click' THEN 200 WHEN 'purchase' THEN 500 ELSE 50 END
+       |ORDER BY event_id""".stripMargin
+
+  // ---- deterministic fixed-size sample per stratum (rank-based
+  //      reservoir: the n smallest id-hashes of each stratum) ----
+  def qSampleFixed(s: SparkSession, dir: String): DataFrame =
+    Sampling.fixedPerStratum(Tables.load(s, dir, "events"),
+        "event_type", "event_id", n = 20)
+      .select(col("event_id"), col("event_type"))
+      .orderBy("event_id")
+  val qSampleFixedSql: String =
+    s"""SELECT event_id, event_type FROM (
+       |  SELECT event_id, event_type,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY ${Hashing.hash60Sql("event_id")}, event_id) AS rn
+       |  FROM events) WHERE rn <= 20 ORDER BY event_id""".stripMargin
+
+  // ---- KMV distinct-count sketch (deterministic, engine-portable —
+  //      unlike HLL it hash-matches a SQL oracle exactly) ----
+  private val KmvK = 64
+  def qKmvDistinct(s: SparkSession, dir: String): DataFrame =
+    Sampling.kmvDistinct(Tables.load(s, dir, "events"), "user_id", KmvK)
+  val qKmvDistinctSql: String =
+    s"""WITH h AS (SELECT DISTINCT ${Hashing.hash60Sql("user_id")} AS h FROM events),
+       |k AS (SELECT h FROM h ORDER BY h LIMIT $KmvK),
+       |a AS (SELECT count(*) AS k_actual, max(h) AS kth_hash FROM k)
+       |SELECT k_actual, kth_hash,
+       |  ${r6xSql(s"CASE WHEN k_actual < $KmvK THEN k_actual::DOUBLE ELSE ${KmvK - 1}.0 * 1152921504606846976.0 / kth_hash END")} AS est_distinct
+       |FROM a""".stripMargin
+
   // ---- streaming sessionization, driven synchronously (AvailableNow →
   //      memory sink): the streaming engine's answer must match the
   //      batch oracle for every session CLOSED by a later event (the
@@ -407,6 +474,10 @@ object ExtQueries {
     "q_rolling_hash" -> (qRollingHash _),
     "q_resize" -> (qResize _),
     "q_frame_sample" -> (qFrameSample _),
+    "q_tfidf" -> (qTfidf _),
+    "q_sample_stratified" -> (qSampleStratified _),
+    "q_sample_fixed" -> (qSampleFixed _),
+    "q_kmv_distinct" -> (qKmvDistinct _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -428,6 +499,10 @@ object ExtQueries {
     "q_rolling_hash" -> qRollingHashSql,
     "q_resize" -> qResizeSql,
     "q_frame_sample" -> qFrameSampleSql,
+    "q_tfidf" -> qTfidfSql,
+    "q_sample_stratified" -> qSampleStratifiedSql,
+    "q_sample_fixed" -> qSampleFixedSql,
+    "q_kmv_distinct" -> qKmvDistinctSql,
     // q_minhash_lsh, q_ann_ivf: approximate → rows-only checks
   )
 }

@@ -1,0 +1,253 @@
+package graft.queries
+
+import graft.operators.{Sessionize, SkewTools, TemporalJoin}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational/temporal engine surface beyond the reference (SURVEY.md
+  * §2 "absent categories"): as-of join, point-in-interval range join,
+  * pivot, grouping sets, semi/anti joins, ranking windows, date/time
+  * functions, and the salted-join skew path — each with a DuckDB
+  * oracle under the same parity conventions as C45Queries. */
+object RelQueries {
+
+  private def r6x(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** events with an exact epoch-ms column (ts arrives as ns longs
+    * under nanosAsLong, or as a µs timestamp in test sessions). */
+  private def eventsMs(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val tsMs = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case _ => unix_millis(col("ts"))
+    }
+    ev.withColumn("ts_ms", tsMs)
+  }
+
+  // ---- as-of join: each click joined to the user's most recent
+  //      purchase at or before it (inner asof semantics) ----
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsMs(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts_ms")
+    // unique (user, ts) on the right: deterministic tie-winner
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_ms").as("purchase_ms"))
+      .agg(max("value").as("purchase_value"))
+    TemporalJoin.asofJoin(clicks, purchases, "user_id",
+        "ts_ms", "purchase_ms", Seq("purchase_ms", "purchase_value"))
+      .filter(col("asof_purchase_ms").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("asof_purchase_ms").as("purchase_ms"),
+        col("asof_purchase_value").as("purchase_value"))
+      .orderBy("event_id")
+  }
+  val qAsofJoinSql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type, value FROM events),
+      |c AS (SELECT event_id, user_id, ts_ms FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts_ms AS purchase_ms, max(value) AS purchase_value
+      |  FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.event_id, c.user_id, c.ts_ms, p.purchase_ms, p.purchase_value
+      |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts_ms >= p.purchase_ms
+      |ORDER BY c.event_id""".stripMargin
+
+  // ---- range join: assign every event to the session interval that
+  //      contains it (bucketed point-in-interval equi-join) ----
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val sessions = Sessionize.sessionize(Tables.load(s, dir, "events"))
+      .select(col("user_id").as("s_user"), col("session_id"),
+        col("start_ms"), col("end_ms"))
+    val points = eventsMs(s, dir).select("event_id", "user_id", "ts_ms")
+    TemporalJoin.pointInInterval(points, "user_id", "ts_ms",
+        sessions, "s_user", "start_ms", "end_ms", bucketWidth = 3600000L)
+      .select(col("event_id"), col("user_id"), col("session_id"))
+      .orderBy("event_id")
+  }
+  val qRangeJoinSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events),
+       |l AS (SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_ms FROM e),
+       |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > ${Sessionize.DefaultGapMs} THEN 1 ELSE 0 END AS is_new FROM l),
+       |s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM f),
+       |sess AS (SELECT user_id, session_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms FROM s GROUP BY 1, 2)
+       |SELECT e.event_id, e.user_id, sess.session_id
+       |FROM e JOIN sess ON e.user_id = sess.user_id
+       |  AND e.ts_ms BETWEEN sess.start_ms AND sess.end_ms
+       |ORDER BY e.event_id""".stripMargin
+
+  // ---- pivot: per-day event-type counts as columns ----
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    eventsMs(s, dir)
+      .groupBy(expr("ts_ms div 86400000").as("day"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .select(col("day") +: EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("day")
+  val qPivotSql: String = {
+    val cols = EventTypes
+      .map(t => s"count(*) FILTER (event_type = '$t') AS $t").mkString(",\n  ")
+    s"""SELECT epoch_ms(ts) // 86400000 AS day,
+       |  $cols
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---- grouping sets (the general form; rollup/cube live in
+  //      C45Queries) with grouping_id ----
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("li_gsets")
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM li_gsets
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY gid, rf, ls""".stripMargin)
+  }
+  val qGroupingSetsSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      |ORDER BY gid, rf, ls""".stripMargin
+
+  // ---- semi/anti joins: per segment, customers with vs without
+  //      orders (existence joins never replicate the probe side) ----
+  def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders")
+    val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
+    val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
+    withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+      .orderBy("c_mktsegment")
+  }
+  val qSemiAntiSql: String =
+    """WITH f AS (SELECT c_mktsegment,
+      |    EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS has_o
+      |  FROM customer c)
+      |SELECT c_mktsegment,
+      |  count(*) FILTER (has_o) AS n_with_orders,
+      |  count(*) FILTER (NOT has_o) AS n_without_orders
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- ranking window functions: rank/dense_rank/percent_rank/
+  //      cume_dist over a COARSE key (real ties, tie-stable functions);
+  //      ntile/row_number over a unique ordering (ntile splits ties
+  //      arbitrarily, so it only matches an oracle when the ordering
+  //      is total) ----
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val band = expr("CAST(floor(o_totalprice / 1000) AS BIGINT)")
+    val wTies = Window.partitionBy("o_orderpriority").orderBy(desc("band"))
+    val wUnique = Window.partitionBy("o_orderpriority")
+      .orderBy(desc("band"), asc("o_orderkey"))
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), band.as("band"))
+      .withColumn("rnk", rank().over(wTies).cast("long"))
+      .withColumn("drnk", dense_rank().over(wTies).cast("long"))
+      .withColumn("prnk", r6x(percent_rank().over(wTies)))
+      .withColumn("cdist", r6x(cume_dist().over(wTies)))
+      .withColumn("rn", row_number().over(wUnique).cast("long"))
+      .withColumn("tile4", ntile(4).over(wUnique).cast("long"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+  val qWindowRankSql: String =
+    """WITH b AS (SELECT o_orderkey, o_orderpriority,
+      |    CAST(floor(o_totalprice / 1000) AS BIGINT) AS band
+      |  FROM orders)
+      |SELECT o_orderkey, o_orderpriority, band,
+      |  CAST(rank() OVER wt AS BIGINT) AS rnk,
+      |  CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
+      |  floor(percent_rank() OVER wt * 1000000 + 0.5) / 1000000 AS prnk,
+      |  floor(cume_dist() OVER wt * 1000000 + 0.5) / 1000000 AS cdist,
+      |  CAST(row_number() OVER wu AS BIGINT) AS rn,
+      |  CAST(ntile(4) OVER wu AS BIGINT) AS tile4
+      |FROM b
+      |WINDOW wt AS (PARTITION BY o_orderpriority ORDER BY band DESC),
+      |  wu AS (PARTITION BY o_orderpriority ORDER BY band DESC, o_orderkey)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
+  // ---- date/time function surface (exact day arithmetic; dow as
+  //      explicit epoch-day modulus — no engine-specific week rules) ----
+  def qDatetime(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("yr"),
+      quarter(col("o_orderdate")).cast("long").as("qtr"),
+      month(col("o_orderdate")).cast("long").as("mon"),
+      dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+      (datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01"))) % 7)
+        .cast("long").as("dow_idx"),
+      date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+        .as("month_start"),
+      date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+      date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd")
+        .as("plus30"))
+      .orderBy("o_orderkey")
+  val qDatetimeSql: String =
+    """SELECT o_orderkey,
+      |  year(o_orderdate)::BIGINT AS yr,
+      |  quarter(o_orderdate)::BIGINT AS qtr,
+      |  month(o_orderdate)::BIGINT AS mon,
+      |  day(o_orderdate)::BIGINT AS dom,
+      |  ((o_orderdate::DATE - DATE '1970-01-01') % 7)::BIGINT AS dow_idx,
+      |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      |  strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS month_end,
+      |  strftime(o_orderdate::DATE + 30, '%Y-%m-%d') AS plus30
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---- salted join (skew path): result must equal the plain join —
+  //      the oracle IS the plain join ----
+  def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    // DECIMAL(18,4): a 2-decimal price × 2-decimal factor is EXACTLY a
+    // 4-decimal value, so scale-4 casting never rounds — scale-2 would
+    // hit .005 boundaries where Spark (decimal-string HALF_UP) and
+    // DuckDB (binary-double nearest) disagree
+    SkewTools.saltedJoin(li, o, "l_orderkey", "l_partkey", nSalts = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+  val qSaltedJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _),
+    "q_pivot" -> (qPivot _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_semi_anti" -> (qSemiAnti _),
+    "q_window_rank" -> (qWindowRank _),
+    "q_datetime" -> (qDatetime _),
+    "q_salted_join" -> (qSaltedJoin _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_join" -> qAsofJoinSql,
+    "q_range_join" -> qRangeJoinSql,
+    "q_pivot" -> qPivotSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
+    "q_semi_anti" -> qSemiAntiSql,
+    "q_window_rank" -> qWindowRankSql,
+    "q_datetime" -> qDatetimeSql,
+    "q_salted_join" -> qSaltedJoinSql,
+  )
+}

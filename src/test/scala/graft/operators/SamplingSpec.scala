@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ids(n: Int) = {
+    val s = spark
+    import s.implicits._
+    (1 to n).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "stratum")
+  }
+
+  test("bernoulli sample is reproducible and near the target rate") {
+    val df = ids(2000)
+    val a = Sampling.bernoulli(df, "id", 100).collect().map(_.getLong(0)).toSet
+    val b = Sampling.bernoulli(df, "id", 100).collect().map(_.getLong(0)).toSet
+    assert(a == b, "deterministic")
+    assert(math.abs(a.size - 200) < 60, s"got ${a.size}, expected ~200")
+    // rate monotonicity: a 10% sample is a subset of a 20% sample
+    val wider = Sampling.bernoulli(df, "id", 200).collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(wider))
+  }
+
+  test("stratified sample applies the per-stratum rate") {
+    val df = ids(2000)
+    val got = Sampling.stratified(df, "stratum", "id",
+        Map("a" -> 500), defaultPermille = 50)
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(got("a") - 500) < 80, s"stratum a: ${got("a")} vs ~500")
+    assert(math.abs(got.getOrElse("b", 0L) - 50) < 40, s"stratum b: ${got.getOrElse("b", 0L)} vs ~50")
+  }
+
+  test("fixed-size sample returns exactly n per stratum, stable under shuffling") {
+    val df = ids(500)
+    val got = Sampling.fixedPerStratum(df, "stratum", "id", 25)
+    val counts = got.groupBy("stratum").count().collect().map(_.getLong(1))
+    assert(counts.toSeq == Seq(25L, 25L))
+    val again = Sampling.fixedPerStratum(df.repartition(13), "stratum", "id", 25)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == got.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("KMV estimate is close to the true distinct count and exact below k") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 10000).map(i => i % 700).toDF("v")
+    val row = Sampling.kmvDistinct(df, "v", 64).collect()(0)
+    val est = row.getAs[Double]("est_distinct")
+    assert(math.abs(est - 700) / 700 < 0.3, s"est $est vs 700")
+    // fewer distincts than k → exact
+    val small = (1 to 100).map(i => i % 10).toDF("v")
+    val exact = Sampling.kmvDistinct(small, "v", 64).collect()(0)
+    assert(exact.getAs[Long]("k_actual") == 10L)
+    assert(exact.getAs[Double]("est_distinct") == 10.0)
+  }
+
+  test("tfIdf: rare terms outscore ubiquitous ones") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "common rare common"), (2L, "common common"),
+      (3L, "common other")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdf(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val (tfRare, dfRare, scoreRare) = got((1L, "rare"))
+    val (tfCommon, dfCommon, scoreCommon) = got((1L, "common"))
+    assert(tfRare == 1 && dfRare == 1)
+    assert(tfCommon == 2 && dfCommon == 3)
+    // df==N → idf == 1 exactly (smoothed); tf=2 → score 2.0
+    assert(math.abs(scoreCommon - 2.0) < 1e-12)
+    assert(scoreRare > 1.0 && scoreRare < scoreCommon,
+      "tf dominates here (tf=2 vs 1) but rare idf > 1")
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TemporalJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("asof join picks the most recent right row at or before each left ts") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "e0"),
+      (2L, 50L, "f1")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, 1.0), (1L, 15L, 2.0), (2L, 60L, 9.0))
+      .toDF("k", "rts", "v")
+    val got = TemporalJoin.asofJoin(left, right, "k", "ts", "rts",
+        Seq("rts", "v")).collect()
+      .map(r => r.getAs[String]("tag") ->
+        (Option(r.getAs[java.lang.Long]("asof_rts")).map(_.toLong),
+          Option(r.getAs[java.lang.Double]("asof_v")).map(_.toDouble))).toMap
+    assert(got("e1") == (Some(10L), Some(1.0)), "tie at equal ts matches")
+    assert(got("e2") == (Some(15L), Some(2.0)), "latest prior row wins")
+    assert(got("e0") == (None, None), "no prior right row → nulls")
+    assert(got("f1") == (None, None), "keys do not leak across partitions")
+  }
+
+  test("asof join carries all value columns from the SAME right row") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 100L)).toDF("k", "ts")
+    val right = Seq((1L, 10L, 1.0, "a"), (1L, 20L, 2.0, "b"))
+      .toDF("k", "rts", "v", "w")
+    val got = TemporalJoin.asofJoin(left, right, "k", "ts", "rts",
+      Seq("v", "w")).collect()(0)
+    assert(got.getAs[Double]("asof_v") == 2.0 &&
+      got.getAs[String]("asof_w") == "b")
+  }
+
+  test("point-in-interval matches the inequality join exactly across bucket widths") {
+    val s = spark
+    import s.implicits._
+    val points = (1L to 50L).map(t => (t, 1L, t * 7 % 97)).toDF("pid", "k", "t")
+    val intervals = Seq((1L, 10L, 0L, 20L), (2L, 10L, 15L, 40L), (3L, 10L, 90L, 96L))
+      .map { case (iid, _, a, b) => (iid, 1L, a, b) }
+      .toDF("iid", "ik", "lo", "hi")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = key(points.join(intervals,
+      col("k") === col("ik") && col("t") >= col("lo") && col("t") <= col("hi")))
+    for (w <- Seq(1L, 5L, 64L, 1000L)) {
+      val got = key(TemporalJoin.pointInInterval(
+        points, "k", "t", intervals, "ik", "lo", "hi", w))
+      assert(got == expected, s"bucketWidth=$w")
+    }
+    assert(expected.nonEmpty)
+  }
+}
