@@ -157,6 +157,8 @@ object C45 {
     var closed = Vector.empty[Rule]
     var globalMajority: Option[String] = None
     var level = 0
+    // per-level wall-clock diagnostics, -Dgraft.fit.profile=1
+    val profile = sys.props.get("graft.fit.profile").contains("1")
 
     while (open.nonEmpty && level <= params.maxDepth) {
       // one flat CASE WHEN routes each row to its (disjoint) open rule
@@ -177,38 +179,50 @@ object C45 {
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
 
+      // candidate cells AND per-rule class counts from ONE scan of base:
+      // a sentinel pair (aid = -1, val = class label) rides along in the
+      // explode, so the aggregation emits the (rid, cls) marginal as its
+      // aid = -1 slice. The class label is never null, so the val-null
+      // filter (which drops null ATTRIBUTE values — unsupported in fit,
+      // as in the reference which would NPE on them; such rows still
+      // count for every other attribute) cannot skew majority labels or
+      // the pure-node check. This replaces the dedicated
+      // base.groupBy(__rid, __cls) job — one fewer full pass over the
+      // routed dataset per tree level.
       val catCells =
         if (catAttrs.isEmpty) None
         else Some(base
           .select(col("__rid"), col("__cls").as("cls"),
-            explode(map(attrPairs(catAttrs, "string"): _*)).as(Seq("aid", "val")))
-          // null attribute values are unsupported in fit (as in the
-          // reference, which would NPE on them): such rows still count
-          // for every OTHER attribute, but produce no null-valued child
+            explode(map(Seq(lit(-1), col("__cls")) ++
+              attrPairs(catAttrs, "string"): _*)).as(Seq("aid", "val")))
           .filter(col("val").isNotNull)
           .groupBy("__rid", "aid", "val", "cls")
           .agg(count(lit(1)).as("cnt"))
           .persist(StorageLevel.MEMORY_AND_DISK))
 
-      // per-rule class counts: ALWAYS the dedicated tiny aggregation
-      // over base (it runs concurrently with the stat jobs anyway).
-      // Deriving it as the marginal of one categorical attribute's cell
-      // table would silently drop rows holding a null in that attribute
-      // (cells are filtered to val IS NOT NULL), skewing majority labels
-      // and the pure-node check.
-      val clsCountsF: Future[Map[Int, Map[String, Long]]] = Future {
-        base.groupBy(col("__rid"), col("__cls")).count().collect()
+      def collectClsCounts(df: DataFrame): Map[Int, Map[String, Long]] =
+        df.collect()
           .groupBy(_.getInt(0))
           .map { case (rid, rows) =>
             rid -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
           }
+      val clsCountsF: Future[Map[Int, Map[String, Long]]] = catCells match {
+        case Some(cells) => Future {
+          collectClsCounts(cells.filter(col("aid") === -1)
+            .groupBy(col("__rid"), col("cls")).agg(sum("cnt").as("n")))
+        }
+        // numeric-only schema: dedicated tiny aggregation over base
+        case None => Future {
+          collectClsCounts(base.groupBy(col("__rid"), col("__cls")).count())
+        }
       }
 
       val catF: Future[(Map[(Int, Int), Cand], Map[(Int, Int), Seq[String]])] =
         catCells match {
           case None => Future.successful(
             (Map.empty[(Int, Int), Cand], Map.empty[(Int, Int), Seq[String]]))
-          case Some(cells) => Future {
+          case Some(allCells) => Future {
+            val cells = allCells.filter(col("aid") =!= -1)
             val stats = InfoStats
               .categoricalSplitStats(cells, Seq("__rid", "aid"))
               .collect()
@@ -242,9 +256,15 @@ object C45 {
             .toMap
         }
 
+      val tLevel0 = System.nanoTime()
       val clsCounts = Await.result(clsCountsF, Duration.Inf)
+      val tCls = (System.nanoTime() - tLevel0) / 1e9
       val (catStats, catValues) = Await.result(catF, Duration.Inf)
+      val tCat = (System.nanoTime() - tLevel0) / 1e9
       val numStats = Await.result(numF, Duration.Inf)
+      val tNum = (System.nanoTime() - tLevel0) / 1e9
+      if (profile)
+        println(f"[fit] level=$level rules=${open.size} cls=$tCls%.2fs +cat=$tCat%.2fs +num=$tNum%.2fs")
       catCells.foreach(_.unpersist())
 
       // driver-side per-rule decision (O3/O4): tiny tables only

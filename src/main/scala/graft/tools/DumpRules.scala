@@ -1,0 +1,19 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump the fitted sf0.01 rule set (for the golden-fit spec). */
+object DumpRules {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.queries.C45Queries.qFitTree(spark, sfDir).collect()
+      .foreach(r => println("RULE|" + r.getString(0) + "|" + r.getString(1) + "|" + r.getInt(2)))
+    spark.stop()
+  }
+}

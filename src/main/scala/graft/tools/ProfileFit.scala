@@ -1,0 +1,26 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc profiling driver for the fit loop: runs q_fit_tree twice
+  * (warmup + steady state) with per-level timing enabled. */
+object ProfileFit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    sys.props("graft.fit.profile") = "1"
+    for (pass <- Seq("warmup", "timed")) {
+      val t0 = System.nanoTime()
+      val n = graft.queries.C45Queries.qFitTree(spark, sfDir).count()
+      println(f"[fit] $pass pass: rows=$n total=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    spark.stop()
+  }
+}
