@@ -231,9 +231,10 @@ object Dedup {
     votes.select(col("id"), sig.as("simhash"))
   }
 
-  /** Embedding near-duplicate pairs by cosine similarity (brute-force
-    * verify; for candidate pruning at scale see Similarity.ivfTopK's
-    * bucketing). */
+  /** Embedding near-duplicate pairs by cosine similarity — the EXACT
+    * all-pairs baseline (O(n²) nested-loop join): the correctness
+    * oracle for [[embeddingLshPairs]], and only appropriate on bounded
+    * inputs. At corpus scale use [[embeddingLshPairs]]. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double): DataFrame = {
     val v = df.select(col(idCol).as("id"),
@@ -242,5 +243,71 @@ object Dedup {
       .select(col("a.id").as("i"), col("b.id").as("j"),
         Similarity.dot(col("a.u"), col("b.u")).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** Deterministic ±1 hyperplane for sign-random-projection LSH: the
+    * weight of (bit j, dimension d) is the low bit of md5("hp|seed|j|d")
+    * — reproducible across runs and JVMs with no RNG state. */
+  private[operators] def hyperplane(seed: Int, bit: Int, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { d =>
+      val digest = md.digest(s"hp|$seed|$bit|$d".getBytes("UTF-8"))
+      if ((digest(0) & 1) == 1) 1.0 else -1.0
+    }
+  }
+
+  /** Scale-safe embedding near-duplicate pairs: sign-random-projection
+    * (hyperplane) LSH — the vector analogue of [[minHashLshPairs]].
+    *
+    * Signature bit j = sign(v · h_j) for `nBits` deterministic ±1
+    * hyperplanes (sign of a dot is scale-invariant, so raw vectors need
+    * no normalization). Bits band into `nBits/rowsPerBand` bands; a
+    * candidate pair is any two vectors sharing one full band — a
+    * key-equality self-join on (band, bandBits), never a cross join —
+    * then candidates are verified with the exact cosine, so there are
+    * NO false positives and recall follows 1-(1-p^r)^b with
+    * p = 1 - θ/π (Charikar's sign-LSH collision probability).
+    *
+    * At 100 TB this shuffles (id, band, bandBits) triples and joins by
+    * band bucket: Σ bucket² work instead of the all-pairs n². On
+    * near-random vectors (this testdata) bucket pruning is weak by
+    * construction — there is no cluster structure to exploit — but the
+    * plan SHAPE is the scalable one; clustered real embeddings
+    * concentrate matching pairs into shared buckets. */
+  def embeddingLshPairs(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, dim: Int = 64, nBits: Int = 16,
+                        rowsPerBand: Int = 2, seed: Int = 0): DataFrame = {
+    require(nBits % rowsPerBand == 0, "nBits must be a multiple of rowsPerBand")
+    val nBands = nBits / rowsPerBand
+    val v = df.select(col(idCol).as("id"),
+      Similarity.toDoubleVec(col(vecCol)).as("v"))
+    // one column per signature bit, then pack each band's bits
+    // (DotProduct iterates min(len) elements, so dim > |v| is safe)
+    val bitCols = (0 until nBits).map { j =>
+      when(Similarity.dot(col("v"), lit(hyperplane(seed, j, dim))) >= 0, 1L)
+        .otherwise(0L)
+    }
+    val bandPairs = (0 until nBands).flatMap { b =>
+      val packed = (0 until rowsPerBand)
+        .map(r => bitCols(b * rowsPerBand + r) * lit(1L << r))
+        .reduce(_ + _)
+      Seq(lit(b), packed)
+    }
+    val bands = v.select(col("id"),
+      explode(map(bandPairs: _*)).as(Seq("band", "bits")))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
+    // verify candidates with the exact cosine (unit vectors → plain dot)
+    val u = df.select(col(idCol).as("id"),
+      Similarity.unitVector(col(vecCol)).as("u"))
+    cands
+      .join(u.select(col("id").as("i"), col("u").as("u_i")), "i")
+      .join(u.select(col("id").as("j"), col("u").as("u_j")), "j")
+      .withColumn("cosine", Similarity.dot(col("u_i"), col("u_j")))
+      .filter(col("cosine") >= threshold)
+      .select(col("i"), col("j"), col("cosine"))
   }
 }

@@ -187,9 +187,13 @@ object C45Queries {
 
   // ---- O2: one-pass numeric boundary scan (window) for l_quantity ----
   def qSplitScan(s: SparkSession, dir: String): DataFrame = {
-    val df = li(s, dir).select(col("l_quantity").as("val"),
-      col("l_linestatus").as("cls"))
-    InfoStats.boundaryScan(df, Seq.empty, ClassLabels)
+    // carry the attribute name as the window's partition key (the
+    // multi-attr callers do the same), so even this single-attr scan
+    // never builds a no-key window; l_quantity is low-cardinality (~50
+    // distinct), so no maxBins pre-binning is needed to bound it
+    val df = li(s, dir).select(lit("l_quantity").as("attr"),
+      col("l_quantity").as("val"), col("l_linestatus").as("cls"))
+    InfoStats.boundaryScan(df, Seq("attr"), ClassLabels)
       .select(col("boundary"), col("left_n"), col("right_n"),
         r6(col("cond_entropy")).as("cond_entropy"),
         r6(col("gain")).as("gain"), r6(col("gain_ratio")).as("gain_ratio"))

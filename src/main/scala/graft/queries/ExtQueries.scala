@@ -224,6 +224,18 @@ object ExtQueries {
       |SELECT i, j, round(cosine, 6) AS cosine FROM p
       |WHERE cosine >= 0.3 ORDER BY i, j""".stripMargin
 
+  // ---- scale-safe embedding near-dup: hyperplane (sign) LSH band →
+  //      candidate equi-join → exact-cosine verify. Approximate →
+  //      rows-only check; recall≥0.9 vs q_embed_neardup asserted in
+  //      ExtOpsSpec. Same input bound and threshold as the exact
+  //      baseline so the two results are directly comparable. ----
+  def qEmbedLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingLshPairs(
+      emb(s, dir).filter(col("vec_id") < 1000), "vec_id", "embedding",
+      threshold = 0.3)
+      .select(col("i"), col("j"), r6(col("cosine")).as("cosine"))
+      .orderBy("i", "j")
+
   // ---- brute-force cosine top-k (similarity-search baseline) ----
   def qKnnBrute(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -466,6 +478,7 @@ object ExtQueries {
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_simhash" -> (qSimhash _),
     "q_embed_neardup" -> (qEmbedNearDup _),
+    "q_embed_lsh" -> (qEmbedLsh _),
     "q_knn_brute" -> (qKnnBrute _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_sessionize" -> (qSessionize _),
@@ -503,6 +516,6 @@ object ExtQueries {
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_sample_fixed" -> qSampleFixedSql,
     "q_kmv_distinct" -> qKmvDistinctSql,
-    // q_minhash_lsh, q_ann_ivf: approximate → rows-only checks
+    // q_minhash_lsh, q_ann_ivf, q_embed_lsh: approximate → rows-only checks
   )
 }

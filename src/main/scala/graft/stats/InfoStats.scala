@@ -133,9 +133,17 @@ object InfoStats {
       .sum("cnt").na.fill(0)
       .select((gid :+ col(valCol)) ++ classLabels.indices.map(i =>
         col(classLabels(i)).as(cc(i))): _*)
-    val wOrd = Window.partitionBy(gid: _*).orderBy(col(valCol))
+    // a gid-less call is a GLOBAL scan: the window necessarily holds
+    // the whole (already distinct-value-collapsed) table in one ordered
+    // partition, so partition by a constant rather than an empty spec —
+    // same plan, without tripping WindowExec's no-partition warning.
+    // Bounding that partition is the CALLER's job: pre-bin continuous
+    // attributes to ≤ maxBins values (C45.fit / rootRank's quantile
+    // snap) so the scan never sorts unbounded cardinality in one task.
+    val partKeys: Seq[Column] = if (gid.isEmpty) Seq(lit(0)) else gid
+    val wOrd = Window.partitionBy(partKeys: _*).orderBy(col(valCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(gid: _*)
+    val wAll = Window.partitionBy(partKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val idx = classLabels.indices
     val withCums = pivoted.select(

@@ -76,6 +76,18 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall too low (|exact|=${exact.size})")
   }
 
+  test("embedding LSH pairs have no false positives and recall >= 0.9 vs exact") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val exact = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.3)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingLshPairs(e, "vec_id", "embedding", 0.3)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "exact-cosine verify must kill false positives")
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall too low (|exact|=${exact.size})")
+  }
+
   test("simhash: identical docs share a signature; signatures spread overall") {
     val s = spark
     import s.implicits._
