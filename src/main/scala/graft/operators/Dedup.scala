@@ -46,27 +46,56 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity join: all pairs (i < j) with
-    * J(shingles_i, shingles_j) >= threshold.
+    * J(shingles_i, shingles_j) >= threshold. EXACT result — same output
+    * as the naive shared-shingle join — via prefix filtering
+    * (AllPairs/PPJoin, Bayardo et al. WWW'07):
     *
-    * Plan shape (the 100-TB-safe formulation): explode distinct
-    * shingles → self-equi-join on shingle → count common per pair
-    * (this shuffles by shingle, then by pair — both with partial
-    * aggregation) → join tiny per-doc set sizes → Jaccard filter.
+    *  - global rarest-first shingle order (ascending document
+    *    frequency, shingle text as tiebreak);
+    *  - a pair with J >= t MUST share a shingle within each doc's
+    *    prefix of its first |s| - ceil(t*|s|) + 1 shingles in that
+    *    order, so the candidate equi-join explodes ONLY prefixes —
+    *    a ubiquitous stopword shingle sits at the df-order tail and
+    *    never enters the join unless a doc is nearly all stopwords;
+    *  - candidates verify with an exact sorted-merge intersection.
+    *
+    * This bounds the classic hot-shingle n² fan-out without dropping
+    * anything. `maxShingleDf > 0` additionally REMOVES shingles with
+    * document frequency above the cap from the sets themselves (the
+    * corpus-dedup stopword-shingle heuristic) — that changes the
+    * Jaccard denominator, so it is off by default and mirrored in the
+    * oracle where used.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
-    val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
-    val common = exploded.as("a").join(exploded.as("b"), col("a.s") === col("b.s"))
-      .filter(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("id", "i").withColumnRenamed("sz", "sz_i"), "i")
-      .join(sizes.withColumnRenamed("id", "j").withColumnRenamed("sz", "sz_j"), "j")
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("sz_i") + col("sz_j") - col("common")))
+                        n: Int, threshold: Double,
+                        maxShingleDf: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex0 = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+    val dfreq = ex0.groupBy("s").agg(count(lit(1)).as("df"))
+    val capped = if (maxShingleDf > 0) dfreq.filter(col("df") <= maxShingleDf) else dfreq
+    val ex = ex0.join(capped, "s")
+    // per-doc rarest-first rank and (post-cap) set size; prefix length
+    // = sz - ceil(t*sz) + 1 (any J>=t pair shares a prefix shingle)
+    val wId = Window.partitionBy("id")
+    val prefix = ex
+      .withColumn("rk", row_number().over(wId.orderBy(col("df"), col("s"))))
+      .withColumn("sz", count(lit(1)).over(wId))
+      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("id", "s")
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
+    // verify candidates with the exact sorted-merge intersection over
+    // the full (post-cap) sets
+    val sets = ex.groupBy("id").agg(array_sort(collect_set(col("s"))).as("sh"))
+    cands
+      .join(sets.select(col("id").as("i"), col("sh").as("sh_i")), "i")
+      .join(sets.select(col("id").as("j"), col("sh").as("sh_j")), "j")
+      .withColumn("common", graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("sh_i"), col("sh_j")))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_i")) + size(col("sh_j")) - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("i"), col("j"), col("jaccard"))
   }
@@ -85,17 +114,22 @@ object Dedup {
     * intermediate far from int64 overflow, which the SQL oracle's
     * BIGINT arithmetic requires. Output: (id, m0 .. m{k-1}). */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        k: Int, n: Int = 1): DataFrame = {
+                        k: Int, n: Int = 1): DataFrame =
+    minHashFromExploded(
+      df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s")), k)
+
+  /** [[minHashSignatures]] over a pre-exploded (id, s) shingle table —
+    * lets callers pre-filter the shingle stream (e.g. a df cap). */
+  private[operators] def minHashFromExploded(exploded: DataFrame, k: Int): DataFrame = {
     // ONE md5 per shingle: h0/h1 are disjoint 60-bit slices of the
     // same digest (md5 chars 1-15 and 16-30), reduced mod p
     val digest = md5(concat(lit("0|"), col("s")))
-    val exploded = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+    exploded
       .withColumn("d", digest)
       .withColumn("h0", conv(substring(col("d"), 1, 15), 16, 10).cast("long") % MinHashMod)
       .withColumn("h1", conv(substring(col("d"), 16, 15), 16, 10).cast("long") % MinHashMod)
       .drop("d")
-    exploded.groupBy("id")
+      .groupBy("id")
       .agg(min(col("h0")).as("m0"),
         (1 until k).map(i =>
           min((col("h0") + lit(i.toLong) * col("h1")) % MinHashMod).as(s"m$i")): _*)
@@ -105,12 +139,23 @@ object Dedup {
     * into bands of `rowsPerBand`, hash each band, equi-join on
     * (band, bandHash) for candidates, then verify candidates with the
     * exact n-gram Jaccard (no false positives; recall is the standard
-    * 1-(1-J^r)^b curve). */
+    * 1-(1-J^r)^b curve).
+    *
+    * `maxShingleDf > 0` removes shingles with document frequency above
+    * the cap from the sets before BOTH signatures and verify (the
+    * corpus-dedup stopword heuristic): a ubiquitous shingle makes many
+    * signature components collide, fanning the band join toward n². The
+    * cap changes the Jaccard denominator, so it is off by default. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int, rowsPerBand: Int, threshold: Double,
-                      n: Int = 1): DataFrame = {
+                      n: Int = 1, maxShingleDf: Long = 0L): DataFrame = {
     require(k % rowsPerBand == 0, "k must be a multiple of rowsPerBand")
-    val sig = minHashSignatures(df, idCol, textCol, k, n)
+    val ex0 = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+    val ex =
+      if (maxShingleDf <= 0) ex0
+      else ex0.join(ex0.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf).select("s"), "s")
+    val sig = minHashFromExploded(ex, k)
     val nBands = k / rowsPerBand
     val bands = sig.select(col("id"),
       explode(map((0 until nBands).flatMap { b =>
@@ -125,8 +170,11 @@ object Dedup {
       .distinct()
     // verify: exact Jaccard on the candidate pairs only — sorted-array
     // merge scan (native expression) instead of per-pair hash sets
-    val sh = df.select(col(idCol).as("id"),
-      array_sort(shingles(col(textCol), n)).as("sh"))
+    // (over the post-cap sets when a cap is active)
+    val sh =
+      if (maxShingleDf <= 0)
+        df.select(col(idCol).as("id"), array_sort(shingles(col(textCol), n)).as("sh"))
+      else ex.groupBy("id").agg(array_sort(collect_set(col("s"))).as("sh"))
     cands
       .join(sh.select(col("id").as("i"), col("sh").as("sh_i")), "i")
       .join(sh.select(col("id").as("j"), col("sh").as("sh_j")), "j")

@@ -126,20 +126,30 @@ object ExtQueries {
        |SELECT doc_id,\n  $mins\nFROM t ORDER BY doc_id""".stripMargin
   }
 
-  // ---- exact n-gram (token-set) Jaccard similarity join ----
+  // ---- exact n-gram (token-set) Jaccard similarity join, with the
+  //      corpus-dedup stopword-shingle heuristic: shingles present in
+  //      > 400 of the (up to 1000) docs are dropped from the sets
+  //      before the join — they carry no dedup signal and fan the
+  //      candidate join toward n². Cap mirrored in the oracle; the
+  //      uncapped path keeps its exactness spec in ExtOpsSpec. ----
+  private val ShingleDfCap = 400L
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(
       docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text",
-      n = 1, threshold = 0.8)
+      n = 1, threshold = 0.8, maxShingleDf = ShingleDfCap)
       .select(col("i"), col("j"), r6(col("jaccard")).as("jaccard"))
       .orderBy("i", "j")
-  val qNgramJaccardSql: String =
-    s"""WITH sh AS (SELECT doc_id AS id, list_distinct($SplitToksLowerSql) AS s
+  /** Shared oracle CTEs: df-capped exploded shingles + post-cap sizes. */
+  private val CappedShinglesSql: String =
+    s"""sh0 AS (SELECT doc_id AS id, unnest(list_distinct($SplitToksLowerSql)) AS tok
        |  FROM documents WHERE doc_id < 1000),
-       |sz AS (SELECT id, len(s) AS sz FROM sh),
-       |ex AS (SELECT id, unnest(s) AS tok FROM sh),
+       |keep AS (SELECT tok FROM sh0 GROUP BY 1 HAVING count(*) <= $ShingleDfCap),
+       |ex AS (SELECT id, tok FROM sh0 JOIN keep USING (tok)),
+       |sz AS (SELECT id, count(*) AS sz FROM ex GROUP BY 1),
        |common AS (SELECT a.id AS i, b.id AS j, count(*) AS c
-       |  FROM ex a JOIN ex b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2)
+       |  FROM ex a JOIN ex b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2)""".stripMargin
+  val qNgramJaccardSql: String =
+    s"""WITH $CappedShinglesSql
        |SELECT i, j, round(c::DOUBLE / (si.sz + sj.sz - c), 6) AS jaccard
        |FROM common JOIN sz si ON si.id = i JOIN sz sj ON sj.id = j
        |WHERE c::DOUBLE / (si.sz + sj.sz - c) >= 0.8
@@ -151,17 +161,11 @@ object ExtQueries {
     Dedup.connectedComponents(
       Dedup.ngramJaccardPairs(
         docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text",
-        n = 1, threshold = 0.8))
+        n = 1, threshold = 0.8, maxShingleDf = ShingleDfCap))
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
   val qDedupClustersSql: String =
-    s"""WITH RECURSIVE sh AS (
-       |  SELECT doc_id AS id, list_distinct($SplitToksLowerSql) AS s
-       |  FROM documents WHERE doc_id < 1000),
-       |sz AS (SELECT id, len(s) AS sz FROM sh),
-       |ex AS (SELECT id, unnest(s) AS tok FROM sh),
-       |common AS (SELECT a.id AS i, b.id AS j, count(*) AS c
-       |  FROM ex a JOIN ex b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2),
+    s"""WITH RECURSIVE $CappedShinglesSql,
        |pairs AS (
        |  SELECT i, j FROM common
        |  JOIN sz si ON si.id = i JOIN sz sj ON sj.id = j
@@ -179,7 +183,7 @@ object ExtQueries {
   def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashLshPairs(
       docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text",
-      k = 16, rowsPerBand = 2, threshold = 0.5)
+      k = 16, rowsPerBand = 2, threshold = 0.5, maxShingleDf = ShingleDfCap)
       .select(col("i"), col("j"), r6(col("jaccard")).as("jaccard"))
       .orderBy("i", "j")
 

@@ -76,6 +76,49 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall too low (|exact|=${exact.size})")
   }
 
+  test("shingle df cap drops ubiquitous shingles but keeps real near-dups") {
+    val s = spark
+    import s.implicits._
+    // "the" is in every doc (df=4 > cap 3); docs 1/2 are near-dups on
+    // their rare shingles, docs 3/4 share ONLY the capped stopword
+    val df = Seq((1L, "the alpha beta gamma"), (2L, "the alpha beta gamma"),
+      (3L, "the zig zag"), (4L, "the quux corge"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(df, "doc_id", "text", 1, 0.5,
+      maxShingleDf = 3L).collect()
+    assert(capped.length == 1)
+    assert(capped(0).getAs[Long]("i") == 1 && capped(0).getAs[Long]("j") == 2)
+    // post-cap the 1-2 sets are identical -> jaccard exactly 1.0
+    assert(capped(0).getAs[Double]("jaccard") == 1.0)
+    // the LSH path under the same cap agrees on the surviving pair
+    val lsh = Dedup.minHashLshPairs(df, "doc_id", "text",
+      k = 8, rowsPerBand = 1, threshold = 0.5, maxShingleDf = 3L).collect()
+    assert(lsh.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("prefix filtering returns the same pairs as verify on full sets (exactness)") {
+    // sf0.001 corpus: prefix-filtered ngramJaccardPairs must equal a
+    // naive all-shared-shingle join formulation
+    val sh = docs.select(col("doc_id").as("id"),
+      Dedup.shingles(col("text"), 1).as("sh"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
+    val ex = sh.select(col("id"), explode(col("sh")).as("s"))
+    val naive = ex.as("a").join(ex.as("b"), col("a.s") === col("b.s"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed("id", "i").withColumnRenamed("sz", "sz_i"), "i")
+      .join(sizes.withColumnRenamed("id", "j").withColumnRenamed("sz", "sz_j"), "j")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_i") + col("sz_j") - col("common")))
+      .filter(col("jaccard") >= 0.5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 1, 0.5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive)
+    assert(naive.nonEmpty)
+  }
+
   test("embedding LSH pairs have no false positives and recall >= 0.9 vs exact") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val exact = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.3)
