@@ -52,13 +52,106 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic coarse centroids: the first `nCentroids` vectors by
-    * id (reproducible "training"; swap in k-means centroids when a
-    * trained quantizer is warranted). */
+  /** Deterministic coarse centroids WITHOUT training: the first
+    * `nCentroids` vectors by id. Kept as the zero-cost fallback;
+    * [[kmeansCentroids]] is the trained default for [[ivfTopK]] — on
+    * clustered real embeddings, untrained first-N centroids track
+    * whatever region small ids happen to live in and probe recall
+    * collapses. */
   def coarseCentroids(df: DataFrame, idCol: String, vecCol: String,
                       nCentroids: Int): DataFrame =
     df.orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("cid"), toDoubleVec(col(vecCol)).as("cv"))
+
+  /** Deterministic spherical k-means coarse quantizer: Lloyd's
+    * iterations expressed as DataFrame aggregations, for the IVF
+    * bucketing metric (cosine).
+    *
+    * Init: the `nCentroids` vectors with the smallest salted id hash —
+    * a deterministic uniform sample of the corpus (NOT first-N-by-id,
+    * which picks whatever region small ids live in).
+    *
+    * Iterate (`nIter` rounds): every vector assigns to its
+    * highest-cosine centroid via a BROADCAST cross join against the
+    * tiny centroid table + per-id argmax aggregation, then each
+    * centroid becomes the mean of its members' unit vectors (the
+    * spherical update; cosine ranking is scale-invariant so the mean
+    * needs no re-normalization before use). Centroids travel as
+    * broadcast DATA, not plan literals, so every iteration reuses the
+    * SAME physical plan and whole-stage-codegen compiles once for the
+    * whole loop (literal centroid arrays would force a Janino
+    * recompile per round). Per round: one broadcast + two
+    * partial-aggregated shuffles, and only nCentroids × dim cells
+    * reach the driver — the MLlib driver/cluster split. Component
+    * means are rounded so the result does not depend on float
+    * summation order across partitions; empty clusters keep their
+    * previous centroid; ties go to the smallest centroid id.
+    * Iteration stops early at the (rounded) centroid fixpoint — a
+    * coarse quantizer needs bucket SHAPE, not converged means, so
+    * `nIter` is a cap, not a target. */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      nCentroids: Int, nIter: Int = 5): DataFrame = {
+    require(nCentroids >= 1, "nCentroids must be positive")
+    val spark = df.sparkSession
+    val u = df.select(col(idCol).as("id"), unitVector(col(vecCol)).as("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var centroids: Array[Array[Double]] = u
+      .orderBy(graft.functions.Hashing.hash60(col("id").cast("string")), col("id"))
+      .limit(nCentroids)
+      .select(col("u")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    import spark.implicits._
+    var iter = 0
+    var converged = false
+    var prevMeans: Array[Array[Double]] = null
+    while (iter < nIter && !converged && centroids.length > 1) {
+      val normed = centroids.map { c =>
+        val n = math.sqrt(c.map(x => x * x).sum)
+        if (n == 0) c else c.map(_ / n)
+      }
+      val cDf = normed.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "cv")
+      // per-id argmax via max over (sim, -cid) structs: highest cosine
+      // wins, ties go to the smallest cid; sims rounded so the
+      // assignment is stable under fp noise
+      val cellSums = u.crossJoin(broadcast(cDf))
+        .select(col("id"), col("u"),
+          struct(round(dot(col("u"), col("cv")), 9).as("sim"),
+            (-col("cid")).as("nc")).as("sc"))
+        .groupBy("id")
+        .agg(max(col("sc")).as("best"), first(col("u")).as("u"))
+        .select((-col("best.nc")).as("cid"),
+          posexplode(col("u")).as(Seq("d", "x")))
+        .groupBy("cid", "d")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val byCid = cellSums.groupBy(_.getAs[Int]("cid"))
+      val updated = normed.indices.map { ci =>
+        byCid.get(ci) match {
+          case Some(rows) =>
+            val out = normed(ci).clone()
+            rows.foreach { r =>
+              val d = r.getAs[Int]("d")
+              val mean = r.getAs[Double]("sx") / r.getAs[Long]("n")
+              out(d) = math.rint(mean * 1e6) / 1e6
+            }
+            out
+          case None => normed(ci) // empty cluster: keep previous
+        }
+      }.toArray
+      // rounded means repeating across two rounds ⟺ assignments are
+      // at a fixpoint — stop; nIter only caps pathological oscillation
+      converged = prevMeans != null && updated.indices.forall(i =>
+        java.util.Arrays.equals(updated(i), prevMeans(i)))
+      prevMeans = updated
+      centroids = updated
+      iter += 1
+    }
+    u.unpersist()
+    centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("cid", "cv")
+  }
 
   /** Assign every vector to its nearest centroid (IVF bucketing): one
     * broadcast cross join against the tiny centroid set + per-vector
@@ -77,11 +170,14 @@ object Similarity {
 
   /** IVF approximate top-k: probe the `nProbe` centroids nearest to
     * each query and brute-force only those buckets. With
-    * nProbe == nCentroids this is exactly [[bruteForceTopK]]. */
+    * nProbe == nCentroids this is exactly [[bruteForceTopK]]. The
+    * coarse quantizer is trained ([[kmeansCentroids]]), so buckets
+    * track the data's cluster structure and partial probes keep their
+    * recall on real (clustered) embeddings. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, qidCol: String, qvecCol: String,
               k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
-    val centroids = coarseCentroids(df, idCol, vecCol, nCentroids)
+    val centroids = kmeansCentroids(df, idCol, vecCol, nCentroids)
     val bucketed = assignBuckets(df, idCol, vecCol, centroids)
     val q = queries.select(col(qidCol).as("qid"), toDoubleVec(col(qvecCol)).as("qv"))
     val wProbe = Window.partitionBy("qid")
