@@ -108,6 +108,14 @@ object C45 {
     val data = df.select((names :+ clsCol).map(col): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // contract: class labels must be non-null (the reference NPEs on a
+    // null label, Main.java routing; here a null would silently vanish
+    // from the sentinel class-count slice while its row still feeds
+    // per-attribute split stats — an inconsistent n). Fail loudly up
+    // front instead — one limit-1 job against the just-persisted data.
+    require(data.filter(col(clsCol).isNull).isEmpty,
+      s"C45.fit requires non-null class labels: column '$clsCol' contains NULLs")
+
     // closed class-label set: declared, else discovered once (the
     // reference requires the declared set, Main.java:154-158)
     val classLabels: Seq[String] =
@@ -264,7 +272,9 @@ object C45 {
       val numStats = Await.result(numF, Duration.Inf)
       val tNum = (System.nanoTime() - tLevel0) / 1e9
       if (profile)
-        println(f"[fit] level=$level rules=${open.size} cls=$tCls%.2fs +cat=$tCat%.2fs +num=$tNum%.2fs")
+        // first bucket includes materializing the persisted cell
+        // aggregation (clsCounts awaits it), so label it honestly
+        println(f"[fit] level=$level rules=${open.size} cells+cls=$tCls%.2fs +cat=$tCat%.2fs +num=$tNum%.2fs")
       catCells.foreach(_.unpersist())
 
       // driver-side per-rule decision (O3/O4): tiny tables only

@@ -70,16 +70,14 @@ object Multimodal {
       .select(col("media_id"), col("offset"),
         col("content").substr(col("offset"), lit(frameSize)).as("frame"))
 
-  /** Every `factor`-th byte of a payload, as binary. Gathers 1-byte
-    * binary slices and folds them with binary concat — no string
-    * round-trip, so arbitrary (non-UTF8) payloads survive byte-exact.
-    * An empty payload yields an empty payload. */
+  /** Every `factor`-th byte of a payload, as binary — a native O(n)
+    * expression (graft.functions.StrideBytes). The previous
+    * Column-composition form (aggregate + binary concat fold) copied
+    * the accumulator every step: O(len²/factor) bytes per row, a
+    * scale-killer on megabyte media payloads. Byte-exact for arbitrary
+    * (non-UTF8) content; an empty payload yields an empty payload. */
   def strideBytes(c: org.apache.spark.sql.Column, factor: Int): org.apache.spark.sql.Column =
-    when(length(c) === 0, lit(Array.emptyByteArray))
-      .otherwise(aggregate(
-        sequence(lit(1), length(c), lit(factor)),
-        lit(Array.emptyByteArray),
-        (acc, i) => concat(acc, c.substr(i, lit(1)))))
+    graft.functions.StrideBytes.strideBytes(c, factor)
 
   /** STUB resize: deterministic stride-downsample of the payload
     * standing in for a real image resample (the decode/resample codec

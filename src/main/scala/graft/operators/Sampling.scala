@@ -15,10 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Null-safe id hash: a null id hashes as the empty string. Without
+    * the coalesce, Spark's `concat('0|', NULL)` is NULL → the keep
+    * filter is NULL → the row is silently DROPPED, while DuckDB's
+    * concat skips NULLs and keeps deciding — a latent cross-engine
+    * divergence on null ids. With it, both engines hash '0|'. */
+  private def idHash(idCol: Column): Column =
+    Hashing.hash60(coalesce(idCol.cast("string"), lit("")))
+
   /** Per-row keep decision: hash of the id lands in [0, permille) of
     * the per-mille scale. */
   private def keep(idCol: Column, permille: Column): Column =
-    Hashing.hash60(idCol.cast("string")) % 1000 < permille
+    idHash(idCol) % 1000 < permille
 
   /** Deterministic Bernoulli sample: keep ~permille/1000 of rows,
     * chosen by id hash (reproducible, partition-independent). */
@@ -44,7 +52,7 @@ object Sampling {
   def fixedPerStratum(df: DataFrame, strataCol: String, idCol: String,
                       n: Int): DataFrame = {
     val w = Window.partitionBy(strataCol)
-      .orderBy(Hashing.hash60(col(idCol).cast("string")), col(idCol))
+      .orderBy(idHash(col(idCol)), col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)
       .drop("__rn")

@@ -37,6 +37,19 @@ object TemporalJoin {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                leftTsCol: String, rightTsCol: String,
                rightValCols: Seq[String]): DataFrame = {
+    val reserved = Set("__ts", "__side", "__rv", "__asof")
+    val clash = (left.columns ++ right.columns).filter(reserved)
+    require(clash.isEmpty,
+      s"asofJoin reserves column names ${reserved.mkString(", ")}; " +
+        s"rename ${clash.mkString(", ")} before calling")
+    require(rightValCols.nonEmpty, "rightValCols must name at least one right column")
+    val missing = rightValCols.filterNot(right.columns.contains)
+    require(missing.isEmpty,
+      s"rightValCols not found on the right side: ${missing.mkString(", ")} " +
+        "(right columns outside rightValCols are intentionally not carried)")
+    val outClash = rightValCols.map(c => s"asof_$c").filter(left.columns.contains)
+    require(outClash.isEmpty,
+      s"output columns ${outClash.mkString(", ")} collide with left columns")
     val leftPayload = left.columns.filterNot(_ == keyCol).toSeq
     val rvStruct = StructType(rightValCols.map(c => right.schema(c)))
     val l = left.select(
@@ -73,6 +86,14 @@ object TemporalJoin {
                       startCol: String, endCol: String,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    val overlap = points.columns.intersect(intervals.columns)
+    require(overlap.isEmpty,
+      s"point and interval columns must be disjoint (rename ${overlap.mkString(", ")}: " +
+        "the output carries all columns of both sides unqualified)")
+    val reserved = Set("__pb", "__ib")
+    val clash = (points.columns ++ intervals.columns).filter(reserved)
+    require(clash.isEmpty,
+      s"pointInInterval reserves ${reserved.mkString(", ")}; rename ${clash.mkString(", ")}")
     val pb = points
       .withColumn("__pb", expr(s"$pTsCol div $bucketWidth")).alias("p")
     val ib = intervals

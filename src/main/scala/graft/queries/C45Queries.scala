@@ -187,10 +187,11 @@ object C45Queries {
 
   // ---- O2: one-pass numeric boundary scan (window) for l_quantity ----
   def qSplitScan(s: SparkSession, dir: String): DataFrame = {
-    // carry the attribute name as the window's partition key (the
-    // multi-attr callers do the same), so even this single-attr scan
-    // never builds a no-key window; l_quantity is low-cardinality (~50
-    // distinct), so no maxBins pre-binning is needed to bound it
+    // the attr name is a LITERAL here, so Spark 4's
+    // EliminateWindowPartitions folds the window back to a single
+    // partition and logs WindowExec's no-partition warning — expected
+    // and owned (see InfoStats.boundaryScan): the window input is the
+    // distinct-value table, ~50 rows for l_quantity, not raw lineitem
     val df = li(s, dir).select(lit("l_quantity").as("attr"),
       col("l_quantity").as("val"), col("l_linestatus").as("cls"))
     InfoStats.boundaryScan(df, Seq("attr"), ClassLabels)

@@ -133,13 +133,16 @@ object InfoStats {
       .sum("cnt").na.fill(0)
       .select((gid :+ col(valCol)) ++ classLabels.indices.map(i =>
         col(classLabels(i)).as(cc(i))): _*)
-    // a gid-less call is a GLOBAL scan: the window necessarily holds
-    // the whole (already distinct-value-collapsed) table in one ordered
-    // partition, so partition by a constant rather than an empty spec —
-    // same plan, without tripping WindowExec's no-partition warning.
-    // Bounding that partition is the CALLER's job: pre-bin continuous
-    // attributes to ≤ maxBins values (C45.fit / rootRank's quantile
-    // snap) so the scan never sorts unbounded cardinality in one task.
+    // a gid-less (or constant-gid) call is a GLOBAL scan: the window
+    // DELIBERATELY holds the whole table in ONE ordered partition —
+    // and that is bounded by construction, because the input was
+    // already collapsed to distinct values by the groupBy above and
+    // the caller's contract pre-bins continuous attributes to
+    // ≤ maxBins values (C45.fit / rootRank's quantile snap). Spark 4's
+    // EliminateWindowPartitions folds any constant key back to an
+    // unpartitioned window, so WindowExec's "No Partition Defined"
+    // warning is EXPECTED here and owned: it flags a single-partition
+    // sort that we have sized to at most maxBins rows per attribute.
     val partKeys: Seq[Column] = if (gid.isEmpty) Seq(lit(0)) else gid
     val wOrd = Window.partitionBy(partKeys: _*).orderBy(col(valCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

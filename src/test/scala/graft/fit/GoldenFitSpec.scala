@@ -3,23 +3,41 @@ package graft.fit
 import graft.SparkTestSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import scala.jdk.CollectionConverters._
-
 /** Hard determinism check for the iterative fit (SURVEY.md O4): the
   * driver's correctness gate can only row-count `q_fit_tree` (no SQL
   * oracle exists for an iterative algorithm), so this spec pins the
-  * EXACT sf0.01 rule set instead. The fit is deterministic — ties break
-  * on (gainRatio, -aid) and (cond_entropy, boundary) — so any change in
-  * tree shape is a real semantic change and must fail here. */
+  * EXACT rule sets instead — at sf0.01 (the gate's scale) AND sf0.1
+  * (the bench's scale, where maxBins binning actually engages). The
+  * fit is deterministic — ties break on (gainRatio, -aid) and
+  * (cond_entropy, boundary) — so any change in tree shape is a real
+  * semantic change and must fail here. */
 class GoldenFitSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  test("q_fit_tree reproduces the committed sf0.01 rule set exactly") {
-    val golden = scala.io.Source.fromResource("golden/fit_sf001_rules.txt")
+  private def check(sf: String, goldenResource: String): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR_BASE", "/root/testdata") + "/" + sf
+    if (!new java.io.File(dir).isDirectory)
+      cancel(s"testdata $dir not present on this machine")
+    val golden = scala.io.Source.fromResource(goldenResource)
       .getLines().filter(_.nonEmpty).toVector
-    val got = graft.queries.C45Queries.qFitTree(spark, "/root/testdata/sf0.01")
+    val got = graft.queries.C45Queries.qFitTree(spark, dir)
       .collect().map(_.getString(0)).toVector
     assert(got == golden,
-      s"fitted rule set diverged from golden:\n got=${got.mkString("\n ")}")
+      s"fitted rule set diverged from golden ($sf):\n got=${got.mkString("\n ")}")
+  }
+
+  test("q_fit_tree reproduces the committed sf0.01 rule set exactly") {
+    check("sf0.01", "golden/fit_sf001_rules.txt")
+  }
+
+  test("q_fit_tree reproduces the committed sf0.1 rule set exactly") {
+    // at sf0.1 the golden tree is a single majority leaf — legitimate:
+    // TPC-H l_linestatus is independent of these attributes, so root
+    // gain ratios are pure noise ~ O(1/N); at 60k rows (sf0.01) that
+    // noise still clears the reference's ε=1e-5 selectability floor
+    // and the tree (over)fits, at 600k rows it drops below ε and the
+    // root correctly refuses to split (verified against DuckDB root
+    // stats). The pin still guards determinism of that decision.
+    check("sf0.1", "golden/fit_sf01_rules.txt")
   }
 }

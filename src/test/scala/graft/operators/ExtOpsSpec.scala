@@ -119,7 +119,11 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(naive.nonEmpty)
   }
 
-  test("embedding LSH pairs have no false positives and recall >= 0.9 vs exact") {
+  test("embedding LSH pairs have no false positives vs exact (testdata)") {
+    // this corpus is near-random (no cluster structure, max cosine
+    // ~0.44), so the default 8-bit bands prune most moderate-cosine
+    // candidates BY DESIGN — the assertion here is exactness of the
+    // verify step; recall is asserted below on genuinely-near pairs
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val exact = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.3)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -127,8 +131,43 @@ class ExtOpsSpec extends AnyFunSuite {
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact), "exact-cosine verify must kill false positives")
     assert(exact.nonEmpty)
+  }
+
+  /** Synthetic near-dup corpus: `nBase` random unit-ish vectors plus a
+    * tiny-noise copy of each — every (v, v') pair has cosine ≳ 0.99,
+    * the regime sign-LSH banding is built for. Deterministic seed. */
+  private def nearDupVectors(nBase: Int, dim: Int) = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    (0 until nBase).flatMap { i =>
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val dup = v.map(x => x + rnd.nextGaussian() * 0.02)
+      Seq((i.toLong, v.toSeq), ((i + nBase).toLong, dup.toSeq))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("embedding LSH recall >= 0.9 on genuinely-near pairs at default bands") {
+    val e = nearDupVectors(nBase = 200, dim = 64)
+    val exact = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.95)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingLshPairs(e, "vec_id", "embedding", 0.95)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(exact.size >= 150, s"expected the planted pairs, got ${exact.size}")
     val recall = lsh.size.toDouble / exact.size
     assert(recall >= 0.9, s"recall $recall too low (|exact|=${exact.size})")
+  }
+
+  test("default 8-bit bands cut candidate volume >= 4x vs the old 2-bit bands") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = e.count().toDouble
+    val narrow = Dedup.embeddingLshCandidates(e, "vec_id", "embedding",
+      nBits = 16, rowsPerBand = 2).count()
+    val wide = Dedup.embeddingLshCandidates(e, "vec_id", "embedding").count()
+    info(f"candidates: 2-bit bands $narrow, 8-bit bands $wide, n²/2 = ${n * n / 2}%.0f")
+    assert(wide * 4 <= narrow,
+      s"wide bands should prune >=4x: narrow=$narrow wide=$wide")
   }
 
   test("simhash: identical docs share a signature; signatures spread overall") {
@@ -153,6 +192,37 @@ class ExtOpsSpec extends AnyFunSuite {
     val ivfAll = key(Similarity.ivfTopK(e, "vec_id", "embedding",
       q, "vec_id", "embedding", 10, nCentroids = 8, nProbe = 8))
     assert(ivfAll == brute)
+  }
+
+  /** Clustered corpus: `k` well-separated Gaussian clusters, ids
+    * assigned cluster-major — the layout where an UNTRAINED
+    * first-N-by-id quantizer would drop every coarse centroid into
+    * cluster 0 and partial-probe recall would collapse. */
+  private def clusteredVectors(k: Int, perCluster: Int, dim: Int) = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(k)(Array.fill(dim)(rnd.nextGaussian() * 5))
+    (0 until k).flatMap { c =>
+      (0 until perCluster).map { i =>
+        ((c * perCluster + i).toLong,
+          centers(c).map(x => x + rnd.nextGaussian() * 0.3).toSeq)
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("trained IVF keeps recall@10 >= 0.9 on clustered vectors at nProbe << nCentroids") {
+    val e = clusteredVectors(k = 8, perCluster = 60, dim = 32)
+    val q = e.filter(col("vec_id") % 60 === 0) // one query per cluster
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", 10))
+    val ivf = pairs(Similarity.ivfTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", 10, nCentroids = 8, nProbe = 2))
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"trained-IVF recall $recall too low at nProbe=2/8")
   }
 
   test("IVF with partial probe returns k rows per query with valid cosines") {
@@ -206,6 +276,27 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got(1L)._1.toSeq == expected.toSeq)
     assert(got(1L)._2 == 64L)
     assert(got(2L)._1.isEmpty && got(2L)._2 == 0L)
+  }
+
+  test("strideBytes is linear: a 1 MB payload resizes in one pass") {
+    val s = spark
+    import s.implicits._
+    // the old aggregate+concat fold copied the accumulator per step —
+    // O(len²/factor) bytes; 1 MB would take minutes. The native
+    // expression must finish promptly and byte-exactly.
+    val mb = Array.tabulate(1 << 20)(i => (i * 31).toByte)
+    val df = Seq((1L, mb)).toDF("media_id", "content")
+    val t0 = System.nanoTime()
+    val got = Multimodal.resize(df, factor = 4).collect()(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.getAs[Long]("n_bytes_small") == (1 << 18).toLong)
+    val out = got.getAs[Array[Byte]]("content_small")
+    assert(out.length == (1 << 18))
+    var i = 0
+    while (i < out.length) {
+      assert(out(i) == mb(i * 4)); i += 1
+    }
+    assert(secs < 10.0, f"1 MB resize took $secs%.1fs — stride is not linear")
   }
 
   test("frame sampling covers the content at the stride") {

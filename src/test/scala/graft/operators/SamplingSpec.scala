@@ -25,6 +25,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(a.subsetOf(wider))
   }
 
+  test("null ids are hashed (as empty string), not silently dropped") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Some(1L), Some(2L), None).map(Tuple1(_)).toDF("id")
+    // hash60('0|') % 1000 decides the null row like any other; with
+    // permille=1000 EVERY row — including the null id — must survive
+    // (pre-fix, Spark's concat(NULL) → NULL filter dropped it while
+    // the DuckDB oracle kept deciding — a silent cross-engine skew)
+    assert(Sampling.bernoulli(df, "id", 1000).count() == 3)
+    // and fixedPerStratum ranks the null id instead of NaN-ordering it
+    val strat = Seq((Some(1L), "a"), (None, "a"), (Some(3L), "a"))
+      .toDF("id", "stratum")
+    assert(Sampling.fixedPerStratum(strat, "stratum", "id", 3).count() == 3)
+  }
+
   test("stratified sample applies the per-stratum rate") {
     val df = ids(2000)
     val got = Sampling.stratified(df, "stratum", "id",

@@ -37,6 +37,36 @@ class TemporalJoinSpec extends AnyFunSuite {
       got.getAs[String]("asof_w") == "b")
   }
 
+  test("reserved / missing / colliding column names fail loudly, not silently") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 100L)).toDF("k", "ts")
+    val right = Seq((1L, 10L, 1.0)).toDF("k", "rts", "v")
+    // a user column named like an internal would be silently clobbered
+    intercept[IllegalArgumentException] {
+      TemporalJoin.asofJoin(left.withColumnRenamed("ts", "__ts"),
+        right, "k", "__ts", "rts", Seq("v"))
+    }
+    // a rightValCol that doesn't exist used to surface as an analysis
+    // error deep in the plan; now it's a precondition
+    intercept[IllegalArgumentException] {
+      TemporalJoin.asofJoin(left, right, "k", "ts", "rts", Seq("nope"))
+    }
+    // output asof_v colliding with an existing left column
+    intercept[IllegalArgumentException] {
+      TemporalJoin.asofJoin(left.withColumn("asof_v", lit(0)),
+        right, "k", "ts", "rts", Seq("v"))
+    }
+    // pointInInterval: overlapping column names across sides
+    intercept[IllegalArgumentException] {
+      TemporalJoin.pointInInterval(
+        Seq((1L, 5L)).toDF("k", "t"),
+        "k", "t",
+        Seq((1L, 0L, 9L)).toDF("k", "lo", "hi"),
+        "k", "lo", "hi", 10L)
+    }
+  }
+
   test("point-in-interval matches the inequality join exactly across bucket widths") {
     val s = spark
     import s.implicits._
