@@ -155,17 +155,24 @@ object Similarity {
 
   /** Assign every vector to its nearest centroid (IVF bucketing): one
     * broadcast cross join against the tiny centroid set + per-vector
-    * argmax — the bucketed table is then reusable across queries. */
+    * argmax — the bucketed table is then reusable across queries.
+    *
+    * The argmax is a `max` over (sim, -cid) structs under a groupBy,
+    * NOT a row_number window: aggregation partial-combines the
+    * nCentroids candidate rows per vector map-side, so the shuffle
+    * carries ~one row per vector instead of nCentroids rows — the
+    * difference between shuffling n and n × nCentroids at corpus
+    * scale. Ties go to the smallest centroid id, as before. */
   def assignBuckets(df: DataFrame, idCol: String, vecCol: String,
                     centroids: DataFrame): DataFrame = {
     val v = df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
-    val w = Window.partitionBy("id")
-      .orderBy(round(col("sim"), 6).desc, col("cid").asc)
     v.crossJoin(broadcast(centroids))
-      .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("v"), col("cid"))
+      .select(col("id"), col("v"),
+        struct(round(cosine(col("v"), col("cv")), 6).as("sim"),
+          (-col("cid")).as("nc")).as("sc"))
+      .groupBy("id")
+      .agg(max(col("sc")).as("best"), first(col("v")).as("v"))
+      .select(col("id"), col("v"), (-col("best.nc")).as("cid"))
   }
 
   /** IVF approximate top-k: probe the `nProbe` centroids nearest to

@@ -85,6 +85,46 @@ object TextAnalysis {
   def docSignature(c: Column): Column =
     array_min(transform(array_distinct(tokens(lower(c))), t => Hashing.hash60(t)))
 
+  /** PII patterns, restricted to syntax Java regex and RE2 agree on
+    * (no lookaround, no \b): email local@domain.tld, and an
+    * international-ish phone shape — a digit bracketed run of digits /
+    * separators at least 8 chars long. Redaction/counting are pure
+    * Column ops, so a redact stage pushes down and stays in codegen. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\. -]{6,}[0-9]"
+
+  def emailCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(EmailRe), lit(0)))
+  def phoneCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(PhoneRe), lit(0)))
+
+  /** Text with emails/phones replaced by placeholder tags (emails
+    * first: a phone-ish digit run inside an email must redact as the
+    * email, not shred it). */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  /** Gopher-style repetition signals per document: token count,
+    * distinct-token count, the dominant token's share of all tokens,
+    * and the duplicate-token fraction — the standard cheap screens for
+    * degenerate/boilerplate text in corpus curation. One explode and
+    * two shuffles, both partial-aggregated; nothing leaves the
+    * executors but one row per doc. */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(tokens(lower(col(textCol)))).as("tok"))
+    toks.groupBy("id", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("id")
+      .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("n")).as("top_n"))
+      .select(col("id"), col("n_tokens"), col("n_distinct"),
+        (col("top_n").cast("double") / col("n_tokens")).as("top_ratio"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+          .as("dup_ratio"))
+  }
+
   /** Per-(doc, term) TF-IDF over lowercase whitespace tokens:
     * tf = term occurrences in the doc, df = number of docs containing
     * the term, idf = ln((1+N)/(1+df)) + 1 (the smoothed sklearn

@@ -397,6 +397,41 @@ object ExtQueries {
        |SELECT doc_id, term, tf, df, tfidf, rnk FROM rk
        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  // ---- PII redaction (emails/phones → placeholder tags + counts).
+  //      The test corpus contains no PII, so the oracle's job here is
+  //      regex DIALECT parity (Java vs RE2) and pipeline shape; the
+  //      behavioral check on planted PII lives in ExtOpsSpec ----
+  def qRedact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.emailCount(col("text")).cast("long").as("n_emails"),
+      TextAnalysis.phoneCount(col("text")).cast("long").as("n_phones"),
+      md5(TextAnalysis.redactPii(col("text"))).as("redacted_sig"))
+      .orderBy("doc_id")
+  val qRedactSql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS n_emails,
+       |  len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}')) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(text,
+       |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+       |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g')) AS redacted_sig
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- Gopher-style repetition signals (dominant-token share,
+  //      duplicate-token fraction) — degenerate-text screens ----
+  def qRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_distinct"),
+        r6x(col("top_ratio")).as("top_ratio"),
+        r6x(col("dup_ratio")).as("dup_ratio"))
+      .orderBy("doc_id")
+  val qRepetitionSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest($SplitToksLowerSql) AS tok FROM documents),
+       |c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+       |  ${r6xSql("max(n)::DOUBLE / sum(n)")} AS top_ratio,
+       |  ${r6xSql("1.0 - count(*)::DOUBLE / sum(n)")} AS dup_ratio
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- deterministic stratified sampling (hash-Bernoulli per
   //      stratum: pure filter, reproducible, partition-independent) ----
   def qSampleStratified(s: SparkSession, dir: String): DataFrame =
@@ -495,6 +530,8 @@ object ExtQueries {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_fixed" -> (qSampleFixed _),
     "q_kmv_distinct" -> (qKmvDistinct _),
+    "q_redact" -> (qRedact _),
+    "q_repetition" -> (qRepetition _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -520,6 +557,8 @@ object ExtQueries {
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_sample_fixed" -> qSampleFixedSql,
     "q_kmv_distinct" -> qKmvDistinctSql,
+    "q_redact" -> qRedactSql,
+    "q_repetition" -> qRepetitionSql,
     // q_minhash_lsh, q_ann_ivf, q_embed_lsh: approximate → rows-only checks
   )
 }

@@ -312,6 +312,42 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 32))
   }
 
+  test("redactPii replaces planted emails and phones, counts them, leaves clean text alone") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "contact bob.smith+spam@mail.example.org or call +1 (555) 123-4567 now"),
+      (2L, "two mails a@b.co and c.d@e-f.io here"),
+      (3L, "perfectly clean text with no identifiers"))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextAnalysis.emailCount(col("text")).as("ne"),
+      TextAnalysis.phoneCount(col("text")).as("np"),
+      TextAnalysis.redactPii(col("text")).as("red"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(got(1L)._1 == 1 && got(1L)._2 == 1)
+    assert(got(1L)._3 == "contact <EMAIL> or call <PHONE> now")
+    assert(got(2L)._1 == 2 && got(2L)._2 == 0)
+    assert(got(2L)._3 == "two mails <EMAIL> and <EMAIL> here")
+    assert(got(3L) == ((0, 0, "perfectly clean text with no identifiers")))
+  }
+
+  test("repetitionStats flags degenerate repeated text, passes diverse text") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam spam"),
+      (2L, "all tokens here are fully distinct"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("top_ratio"), r.getAs[Double]("dup_ratio"))).toMap
+    assert(got(1L) == ((5L, 1L, 1.0, 0.8)))
+    assert(got(2L)._2 == 6L && got(2L)._3 == 1.0 / 6 && got(2L)._4 == 0.0)
+  }
+
   test("langGuess picks the dominant stopword language deterministically") {
     val s = spark
     import s.implicits._
