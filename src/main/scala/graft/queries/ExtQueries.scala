@@ -504,6 +504,54 @@ object ExtQueries {
        |FROM agg JOIN mx USING (user_id) WHERE session_id <> last_sid
        |ORDER BY user_id, session_id""".stripMargin
 
+  // ---- streaming windowed aggregation (watermark + tumbling window,
+  //      append mode): only windows the final watermark has passed are
+  //      emitted — the oracle mirrors that emission rule explicitly
+  //      (w_end <= max_event_time - watermark_delay) ----
+  private val WStatsWindowMs = 3600000L  // 1 hour
+  private val WStatsDelayMs = 7200000L   // 2 hours
+  def qStreamWindowStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"graft_stream_wstats_${streamRuns.incrementAndGet()}"
+    val q = graft.streaming.StreamingStats.windowedTypeStats(
+        graft.streaming.StreamingStats.readRawEventStream(s, dir),
+        windowLen = "1 hour", watermark = "2 hours")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    s.table(name)
+      .select(col("w_start"), col("event_type"), col("n"),
+        round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("w_start", "event_type")
+  }
+  val qStreamWindowStatsSql: String =
+    s"""WITH e AS (SELECT epoch_ms(ts) AS ms, event_type, value FROM events),
+       |m AS (SELECT max(ms) AS mx FROM e),
+       |w AS (SELECT ms // $WStatsWindowMs * $WStatsWindowMs AS w_start, event_type,
+       |    count(*) AS n,
+       |    round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+       |  FROM e GROUP BY 1, 2)
+       |SELECT w_start, event_type, n, sum_value FROM w, m
+       |WHERE w_start + $WStatsWindowMs <= mx - $WStatsDelayMs
+       |ORDER BY w_start, event_type""".stripMargin
+
+  // ---- streaming exact dedup at ingestion (dropDuplicates state):
+  //      all testdata texts are distinct, so the emitted set is the
+  //      full corpus — deterministic; the dedup BEHAVIOR (duplicate
+  //      suppression across batches) is pinned in StreamingSpec ----
+  def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"graft_stream_dedup_${streamRuns.incrementAndGet()}"
+    val q = graft.streaming.StreamingDedup.dedupStream(
+        graft.streaming.StreamingDedup.readDocStream(s, dir))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    s.table(name).orderBy("doc_id")
+  }
+  val qStreamDedupSql: String =
+    "SELECT doc_id, md5(text) AS text_hash FROM documents ORDER BY doc_id"
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_sessionize" -> (qStreamSessionize _),
     "q_text_stats" -> (qTextStats _),
@@ -532,6 +580,8 @@ object ExtQueries {
     "q_kmv_distinct" -> (qKmvDistinct _),
     "q_redact" -> (qRedact _),
     "q_repetition" -> (qRepetition _),
+    "q_stream_window_stats" -> (qStreamWindowStats _),
+    "q_stream_dedup" -> (qStreamDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -559,6 +609,8 @@ object ExtQueries {
     "q_kmv_distinct" -> qKmvDistinctSql,
     "q_redact" -> qRedactSql,
     "q_repetition" -> qRepetitionSql,
+    "q_stream_window_stats" -> qStreamWindowStatsSql,
+    "q_stream_dedup" -> qStreamDedupSql,
     // q_minhash_lsh, q_ann_ivf, q_embed_lsh: approximate → rows-only checks
   )
 }

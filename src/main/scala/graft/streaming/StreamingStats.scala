@@ -11,6 +11,14 @@ import org.apache.spark.sql.functions._
   * in StreamingSpec. */
 object StreamingStats {
 
+  /** Raw events file stream (all columns, ts as ns-epoch long under
+    * nanosAsLong) — single-file table streamed via glob filter, as in
+    * StreamingSessionize.readEventStream. */
+  def readRawEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(StreamingSessionize.eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+
   /** Windowed per-event-type stats over a streaming events DataFrame
     * whose `ts` column is ns-epoch LongType (nanosAsLong). */
   def windowedTypeStats(events: DataFrame, windowLen: String = "1 hour",
