@@ -225,6 +225,19 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"trained-IVF recall $recall too low at nProbe=2/8")
   }
 
+  test("kmeansCentroids is identical under arbitrary repartitioning") {
+    // the rounded-mean update must make training independent of float
+    // summation order across partitions — same centroids from 1
+    // partition and from 13
+    val e = clusteredVectors(k = 4, perCluster = 30, dim = 16)
+    def train(df: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeansCentroids(df, "vec_id", "embedding", 4)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val a = train(e.coalesce(1))
+    val b = train(e.repartition(13))
+    assert(a == b, "centroids must not depend on partition layout")
+  }
+
   test("IVF with partial probe returns k rows per query with valid cosines") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val got = Similarity.ivfTopK(e, "vec_id", "embedding",
