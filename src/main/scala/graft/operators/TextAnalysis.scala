@@ -125,6 +125,24 @@ object TextAnalysis {
           .as("dup_ratio"))
   }
 
+  /** EXACT corpus-level heavy hitters: the k most frequent lowercase
+    * tokens with counts and corpus share. Scale shape: explode →
+    * partial-aggregated groupBy(term) → global top-k via orderBy+limit
+    * (TakeOrdered: per-partition heaps of k, no full sort) — the term
+    * table this runs on is vocabulary-sized, not corpus-sized.
+    * Deterministic ties: count desc, then term asc. */
+  def heavyHitters(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                   k: Int): org.apache.spark.sql.DataFrame = {
+    val counts = docs
+      .select(explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("n_total"))
+    counts.orderBy(col("n").desc, col("term").asc).limit(k)
+      .crossJoin(broadcast(total))
+      .select(col("term"), col("n"),
+        (col("n").cast("double") / col("n_total")).as("share"))
+  }
+
   /** Per-(doc, term) TF-IDF over lowercase whitespace tokens:
     * tf = term occurrences in the doc, df = number of docs containing
     * the term, idf = ln((1+N)/(1+df)) + 1 (the smoothed sklearn

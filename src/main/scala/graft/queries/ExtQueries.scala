@@ -504,6 +504,18 @@ object ExtQueries {
        |FROM agg JOIN mx USING (user_id) WHERE session_id <> last_sid
        |ORDER BY user_id, session_id""".stripMargin
 
+  // ---- exact corpus heavy hitters (top-k tokens by frequency) ----
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heavyHitters(docs(s, dir), "text", k = 10)
+      .select(col("term"), col("n"), r6x(col("share")).as("share"))
+      .orderBy(col("n").desc, col("term"))
+  val qHeavyHittersSql: String =
+    s"""WITH t AS (SELECT unnest($SplitToksLowerSql) AS term FROM documents),
+       |c AS (SELECT term, count(*) AS n FROM t GROUP BY 1),
+       |tot AS (SELECT sum(n) AS n_total FROM c)
+       |SELECT term, n, ${r6xSql("n::DOUBLE / n_total")} AS share
+       |FROM c, tot ORDER BY n DESC, term LIMIT 10""".stripMargin
+
   // ---- streaming windowed aggregation (watermark + tumbling window,
   //      append mode): only windows the final watermark has passed are
   //      emitted — the oracle mirrors that emission rule explicitly
@@ -582,6 +594,7 @@ object ExtQueries {
     "q_repetition" -> (qRepetition _),
     "q_stream_window_stats" -> (qStreamWindowStats _),
     "q_stream_dedup" -> (qStreamDedup _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -611,6 +624,7 @@ object ExtQueries {
     "q_repetition" -> qRepetitionSql,
     "q_stream_window_stats" -> qStreamWindowStatsSql,
     "q_stream_dedup" -> qStreamDedupSql,
+    "q_heavy_hitters" -> qHeavyHittersSql,
     // q_minhash_lsh, q_ann_ivf, q_embed_lsh: approximate → rows-only checks
   )
 }
