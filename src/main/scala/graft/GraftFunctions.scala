@@ -1,9 +1,10 @@
 package graft
 
-import graft.functions.{DotProduct, SortedCeilSnap, SortedIntersectCount}
+import graft.functions.{DotProduct, RollingHash, SortedCeilSnap, SortedIntersectCount, StrideBytes}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** SQL surface for graft's native expressions: register on an existing
   * session (`GraftFunctions.register(spark)`) or install at build time
@@ -13,10 +14,23 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * callable from plain SQL. */
 object GraftFunctions {
 
+  /** Expressions with a static Int parameter take it as an INTEGER
+    * literal from SQL (it shapes the expression itself, so it cannot
+    * be a runtime column). */
+  private def intArg(e: Expression, fn: String, name: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $name must be an INTEGER literal, got $e")
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (args => DotProduct(args(0), args(1))),
     "graft_sorted_intersect_count" ->
-      (args => SortedIntersectCount(args(0), args(1))))
+      (args => SortedIntersectCount(args(0), args(1))),
+    "graft_rolling_hash" -> (args =>
+      RollingHash(args(0), intArg(args(1), "graft_rolling_hash", "window"))),
+    "graft_stride_bytes" -> (args =>
+      StrideBytes(args(0), intArg(args(1), "graft_stride_bytes", "factor"))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

@@ -48,10 +48,20 @@ class ExpressionsSpec extends AnyFunSuite {
     graft.GraftFunctions.register(spark)
     val r = spark.sql(
       """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
-        |  graft_sorted_intersect_count(array('a','b'), array('b','c')) AS c
+        |  graft_sorted_intersect_count(array('a','b'), array('b','c')) AS c,
+        |  graft_stride_bytes(cast('abcdef' AS binary), 2) AS sb,
+        |  size(graft_rolling_hash(cast('abcdefgh' AS binary), 4)) AS nrh
         |""".stripMargin).collect()(0)
     assert(r.getDouble(0) == 11.0)
     assert(r.getLong(1) == 1L)
+    assert(new String(r.getAs[Array[Byte]](2), "UTF-8") == "ace")
+    assert(r.getInt(3) == 5)
+    // the Int parameter must be a literal — a column there is a
+    // loud error, not silent misbehavior
+    intercept[Exception] {
+      spark.sql("SELECT graft_stride_bytes(cast('ab' AS binary), length('xx'))")
+        .collect()
+    }
   }
 
   test("RollingHash incremental slide equals the direct per-window polynomial") {
