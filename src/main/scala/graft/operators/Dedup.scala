@@ -235,9 +235,9 @@ object Dedup {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val nEdges = undirected.count()
     if (nEdges == 0) { // no near-dups: every label table is empty
-      undirected.unpersist()
       return pairs.select(col(iCol).as("id"), col(iCol).as("cluster_id")).limit(0)
     }
     // co-partition edges and labels by node id up front: every
@@ -251,6 +251,7 @@ object Dedup {
     val edges = undirected
       .repartition(nParts, col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // localCheckpoint (eager) each round: truncates the logical-plan
     // lineage, without which per-iteration analysis cost grows with the
     // iteration count — the classic iterative-DataFrame pitfall
@@ -286,11 +287,14 @@ object Dedup {
       prevSum = nextSum
       iter += 1
     }
-    edges.unpersist()
     // the RETURNED label table stays checkpointed (callers read it);
     // its blocks are one bounded table, reclaimed when the caller
     // drops the Dataset and the driver GCs the RDD
     labels
+    } finally edges.unpersist()
+    // the whole loop is eager, so failures must not leak cached tables
+    // (unpersist on an already-released table is a harmless no-op)
+    } finally undirected.unpersist()
   }
 
   /** SimHash: `bits`-bit locality-sensitive content signature. Each

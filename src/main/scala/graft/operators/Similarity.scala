@@ -95,6 +95,7 @@ object Similarity {
     val spark = df.sparkSession
     val u = df.select(col(idCol).as("id"), unitVector(col(vecCol)).as("u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     var centroids: Array[Array[Double]] = u
       .orderBy(graft.functions.Hashing.hash60(col("id").cast("string")), col("id"))
       .limit(nCentroids)
@@ -147,10 +148,10 @@ object Similarity {
       centroids = updated
       iter += 1
     }
-    u.unpersist()
     centroids.zipWithIndex
       .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
       .toDF("cid", "cv")
+    } finally u.unpersist() // training is fully eager; a failed job must not leak cache
   }
 
   /** Assign every vector to its nearest centroid (IVF bucketing): one

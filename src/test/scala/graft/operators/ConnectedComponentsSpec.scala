@@ -18,6 +18,21 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("iteration does not leak cached tables (only the returned labels stay)") {
+    val s = spark
+    import s.implicits._
+    // a long path forces many rounds — each one localCheckpoints a
+    // label table; superseded rounds must be RELEASED, or a long-lived
+    // driver accumulates one dead block set per round per invocation
+    val pairs = (50L until 70L).map(i => (i, i + 1)).toDF("i", "j")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val labels = Dedup.connectedComponents(pairs)
+    assert(labels.count() == 21)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"CC left ${after - before} persistent RDDs behind (want <= 1: the result)")
+  }
+
   test("long path converges to the true minimum (diameter > 1 iteration)") {
     val s = spark
     import s.implicits._
