@@ -551,10 +551,13 @@ object ExtQueries {
        |WHERE w_start + $WStatsWindowMs <= mx - $WStatsDelayMs
        |ORDER BY w_start, event_type""".stripMargin
 
-  // ---- streaming exact dedup at ingestion (dropDuplicates state):
-  //      all testdata texts are distinct, so the emitted set is the
-  //      full corpus — deterministic; the dedup BEHAVIOR (duplicate
-  //      suppression across batches) is pinned in StreamingSpec ----
+  // ---- streaming exact dedup at ingestion (dropDuplicates state).
+  //      The SET of surviving content hashes is deterministic; WHICH
+  //      duplicate doc_id survives is first-seen within a micro-batch
+  //      (partition-order dependent — at sf0.1 the corpus has real
+  //      duplicate texts, which caught an earlier doc_id-carrying
+  //      oracle), so the query emits the hash set. Duplicate
+  //      suppression across batches is pinned in StreamingSpec ----
   def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val name = s"graft_stream_dedup_${streamRuns.incrementAndGet()}"
@@ -563,10 +566,10 @@ object ExtQueries {
       .writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(300000)
-    s.table(name).orderBy("doc_id")
+    s.table(name).select("text_hash").orderBy("text_hash")
   }
   val qStreamDedupSql: String =
-    "SELECT doc_id, md5(text) AS text_hash FROM documents ORDER BY doc_id"
+    "SELECT DISTINCT md5(text) AS text_hash FROM documents ORDER BY 1"
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_sessionize" -> (qStreamSessionize _),
