@@ -107,6 +107,7 @@ object C45 {
     val numAttrs = schema.numericAttrs
     val data = df.select((names :+ clsCol).map(col): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
 
     // contract: class labels must be non-null (the reference NPEs on a
     // null label, Main.java routing; here a null would silently vanish
@@ -265,17 +266,19 @@ object C45 {
         }
 
       val tLevel0 = System.nanoTime()
-      val clsCounts = Await.result(clsCountsF, Duration.Inf)
-      val tCls = (System.nanoTime() - tLevel0) / 1e9
-      val (catStats, catValues) = Await.result(catF, Duration.Inf)
-      val tCat = (System.nanoTime() - tLevel0) / 1e9
-      val numStats = Await.result(numF, Duration.Inf)
-      val tNum = (System.nanoTime() - tLevel0) / 1e9
-      if (profile)
-        // first bucket includes materializing the persisted cell
-        // aggregation (clsCounts awaits it), so label it honestly
-        println(f"[fit] level=$level rules=${open.size} cells+cls=$tCls%.2fs +cat=$tCat%.2fs +num=$tNum%.2fs")
-      catCells.foreach(_.unpersist())
+      val (clsCounts, catStats, catValues, numStats) = try {
+        val cls = Await.result(clsCountsF, Duration.Inf)
+        val tCls = (System.nanoTime() - tLevel0) / 1e9
+        val (cat, catVals) = Await.result(catF, Duration.Inf)
+        val tCat = (System.nanoTime() - tLevel0) / 1e9
+        val num = Await.result(numF, Duration.Inf)
+        val tNum = (System.nanoTime() - tLevel0) / 1e9
+        if (profile)
+          // first bucket includes materializing the persisted cell
+          // aggregation (clsCounts awaits it), so label it honestly
+          println(f"[fit] level=$level rules=${open.size} cells+cls=$tCls%.2fs +cat=$tCat%.2fs +num=$tNum%.2fs")
+        (cls, cat, catVals, num)
+      } finally catCells.foreach(_.unpersist()) // also on a failed level job
 
       // driver-side per-rule decision (O3/O4): tiny tables only
       val nextOpen = Vector.newBuilder[Rule]
@@ -318,7 +321,9 @@ object C45 {
     }
     // maxDepth exhaustion: close any survivors as majority leaves (#4)
     open.foreach { r => closed :+= r.closed(globalMajority.getOrElse(classLabels.head)) }
-    data.unpersist()
     C45Model(schema.copy(classLabels = classLabels), closed, globalMajority.getOrElse(classLabels.head))
+    // the fit is fully eager: a failed level job must not strand the
+    // cached training projection in the block manager
+    } finally data.unpersist()
   }
 }
