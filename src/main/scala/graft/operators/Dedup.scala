@@ -324,18 +324,23 @@ object Dedup {
     * inputs. At corpus scale use [[embeddingLshPairs]]. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double): DataFrame = {
+    // norms precomputed once per vector; dot/(|a|·|b|) rather than a
+    // dot of unit vectors — the two differ in float rounding, and this
+    // is the form with proven bit-parity against the SQL oracle
     val v = df.select(col(idCol).as("id"),
-      Similarity.unitVector(col(vecCol)).as("u"))
+      Similarity.toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
-        Similarity.dot(col("a.u"), col("b.u")).as("cosine"))
+        (Similarity.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
   /** Deterministic ±1 hyperplane for sign-random-projection LSH: the
     * weight of (bit j, dimension d) is the low bit of md5("hp|seed|j|d")
     * — reproducible across runs and JVMs with no RNG state. */
-  private[operators] def hyperplane(seed: Int, bit: Int, dim: Int): Array[Double] = {
+  private[graft] def hyperplane(seed: Int, bit: Int, dim: Int): Array[Double] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(dim) { d =>
       val digest = md.digest(s"hp|$seed|$bit|$d".getBytes("UTF-8"))
@@ -374,13 +379,18 @@ object Dedup {
                         rowsPerBand: Int = 8, seed: Int = 0): DataFrame = {
     val cands = embeddingLshCandidates(df, idCol, vecCol, dim, nBits,
       rowsPerBand, seed)
-    // verify candidates with the exact cosine (unit vectors → plain dot)
+    // verify candidates with the exact cosine — norm-precomputed
+    // dot/(|a|·|b|), the form with proven bit-parity vs the SQL oracle
     val u = df.select(col(idCol).as("id"),
-      Similarity.unitVector(col(vecCol)).as("u"))
+      Similarity.toDoubleVec(col(vecCol)).as("u"))
+      .withColumn("nrm", Similarity.norm(col("u")))
     cands
-      .join(u.select(col("id").as("i"), col("u").as("u_i")), "i")
-      .join(u.select(col("id").as("j"), col("u").as("u_j")), "j")
-      .withColumn("cosine", Similarity.dot(col("u_i"), col("u_j")))
+      .join(u.select(col("id").as("i"), col("u").as("u_i"),
+        col("nrm").as("nrm_i")), "i")
+      .join(u.select(col("id").as("j"), col("u").as("u_j"),
+        col("nrm").as("nrm_j")), "j")
+      .withColumn("cosine", Similarity.dot(col("u_i"), col("u_j")) /
+        (col("nrm_i") * col("nrm_j")))
       .filter(col("cosine") >= threshold)
       .select(col("i"), col("j"), col("cosine"))
   }

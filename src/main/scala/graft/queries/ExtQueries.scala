@@ -187,6 +187,67 @@ object ExtQueries {
       .select(col("i"), col("j"), r6(col("jaccard")).as("jaccard"))
       .orderBy("i", "j")
 
+  /** Full SQL oracle for [[qMinhashLsh]]: the banding is pure
+    * md5-derived arithmetic, so the WHOLE pipeline — capped shingles →
+    * Carter-Wegman signatures → band hashes → candidate self-join →
+    * exact-Jaccard verify — replays in DuckDB and hash-matches. */
+  val qMinhashLshSql: String = {
+    val p = Dedup.MinHashMod
+    val k = 16
+    val rows = 2
+    val mins = (0 until k).map(i => s"min((h0 + $i * h1) % $p) AS m$i")
+      .mkString(",\n  ")
+    val bandSel = (0 until k / rows).map { b =>
+      val bandExpr = (0 until rows)
+        .map(r => s"m${b * rows + r}::VARCHAR").mkString(" || '|' || ")
+      s"SELECT id, $b AS band, ${Hashing.hash60Sql(bandExpr, 1000 + b)} AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $CappedShinglesSql,
+       |hh AS (SELECT id,
+       |    CAST(('0x' || substr(d, 1, 15)) AS BIGINT) % $p AS h0,
+       |    CAST(('0x' || substr(d, 16, 15)) AS BIGINT) % $p AS h1
+       |  FROM (SELECT id, md5(concat('0|', tok)) AS d FROM ex)),
+       |sig AS (SELECT id, $mins FROM hh GROUP BY 1),
+       |bands AS ($bandSel),
+       |cands AS (SELECT DISTINCT a.id AS i, b.id AS j FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bh = b.bh AND a.id < b.id)
+       |SELECT i, j, round(c::DOUBLE / (si.sz + sj.sz - c), 6) AS jaccard
+       |FROM cands JOIN common USING (i, j)
+       |JOIN sz si ON si.id = i JOIN sz sj ON sj.id = j
+       |WHERE c::DOUBLE / (si.sz + sj.sz - c) >= 0.5
+       |ORDER BY i, j""".stripMargin
+  }
+
+  /** Full SQL oracle for [[qEmbedLsh]]: the ±1 hyperplanes are
+    * deterministic (md5-derived), embedded here as literal arrays, so
+    * signature bits, band packing, the candidate self-join, and the
+    * exact-cosine verify all replay in DuckDB and hash-match. */
+  val qEmbedLshSql: String = {
+    val nBits = 32
+    val rows = 8
+    val dim = 64
+    def wLit(j: Int) = Dedup.hyperplane(0, j, dim)
+      .map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    val bit = (j: Int) =>
+      s"(CASE WHEN list_dot_product(v, ${wLit(j)}) >= 0 THEN 1 ELSE 0 END)"
+    val bandSel = (0 until nBits / rows).map { b =>
+      val packed = (0 until rows)
+        .map(r => s"${bit(b * rows + r)} * ${1L << r}").mkString(" + ")
+      s"SELECT id, $b AS band, $packed AS bits FROM e"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE vec_id < 1000),
+       |bands AS ($bandSel),
+       |cands AS (SELECT DISTINCT a.id AS i, b.id AS j FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bits = b.bits AND a.id < b.id),
+       |nrm AS (SELECT id, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+       |SELECT i, j, round(cos, 6) AS cosine FROM (
+       |  SELECT i, j, list_dot_product(ei.v, ej.v) / (ni.nrm * nj.nrm) AS cos
+       |  FROM cands JOIN e ei ON ei.id = i JOIN e ej ON ej.id = j
+       |  JOIN nrm ni ON ni.id = i JOIN nrm nj ON nj.id = j)
+       |WHERE cos >= 0.3 ORDER BY i, j""".stripMargin
+  }
+
   // ---- simhash (32-bit) ----
   private val SimHashBits = 32
   def qSimhash(s: SparkSession, dir: String): DataFrame =
@@ -632,6 +693,9 @@ object ExtQueries {
     "q_stream_window_stats" -> qStreamWindowStatsSql,
     "q_stream_dedup" -> qStreamDedupSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
-    // q_minhash_lsh, q_ann_ivf, q_embed_lsh: approximate → rows-only checks
+    "q_minhash_lsh" -> qMinhashLshSql,
+    "q_embed_lsh" -> qEmbedLshSql,
+    // q_ann_ivf: iterative k-means training is not SQL-expressible →
+    // rows-only check; exactness/recall pinned in ExtOpsSpec
   )
 }
