@@ -68,7 +68,8 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
-                        maxShingleDf: Long = 0L): DataFrame = {
+                        maxShingleDf: Long = 0L,
+                        scope: CacheScope = CacheScope.unmanaged()): DataFrame = {
     val ex0 = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
     val dfreq = ex0.groupBy("s").agg(count(lit(1)).as("df"))
     val capped = if (maxShingleDf > 0) dfreq.filter(col("df") <= maxShingleDf) else dfreq
@@ -85,8 +86,8 @@ object Dedup {
     // consumer. One row per doc — far smaller than the exploded
     // shingle stream it replaces; the cache manager dedups repeated
     // invocations by canonical plan, so warmup and timed runs share
-    // one entry.
-    val sets = ex.groupBy("id")
+    // one entry. Lifetime: the caller's `scope` (see CacheScope).
+    val sets = scope.persist(ex.groupBy("id")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ranked"))
       .select(col("id"),
         array_sort(transform(col("ranked"), r => r.getField("s"))).as("sh"),
@@ -94,8 +95,7 @@ object Dedup {
           slice(col("ranked"), lit(1),
             (size(col("ranked")) - ceil(lit(threshold) * size(col("ranked"))) + 1)
               .cast("int")),
-          r => r.getField("s")).as("pref"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          r => r.getField("s")).as("pref")))
     val prefix = sets.select(col("id"), explode(col("pref")).as("s"))
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
@@ -162,7 +162,8 @@ object Dedup {
     * cap changes the Jaccard denominator, so it is off by default. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int, rowsPerBand: Int, threshold: Double,
-                      n: Int = 1, maxShingleDf: Long = 0L): DataFrame = {
+                      n: Int = 1, maxShingleDf: Long = 0L,
+                      scope: CacheScope = CacheScope.unmanaged()): DataFrame = {
     require(k % rowsPerBand == 0, "k must be a multiple of rowsPerBand")
     val ex0 = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
     val ex =
@@ -173,14 +174,14 @@ object Dedup {
     val nBands = k / rowsPerBand
     // the signature aggregation (corpus explode + md5 + k mins) feeds
     // BOTH sides of the candidate self-join — persist the banded table
-    // (nBands small rows per doc) so it computes once
-    val bands = sig.select(col("id"),
+    // (nBands small rows per doc) so it computes once; lifetime owned
+    // by the caller's `scope`
+    val bands = scope.persist(sig.select(col("id"),
       explode(map((0 until nBands).flatMap { b =>
         val bandCols = (0 until rowsPerBand)
           .map(r => col(s"m${b * rowsPerBand + r}").cast("string"))
         Seq(lit(b), Hashing.hash60(concat_ws("|", bandCols: _*), 1000 + b))
-      }: _*)).as(Seq("band", "bh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }: _*)).as(Seq("band", "bh"))))
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
@@ -192,11 +193,10 @@ object Dedup {
     // verify consumes it twice (i side and j side), and in the capped
     // path each evaluation would otherwise re-run the corpus explode +
     // df join.
-    val sh =
-      (if (maxShingleDf <= 0)
+    val sh = scope.persist(
+      if (maxShingleDf <= 0)
         df.select(col(idCol).as("id"), array_sort(shingles(col(textCol), n)).as("sh"))
       else ex.groupBy("id").agg(array_sort(collect_set(col("s"))).as("sh")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands
       .join(sh.select(col("id").as("i"), col("sh").as("sh_i")), "i")
       .join(sh.select(col("id").as("j"), col("sh").as("sh_j")), "j")
@@ -376,9 +376,10 @@ object Dedup {
     * shorter operand) and degrade recall with no error. */
   def embeddingLshPairs(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, dim: Int = 0, nBits: Int = 32,
-                        rowsPerBand: Int = 8, seed: Int = 0): DataFrame = {
+                        rowsPerBand: Int = 8, seed: Int = 0,
+                        scope: CacheScope = CacheScope.unmanaged()): DataFrame = {
     val cands = embeddingLshCandidates(df, idCol, vecCol, dim, nBits,
-      rowsPerBand, seed)
+      rowsPerBand, seed, scope)
     // verify candidates with the exact cosine — norm-precomputed
     // dot/(|a|·|b|), the form with proven bit-parity vs the SQL oracle
     val u = df.select(col(idCol).as("id"),
@@ -401,13 +402,19 @@ object Dedup {
     * whether the banding actually prunes at scale. */
   def embeddingLshCandidates(df: DataFrame, idCol: String, vecCol: String,
                              dim: Int = 0, nBits: Int = 32,
-                             rowsPerBand: Int = 8, seed: Int = 0): DataFrame = {
+                             rowsPerBand: Int = 8, seed: Int = 0,
+                             scope: CacheScope = CacheScope.unmanaged()): DataFrame = {
     require(nBits % rowsPerBand == 0, "nBits must be a multiple of rowsPerBand")
     require(rowsPerBand <= 62, "band bits must pack into a long")
-    val d =
-      if (dim > 0) dim
-      else df.select(size(col(vecCol)).as("d")).head(1)
-        .headOption.map(_.getInt(0)).getOrElse(1)
+    // one-row scan: derive the data's width, and when an explicit dim
+    // was passed (e.g. to pin hyperplanes against an external oracle)
+    // fail LOUDLY on mismatch — a silent prefix hash would just
+    // degrade recall with no error
+    val dataDim = df.select(size(col(vecCol)).as("d")).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(1)
+    require(dim <= 0 || dim == dataDim,
+      s"explicit dim=$dim does not match data dimensionality $dataDim")
+    val d = if (dim > 0) dim else dataDim
     val nBands = nBits / rowsPerBand
     val v = df.select(col(idCol).as("id"),
       Similarity.toDoubleVec(col(vecCol)).as("v"))
@@ -422,8 +429,13 @@ object Dedup {
         .reduce(_ + _)
       Seq(lit(b), packed)
     }
-    val bands = v.select(col("id"),
-      explode(map(bandPairs: _*)).as(Seq("band", "bits")))
+    // the 32-dot-products-per-vector signature subtree feeds BOTH
+    // sides of the candidate self-join — persist the banded table so
+    // it computes once by construction (ReuseExchange MIGHT dedupe the
+    // unpersisted twin, but that is plan luck, not design); same
+    // discipline as the minhash path above. Lifetime: caller's scope.
+    val bands = scope.persist(v.select(col("id"),
+      explode(map(bandPairs: _*)).as(Seq("band", "bits"))))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
           col("a.id") < col("b.id"))

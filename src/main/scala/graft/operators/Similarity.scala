@@ -176,17 +176,39 @@ object Similarity {
       .select(col("id"), col("v"), (-col("best.nc")).as("cid"))
   }
 
-  /** IVF approximate top-k: probe the `nProbe` centroids nearest to
-    * each query and brute-force only those buckets. With
-    * nProbe == nCentroids this is exactly [[bruteForceTopK]]. The
-    * coarse quantizer is trained ([[kmeansCentroids]]), so buckets
-    * track the data's cluster structure and partial probes keep their
-    * recall on real (clustered) embeddings. */
-  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
-              queries: DataFrame, qidCol: String, qvecCol: String,
-              k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+  /** A reusable IVF index: the trained coarse centroids (tiny, driver
+    * local) and the bucketed corpus, persisted so REPEATED query
+    * batches probe the same materialized assignment instead of
+    * re-scanning + re-assigning the corpus per batch. Callers own the
+    * lifetime: call [[release]] when done (persisted state is never
+    * leaked implicitly — one-shot [[ivfTopK]] does not persist). */
+  final case class IvfIndex(centroids: DataFrame, bucketed: DataFrame) {
+    def release(): Unit = { bucketed.unpersist(); () }
+  }
+
+  /** Train the quantizer and materialize the bucket assignment once.
+    * The corpus-sized `bucketed` table is persisted — probe it with
+    * [[probeTopK]] across many query batches, then [[release]]. */
+  def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+                    nCentroids: Int): IvfIndex = {
     val centroids = kmeansCentroids(df, idCol, vecCol, nCentroids)
     val bucketed = assignBuckets(df, idCol, vecCol, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    IvfIndex(centroids, bucketed)
+  }
+
+  /** Probe an IVF index (built eagerly or one-shot): each query ranks
+    * the centroids, keeps its `nProbe` nearest buckets, and
+    * brute-forces only those. The probe table is |queries| × nProbe
+    * rows — ALWAYS broadcast. Without the hint this would be a
+    * sort-merge join shuffling the whole bucketed corpus by `cid`, a
+    * key with only nCentroids distinct values — a full shuffle onto
+    * ≤ nCentroids partitions with guaranteed skew. Broadcasting the
+    * probes keeps the corpus side shuffle-free (scan → broadcast hash
+    * join → per-qid top-k). */
+  def probeTopK(centroids: DataFrame, bucketed: DataFrame,
+                queries: DataFrame, qidCol: String, qvecCol: String,
+                k: Int, nProbe: Int): DataFrame = {
     val q = queries.select(col(qidCol).as("qid"), toDoubleVec(col(qvecCol)).as("qv"))
     val wProbe = Window.partitionBy("qid")
       .orderBy(round(col("sim"), 6).desc, col("cid").asc)
@@ -197,10 +219,28 @@ object Similarity {
       .select(col("qid"), col("qv"), col("cid"))
     val wTop = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("id").asc)
-    bucketed.join(probes, "cid")
+    bucketed.join(broadcast(probes), "cid")
       .select(col("qid"), col("id"),
         round(cosine(col("v"), col("qv")), 6).as("cosine"))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
+  }
+
+  /** IVF approximate top-k, one shot: train + assign + probe in a
+    * single lazy plan. With nProbe == nCentroids this is exactly
+    * [[bruteForceTopK]]. The coarse quantizer is trained
+    * ([[kmeansCentroids]]), so buckets track the data's cluster
+    * structure and partial probes keep their recall on real
+    * (clustered) embeddings. The bucketed corpus appears ONCE in this
+    * plan, so nothing is persisted (and nothing can leak); for
+    * repeated query batches over one corpus use [[buildIvfIndex]] +
+    * [[probeTopK]], which persist the assignment behind an explicit
+    * release. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qidCol: String, qvecCol: String,
+              k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+    val centroids = kmeansCentroids(df, idCol, vecCol, nCentroids)
+    val bucketed = assignBuckets(df, idCol, vecCol, centroids)
+    probeTopK(centroids, bucketed, queries, qidCol, qvecCol, k, nProbe)
   }
 }

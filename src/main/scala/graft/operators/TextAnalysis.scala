@@ -132,10 +132,14 @@ object TextAnalysis {
     * table this runs on is vocabulary-sized, not corpus-sized.
     * Deterministic ties: count desc, then term asc. */
   def heavyHitters(docs: org.apache.spark.sql.DataFrame, textCol: String,
-                   k: Int): org.apache.spark.sql.DataFrame = {
-    val counts = docs
+                   k: Int,
+                   scope: CacheScope = CacheScope.unmanaged()): org.apache.spark.sql.DataFrame = {
+    // the vocabulary-sized count table feeds BOTH the top-k branch and
+    // the corpus-total branch — persist it so the corpus-wide explode +
+    // groupBy runs once (lifetime: caller's scope, see CacheScope)
+    val counts = scope.persist(docs
       .select(explode(tokens(lower(col(textCol)))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("n"))
+      .groupBy("term").agg(count(lit(1)).as("n")))
     val total = counts.agg(sum(col("n")).as("n_total"))
     counts.orderBy(col("n").desc, col("term").asc).limit(k)
       .crossJoin(broadcast(total))

@@ -222,10 +222,19 @@ object ExtQueries {
     * deterministic (md5-derived), embedded here as literal arrays, so
     * signature bits, band packing, the candidate self-join, and the
     * exact-cosine verify all replay in DuckDB and hash-match. */
+  /** Hyperplane width for q_embed_lsh, pinned ONCE for both engines:
+    * the oracle must inline the hyperplanes as literals, so the Spark
+    * side passes the same explicit dim instead of deriving it from the
+    * data — a derived dim that drifted from the oracle's would silently
+    * hash a different width and hash-mismatch with no hint why.
+    * (Testdata embeddings are 64-dim; a mismatch now fails loudly in
+    * the embeddingLshPairs width check rather than silently.) */
+  private val EmbedLshDim = 64
+
   val qEmbedLshSql: String = {
     val nBits = 32
     val rows = 8
-    val dim = 64
+    val dim = EmbedLshDim
     def wLit(j: Int) = Dedup.hyperplane(0, j, dim)
       .map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
     val bit = (j: Int) =>
@@ -301,7 +310,7 @@ object ExtQueries {
   def qEmbedLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingLshPairs(
       emb(s, dir).filter(col("vec_id") < 1000), "vec_id", "embedding",
-      threshold = 0.3)
+      threshold = 0.3, dim = EmbedLshDim)
       .select(col("i"), col("j"), r6(col("cosine")).as("cosine"))
       .orderBy("i", "j")
 
@@ -542,6 +551,19 @@ object ExtQueries {
   //      batch oracle for every session CLOSED by a later event (the
   //      still-open tail session per user stays in state) ----
   private val streamRuns = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Block until an AvailableNow stream finishes, and fail LOUDLY on
+    * timeout: a silently-still-running stream would read a partial (or
+    * empty) memory table and surface as a baffling data mismatch in
+    * the correctness gate instead of the real error. */
+  private def awaitStreamOrFail(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      timeoutMs: Long = 300000L): Unit =
+    if (!q.awaitTermination(timeoutMs)) {
+      q.stop()
+      throw new IllegalStateException(
+        s"streaming query '${q.name}' still running after $timeoutMs ms")
+    }
   def qStreamSessionize(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val name = s"graft_stream_sess_${streamRuns.incrementAndGet()}"
@@ -549,7 +571,7 @@ object ExtQueries {
         graft.streaming.StreamingSessionize.readEventStream(s, dir))
       .writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(300000)
+    awaitStreamOrFail(q)
     s.table(name)
       .select(col("user_id"), col("session_id"), col("start_ms"), col("end_ms"),
         col("n_events"), round(col("sum_value"), 2).as("sum_value"))
@@ -595,7 +617,7 @@ object ExtQueries {
         windowLen = "1 hour", watermark = "2 hours")
       .writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(300000)
+    awaitStreamOrFail(q)
     s.table(name)
       .select(col("w_start"), col("event_type"), col("n"),
         round(col("sum_value"), 2).as("sum_value"))
@@ -626,7 +648,7 @@ object ExtQueries {
         graft.streaming.StreamingDedup.readDocStream(s, dir))
       .writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(300000)
+    awaitStreamOrFail(q)
     s.table(name).select("text_hash").orderBy("text_hash")
   }
   val qStreamDedupSql: String =

@@ -248,6 +248,60 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got.filter(col("cosine") > 1.000001 || col("cosine") < -1.000001).count() == 0)
   }
 
+  test("IVF probe join is a broadcast hash join (no corpus shuffle by cid)") {
+    // the probe table is |queries| x nProbe rows — broadcasting it is
+    // the difference between a shuffle-free corpus scan and a full
+    // sort-merge shuffle onto <= nCentroids skewed partitions
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val got = Similarity.ivfTopK(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 3), "vec_id", "embedding",
+      10, nCentroids = 8, nProbe = 3)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe join must broadcast the probes side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no sort-merge join should appear in the IVF plan:\n$plan")
+  }
+
+  test("buildIvfIndex + probeTopK matches one-shot ivfTopK; release unpersists") {
+    val e = clusteredVectors(k = 4, perCluster = 30, dim = 16)
+    val q = e.filter(col("vec_id") % 30 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oneShot = key(Similarity.ivfTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", 5, nCentroids = 4, nProbe = 2))
+    val idx = Similarity.buildIvfIndex(e, "vec_id", "embedding", nCentroids = 4)
+    try {
+      assert(idx.bucketed.storageLevel.useMemory, "index must persist bucketed")
+      val viaIndex = key(Similarity.probeTopK(idx.centroids, idx.bucketed,
+        q, "vec_id", "embedding", 5, nProbe = 2))
+      assert(viaIndex == oneShot)
+    } finally idx.release()
+    assert(idx.bucketed.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE, "release must unpersist")
+  }
+
+  test("CacheScope releases every table a pipeline persisted") {
+    val scope = new CacheScope
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      k = 4, rowsPerBand = 2, threshold = 0.5, scope = scope)
+    pairs.count() // consume fully
+    assert(scope.trackedCount == 2, "bands + verify sets should be tracked")
+    scope.release()
+    assert(scope.trackedCount == 0)
+    // idempotent
+    scope.release()
+  }
+
+  test("embeddingLshCandidates rejects an explicit dim that mismatches the data") {
+    val e = clusteredVectors(k = 2, perCluster = 5, dim = 16)
+    val err = intercept[IllegalArgumentException] {
+      Dedup.embeddingLshCandidates(e, "vec_id", "embedding", dim = 64)
+    }
+    assert(err.getMessage.contains("does not match data dimensionality"))
+  }
+
   test("sessionize splits at the gap and aggregates per session") {
     val s = spark
     import s.implicits._
