@@ -17,12 +17,15 @@ case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
   * `Dataset` — the Scala analogue of a Pandas-UDF `mapInPandas` stage
   * (per-partition batching, columnar in, typed struct out).
   *
-  * The actual codec call is STUBBED (no image/audio libraries in this
-  * container): [[decodeStub]] produces deterministic fake dimensions
-  * from the byte content. The Spark-side contract — schema, typed
-  * Encoder, partition-batched execution, binary column handling — is
-  * real and tested; swap `decodeStub` for a JNI/library decoder to go
-  * live. */
+  * Image payloads are decoded FOR REAL: a magic-byte sniff routes
+  * PNG/JPEG/GIF/BMP payloads to `javax.imageio` (public JDK API, zero
+  * extra deps) — dimensions come from a header-only read
+  * ([[decodeDims]], no pixel decode: the scalable path for
+  * metadata extraction over media at corpus scale), and
+  * [[resizeImages]] does a full decode → resample → re-encode.
+  * Non-image payloads (audio/video/the text-derived test corpus, whose
+  * codecs this container lacks) fall back to the deterministic
+  * [[decodeStub]], which keeps the end-to-end oracles SQL-replayable. */
 object Multimodal {
 
   /** Synthesize a media table from the documents table: text bytes as
@@ -31,14 +34,48 @@ object Multimodal {
     docs.select(col("doc_id").as("media_id"), lit("image").as("kind"),
       col("text").cast("binary").as("content"))
 
-  /** STUB decoder: deterministic fake "decode" of an image payload.
-    * Real implementation would hand `bytes` to an image codec; the
-    * formulas below are chosen to be replicable in SQL so the plumbing
-    * is oracle-checkable end to end. */
+  /** STUB decoder: deterministic fake "decode" of a payload no real
+    * codec claims (audio/video in this container, or arbitrary bytes).
+    * The formulas are chosen to be replicable in SQL so the plumbing
+    * stays oracle-checkable end to end. */
   def decodeStub(bytes: Array[Byte]): (Int, Int) = {
     val n = bytes.length
     (n % 64 + 1, n % 48 + 1) // fake (width, height)
   }
+
+  /** Magic-byte sniff for the formats `javax.imageio` ships decoders
+    * for. A few byte compares per record — negligible next to the md5
+    * the feature pass already computes. */
+  def sniffImageFormat(bytes: Array[Byte]): Option[String] = {
+    @inline def at(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else -1
+    if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') Some("png")
+    else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) Some("jpeg")
+    else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8') Some("gif")
+    else if (at(0) == 'B' && at(1) == 'M') Some("bmp")
+    else None
+  }
+
+  /** REAL image dimensions via a header-only `javax.imageio` read —
+    * `ImageReader.getWidth/getHeight` parse the format header without
+    * decoding pixels, so a 20 MB JPEG costs a few hundred bytes of
+    * work: the shape that survives metadata extraction over 100 TB of
+    * media. Payloads that don't sniff as an image (or whose header is
+    * corrupt) fall back to [[decodeStub]]. */
+  def decodeDims(bytes: Array[Byte]): (Int, Int) =
+    sniffImageFormat(bytes).flatMap { _ =>
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (readers.hasNext) {
+            val r = readers.next()
+            try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
+            finally r.dispose()
+          } else None
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.getOrElse(decodeStub(bytes))
 
   /** Batched per-partition feature extraction over the typed Dataset —
     * the mapInPandas-shaped stage. md5 via MessageDigest per record
@@ -50,7 +87,7 @@ object Multimodal {
       // per-partition setup happens once (decoder init goes here)
       val digest = java.security.MessageDigest.getInstance("MD5")
       it.map { m =>
-        val (w, h) = decodeStub(m.content)
+        val (w, h) = decodeDims(m.content)
         digest.reset()
         val sig = digest.digest(m.content).map("%02x".format(_)).mkString
         MediaFeatures(m.media_id, m.kind, m.content.length, sig, w, h)
@@ -79,14 +116,54 @@ object Multimodal {
   def strideBytes(c: org.apache.spark.sql.Column, factor: Int): org.apache.spark.sql.Column =
     graft.functions.StrideBytes.strideBytes(c, factor)
 
-  /** STUB resize: deterministic stride-downsample of the payload
-    * standing in for a real image resample (the decode/resample codec
-    * is the swap-in point); keeps (media_id, resized content + its
-    * size) with the original untouched. */
+  /** Byte-stride "resize" of an opaque payload — the deterministic,
+    * SQL-replayable downsample for payloads with no image codec; keeps
+    * (media_id, resized content + its size) with the original
+    * untouched. For genuine image payloads use [[resizeImages]]. */
   def resize(media: DataFrame, factor: Int): DataFrame =
     media.select(col("media_id"),
       strideBytes(col("content"), factor).as("content_small"))
       .withColumn("n_bytes_small", length(col("content_small")).cast("long"))
+
+  /** REAL image resample: decode → bilinear scale by 1/factor (floored,
+    * min 1 px) → re-encode as PNG, batched per partition so codec
+    * setup amortizes. Payloads that don't sniff/decode as an image
+    * fall back to the byte-stride downsample, so a mixed corpus flows
+    * through one operator. */
+  def resizeImages(media: Dataset[MediaRecord], factor: Int): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val resized: Array[Byte] = sniffImageFormat(m.content).flatMap { _ =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(m.content))
+            Option(img).map { src =>
+              val w = math.max(1, src.getWidth / factor)
+              val h = math.max(1, src.getHeight / factor)
+              val dst = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = dst.createGraphics()
+              try {
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(src, 0, 0, w, h, null)
+              } finally g.dispose()
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(dst, "png", out)
+              out.toByteArray
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }.getOrElse {
+          val n = m.content.length
+          Array.tabulate((n + factor - 1) / factor)(i => m.content(i * factor))
+        }
+        (m.media_id, resized, resized.length.toLong)
+      }
+    }.toDF("media_id", "content_small", "n_bytes_small")
+  }
 
   /** End-to-end pipeline DataFrame for the query surface. */
   def featuresFromDocuments(spark: SparkSession, docs: DataFrame): DataFrame = {

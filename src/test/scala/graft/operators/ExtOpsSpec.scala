@@ -330,6 +330,57 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got.getAs[Int]("width") == 11 % 64 + 1)
   }
 
+  /** A real PNG payload: `w`x`h`, deterministic pixel pattern. */
+  private def makePng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("decodeDims reads a real PNG's true width/height; non-images fall back to the stub") {
+    val png = makePng(20, 10)
+    assert(Multimodal.sniffImageFormat(png).contains("png"))
+    assert(Multimodal.decodeDims(png) == (20, 10))
+    val text = "hello world".getBytes("UTF-8")
+    assert(Multimodal.sniffImageFormat(text).isEmpty)
+    assert(Multimodal.decodeDims(text) == Multimodal.decodeStub(text))
+    // a payload that sniffs as an image but has a corrupt header must
+    // fall back, not throw
+    val corrupt = png.take(8) ++ Array.fill[Byte](16)(0x5a)
+    assert(Multimodal.decodeDims(corrupt) == Multimodal.decodeStub(corrupt))
+  }
+
+  test("extractFeatures carries real dimensions for image payloads end to end") {
+    val s = spark
+    import s.implicits._
+    val png = makePng(33, 17)
+    val media = Seq(MediaRecord(1L, "image", png),
+      MediaRecord(2L, "image", "plain text".getBytes("UTF-8"))).toDS()
+    val got = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> ((f.width, f.height))).toMap
+    assert(got(1L) == ((33, 17)))
+    assert(got(2L) == Multimodal.decodeStub("plain text".getBytes("UTF-8")))
+  }
+
+  test("resizeImages resamples a real PNG and stride-falls-back for non-images") {
+    val s = spark
+    import s.implicits._
+    val png = makePng(32, 16)
+    val media = Seq(MediaRecord(1L, "image", png),
+      MediaRecord(2L, "audio", "abcdefgh".getBytes("UTF-8"))).toDS()
+    val got = Multimodal.resizeImages(media, factor = 2).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Array[Byte]]("content_small"))
+      .toMap
+    // the resized payload is itself a decodable PNG at half dimensions
+    assert(Multimodal.decodeDims(got(1L)) == (16, 8))
+    // non-image: every 2nd byte, same as the byte-stride stub path
+    assert(new String(got(2L), "UTF-8") == "aceg")
+  }
+
   test("strideBytes is binary-safe (non-UTF8 payloads) and empty-safe") {
     val s = spark
     import s.implicits._
