@@ -332,15 +332,67 @@ object ExtQueries {
       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
       |  FROM scored) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
-  // ---- IVF approximate top-k (bucketed scale path; approximate →
-  //      rows-only check, recall asserted in SimilaritySpec) ----
+  // ---- IVF approximate top-k (bucketed scale path). The quantizer is
+  //      DETERMINISTIC (hash-sampled init + rounded-mean Lloyd rounds),
+  //      so the whole pipeline — training included — replays in SQL:
+  //      the oracle unrolls the Lloyd iterations as chained CTEs. ----
+  private val IvfCentroids = 8
+  private val IvfProbe = 3
+  private val IvfTopK = 10
+  private val IvfIter = 5 // kmeansCentroids' default nIter cap
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Similarity.ivfTopK(e, "vec_id", "embedding",
       e.filter(col("vec_id") < 3), "vec_id", "embedding",
-      k = 10, nCentroids = 8, nProbe = 3)
+      k = IvfTopK, nCentroids = IvfCentroids, nProbe = IvfProbe)
       .withColumn("rank", col("rank").cast("long"))
       .orderBy("qid", "rank")
+  }
+
+  /** Full SQL oracle for [[qAnnIvf]], Lloyd training included. Safe to
+    * unroll the fixed `IvfIter` rounds even though Spark early-stops at
+    * the rounded-mean fixpoint: a fixpoint is stable by definition —
+    * further unrolled rounds reproduce the same rounded means — so both
+    * engines land on identical centroids. Per round: normalize
+    * centroids → per-vector argmax assignment (round(dot, 9), ties to
+    * the smaller cid) → per-dimension rounded means (round_even = the
+    * half-to-even `rint` the Spark side uses; empty clusters keep the
+    * previous normalized centroid). Then bucket assignment, probe
+    * ranking, and per-query top-k replay the probe path verbatim. */
+  val qAnnIvfSql: String = {
+    val dim = EmbedLshDim
+    val rounds = (1 to IvfIter).map { r =>
+      val p = r - 1
+      s"""cn$r AS (SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cn FROM c$p),
+         |sc$r AS (SELECT id, u, cid, round(list_dot_product(u, cn), 9) AS sim FROM u, cn$r),
+         |best$r AS (SELECT id, u, cid FROM (SELECT id, u, cid,
+         |    row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid ASC) AS rn FROM sc$r) WHERE rn = 1),
+         |cell$r AS (SELECT cid, i, round_even(sum(u[i]) / count(*), 6) AS m
+         |  FROM best$r, generate_series(1, $dim) AS g(i) GROUP BY cid, i),
+         |nc$r AS (SELECT cid, list(m ORDER BY i) AS cv FROM cell$r GROUP BY cid),
+         |c$r AS (SELECT cn$r.cid, coalesce(nc$r.cv, cn$r.cn) AS cv FROM cn$r LEFT JOIN nc$r USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |u AS (SELECT id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u FROM e),
+       |c0 AS (SELECT cid, cv FROM (SELECT row_number() OVER (ORDER BY ${Hashing.hash60Sql("id::VARCHAR")}, id) - 1 AS cid, u AS cv FROM u) WHERE cid < $IvfCentroids),
+       |$rounds,
+       |bsc AS (SELECT e.id, e.v, c.cid,
+       |    round(list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+       |  FROM e, c$IvfIter c),
+       |bucketed AS (SELECT id, v, cid FROM (SELECT id, v, cid,
+       |    row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid ASC) AS rn FROM bsc) WHERE rn = 1),
+       |q AS (SELECT id AS qid, v AS qv FROM e WHERE id < 3),
+       |psc AS (SELECT qid, qv, cid,
+       |    list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+       |  FROM q, c$IvfIter),
+       |probes AS (SELECT qid, qv, cid FROM (SELECT qid, qv, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, cid ASC) AS rn FROM psc) WHERE rn <= $IvfProbe),
+       |scored AS (SELECT p.qid, b.id,
+       |    round(list_dot_product(b.v, p.qv) / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cosine
+       |  FROM bucketed b JOIN probes p USING (cid))
+       |SELECT qid, id, cosine, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank FROM scored)
+       |WHERE rank <= $IvfTopK ORDER BY qid, rank""".stripMargin
   }
 
   // ---- event sessionization (gaps-and-islands) ----
@@ -717,7 +769,6 @@ object ExtQueries {
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_minhash_lsh" -> qMinhashLshSql,
     "q_embed_lsh" -> qEmbedLshSql,
-    // q_ann_ivf: iterative k-means training is not SQL-expressible →
-    // rows-only check; exactness/recall pinned in ExtOpsSpec
+    "q_ann_ivf" -> qAnnIvfSql,
   )
 }
