@@ -18,7 +18,8 @@ import org.apache.spark.storage.StorageLevel
   * value inside one reducer (MyReducer.java:112-205). 0 disables. */
 case class C45Params(minDataRatio: Double = InfoStats.DefaultMinDataRatio,
                      maxDepth: Int = 30,
-                     maxBins: Int = 256)
+                     maxBins: Int = 256,
+                     routeJoinThreshold: Int = 64)
 
 /** A fitted C4.5 model: the leaf rule set (root-to-leaf conjunctions,
   * exactly the reference's printed deliverable, Main.java:128-131) plus
@@ -93,6 +94,18 @@ object C45Model {
   *  #6 the ε=1e-5 splitInfo==0 case never wins (a zero-gain "split"
   *     replays the same node), so such rules close as majority leaves.
   */
+/** One row of the broadcast routing table for deep frontiers: how a
+  * PARENT rule (by its rid at the previous level) routes its rows to
+  * child rids at this level. `kind` = "num" (boundary + left/right
+  * child) or "cat" (value → child map); closed parents simply have no
+  * row, so their rows drop out of the inner join — the same fate the
+  * flat CASE WHEN gives them via the `-1` → filter. (Top-level, not
+  * nested in the object: a private nested case class defeats the
+  * encoder's generated code and forces interpreted fallback.) */
+private[fit] case class Route(prid: Int, kind: String, aid: Int,
+                              boundary: Double, lrid: Int, rrid: Int,
+                              children: Map[String, Int])
+
 object C45 {
 
   private case class Cand(aid: Int, gainRatio: Double, gain: Double,
@@ -168,18 +181,73 @@ object C45 {
     var level = 0
     // per-level wall-clock diagnostics, -Dgraft.fit.profile=1
     val profile = sys.props.get("graft.fit.profile").contains("1")
+    // deep-frontier routing state: the previous level's routed base,
+    // the routes its decisions produced, and the persisted handle to
+    // free once the next level has materialized on top of it
+    var prevBase: DataFrame = null
+    var pendingRoutes: Seq[Route] = Nil
+    var prevPersisted: Option[DataFrame] = None
+    try {
 
     while (open.nonEmpty && level <= params.maxDepth) {
-      // one flat CASE WHEN routes each row to its (disjoint) open rule
-      val ridCol = {
-        val first = when(open.head.toPredicate(names), 0)
-        open.zipWithIndex.tail.foldLeft(first) { case (acc, (r, i)) =>
-          acc.when(r.toPredicate(names), lit(i))
-        }.otherwise(lit(-1))
-      }
-      val base = data.withColumn("__rid", ridCol)
-        .filter(col("__rid") >= 0)
-        .withColumn("__cls", col(clsCol).cast("string"))
+      // Routing each row to its (disjoint) open rule. Two plans:
+      //  - small frontier: one flat CASE WHEN over the full root-to-leaf
+      //    conjunctions — no extra shuffle/persist, and the expression
+      //    stays codegen-friendly while it is short;
+      //  - deep frontier (open.size > routeJoinThreshold): the CASE
+      //    WHEN grows linearly with open leaves (thousands-of-leaves
+      //    trees blow past codegen limits and re-evaluate depth-long
+      //    conjunctions per rule), so instead route INCREMENTALLY: join
+      //    the previous level's routed base against a tiny broadcast
+      //    table mapping (parent rid, one split condition) → child rid.
+      //    Constant expression size per level, one broadcast hash join,
+      //    no shuffle — the Spark analogue of the reference's
+      //    distributed-cache rule queue (Main.java:189).
+      val useJoin = level > 0 && open.size > params.routeJoinThreshold
+      val base =
+        if (!useJoin) {
+          val ridCol = {
+            val first = when(open.head.toPredicate(names), 0)
+            open.zipWithIndex.tail.foldLeft(first) { case (acc, (r, i)) =>
+              acc.when(r.toPredicate(names), lit(i))
+            }.otherwise(lit(-1))
+          }
+          data.withColumn("__rid", ridCol)
+            .filter(col("__rid") >= 0)
+            .withColumn("__cls", col(clsCol).cast("string"))
+        } else {
+          import spark.implicits._
+          val routeDf = pendingRoutes.toDF(
+            "__prid", "__kind", "__aid", "__boundary", "__lrid", "__rrid",
+            "__children")
+          // raw (un-snapped) values: child predicates compare the raw
+          // column exactly as Rule.toPredicate does
+          val numvCol =
+            if (numAttrs.isEmpty) lit(null)
+            else map(numAttrs.flatMap(a =>
+              Seq(lit(schema.attrIndex(a.name)), col(a.name).cast("double"))): _*)
+          val catvCol =
+            if (catAttrs.isEmpty) lit(null)
+            else map(attrPairs(catAttrs, "string"): _*)
+          // null attribute values fall into neither branch (both
+          // comparisons yield null) → routed rid null → filtered, the
+          // same fate the flat CASE WHEN gives them via `-1`
+          val numBranch = when(col("__kind") === "num",
+            when(element_at(numvCol, col("__aid")) <= col("__boundary"), col("__lrid"))
+              .when(element_at(numvCol, col("__aid")) > col("__boundary"), col("__rrid")))
+          val routedRid =
+            if (catAttrs.isEmpty) numBranch
+            else numBranch.when(col("__kind") === "cat",
+              element_at(col("__children"), element_at(catvCol, col("__aid"))))
+          prevBase
+            .join(broadcast(routeDf), prevBase("__rid") === routeDf("__prid"))
+            .withColumn("__ridNext", routedRid)
+            .filter(col("__ridNext").isNotNull)
+            .drop("__rid", "__prid", "__kind", "__aid", "__boundary",
+              "__lrid", "__rrid", "__children")
+            .withColumnRenamed("__ridNext", "__rid")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        }
 
       // The per-level actions are independent — run them concurrently
       // (the reference serializes one MR job per level; we overlap the
@@ -280,8 +348,14 @@ object C45 {
         (cls, cat, catVals, num)
       } finally catCells.foreach(_.unpersist()) // also on a failed level job
 
-      // driver-side per-rule decision (O3/O4): tiny tables only
+      // driver-side per-rule decision (O3/O4): tiny tables only. The
+      // same pass records each split as a Route row so the next level
+      // can broadcast-join its way to child rids if its frontier is
+      // deep (child rid = position in nextOpen, by construction the
+      // index the flat CASE WHEN would assign too).
       val nextOpen = Vector.newBuilder[Rule]
+      val routes = Seq.newBuilder[Route]
+      var nextIdx = 0
       open.zipWithIndex.foreach { case (rule, rid) =>
         val counts = clsCounts.getOrElse(rid, Map.empty)
         if (counts.isEmpty) {
@@ -306,24 +380,40 @@ object C45 {
               case Some(b) =>
                 nextOpen += rule.withCondition(best.aid, NumLE(b))
                 nextOpen += rule.withCondition(best.aid, NumGT(b))
+                routes += Route(rid, "num", best.aid, b, nextIdx, nextIdx + 1,
+                  Map.empty)
+                nextIdx += 2
               case None =>
                 // one child per value observed at this node (#4: children
                 // for absent domain values would hold zero rows)
-                catValues((rid, best.aid)).foreach { v =>
+                val vals = catValues((rid, best.aid))
+                routes += Route(rid, "cat", best.aid, 0.0, -1, -1,
+                  vals.zipWithIndex.map { case (v, i) => v -> (nextIdx + i) }
+                    .toMap)
+                vals.foreach { v =>
                   nextOpen += rule.withCondition(best.aid, CatEq(v))
                 }
+                nextIdx += vals.size
             }
           }
         }
       }
       open = nextOpen.result()
+      pendingRoutes = routes.result()
+      // the next level (if join-routed) chains off THIS level's base;
+      // the previous persisted base is now safe to free — this level's
+      // stat jobs have already materialized on top of it
+      prevPersisted.foreach(_.unpersist())
+      prevPersisted = if (useJoin) Some(base) else None
+      prevBase = base
       level += 1
     }
     // maxDepth exhaustion: close any survivors as majority leaves (#4)
     open.foreach { r => closed :+= r.closed(globalMajority.getOrElse(classLabels.head)) }
     C45Model(schema.copy(classLabels = classLabels), closed, globalMajority.getOrElse(classLabels.head))
-    // the fit is fully eager: a failed level job must not strand the
-    // cached training projection in the block manager
+    // the fit is fully eager: failed level jobs must not strand cached
+    // blocks — free the routed-base chain, then the training projection
+    } finally prevPersisted.foreach(_.unpersist())
     } finally data.unpersist()
   }
 }
