@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, RollingHash, SortedCeilSnap, SortedIntersectCount, StrideBytes}
+import graft.functions.{DotProduct, NfcNormalize, RollingHash, SortedCeilSnap, SortedIntersectCount, StrideBytes}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -30,7 +30,8 @@ object GraftFunctions {
     "graft_rolling_hash" -> (args =>
       RollingHash(args(0), intArg(args(1), "graft_rolling_hash", "window"))),
     "graft_stride_bytes" -> (args =>
-      StrideBytes(args(0), intArg(args(1), "graft_stride_bytes", "factor"))))
+      StrideBytes(args(0), intArg(args(1), "graft_stride_bytes", "factor"))),
+    "graft_nfc" -> (args => NfcNormalize(args(0))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

@@ -114,6 +114,40 @@ object Dedup {
       .select(col("i"), col("j"), col("jaccard"))
   }
 
+  /** Test-set decontamination: score every training document's word
+    * n-gram overlap against a held-out set — the LLM-corpus hygiene
+    * stage that strips benchmark/eval material from training data
+    * (flag on any shared n-gram, or on an overlap-ratio threshold).
+    *
+    * Scale shape: the held-out side collapses to its DISTINCT n-gram
+    * set first (benchmarks are tiny next to the corpus — broadcast by
+    * default), the training side explodes each doc's distinct n-grams
+    * ONCE, and contamination detection is a key-equality join on the
+    * n-gram — never a cross join. One row per training doc that has at
+    * least one n-gram: (id, n_shared, n_ngrams, overlap); callers
+    * filter at their threshold and anti-join the flagged ids away. */
+  def testSetOverlap(train: DataFrame, trainIdCol: String,
+                     trainTextCol: String, test: DataFrame,
+                     testTextCol: String, n: Int = 3,
+                     broadcastTest: Boolean = true): DataFrame = {
+    val trainSh = train.select(col(trainIdCol).as("id"),
+      explode(shingles(col(trainTextCol), n)).as("s"))
+    val testSh0 = test
+      .select(explode(shingles(col(testTextCol), n)).as("s")).distinct()
+    val testSh = if (broadcastTest) broadcast(testSh0) else testSh0
+    // shingles() is per-doc distinct, so both counts are distinct
+    // n-gram counts by construction
+    val nTr = trainSh.groupBy("id").agg(count(lit(1)).as("n_ngrams"))
+    val shared = trainSh.join(testSh, "s")
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+    nTr.join(shared, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_ngrams"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_ngrams"))
+          .as("overlap"))
+  }
+
   /** Modulus for the Carter-Wegman minhash family (a prime; keeps
     * i·h1 far from int64 overflow, which DuckDB would reject). */
   val MinHashMod = 1000000007L

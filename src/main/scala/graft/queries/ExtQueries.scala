@@ -93,6 +93,52 @@ object ExtQueries {
        |  list_min([${Hashing.hash60Sql("t")} FOR t IN list_distinct($SplitToksLowerSql)]) AS sig
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- test-set decontamination (word-3-gram overlap vs a held-out
+  //      slice; doc_id < 50 stands in for the benchmark set) ----
+  private val DecontamN = 3
+  private val DecontamThreshold = 0.5
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.testSetOverlap(
+      d.filter(col("doc_id") >= 50), "doc_id", "text",
+      d.filter(col("doc_id") < 50), "text", n = DecontamN)
+      .filter(col("overlap") >= DecontamThreshold)
+      .select(col("id").as("doc_id"), col("n_shared"), col("n_ngrams"),
+        r6x(col("overlap")).as("overlap"))
+      .orderBy("doc_id")
+  }
+  val qDecontaminateSql: String = {
+    val gram = "tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]"
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents),
+       |g AS (SELECT doc_id, CASE WHEN len(tk) >= $DecontamN THEN
+       |    list_distinct(list_transform(generate_series(1, len(tk) - ${DecontamN - 1}), i -> $gram))
+       |  ELSE []::VARCHAR[] END AS gs FROM t),
+       |tr AS (SELECT doc_id AS id, unnest(gs) AS s FROM g WHERE doc_id >= 50),
+       |te AS (SELECT DISTINCT unnest(gs) AS s FROM g WHERE doc_id < 50),
+       |cnt AS (SELECT id, count(*) AS n_ngrams FROM tr GROUP BY 1),
+       |sh AS (SELECT id, count(*) AS n_shared FROM tr JOIN te USING (s) GROUP BY 1),
+       |j AS (SELECT cnt.id, coalesce(n_shared, 0) AS n_shared, n_ngrams
+       |  FROM cnt LEFT JOIN sh USING (id))
+       |SELECT id AS doc_id, n_shared, n_ngrams,
+       |  ${r6xSql("n_shared::DOUBLE / n_ngrams")} AS overlap
+       |FROM j WHERE n_shared::DOUBLE / n_ngrams >= $DecontamThreshold
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- Unicode NFC normalization (native expression; testdata is
+  //      ASCII = already NFC, so the e2e oracle checks the identity
+  //      path — real composition is pinned in ExpressionsSpec) ----
+  def qNormalize(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      graft.functions.NfcNormalize.nfc(col("text")).as("text_nfc"),
+      length(graft.functions.NfcNormalize.nfc(col("text"))).cast("long")
+        .as("n_chars_nfc"))
+      .orderBy("doc_id")
+  val qNormalizeSql: String =
+    """SELECT doc_id, nfc_normalize(text) AS text_nfc,
+      |  length(nfc_normalize(text)) AS n_chars_nfc
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- exact dedup (hash groupBy) ----
   def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(docs(s, dir), "doc_id", "text").orderBy("text_hash")
@@ -713,6 +759,8 @@ object ExtQueries {
     "q_fingerprint" -> (qFingerprint _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_fp" -> (qDedupFp _),
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_normalize" -> (qNormalize _),
     "q_minhash" -> (qMinhash _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -746,6 +794,8 @@ object ExtQueries {
     "q_fingerprint" -> qFingerprintSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_fp" -> qDedupFpSql,
+    "q_decontaminate" -> qDecontaminateSql,
+    "q_normalize" -> qNormalizeSql,
     "q_minhash" -> qMinhashSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_dedup_clusters" -> qDedupClustersSql,

@@ -103,6 +103,32 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(shared > 0.9, s"shared fraction $shared")
   }
 
+  test("NfcNormalize composes decomposed sequences and is identity on NFC text") {
+    val s = spark
+    import s.implicits._
+    val decomposed = "Café du Musée" // mixed: e+combining acute, precomposed é
+    val df = Seq((1L, decomposed), (2L, "plain ascii"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+      graft.functions.NfcNormalize.nfc(col("text")).as("nfc"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "Café du Musée")
+    assert(got(2L) == "plain ascii")
+    assert(got(3L) == null)
+    // idempotent: normalizing twice changes nothing
+    val twice = df.filter(col("id") === 1)
+      .select(graft.functions.NfcNormalize.nfc(
+        graft.functions.NfcNormalize.nfc(col("text"))).as("n"))
+      .collect()(0).getString(0)
+    assert(twice == "Café du Musée")
+  }
+
+  test("graft_nfc is callable from SQL") {
+    graft.GraftFunctions.register(spark)
+    val r = spark.sql("SELECT graft_nfc('é') AS n").collect()(0).getString(0)
+    assert(r == "é")
+  }
+
   test("expressions survive both codegen and interpreted paths") {
     val s = spark
     import s.implicits._

@@ -170,6 +170,29 @@ class ExtOpsSpec extends AnyFunSuite {
       s"wide bands should prune >=4x: narrow=$narrow wide=$wide")
   }
 
+  test("testSetOverlap scores n-gram contamination exactly and broadcasts the test side") {
+    val s = spark
+    import s.implicits._
+    val train = Seq(
+      (10L, "a b c d e"),      // 3-grams: {a b c, b c d, c d e} — 2 shared
+      (11L, "x y z w"),        // {x y z, y z w} — 0 shared
+      (12L, "a b c d"),        // {a b c, b c d} — 2 of 2 shared
+      (13L, "q r"))            // shorter than n: no 3-grams, absent from output
+      .toDF("doc_id", "text")
+    val test = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val got = Dedup.testSetOverlap(train, "doc_id", "text", test, "text", n = 3)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"test-shingle join must broadcast:\n$plan")
+    val rows = got.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(rows(10L) == ((2L, 3L, 2.0 / 3)))
+    assert(rows(11L) == ((0L, 2L, 0.0)))
+    assert(rows(12L) == ((2L, 2L, 1.0)))
+    assert(!rows.contains(13L))
+  }
+
   test("simhash: identical docs share a signature; signatures spread overall") {
     val s = spark
     import s.implicits._
@@ -292,6 +315,19 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(scope.trackedCount == 0)
     // idempotent
     scope.release()
+  }
+
+  test("embedding-LSH candidate self-join reads the banded table from cache on both sides") {
+    val e = clusteredVectors(k = 2, perCluster = 10, dim = 16)
+    val scope = new CacheScope
+    val cands = Dedup.embeddingLshCandidates(e, "vec_id", "embedding",
+      scope = scope)
+    try {
+      val plan = cands.queryExecution.executedPlan.toString
+      val scans = "InMemoryTableScan".r.findAllIn(plan).length
+      assert(scans >= 2,
+        s"both self-join sides must scan the persisted bands, got $scans:\n$plan")
+    } finally scope.release()
   }
 
   test("embeddingLshCandidates rejects an explicit dim that mismatches the data") {
