@@ -34,15 +34,23 @@ object Dedup {
   /** Distinct word n-grams of a text column as an array (n=1 → token
     * set). A document with fewer than n tokens has no n-grams → empty
     * array (an unguarded sequence(0, size-n) would auto-step -1 and
-    * index out of range under ANSI mode). */
+    * index out of range under ANSI mode).
+    *
+    * For n > 1 the token array is bound ONCE as a lambda variable
+    * (`transform(array(t), tk -> ...)` + element_at 1): referencing the
+    * raw `t` subtree inside the window lambda would textually duplicate
+    * the regex split at every one of its n+1 references and re-run it
+    * PER WINDOW ELEMENT — ~n × tokens regex splits per document, the
+    * difference between 0.5s and 10s on the sf0.1 corpus. */
   def shingles(c: Column, n: Int): Column = {
     val t = split(trim(lower(c)), "\\s+")
     if (n == 1) array_distinct(t)
-    else array_distinct(
-      when(size(t) >= n, transform(
-        sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
-      .otherwise(array().cast("array<string>")))
+    else element_at(transform(array(t), tk =>
+      array_distinct(
+        when(size(tk) >= n, transform(
+          sequence(lit(0), size(tk) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(tk, i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>")))), 1)
   }
 
   /** Exact n-gram Jaccard similarity join: all pairs (i < j) with
@@ -134,18 +142,20 @@ object Dedup {
       explode(shingles(col(trainTextCol), n)).as("s"))
     val testSh0 = test
       .select(explode(shingles(col(testTextCol), n)).as("s")).distinct()
+      .withColumn("__hit", lit(1L))
     val testSh = if (broadcastTest) broadcast(testSh0) else testSh0
+    // ONE pass over the exploded training corpus: a left join against
+    // the (broadcast) test set marks shared n-grams in place, and a
+    // single aggregation produces both counts — a second consumer of
+    // trainSh would re-run the corpus explode + shingle construction.
     // shingles() is per-doc distinct, so both counts are distinct
-    // n-gram counts by construction
-    val nTr = trainSh.groupBy("id").agg(count(lit(1)).as("n_ngrams"))
-    val shared = trainSh.join(testSh, "s")
-      .groupBy("id").agg(count(lit(1)).as("n_shared"))
-    nTr.join(shared, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        col("n_ngrams"),
-        (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_ngrams"))
-          .as("overlap"))
+    // n-gram counts by construction.
+    trainSh.join(testSh, Seq("s"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_shared"))
+      .select(col("id"), col("n_shared"), col("n_ngrams"),
+        (col("n_shared").cast("double") / col("n_ngrams")).as("overlap"))
   }
 
   /** Modulus for the Carter-Wegman minhash family (a prime; keeps
