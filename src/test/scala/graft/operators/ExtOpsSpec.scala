@@ -193,6 +193,34 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(!rows.contains(13L))
   }
 
+  test("testSetOverlap matches a naive per-doc set computation on random corpora") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    def doc() = Seq.fill(rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val train = (0 until 120).map(i => (i.toLong + 100, doc()))
+    val test = (0 until 10).map(i => (i.toLong, doc()))
+    val n = 2
+    def grams(t: String): Set[String] = {
+      val tk = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (tk.length < n) Set.empty
+      else tk.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val testGrams = test.flatMap(d => grams(d._2)).toSet
+    val expected = train.map { case (id, t) =>
+      val g = grams(t)
+      id -> ((g.count(testGrams), g.size))
+    }.filter(_._2._2 > 0).toMap
+    val got = Dedup.testSetOverlap(
+        train.toDF("doc_id", "text"), "doc_id", "text",
+        test.toDF("doc_id", "text"), "text", n = n)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1).toInt, r.getLong(2).toInt)))
+      .toMap
+    assert(got == expected)
+  }
+
   test("simhash: identical docs share a signature; signatures spread overall") {
     val s = spark
     import s.implicits._
