@@ -29,10 +29,15 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Pre-normalized double vector: cosine becomes a plain dot. */
+  /** Pre-normalized double vector: cosine becomes a plain dot. The
+    * norm is bound ONCE as a lambda variable (`transform(array(nrm),
+    * n -> ...)` + element_at 1): referencing the `sqrt(dot(d, d))`
+    * subtree inside the per-element lambda would re-evaluate the O(dim)
+    * dot per element — O(dim²) per vector. */
   def unitVector(c: Column): Column = {
     val d = toDoubleVec(c)
-    transform(d, x => x / sqrt(dot(d, d)))
+    element_at(transform(array(sqrt(dot(d, d))), n =>
+      transform(d, x => x / n)), 1)
   }
 
   /** Exact top-k by cosine for each query vector (brute force).
