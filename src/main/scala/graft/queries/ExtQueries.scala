@@ -752,6 +752,31 @@ object ExtQueries {
   val qStreamDedupSql: String =
     "SELECT DISTINCT md5(text) AS text_hash FROM documents ORDER BY 1"
 
+  // ---- stream-static enrichment (dimension attach at ingestion;
+  //      stateless, so every arriving event appears exactly once and
+  //      the batch join is the exact oracle) ----
+  def qStreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"graft_stream_enrich_${streamRuns.incrementAndGet()}"
+    val customers = Tables.load(s, dir, "customer")
+    val q = graft.streaming.StreamingEnrich.enrich(
+        graft.streaming.StreamingStats.readRawEventStream(s, dir),
+        customers, "user_id", "c_custkey", Seq("c_mktsegment"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    awaitStreamOrFail(q)
+    s.table(name)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000000").as("ts_ms"),
+        col("event_type"), col("value"), col("c_mktsegment"))
+      .orderBy("event_id")
+  }
+  val qStreamEnrichSql: String =
+    """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type, value,
+      |  c_mktsegment
+      |FROM events JOIN customer ON user_id = c_custkey
+      |ORDER BY event_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_sessionize" -> (qStreamSessionize _),
     "q_text_stats" -> (qTextStats _),
@@ -784,6 +809,7 @@ object ExtQueries {
     "q_repetition" -> (qRepetition _),
     "q_stream_window_stats" -> (qStreamWindowStats _),
     "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_enrich" -> (qStreamEnrich _),
     "q_heavy_hitters" -> (qHeavyHitters _),
   )
 
@@ -816,6 +842,7 @@ object ExtQueries {
     "q_repetition" -> qRepetitionSql,
     "q_stream_window_stats" -> qStreamWindowStatsSql,
     "q_stream_dedup" -> qStreamDedupSql,
+    "q_stream_enrich" -> qStreamEnrichSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_minhash_lsh" -> qMinhashLshSql,
     "q_embed_lsh" -> qEmbedLshSql,

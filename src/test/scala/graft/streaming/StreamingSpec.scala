@@ -77,4 +77,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.subsetOf(batch))
     assert(streamed.nonEmpty)
   }
+
+  test("stream-static enrichment equals the batch join exactly") {
+    val stream = spark.readStream
+      .schema(StreamingSessionize.eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sf)
+    val customers = spark.read.parquet(s"$sf/customer.parquet")
+    val q = StreamingEnrich.enrich(stream, customers,
+        "user_id", "c_custkey", Seq("c_mktsegment"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // stateless stream-static join: every arriving event appears
+    // exactly once with its dimension attributes — no emission rule,
+    // so the batch join is the EXACT result, not a superset
+    val streamed = spark.table("enrich_out")
+      .select("event_id", "user_id", "c_mktsegment")
+      .collect().map(_.toSeq).toSet
+    val batch = StreamingEnrich.enrich(
+        spark.read.parquet(s"$sf/events.parquet"), customers,
+        "user_id", "c_custkey", Seq("c_mktsegment"))
+      .select("event_id", "user_id", "c_mktsegment")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
