@@ -187,6 +187,11 @@ object C45 {
     var prevBase: DataFrame = null
     var pendingRoutes: Seq[Route] = Nil
     var prevPersisted: Option[DataFrame] = None
+    // every join-routed base ever persisted; unpersist is idempotent,
+    // so the finally can sweep the whole list even though each level
+    // already frees its predecessor eagerly — this covers the level
+    // whose stat jobs threw before it became prevPersisted
+    val routedPersists = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
 
     while (open.nonEmpty && level <= params.maxDepth) {
@@ -248,6 +253,7 @@ object C45 {
             .withColumnRenamed("__ridNext", "__rid")
             .persist(StorageLevel.MEMORY_AND_DISK)
         }
+      if (useJoin) routedPersists += base
 
       // The per-level actions are independent — run them concurrently
       // (the reference serializes one MR job per level; we overlap the
@@ -413,7 +419,7 @@ object C45 {
     C45Model(schema.copy(classLabels = classLabels), closed, globalMajority.getOrElse(classLabels.head))
     // the fit is fully eager: failed level jobs must not strand cached
     // blocks — free the routed-base chain, then the training projection
-    } finally prevPersisted.foreach(_.unpersist())
+    } finally routedPersists.foreach(_.unpersist())
     } finally data.unpersist()
   }
 }
