@@ -11,6 +11,11 @@ case class MediaRecord(media_id: Long, kind: String, content: Array[Byte])
 case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
                          sig: String, width: Int, height: Int)
 
+/** Typed audio metadata: real for WAV/AIFF/AU payloads (header-only
+  * `javax.sound.sampled` read), deterministic stub otherwise. */
+case class AudioFeatures(media_id: Long, n_bytes: Int, sample_rate: Int,
+                         channels: Int, n_frames: Long, duration_ms: Long)
+
 /** Multimodal-column plumbing: treat image/audio/video payloads as
   * opaque `binary` columns and run decode / feature-extraction /
   * frame-sampling as batched per-partition passes over a typed
@@ -76,6 +81,55 @@ object Multimodal {
         } finally iis.close()
       } catch { case scala.util.control.NonFatal(_) => None }
     }.getOrElse(decodeStub(bytes))
+
+  /** Magic-byte sniff for the audio container formats the JDK ships
+    * readers for: WAV (RIFF….WAVE), AIFF (FORM….AIFF), AU (.snd). */
+  def sniffAudioFormat(bytes: Array[Byte]): Option[String] = {
+    @inline def at(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else -1
+    def tag(off: Int, s: String): Boolean =
+      s.zipWithIndex.forall { case (ch, i) => at(off + i) == ch.toInt }
+    if (tag(0, "RIFF") && tag(8, "WAVE")) Some("wav")
+    else if (tag(0, "FORM") && (tag(8, "AIFF") || tag(8, "AIFC"))) Some("aiff")
+    else if (tag(0, ".snd")) Some("au")
+    else None
+  }
+
+  /** STUB audio metadata for payloads no JDK reader claims —
+    * deterministic from the byte length, SQL-replayable like
+    * [[decodeStub]]. */
+  def audioStub(bytes: Array[Byte]): (Int, Int, Long) = {
+    val n = bytes.length
+    (n % 40000 + 8000, n % 2 + 1, n.toLong % 1000 + 1) // (rate, channels, frames)
+  }
+
+  /** REAL audio metadata via a header-only `javax.sound.sampled` read
+    * (`AudioSystem.getAudioFileFormat` parses the container header
+    * without decoding samples — the 100 TB-safe shape, like the image
+    * path's dimension read). Non-audio or corrupt payloads fall back
+    * to [[audioStub]]. Returns (sampleRate, channels, frames). */
+  def audioMeta(bytes: Array[Byte]): (Int, Int, Long) =
+    sniffAudioFormat(bytes).flatMap { _ =>
+      try {
+        val f = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = f.getFormat
+        Some((fmt.getSampleRate.toInt, fmt.getChannels, f.getFrameLength.toLong))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.getOrElse(audioStub(bytes))
+
+  /** Batched per-partition audio metadata extraction — same
+    * mapPartitions shape as [[extractFeatures]]. duration_ms derives
+    * from frames/rate (floored; stub values divide cleanly). */
+  def extractAudioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (rate, ch, frames) = audioMeta(m.content)
+        AudioFeatures(m.media_id, m.content.length, rate, ch, frames,
+          frames * 1000L / math.max(rate, 1))
+      }
+    }
+  }
 
   /** Batched per-partition feature extraction over the typed Dataset —
     * the mapInPandas-shaped stage. md5 via MessageDigest per record

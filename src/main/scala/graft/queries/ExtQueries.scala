@@ -485,6 +485,30 @@ object ExtQueries {
       |  octet_length(encode(text)) % 48 + 1 AS height
       |FROM documents ORDER BY media_id""".stripMargin
 
+  // ---- audio metadata plumbing (real javax.sound header reads for
+  //      WAV/AIFF/AU payloads — spec-pinned on a generated WAV; the
+  //      text-derived corpus takes the deterministic stub, which the
+  //      oracle replays) ----
+  def qAudioMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.extractAudioFeatures(
+        Multimodal.mediaFromDocuments(docs(s, dir)).as[MediaRecord])
+      .toDF()
+      .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("channels").cast("long").as("channels"),
+        col("n_frames"), col("duration_ms"))
+      .orderBy("media_id")
+  }
+  val qAudioMetaSql: String =
+    """WITH b AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n FROM documents)
+      |SELECT media_id, n AS n_bytes,
+      |  n % 40000 + 8000 AS sample_rate,
+      |  n % 2 + 1 AS channels,
+      |  n % 1000 + 1 AS n_frames,
+      |  (n % 1000 + 1) * 1000 // (n % 40000 + 8000) AS duration_ms
+      |FROM b ORDER BY media_id""".stripMargin
+
   // ---- rolling hash / content-defined chunking over the byte payload
   //      (incremental Rabin-Karp expression vs the direct per-window
   //      polynomial in SQL — mathematically identical values) ----
@@ -798,6 +822,7 @@ object ExtQueries {
     "q_sessionize" -> (qSessionize _),
     "q_event_daily" -> (qEventDaily _),
     "q_multimodal" -> (qMultimodal _),
+    "q_audio_meta" -> (qAudioMeta _),
     "q_rolling_hash" -> (qRollingHash _),
     "q_resize" -> (qResize _),
     "q_frame_sample" -> (qFrameSample _),
@@ -831,6 +856,7 @@ object ExtQueries {
     "q_sessionize" -> qSessionizeSql,
     "q_event_daily" -> qEventDailySql,
     "q_multimodal" -> qMultimodalSql,
+    "q_audio_meta" -> qAudioMetaSql,
     "q_rolling_hash" -> qRollingHashSql,
     "q_resize" -> qResizeSql,
     "q_frame_sample" -> qFrameSampleSql,

@@ -430,6 +430,45 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got(2L) == Multimodal.decodeStub("plain text".getBytes("UTF-8")))
   }
 
+  /** A real 16-bit mono PCM WAV: `frames` frames at `rate` Hz. */
+  private def makeWav(rate: Int, frames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val pcm = Array.tabulate[Byte](frames * 2)(i => (i * 31 % 251).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audioMeta reads a real WAV's true rate/channels/frames; non-audio falls back") {
+    val wav = makeWav(rate = 22050, frames = 4410)
+    assert(Multimodal.sniffAudioFormat(wav).contains("wav"))
+    assert(Multimodal.audioMeta(wav) == ((22050, 1, 4410L)))
+    val text = "not audio".getBytes("UTF-8")
+    assert(Multimodal.sniffAudioFormat(text).isEmpty)
+    assert(Multimodal.audioMeta(text) == Multimodal.audioStub(text))
+    // sniffs as RIFF/WAVE but the header is garbage: fall back, not throw
+    val corrupt = wav.take(12) ++ Array.fill[Byte](8)(0x7f)
+    assert(Multimodal.audioMeta(corrupt) == Multimodal.audioStub(corrupt))
+  }
+
+  test("extractAudioFeatures carries real audio metadata end to end") {
+    val s = spark
+    import s.implicits._
+    val wav = makeWav(rate = 8000, frames = 2000)
+    val media = Seq(MediaRecord(1L, "audio", wav),
+      MediaRecord(2L, "audio", "plain text".getBytes("UTF-8"))).toDS()
+    val got = Multimodal.extractAudioFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(got(1L).sample_rate == 8000 && got(1L).channels == 1 &&
+      got(1L).n_frames == 2000L && got(1L).duration_ms == 250L)
+    val (r, c, fr) = Multimodal.audioStub("plain text".getBytes("UTF-8"))
+    assert(got(2L).sample_rate == r && got(2L).channels == c &&
+      got(2L).n_frames == fr)
+  }
+
   test("resizeImages resamples a real PNG and stride-falls-back for non-images") {
     val s = spark
     import s.implicits._
