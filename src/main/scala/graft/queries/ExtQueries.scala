@@ -778,13 +778,21 @@ object ExtQueries {
 
   // ---- stream-static enrichment (dimension attach at ingestion;
   //      stateless, so every arriving event appears exactly once and
-  //      the batch join is the exact oracle) ----
+  //      the batch join is the exact oracle). The stream is bounded to
+  //      a 1-in-5 user slice IN THE QUERY (mirrored in the oracle,
+  //      same convention as the pairwise bounds): a per-row enrichment
+  //      emits one output row per input row, and the memory-sink
+  //      harness collects them all to the driver — the slice keeps the
+  //      bench honest while the operator stays scale-shaped (the
+  //      filter pushes into the stream scan; production sinks are
+  //      parquet/kafka, not a driver table). ----
   def qStreamEnrich(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val name = s"graft_stream_enrich_${streamRuns.incrementAndGet()}"
     val customers = Tables.load(s, dir, "customer")
     val q = graft.streaming.StreamingEnrich.enrich(
-        graft.streaming.StreamingStats.readRawEventStream(s, dir),
+        graft.streaming.StreamingStats.readRawEventStream(s, dir)
+          .filter(col("user_id") % 5 === 0),
         customers, "user_id", "c_custkey", Seq("c_mktsegment"))
       .writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -799,6 +807,7 @@ object ExtQueries {
     """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type, value,
       |  c_mktsegment
       |FROM events JOIN customer ON user_id = c_custkey
+      |WHERE user_id % 5 = 0
       |ORDER BY event_id""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
