@@ -47,15 +47,33 @@ object Sampling {
 
   /** Deterministic fixed-size sample per stratum: the n rows with the
     * smallest id hashes in each stratum (a rank-based reservoir — same
-    * result regardless of data order or partitioning). One window
-    * shuffle by stratum. */
+    * result regardless of data order or partitioning).
+    *
+    * Two-phase top-n: a single window partitioned by stratum would
+    * funnel the WHOLE table into #strata serial sort partitions —
+    * parallelism collapses to the stratum count (events has 4) and the
+    * query goes superlinear at scale. Phase 1 windows over (stratum,
+    * salt) — #strata × nSalts parallel partitions — keeping each salt
+    * bucket's n smallest; the global n smallest per stratum are
+    * necessarily among their bucket's n smallest, so phase 2 ranks
+    * only the surviving nSalts × n rows per stratum. Salt derives from
+    * the id hash, so the result is still partition-independent. */
   def fixedPerStratum(df: DataFrame, strataCol: String, idCol: String,
-                      n: Int): DataFrame = {
-    val w = Window.partitionBy(strataCol)
-      .orderBy(idHash(col(idCol)), col(idCol))
-    df.withColumn("__rn", row_number().over(w))
+                      n: Int, nSalts: Int = 32): DataFrame = {
+    require(nSalts >= 1, "nSalts must be positive")
+    // materialize the hash once: window sort keys and the salt would
+    // otherwise each re-evaluate the md5 per row per reference
+    val w1 = Window.partitionBy(col(strataCol), col("__salt"))
+      .orderBy(col("__h"), col(idCol))
+    val w2 = Window.partitionBy(strataCol)
+      .orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", idHash(col(idCol)))
+      .withColumn("__salt", pmod(col("__h"), lit(nSalts.toLong)))
+      .withColumn("__rn", row_number().over(w1))
       .filter(col("__rn") <= n)
-      .drop("__rn")
+      .withColumn("__rn2", row_number().over(w2))
+      .filter(col("__rn2") <= n)
+      .drop("__h", "__salt", "__rn", "__rn2")
   }
 
   /** KMV (k-minimum-values) distinct-count sketch: keep the k smallest
