@@ -227,23 +227,33 @@ object C45 {
             "__children")
           // raw (un-snapped) values: child predicates compare the raw
           // column exactly as Rule.toPredicate does
-          val numvCol =
-            if (numAttrs.isEmpty) lit(null)
-            else map(numAttrs.flatMap(a =>
-              Seq(lit(schema.attrIndex(a.name)), col(a.name).cast("double"))): _*)
-          val catvCol =
-            if (catAttrs.isEmpty) lit(null)
-            else map(attrPairs(catAttrs, "string"): _*)
           // null attribute values fall into neither branch (both
           // comparisons yield null) → routed rid null → filtered, the
-          // same fate the flat CASE WHEN gives them via `-1`
-          val numBranch = when(col("__kind") === "num",
-            when(element_at(numvCol, col("__aid")) <= col("__boundary"), col("__lrid"))
-              .when(element_at(numvCol, col("__aid")) > col("__boundary"), col("__rrid")))
-          val routedRid =
-            if (catAttrs.isEmpty) numBranch
-            else numBranch.when(col("__kind") === "cat",
-              element_at(col("__children"), element_at(catvCol, col("__aid"))))
+          // same fate the flat CASE WHEN gives them via `-1`. Each
+          // branch exists only when its attribute class does: a
+          // categorical-only schema gets no num subtree at all (not a
+          // dead element_at over a NullType map), and vice versa.
+          val numBranch =
+            if (numAttrs.isEmpty) None
+            else {
+              val numvCol = map(numAttrs.flatMap(a =>
+                Seq(lit(schema.attrIndex(a.name)), col(a.name).cast("double"))): _*)
+              Some(when(col("__kind") === "num",
+                when(element_at(numvCol, col("__aid")) <= col("__boundary"), col("__lrid"))
+                  .when(element_at(numvCol, col("__aid")) > col("__boundary"), col("__rrid"))))
+            }
+          val catBranchOf: Column => Column = prev => {
+            val catvCol = map(attrPairs(catAttrs, "string"): _*)
+            val hit = element_at(col("__children"), element_at(catvCol, col("__aid")))
+            if (prev == null) when(col("__kind") === "cat", hit)
+            else prev.when(col("__kind") === "cat", hit)
+          }
+          val routedRid = (numBranch, catAttrs.isEmpty) match {
+            case (Some(nb), true)  => nb
+            case (Some(nb), false) => catBranchOf(nb)
+            case (None, false)     => catBranchOf(null)
+            case (None, true)      => lit(null) // no attributes: route nothing
+          }
           prevBase
             .join(broadcast(routeDf), prevBase("__rid") === routeDf("__prid"))
             .withColumn("__ridNext", routedRid)

@@ -453,12 +453,22 @@ object Dedup {
     // one-row scan: derive the data's width, and when an explicit dim
     // was passed (e.g. to pin hyperplanes against an external oracle)
     // fail LOUDLY on mismatch — a silent prefix hash would just
-    // degrade recall with no error
-    val dataDim = df.select(size(col(vecCol)).as("d")).head(1)
-      .headOption.map(_.getInt(0)).getOrElse(1)
-    require(dim <= 0 || dim == dataDim,
-      s"explicit dim=$dim does not match data dimensionality $dataDim")
-    val d = if (dim > 0) dim else dataDim
+    // degrade recall with no error. With an explicit dim there is
+    // nothing to derive, so skip the probe job entirely; that also
+    // means an EMPTY frame + explicit dim is valid (returns no
+    // candidates) instead of tripping the mismatch against a
+    // nonsense fallback width.
+    val d =
+      if (dim > 0) {
+        val dataDim = df.select(size(col(vecCol)).as("d")).head(1)
+          .headOption.map(_.getInt(0))
+        require(dataDim.forall(_ == dim),
+          s"explicit dim=$dim does not match data dimensionality ${dataDim.get}")
+        dim
+      } else {
+        df.select(size(col(vecCol)).as("d")).head(1)
+          .headOption.map(_.getInt(0)).getOrElse(1)
+      }
     val nBands = nBits / rowsPerBand
     val v = df.select(col(idCol).as("id"),
       Similarity.toDoubleVec(col(vecCol)).as("v"))

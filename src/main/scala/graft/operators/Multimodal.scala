@@ -53,10 +53,24 @@ object Multimodal {
     * the feature pass already computes. */
   def sniffImageFormat(bytes: Array[Byte]): Option[String] = {
     @inline def at(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else -1
+    // BMP's 2-byte "BM" magic is weak — any text starting "BM" would
+    // match, and the JDK BMP reader reads width/height out of whatever
+    // follows with little validation (silent garbage dimensions). So
+    // require a plausible header too: enough bytes for the DIB
+    // header-size field, and that field holding one of the real DIB
+    // header sizes (BITMAPCOREHEADER 12, BITMAPINFOHEADER 40, V4 108,
+    // V5 124 — little-endian u32 at offset 14).
+    def bmpHeaderPlausible: Boolean = {
+      if (bytes.length < 26) false
+      else {
+        val dibSize = at(14) | (at(15) << 8) | (at(16) << 16) | (at(17) << 24)
+        dibSize == 12 || dibSize == 40 || dibSize == 108 || dibSize == 124
+      }
+    }
     if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') Some("png")
     else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) Some("jpeg")
     else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8') Some("gif")
-    else if (at(0) == 'B' && at(1) == 'M') Some("bmp")
+    else if (at(0) == 'B' && at(1) == 'M' && bmpHeaderPlausible) Some("bmp")
     else None
   }
 
@@ -113,7 +127,15 @@ object Multimodal {
         val f = javax.sound.sampled.AudioSystem.getAudioFileFormat(
           new java.io.ByteArrayInputStream(bytes))
         val fmt = f.getFormat
-        Some((fmt.getSampleRate.toInt, fmt.getChannels, f.getFrameLength.toLong))
+        // AudioSystem.NOT_SPECIFIED (-1) is a legal return for frame
+        // length / sample rate / channels on streamable formats; passing
+        // it through would emit n_frames = -1 and a negative duration.
+        // Treat an unspecified field as a failed parse → stub fallback.
+        val rate = fmt.getSampleRate.toInt
+        val ch = fmt.getChannels
+        val frames = f.getFrameLength.toLong
+        if (rate <= 0 || ch <= 0 || frames < 0) None
+        else Some((rate, ch, frames))
       } catch { case scala.util.control.NonFatal(_) => None }
     }.getOrElse(audioStub(bytes))
 

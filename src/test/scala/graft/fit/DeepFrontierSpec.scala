@@ -56,6 +56,51 @@ class DeepFrontierSpec extends AnyFunSuite {
     assert(leafSet(joined) == leafSet(flat))
   }
 
+  test("join-routed fit works on a categorical-only schema") {
+    // regression: with no numeric attributes the num route branch used
+    // to be built anyway over a NullType map (element_at(lit(null), …))
+    // — it worked via an implicit cast but was one analyzer change away
+    // from breaking; the branch is now constructed only when numeric
+    // attributes exist. This fit must cross the join threshold with a
+    // purely categorical frontier.
+    val s = spark
+    import s.implicits._
+    val rows = for {
+      av <- 0 until 8
+      bv <- 0 until 4
+      copy <- 0 until 3
+    } yield {
+      // hierarchical labels: each attribute is informative on its own
+      // (XOR-style labels would have zero marginal gain and no tree)
+      val cls = (if (bv < 2) "p" else "x") + (if (av < 4) "0" else "1")
+      (s"a$av", s"b$bv", cls)
+    }
+    val df = rows.toDF("a", "b", "cls")
+    val schema = C45Schema.fromDataFrame(df, "cls")
+    val flat = C45.fit(df, schema, C45Params(routeJoinThreshold = 10000))
+    val joined = C45.fit(df, schema, C45Params(routeJoinThreshold = 2))
+    assert(leafSet(joined) == leafSet(flat))
+    assert(flat.leaves.size >= 8, "the tree must actually grow wide")
+  }
+
+  test("join-routed fit works on a numeric-only schema") {
+    val s = spark
+    import s.implicits._
+    val rows = for {
+      x <- 0 until 8
+      y <- 0 until 8
+      copy <- 0 until 3
+    } yield {
+      val cls = (if (x <= 3) "l" else "r") + (if (y <= 3) "d" else "u")
+      (x.toDouble, y.toDouble, cls)
+    }
+    val df = rows.toDF("x", "y", "cls")
+    val schema = C45Schema.fromDataFrame(df, "cls")
+    val flat = C45.fit(df, schema, C45Params(routeJoinThreshold = 10000))
+    val joined = C45.fit(df, schema, C45Params(routeJoinThreshold = 2))
+    assert(leafSet(joined) == leafSet(flat))
+  }
+
   test("join-routed fit leaves no cached blocks behind") {
     val df = wideData
     val schema = C45Schema.fromDataFrame(df, "cls")

@@ -366,6 +366,18 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("does not match data dimensionality"))
   }
 
+  test("embeddingLshCandidates on an empty frame trusts an explicit dim") {
+    // regression: the derived-width fallback used to collapse to 1 on an
+    // empty frame and then throw the explicit-dim mismatch require —
+    // an empty input with a valid pinned dim must just yield no pairs
+    val e = clusteredVectors(k = 2, perCluster = 5, dim = 16)
+      .filter(col("vec_id") < 0)
+    assert(Dedup.embeddingLshCandidates(e, "vec_id", "embedding", dim = 64)
+      .count() == 0L)
+    // and the no-dim path still works on empty input
+    assert(Dedup.embeddingLshCandidates(e, "vec_id", "embedding").count() == 0L)
+  }
+
   test("sessionize splits at the gap and aggregates per session") {
     val s = spark
     import s.implicits._
@@ -418,6 +430,28 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeDims(corrupt) == Multimodal.decodeStub(corrupt))
   }
 
+  test("a 'BM'-prefixed text payload is NOT sniffed as BMP; a real BMP still is") {
+    // regression: the 2-byte "BM" magic alone routed text to the JDK BMP
+    // reader, which reads width/height out of the "header" with little
+    // validation → plausible garbage dims silently diverging from the
+    // stub formula the oracle replays
+    val bmText = "BMW drivers and BMX riders share two magic bytes".getBytes("UTF-8")
+    assert(Multimodal.sniffImageFormat(bmText).isEmpty)
+    assert(Multimodal.decodeDims(bmText) == Multimodal.decodeStub(bmText))
+    // short "BM…" payloads (< DIB header-size field) likewise fall back
+    val bmShort = "BM tiny".getBytes("UTF-8")
+    assert(Multimodal.sniffImageFormat(bmShort).isEmpty)
+    assert(Multimodal.decodeDims(bmShort) == Multimodal.decodeStub(bmShort))
+    // a genuine BMP (BITMAPINFOHEADER, size 40) still sniffs + decodes
+    val img = new java.awt.image.BufferedImage(
+      7, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    val bmp = out.toByteArray
+    assert(Multimodal.sniffImageFormat(bmp).contains("bmp"))
+    assert(Multimodal.decodeDims(bmp) == (7, 5))
+  }
+
   test("extractFeatures carries real dimensions for image payloads end to end") {
     val s = spark
     import s.implicits._
@@ -452,6 +486,29 @@ class ExtOpsSpec extends AnyFunSuite {
     // sniffs as RIFF/WAVE but the header is garbage: fall back, not throw
     val corrupt = wav.take(12) ++ Array.fill[Byte](8)(0x7f)
     assert(Multimodal.audioMeta(corrupt) == Multimodal.audioStub(corrupt))
+  }
+
+  test("audio with NOT_SPECIFIED (-1) frame length falls back to the stub") {
+    // regression: an AU payload with unknown data size (0xffffffff) is a
+    // VALID streamable file whose getFrameLength() returns -1; passing
+    // that through emitted n_frames = -1 and a bogus duration. It must
+    // route to the stub like any other unparseable payload.
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    d.writeBytes(".snd"); d.writeInt(24)
+    d.writeInt(-1)           // data size unknown → frameLength -1
+    d.writeInt(3)            // 16-bit linear PCM
+    d.writeInt(8000); d.writeInt(1)
+    (0 until 64).foreach(i => d.writeByte(i))
+    val au = bos.toByteArray
+    assert(Multimodal.sniffAudioFormat(au).contains("au"))
+    // the JDK parses it (rate 8000, 1 ch) but with frameLength -1
+    assert(Multimodal.audioMeta(au) == Multimodal.audioStub(au))
+    val s = spark
+    import s.implicits._
+    val feats = Multimodal.extractAudioFeatures(
+      Seq(MediaRecord(1L, "audio", au)).toDS()).collect()
+    assert(feats(0).n_frames > 0 && feats(0).duration_ms >= 0)
   }
 
   test("extractAudioFeatures carries real audio metadata end to end") {
