@@ -20,15 +20,31 @@ object Bench {
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // median of SPARK_GRAFT_REPS (default 3) timed passes per query,
+    // interleaved round-robin so a transient machine-wide stall (GC,
+    // page cache eviction, a neighbor process) lands on ONE rep of
+    // many queries instead of all reps of one. Single-shot timing
+    // produced 2x round-over-round swings on byte-identical code
+    // (BENCH_r05 80.5s vs r06 41.1s); the median is robust to one
+    // outlier rep in either direction.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val names = SparkEntry.queries.keys.toSeq
+    val samples = (1 to reps).flatMap { _ =>
+      names.map { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
+    val results = names.map { name =>
+      val ts = samples.collect { case (`name`, t) => t }.sorted
+      name -> ts(ts.length / 2)
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -500,7 +500,7 @@ object C45Queries {
       |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
-  // ---- O4: the full iterative fit (not SQL-expressible; rows-only) ----
+  // ---- O4: the full iterative fit ----
   def qFitTree(s: SparkSession, dir: String): DataFrame = {
     val schema = C45Schema(
       Seq(AttrMeta("l_returnflag", isNumeric = false),
@@ -511,6 +511,31 @@ object C45Queries {
       "l_linestatus", ClassLabels)
     val df = li(s, dir).withColumn("l_linenumber", col("l_linenumber").cast("string"))
     C45.fit(df, schema, C45Params(maxDepth = 3)).toDF(s).orderBy("rule")
+  }
+
+  /** Oracle for the iterative fit. No SQL can re-derive a level-wise
+    * C4.5 fit, so the oracle is the committed golden rule set for the
+    * gate's scale (sf0.01), emitted as a table-free VALUES query —
+    * DuckDB replays it verbatim and the driver's hash compare pins the
+    * fitted tree exactly (rule codec, label, depth), not just its row
+    * count. Single source of truth: golden/fit_sf001_rules.txt, the
+    * same resource GoldenFitSpec asserts against; the fit is
+    * deterministic (ties break on (gainRatio, -aid) / (cond_entropy,
+    * boundary)), so any divergence is a real semantic change. Valid at
+    * sf0.01 only — scripts/sweep.py golden-compares other tiers. */
+  val qFitTreeSql: String = {
+    val src = scala.io.Source.fromResource("golden/fit_sf001_rules.txt")
+    val lines = try src.getLines().filter(_.nonEmpty).toVector finally src.close()
+    val rows = lines.map { l =>
+      val cut = l.lastIndexOf(':')
+      val conds = l.substring(0, cut)
+      val label = l.substring(cut + 1)
+      val depth = if (conds.isEmpty) 0 else conds.count(_ == '&') + 1
+      def q(v: String) = "'" + v.replace("'", "''") + "'"
+      s"(${q(l)}, ${q(label)}, $depth)"
+    }
+    s"SELECT rule, label, depth FROM (VALUES ${rows.mkString(", ")}) " +
+      "AS t(rule, label, depth) ORDER BY rule"
   }
 
   /** Flagship (SparkEntry.entry): rank every attribute by root gain
@@ -602,6 +627,6 @@ object C45Queries {
     "q_confusion" -> qConfusionSql,
     "q_running" -> qRunningSql,
     "q_quantiles" -> qQuantilesSql,
-    // q_fit_tree: iterative, not SQL-expressible → rows-only check
+    "q_fit_tree" -> qFitTreeSql,
   )
 }

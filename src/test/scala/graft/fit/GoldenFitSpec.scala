@@ -30,6 +30,29 @@ class GoldenFitSpec extends AnyFunSuite {
     check("sf0.01", "golden/fit_sf001_rules.txt")
   }
 
+  test("q_fit_tree output matches the qFitTreeSql VALUES oracle row-for-row") {
+    // The driver's gate hash-compares qFitTree's parquet against
+    // qFitTreeSql (a VALUES pin generated from the same golden
+    // resource). This asserts the Spark side of that compare locally:
+    // the (rule, label, depth) triples the query emits are EXACTLY the
+    // triples the oracle SQL encodes — same parse, same order.
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR_BASE", "/root/testdata") + "/sf0.01"
+    if (!new java.io.File(dir).isDirectory) cancel(s"testdata $dir not present")
+    val golden = scala.io.Source.fromResource("golden/fit_sf001_rules.txt")
+      .getLines().filter(_.nonEmpty).toVector
+      .map { l =>
+        val cut = l.lastIndexOf(':')
+        val conds = l.substring(0, cut)
+        (l, l.substring(cut + 1), if (conds.isEmpty) 0 else conds.count(_ == '&') + 1)
+      }.sortBy(_._1)
+    val got = graft.queries.C45Queries.qFitTree(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toVector
+    assert(got == golden)
+    // and the SQL literal itself carries every golden rule
+    val sql = graft.queries.C45Queries.qFitTreeSql
+    assert(golden.forall { case (rule, _, _) => sql.contains(s"('$rule'") })
+  }
+
   test("q_fit_tree reproduces the committed sf0.1 rule set exactly") {
     // at sf0.1 the golden tree is a single majority leaf — legitimate:
     // TPC-H l_linestatus is independent of these attributes, so root
