@@ -28,6 +28,11 @@ import org.apache.spark.sql.functions._
 object C45Queries {
 
   private val ClassLabels = Seq("F", "O")
+  // qFitDeep's declared label set (sorted): hierarchical —
+  // quantity side, then returnflag inside L, tax inside LA, discount
+  // inside H — declaring it skips the discovery distinct job
+  private val DeepClassLabels: Seq[String] =
+    Seq("Hd0", "Hd1", "LAt0", "LAt1", "LN", "LR")
   private def li(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "lineitem")
   private def r6(c: Column): Column = round(c, 6)
 
@@ -523,8 +528,12 @@ object C45Queries {
     * deterministic (ties break on (gainRatio, -aid) / (cond_entropy,
     * boundary)), so any divergence is a real semantic change. Valid at
     * sf0.01 only — scripts/sweep.py golden-compares other tiers. */
-  val qFitTreeSql: String = {
-    val src = scala.io.Source.fromResource("golden/fit_sf001_rules.txt")
+  val qFitTreeSql: String = goldenValuesSql("golden/fit_sf001_rules.txt")
+
+  /** Committed golden rule set (resource path) → the VALUES oracle
+    * DuckDB replays: (rule, label, depth) exactly as `toDF` emits. */
+  private def goldenValuesSql(resource: String): String = {
+    val src = scala.io.Source.fromResource(resource)
     val lines = try src.getLines().filter(_.nonEmpty).toVector finally src.close()
     val rows = lines.map { l =>
       val cut = l.lastIndexOf(':')
@@ -537,6 +546,55 @@ object C45Queries {
     s"SELECT rule, label, depth FROM (VALUES ${rows.mkString(", ")}) " +
       "AS t(rule, label, depth) ORDER BY rule"
   }
+
+  /** Deep-frontier fit under the driver's gate. `q_fit_tree`'s natural
+    * label (l_linestatus) is independent of the attributes, so past
+    * sf0.01 its tree is a single root leaf and the incremental
+    * broadcast-join routing path (C45.fit's deep-frontier plan — the
+    * plan a thousand-leaf tree on a 100 TB corpus must take) never
+    * executes under the correctness gate. This query makes that path
+    * gate-checked with routeJoinThreshold=1: every level past the root
+    * routes through the broadcast rule-table join, numeric AND
+    * categorical child maps both exercised (frontier 1 → 2 → 4 → 3).
+    *
+    * The label is engineered so every split decision wins by a REAL
+    * margin, never an ulp. Two traps shape it: (a) a full product
+    * label (returnflag × quantity-band × …) gives EVERY component
+    * attribute a gain ratio of exactly 1.0 in real arithmetic — each
+    * split's sides are unions of classes, so gain == splitInfo — and
+    * the argmax then hangs on floating-point noise (observed: sf0.1
+    * and its exact 10× replication picked different roots); (b) the
+    * fit never reuses a path attribute (Rule.usedAttrs — the
+    * reference's once-per-path rule), so a multi-cut ladder on one
+    * numeric attribute cannot resolve. Hence a HIERARCHICAL label:
+    * each level reveals a different attribute, and only inside one
+    * branch of its parent — the revealed attribute scores exactly 1.0
+    * at its node while every other candidate mixes classes and lands
+    * strictly below (≈0.5 at the root, ≈0.33 below), gaps that are
+    * functions of exact counts, invariant to scale. Oracle: VALUES pin
+    * of the committed sf0.01 golden; GoldenFitSpec pins sf0.1 and the
+    * replicated sf1 tier. */
+  def qFitDeep(s: SparkSession, dir: String): DataFrame = {
+    val schema = C45Schema(
+      Seq(AttrMeta("l_returnflag", isNumeric = false),
+        AttrMeta("l_linenumber", isNumeric = false),
+        AttrMeta("l_quantity", isNumeric = true),
+        AttrMeta("l_discount", isNumeric = true),
+        AttrMeta("l_tax", isNumeric = true)),
+      "cls", DeepClassLabels)
+    val df = li(s, dir)
+      .withColumn("l_linenumber", col("l_linenumber").cast("string"))
+      .withColumn("cls",
+        when(col("l_quantity") <= 25,
+          when(col("l_returnflag") === "A",
+            when(col("l_tax") <= 0.04, lit("LAt0")).otherwise(lit("LAt1")))
+            .otherwise(concat(lit("L"), col("l_returnflag"))))
+          .otherwise(
+            when(col("l_discount") <= 0.05, lit("Hd0")).otherwise(lit("Hd1"))))
+    C45.fit(df, schema, C45Params(maxDepth = 3, routeJoinThreshold = 1))
+      .toDF(s).orderBy("rule")
+  }
+  val qFitDeepSql: String = goldenValuesSql("golden/fit_deep_sf001_rules.txt")
 
   /** Flagship (SparkEntry.entry): rank every attribute by root gain
     * ratio — the reference's level-0 decision, end to end. */
@@ -600,6 +658,7 @@ object C45Queries {
     "q_running" -> (qRunning _),
     "q_quantiles" -> (qQuantiles _),
     "q_fit_tree" -> (qFitTree _),
+    "q_fit_deep" -> (qFitDeep _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -628,5 +687,6 @@ object C45Queries {
     "q_running" -> qRunningSql,
     "q_quantiles" -> qQuantilesSql,
     "q_fit_tree" -> qFitTreeSql,
+    "q_fit_deep" -> qFitDeepSql,
   )
 }

@@ -756,6 +756,40 @@ object ExtQueries {
        |WHERE w_start + $WStatsWindowMs <= mx - $WStatsDelayMs
        |ORDER BY w_start, event_type""".stripMargin
 
+  // ---- second tumbling-window configuration (1-day windows, 6-hour
+  //      watermark, no type key, extrema aggs) sharing the session:
+  //      proves the append-mode emission-rule oracle generalizes
+  //      beyond the hourly per-type shape ----
+  private val WDailyWindowMs = 86400000L // 1 day
+  private val WDailyDelayMs = 21600000L  // 6 hours
+  def qStreamWindowDaily(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"graft_stream_wdaily_${streamRuns.incrementAndGet()}"
+    val q = graft.streaming.StreamingStats.windowedDailyStats(
+        graft.streaming.StreamingStats.readRawEventStream(s, dir),
+        windowLen = "1 day", watermark = "6 hours")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    awaitStreamOrFail(q)
+    s.table(name)
+      .select(col("w_start"), col("n"), round(col("sum_value"), 2).as("sum_value"),
+        round(col("min_value"), 6).as("min_value"),
+        round(col("max_value"), 6).as("max_value"))
+      .orderBy("w_start")
+  }
+  val qStreamWindowDailySql: String =
+    s"""WITH e AS (SELECT epoch_ms(ts) AS ms, value FROM events),
+       |m AS (SELECT max(ms) AS mx FROM e),
+       |w AS (SELECT ms // $WDailyWindowMs * $WDailyWindowMs AS w_start,
+       |    count(*) AS n,
+       |    round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+       |    round(min(value), 6) AS min_value,
+       |    round(max(value), 6) AS max_value
+       |  FROM e GROUP BY 1)
+       |SELECT w_start, n, sum_value, min_value, max_value FROM w, m
+       |WHERE w_start + $WDailyWindowMs <= mx - $WDailyDelayMs
+       |ORDER BY w_start""".stripMargin
+
   // ---- streaming exact dedup at ingestion (dropDuplicates state).
   //      The SET of surviving content hashes is deterministic; WHICH
   //      duplicate doc_id survives is first-seen within a micro-batch
@@ -842,6 +876,7 @@ object ExtQueries {
     "q_redact" -> (qRedact _),
     "q_repetition" -> (qRepetition _),
     "q_stream_window_stats" -> (qStreamWindowStats _),
+    "q_stream_window_daily" -> (qStreamWindowDaily _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_enrich" -> (qStreamEnrich _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -876,6 +911,7 @@ object ExtQueries {
     "q_redact" -> qRedactSql,
     "q_repetition" -> qRepetitionSql,
     "q_stream_window_stats" -> qStreamWindowStatsSql,
+    "q_stream_window_daily" -> qStreamWindowDailySql,
     "q_stream_dedup" -> qStreamDedupSql,
     "q_stream_enrich" -> qStreamEnrichSql,
     "q_heavy_hitters" -> qHeavyHittersSql,

@@ -32,6 +32,37 @@ object StreamingStats {
       .select(unix_millis(col("w.start")).as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Second tumbling-window configuration over the same stream: daily
+    * windows across ALL event types (no type key), with min/max value
+    * extrema alongside the count/sum — proves the append-mode emission
+    * rule and the decimal-sum determinism generalize beyond the hourly
+    * per-type shape, and amortizes the per-query micro-batch startup
+    * when run in the same SparkSession as [[windowedTypeStats]]. */
+  def windowedDailyStats(events: DataFrame, windowLen: String = "1 day",
+                         watermark: String = "6 hours"): DataFrame =
+    events
+      .withColumn("ts_time", timestamp_millis(expr("ts div 1000000")))
+      .withWatermark("ts_time", watermark)
+      .groupBy(window(col("ts_time"), windowLen).as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(unix_millis(col("w.start")).as("w_start"), col("n"),
+        col("sum_value"), col("min_value"), col("max_value"))
+
+  /** Batch twin of [[windowedDailyStats]] for differential testing. */
+  def windowedDailyStatsBatch(events: DataFrame, windowLen: String = "1 day"): DataFrame =
+    events
+      .withColumn("ts_time", timestamp_millis(expr("ts div 1000000")))
+      .groupBy(window(col("ts_time"), windowLen).as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(unix_millis(col("w.start")).as("w_start"), col("n"),
+        col("sum_value"), col("min_value"), col("max_value"))
+
   /** Batch twin of [[windowedTypeStats]] (no watermark — batch plans
     * reject it) for differential testing. */
   def windowedTypeStatsBatch(events: DataFrame, windowLen: String = "1 hour"): DataFrame =

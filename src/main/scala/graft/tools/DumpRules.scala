@@ -2,17 +2,21 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dump the fitted sf0.01 rule set (for the golden-fit spec). */
+/** Dump a fitted rule set (for the golden-fit specs).
+  * args: [sfDir] [fitQuery] — fitQuery is "tree" (default) or "deep". */
 object DumpRules {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val fit = if (args.length > 1 && args(1) == "deep")
+      graft.queries.C45Queries.qFitDeep _
+    else graft.queries.C45Queries.qFitTree _
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.queries.C45Queries.qFitTree(spark, sfDir).collect()
+    fit(spark, sfDir).collect()
       .foreach(r => println("RULE|" + r.getString(0) + "|" + r.getString(1) + "|" + r.getInt(2)))
     spark.stop()
   }

@@ -14,13 +14,20 @@ import org.scalatest.funsuite.AnyFunSuite
 class GoldenFitSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  private def check(sf: String, goldenResource: String): Unit = {
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR_BASE", "/root/testdata") + "/" + sf
+  private def tierDir(sf: String): String =
+    if (sf == "sf1") "testdata-sf1" // repo-local, scripts/gen_sf1.py
+    else sys.env.getOrElse("SPARK_GRAFT_SF_DIR_BASE", "/root/testdata") + "/" + sf
+
+  private def check(sf: String, goldenResource: String,
+                    query: (org.apache.spark.sql.SparkSession, String) =>
+                      org.apache.spark.sql.DataFrame =
+                      graft.queries.C45Queries.qFitTree): Unit = {
+    val dir = tierDir(sf)
     if (!new java.io.File(dir).isDirectory)
       cancel(s"testdata $dir not present on this machine")
     val golden = scala.io.Source.fromResource(goldenResource)
       .getLines().filter(_.nonEmpty).toVector
-    val got = graft.queries.C45Queries.qFitTree(spark, dir)
+    val got = query(spark, dir)
       .collect().map(_.getString(0)).toVector
     assert(got == golden,
       s"fitted rule set diverged from golden ($sf):\n got=${got.mkString("\n ")}")
@@ -51,6 +58,33 @@ class GoldenFitSpec extends AnyFunSuite {
     // and the SQL literal itself carries every golden rule
     val sql = graft.queries.C45Queries.qFitTreeSql
     assert(golden.forall { case (rule, _, _) => sql.contains(s"('$rule'") })
+  }
+
+  // q_fit_deep: the join-routed fit (routeJoinThreshold=1 forces every
+  // level past the root through the broadcast rule-table join, with
+  // both a categorical child map and numeric boundary routes on the
+  // frontier). The hierarchical label is designed so the tree is
+  // IDENTICAL at every tier — each node's winning attribute scores a
+  // gain ratio of exactly 1.0 while all rivals mix classes and land
+  // ≥0.3 below, margins that depend only on count proportions (see
+  // C45Queries.qFitDeep). These pins therefore guard BOTH determinism
+  // of the routed path and that tier-invariance claim, at the gate's
+  // scale, the bench's scale, and the replicated sf1 tier — the
+  // largest local stand-in for the 100 TB regime, where the
+  // incremental routing plan is the one a wide tree must take.
+  test("q_fit_deep reproduces the committed sf0.01 rule set exactly") {
+    check("sf0.01", "golden/fit_deep_sf001_rules.txt",
+      graft.queries.C45Queries.qFitDeep)
+  }
+
+  test("q_fit_deep at sf0.1 matches the committed golden") {
+    check("sf0.1", "golden/fit_deep_sf001_rules.txt",
+      graft.queries.C45Queries.qFitDeep)
+  }
+
+  test("q_fit_deep at the replicated sf1 tier reproduces the committed golden") {
+    check("sf1", "golden/fit_deep_sf1_rules.txt",
+      graft.queries.C45Queries.qFitDeep)
   }
 
   test("q_fit_tree reproduces the committed sf0.1 rule set exactly") {

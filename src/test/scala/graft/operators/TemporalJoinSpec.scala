@@ -37,6 +37,33 @@ class TemporalJoinSpec extends AnyFunSuite {
       got.getAs[String]("asof_w") == "b")
   }
 
+  test("asof join plans ONE shuffle and no join operator at all") {
+    // The load-bearing 100 TB claim (TemporalJoin scaladoc): as-of is
+    // union + running window — ONE hash exchange on the key feeding
+    // one sort, never an inequality join (which would plan as a
+    // broadcast-nested-loop / cartesian range product). Pin the plan:
+    // exactly one shuffle exchange, zero join nodes of any kind, and
+    // no second exchange after the union reaches the window.
+    val s = spark
+    import s.implicits._
+    val left = (0 until 64).map(i => (i.toLong % 4, i.toLong, s"e$i"))
+      .toDF("k", "ts", "tag")
+    val right = (0 until 32).map(i => (i.toLong % 4, i.toLong * 2, i * 1.0))
+      .toDF("k", "rts", "v")
+    val got = TemporalJoin.asofJoin(left, right, "k", "ts", "rts", Seq("v"))
+    got.collect() // materialize so AQE finalizes the executed plan
+    // AQE's toString prints the final plan followed by the initial
+    // plan — count exchanges in the final section only
+    val plan = got.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"asof join must shuffle exactly once (got $shuffles):\n$plan")
+    for (bad <- Seq("SortMergeJoin", "BroadcastNestedLoopJoin",
+        "CartesianProduct", "BroadcastHashJoin"))
+      assert(!plan.contains(bad), s"unexpected $bad in asof plan:\n$plan")
+  }
+
   test("reserved / missing / colliding column names fail loudly, not silently") {
     val s = spark
     import s.implicits._

@@ -78,6 +78,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("daily windowed stats emit EXACTLY the watermark-closed batch windows") {
+    // Stronger than the hourly subset check: the emission rule is
+    // pinned exactly — append mode emits precisely the windows whose
+    // end the final watermark (max event time − 6h) has passed, and
+    // each emitted row equals the batch twin bit-for-bit (the same
+    // rule the q_stream_window_daily DuckDB oracle mirrors).
+    val stream = spark.readStream
+      .schema(StreamingSessionize.eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sf)
+    val q = StreamingStats.windowedDailyStats(stream).writeStream
+      .format("memory").queryName("win_daily_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("win_daily_out").collect().map(_.toSeq).toSet
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val maxMs = events.agg(max(expr("ts div 1000000"))).collect()(0).getLong(0)
+    val dayMs = 86400000L
+    val expected = StreamingStats.windowedDailyStatsBatch(events)
+      .filter(col("w_start") + dayMs <= maxMs - 21600000L)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == expected)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-static enrichment equals the batch join exactly") {
     val stream = spark.readStream
       .schema(StreamingSessionize.eventSchema)
