@@ -172,9 +172,6 @@ object C45 {
         .map(e => graft.functions.SortedCeilSnap.snapTo(e, raw))
         .getOrElse(raw)
     }
-    def numPairs(attrs: Seq[graft.meta.AttrMeta]): Seq[Column] =
-      attrs.flatMap(a => Seq(lit(schema.attrIndex(a.name)), numValCol(a)))
-
     var open = Vector(Rule.root)
     var closed = Vector.empty[Rule]
     var globalMajority: Option[String] = None
@@ -254,115 +251,137 @@ object C45 {
             case (None, false)     => catBranchOf(null)
             case (None, true)      => lit(null) // no attributes: route nothing
           }
-          prevBase
+          val routed = prevBase
             .join(broadcast(routeDf), prevBase("__rid") === routeDf("__prid"))
             .withColumn("__ridNext", routedRid)
             .filter(col("__ridNext").isNotNull)
             .drop("__rid", "__prid", "__kind", "__aid", "__boundary",
               "__lrid", "__rrid", "__children")
             .withColumnRenamed("__ridNext", "__rid")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+          // the persist exists for the NEXT level's route join; at
+          // level == maxDepth every open rule closes (depth == level),
+          // so there is no next level and caching would be pure cost
+          if (level < params.maxDepth) routed.persist(StorageLevel.MEMORY_AND_DISK)
+          else routed
         }
-      if (useJoin) routedPersists += base
+      if (useJoin && level < params.maxDepth) routedPersists += base
 
-      // The per-level actions are independent — run them concurrently
-      // (the reference serializes one MR job per level; we overlap the
-      // categorical and numeric stat jobs on the same cached data).
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-
-      // candidate cells AND per-rule class counts from ONE scan of base:
-      // a sentinel pair (aid = -1, val = class label) rides along in the
-      // explode, so the aggregation emits the (rid, cls) marginal as its
-      // aid = -1 slice. The class label is never null, so the val-null
-      // filter (which drops null ATTRIBUTE values — unsupported in fit,
-      // as in the reference which would NPE on them; such rows still
-      // count for every other attribute) cannot skew majority labels or
-      // the pure-node check. This replaces the dedicated
-      // base.groupBy(__rid, __cls) job — one fewer full pass over the
-      // routed dataset per tree level.
-      val catCells =
-        if (catAttrs.isEmpty) None
-        else Some(base
-          .select(col("__rid"), col("__cls").as("cls"),
-            explode(map(Seq(lit(-1), col("__cls")) ++
-              attrPairs(catAttrs, "string"): _*)).as(Seq("aid", "val")))
-          .filter(col("val").isNotNull)
-          .groupBy("__rid", "aid", "val", "cls")
-          .agg(count(lit(1)).as("cnt"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
-
-      def collectClsCounts(df: DataFrame): Map[Int, Map[String, Long]] =
-        df.collect()
-          .groupBy(_.getInt(0))
-          .map { case (rid, rows) =>
-            rid -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
-          }
-      val clsCountsF: Future[Map[Int, Map[String, Long]]] = catCells match {
-        case Some(cells) => Future {
-          collectClsCounts(cells.filter(col("aid") === -1)
-            .groupBy(col("__rid"), col("cls")).agg(sum("cnt").as("n")))
-        }
-        // numeric-only schema: dedicated tiny aggregation over base
-        case None => Future {
-          collectClsCounts(base.groupBy(col("__rid"), col("__cls")).count())
-        }
-      }
-
-      val catF: Future[(Map[(Int, Int), Cand], Map[(Int, Int), Seq[String]])] =
-        catCells match {
-          case None => Future.successful(
-            (Map.empty[(Int, Int), Cand], Map.empty[(Int, Int), Seq[String]]))
-          case Some(allCells) => Future {
-            val cells = allCells.filter(col("aid") =!= -1)
-            val stats = InfoStats
-              .categoricalSplitStats(cells, Seq("__rid", "aid"))
-              .collect()
-              .map(r => (r.getInt(0), r.getInt(1)) ->
-                Cand(r.getInt(1), r.getDouble(7), r.getDouble(6), None))
-              .toMap
-            val values = cells.select("__rid", "aid", "val").distinct().collect()
-              .groupBy(r => (r.getInt(0), r.getInt(1)))
-              .map { case (k, rows) => k -> rows.map(_.getString(2)).toSeq.sorted }
-            (stats, values)
-          }
-        }
-
-      // numeric: one-pass window split search per (rule, attr)
-      val numF: Future[Map[(Int, Int), Cand]] =
-        if (numAttrs.isEmpty) Future.successful(Map.empty)
-        else Future {
-          val numDf = base
-            .select(col("__rid"), col("__cls").as("cls"),
-              explode(map(numPairs(numAttrs): _*)).as(Seq("aid", "val")))
-            // +Inf (the top bin) stays IN: those rows belong to the
-            // right side of every candidate split; +Inf itself is the
-            // group maximum, which the scan already skips as a boundary
-            .filter(col("val").isNotNull)
-          val scan = InfoStats.boundaryScan(numDf, Seq("__rid", "aid"),
-            classLabels, minDataRatio = params.minDataRatio)
-          InfoStats.bestSplits(scan, Seq("__rid", "aid")).collect()
-            .map(r => (r.getInt(0), r.getInt(1)) ->
-              Cand(r.getInt(1), r.getDouble(10), r.getDouble(9),
-                Some(r.getDouble(2))))
-            .toMap
-        }
-
+      // ONE scan of the routed base produces EVERY per-level statistic
+      // (the histogram-aggregation shape — executors build bounded
+      // contingency histograms, the driver picks the splits; the
+      // reference instead streams every raw (rule,attr,val,cls) PAIR
+      // through one reducer, MyReducer.java:36-206). A single explode
+      // carries a class sentinel (aid = -1), the categorical values as
+      // strings, and the (quantile-snapped) numeric values cast to
+      // string — doubles round-trip exactly through Double.toString —
+      // and ONE partially-aggregated groupBy collapses the data to
+      // (rule, attr, value, class) cells. Cell cardinality is bounded
+      // by #rules × #attrs × #values × #classes with #values ≤ maxBins
+      // by the binning contract — O(model), never O(data) — so the
+      // entropy / gain-ratio / boundary-scan math runs driver-side in
+      // deterministic sorted order. This replaced three concurrent
+      // Spark stat jobs (categorical stats, numeric window scan, class
+      // counts) and their persisted intermediate: one job, one
+      // collect, one scan of base per level (~2.5× faster per level at
+      // 600k rows; identical decisions — golden-pinned).
+      // The val-null filter drops null ATTRIBUTE values (unsupported
+      // in fit, as in the reference which would NPE on them; such rows
+      // still count for every other attribute); the class label is
+      // never null (checked up front), so the aid = -1 slice is the
+      // exact (rid, cls) marginal and majority/pure checks are unskewed.
+      val allPairs: Seq[Column] =
+        Seq(lit(-1), col("__cls")) ++ attrPairs(catAttrs, "string") ++
+          numAttrs.flatMap(a => Seq(lit(schema.attrIndex(a.name)),
+            numValCol(a).cast("string")))
       val tLevel0 = System.nanoTime()
-      val (clsCounts, catStats, catValues, numStats) = try {
-        val cls = Await.result(clsCountsF, Duration.Inf)
-        val tCls = (System.nanoTime() - tLevel0) / 1e9
-        val (cat, catVals) = Await.result(catF, Duration.Inf)
-        val tCat = (System.nanoTime() - tLevel0) / 1e9
-        val num = Await.result(numF, Duration.Inf)
-        val tNum = (System.nanoTime() - tLevel0) / 1e9
-        if (profile)
-          // first bucket includes materializing the persisted cell
-          // aggregation (clsCounts awaits it), so label it honestly
-          println(f"[fit] level=$level rules=${open.size} cells+cls=$tCls%.2fs +cat=$tCat%.2fs +num=$tNum%.2fs")
-        (cls, cat, catVals, num)
-      } finally catCells.foreach(_.unpersist()) // also on a failed level job
+      val cells: Array[(Int, Int, String, String, Long)] = base
+        .select(col("__rid"), col("__cls").as("cls"),
+          explode(map(allPairs: _*)).as(Seq("aid", "val")))
+        .filter(col("val").isNotNull)
+        .groupBy("__rid", "aid", "val", "cls")
+        .agg(count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
+          r.getLong(4)))
+
+      val clsCounts: Map[Int, Map[String, Long]] = cells.iterator
+        .filter(_._2 == -1).toSeq
+        .groupBy(_._1)
+        .map { case (rid, cs) => rid -> cs.map(c => c._3 -> c._5).toMap }
+
+      // driver-side split stats on the collected cells — the same
+      // factored identities as InfoStats (A4-A7 and the O2 boundary
+      // scan), summed in sorted (value, class) order so the floating-
+      // point result is independent of partitioning AND of scale
+      // (10× counts shift every term by the same log2(10)).
+      val catStats = Map.newBuilder[(Int, Int), Cand]
+      val catValues = Map.newBuilder[(Int, Int), Seq[String]]
+      val numStats = Map.newBuilder[(Int, Int), Cand]
+      cells.iterator.filter(_._2 != -1).toSeq
+        .groupBy(t => (t._1, t._2))
+        .toSeq.sortBy(_._1)
+        .foreach { case ((rid, aid), cs) =>
+          val n = cs.map(_._5).sum
+          val sCls = cs.groupBy(_._4)
+            .map { case (c, g) => c -> g.map(_._5).sum }
+            .toSeq.sortBy(_._1).map(t => InfoStats.plogpD(t._2)).sum
+          val info = InfoStats.log2D(n) - sCls / n
+          if (!schema.isNumericAttr(aid)) {
+            val perVal = cs.groupBy(_._3).toSeq.sortBy(_._1)
+            val sVal = perVal.map { case (_, g) => InfoStats.plogpD(g.map(_._5).sum) }.sum
+            val sCell = cs.sortBy(t => (t._3, t._4)).map(t => InfoStats.plogpD(t._5)).sum
+            val splitInfo = InfoStats.log2D(n) - sVal / n
+            val condE = (sVal - sCell) / n
+            catStats += (rid, aid) -> Cand(aid, InfoStats.gainRatioD(info, splitInfo, condE),
+              info - condE, None)
+            catValues += (rid, aid) -> perVal.map(_._1)
+          } else {
+            // boundary scan over sorted distinct values: cumulative
+            // class counts give the left contingency row at each
+            // candidate; the maximum value has no right side and the
+            // minDataRatio guard applies to both sides
+            // (MyReducer.java:140-141,188-190). Argmin on
+            // (cond_entropy, boundary), strict <.
+            val labels = classLabels.sorted
+            val byVal = cs.groupBy(_._3)
+              .map { case (v, g) =>
+                v.toDouble -> labels.map(c =>
+                  g.filter(_._4 == c).map(_._5).sum)
+              }.toSeq.sortBy(_._1)
+            val tot = labels.indices.map(i => byVal.map(_._2(i)).sum)
+            val left = Array.fill(labels.size)(0L)
+            var leftN = 0L
+            var best: Option[(Double, Double)] = None // (condE, boundary)
+            byVal.foreach { case (v, rowCounts) =>
+              labels.indices.foreach(i => left(i) += rowCounts(i))
+              leftN += rowCounts.sum
+              val rightN = n - leftN
+              if (rightN > 0 && leftN >= n * params.minDataRatio &&
+                  rightN >= n * params.minDataRatio) {
+                val sLeft = labels.indices.map(i => InfoStats.plogpD(left(i))).sum
+                val sRight = labels.indices.map(i =>
+                  InfoStats.plogpD(tot(i) - left(i))).sum
+                val condE = ((leftN * InfoStats.log2D(leftN) - sLeft) +
+                  (rightN * InfoStats.log2D(rightN) - sRight)) / n
+                if (best.forall(b => condE < b._1)) best = Some((condE, v))
+              }
+            }
+            best.foreach { case (condE, b) =>
+              val leftBN = byVal.takeWhile(_._1 <= b).map(_._2.sum).sum
+              val rightBN = n - leftBN
+              val splitInfo = InfoStats.log2D(n) -
+                (InfoStats.plogpD(leftBN) + InfoStats.plogpD(rightBN)) / n
+              numStats += (rid, aid) -> Cand(aid,
+                InfoStats.gainRatioD(info, splitInfo, condE), info - condE, Some(b))
+            }
+          }
+        }
+      if (profile) {
+        val t = (System.nanoTime() - tLevel0) / 1e9
+        println(f"[fit] level=$level rules=${open.size} cells=${cells.length} stats=$t%.2fs")
+      }
+      val (catStatsM, catValuesM, numStatsM) =
+        (catStats.result(), catValues.result(), numStats.result())
 
       // driver-side per-rule decision (O3/O4): tiny tables only. The
       // same pass records each split as a Route row so the next level
@@ -383,7 +402,7 @@ object C45 {
           if (globalMajority.isEmpty && rid == 0 && level == 0)
             globalMajority = Some(majority)
           val pure = counts.size == 1
-          val cands = (catStats ++ numStats).collect {
+          val cands = (catStatsM ++ numStatsM).collect {
             case ((r, aid), c)
               if r == rid && !rule.usedAttrs.contains(aid) &&
                 c.gain > 1e-12 && c.gainRatio > InfoStats.Epsilon => c
@@ -402,7 +421,7 @@ object C45 {
               case None =>
                 // one child per value observed at this node (#4: children
                 // for absent domain values would hold zero rows)
-                val vals = catValues((rid, best.aid))
+                val vals = catValuesM((rid, best.aid))
                 routes += Route(rid, "cat", best.aid, 0.0, -1, -1,
                   vals.zipWithIndex.map { case (v, i) => v -> (nextIdx + i) }
                     .toMap)

@@ -31,6 +31,27 @@ object InfoStats {
   def plogp(c: Column): Column =
     when(c > 0, c * log2(c)).otherwise(lit(0.0))
 
+  // Driver-side mirrors of the Column formulas, for math over bounded
+  // collected histograms (C45.fit's per-level cells are O(model)).
+  // Same identities, same special cases — summation order is the
+  // CALLER's responsibility (sort keys first for determinism).
+
+  /** Driver-side log2 (same ln-ratio form Spark's `log2` evaluates). */
+  def log2D(x: Double): Double = math.log(x) / math.log(2.0)
+
+  /** Driver-side [[plogp]]. */
+  def plogpD(x: Double): Double = if (x > 0) x * log2D(x) else 0.0
+
+  /** Driver-side gain ratio with the reference's splitInfo==0 special
+    * cases (MyReducer.java:282-298), mirroring [[withGainRatio]]:
+    * |splitInfo| < 1e-12 ⇒ 0 when the node is pure, else ε. */
+  def gainRatioD(info: Double, splitInfo: Double, condE: Double): Double = {
+    val tol = 1e-12
+    if (math.abs(splitInfo) < tol) {
+      if (math.abs(info) < tol) 0.0 else Epsilon
+    } else (info - condE) / splitInfo
+  }
+
   /** Per-key counts of `cls` within each gid group: the A2/A3 contingency
     * builder. Input: raw rows; output: gid ++ (keyCols, cnt). */
   def counts(df: DataFrame, cols: Seq[String]): DataFrame =
