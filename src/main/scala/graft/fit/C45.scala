@@ -206,6 +206,17 @@ object C45 {
       //    no shuffle — the Spark analogue of the reference's
       //    distributed-cache rule queue (Main.java:189).
       val useJoin = level > 0 && open.size > params.routeJoinThreshold
+      // attributes used on EVERY open path are dead: the once-per-path
+      // rule bars them as candidates for every open rule and therefore
+      // for every future route. Drop them from the routed base's cache
+      // AND the histogram explode — the frontier's shared prefix grows
+      // with depth, so deep trees shed columns (and explode volume) as
+      // they grow. Monotone across levels: a child's usedAttrs is a
+      // superset of its parent's, so a column absent from the previous
+      // level's base is never referenced again.
+      val deadAids: Set[Int] = open.map(_.usedAttrs).reduce(_ intersect _)
+      val liveCatAttrs = catAttrs.filterNot(a => deadAids(schema.attrIndex(a.name)))
+      val liveNumAttrs = numAttrs.filterNot(a => deadAids(schema.attrIndex(a.name)))
       val base =
         if (!useJoin) {
           val ridCol = {
@@ -230,26 +241,33 @@ object C45 {
           // branch exists only when its attribute class does: a
           // categorical-only schema gets no num subtree at all (not a
           // dead element_at over a NullType map), and vice versa.
+          // the route maps cover only the attrs the pending routes
+          // actually split on — those were candidates at the previous
+          // level, so they are guaranteed alive in prevBase even after
+          // dead-column slimming (and the expression stays minimal)
+          val routeAids = pendingRoutes.map(_.aid).toSet
+          val routeNum = numAttrs.filter(a => routeAids(schema.attrIndex(a.name)))
+          val routeCat = catAttrs.filter(a => routeAids(schema.attrIndex(a.name)))
           val numBranch =
-            if (numAttrs.isEmpty) None
+            if (routeNum.isEmpty) None
             else {
-              val numvCol = map(numAttrs.flatMap(a =>
+              val numvCol = map(routeNum.flatMap(a =>
                 Seq(lit(schema.attrIndex(a.name)), col(a.name).cast("double"))): _*)
               Some(when(col("__kind") === "num",
                 when(element_at(numvCol, col("__aid")) <= col("__boundary"), col("__lrid"))
                   .when(element_at(numvCol, col("__aid")) > col("__boundary"), col("__rrid"))))
             }
           val catBranchOf: Column => Column = prev => {
-            val catvCol = map(attrPairs(catAttrs, "string"): _*)
+            val catvCol = map(attrPairs(routeCat, "string"): _*)
             val hit = element_at(col("__children"), element_at(catvCol, col("__aid")))
             if (prev == null) when(col("__kind") === "cat", hit)
             else prev.when(col("__kind") === "cat", hit)
           }
-          val routedRid = (numBranch, catAttrs.isEmpty) match {
+          val routedRid = (numBranch, routeCat.isEmpty) match {
             case (Some(nb), true)  => nb
             case (Some(nb), false) => catBranchOf(nb)
             case (None, false)     => catBranchOf(null)
-            case (None, true)      => lit(null) // no attributes: route nothing
+            case (None, true)      => lit(null) // no routes: route nothing
           }
           val routed = prevBase
             .join(broadcast(routeDf), prevBase("__rid") === routeDf("__prid"))
@@ -258,6 +276,9 @@ object C45 {
             .drop("__rid", "__prid", "__kind", "__aid", "__boundary",
               "__lrid", "__rrid", "__children")
             .withColumnRenamed("__ridNext", "__rid")
+            // dead columns (shared path prefix) leave the cache here;
+            // .drop is lenient about ones the previous level already shed
+            .drop(names.filter(n => deadAids(schema.attrIndex(n))): _*)
           // the persist exists for the NEXT level's route join; at
           // level == maxDepth every open rule closes (depth == level),
           // so there is no next level and caching would be pure cost
@@ -290,8 +311,8 @@ object C45 {
       // never null (checked up front), so the aid = -1 slice is the
       // exact (rid, cls) marginal and majority/pure checks are unskewed.
       val allPairs: Seq[Column] =
-        Seq(lit(-1), col("__cls")) ++ attrPairs(catAttrs, "string") ++
-          numAttrs.flatMap(a => Seq(lit(schema.attrIndex(a.name)),
+        Seq(lit(-1), col("__cls")) ++ attrPairs(liveCatAttrs, "string") ++
+          liveNumAttrs.flatMap(a => Seq(lit(schema.attrIndex(a.name)),
             numValCol(a).cast("string")))
       val tLevel0 = System.nanoTime()
       val cells: Array[(Int, Int, String, String, Long)] = base

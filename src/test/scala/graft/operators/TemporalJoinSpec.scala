@@ -112,4 +112,29 @@ class TemporalJoinSpec extends AnyFunSuite {
     }
     assert(expected.nonEmpty)
   }
+
+  test("point-in-interval plans a hash/merge join on the bucket key, never a nested loop") {
+    // The load-bearing 100 TB claim (TemporalJoin scaladoc): the range
+    // predicate must reach the executors as an EQUI-join on
+    // (bucket, key) plus a residual filter — a naive ts-inequality
+    // join plans as BroadcastNestedLoopJoin / cartesian range product,
+    // O(|points|·|intervals|). Pin the executed plan: some equi-join
+    // operator (broadcast-hash at test volume, sort-merge/shuffled-
+    // hash at scale — all key-partitioned) and zero loop joins.
+    val s = spark
+    import s.implicits._
+    val points = (1L to 200L).map(t => (t, t % 4, t * 7 % 97)).toDF("pid", "k", "t")
+    val intervals = (1L to 40L).map(i => (i, i % 4, i * 2, i * 2 + 10))
+      .toDF("iid", "ik", "lo", "hi")
+    val got = TemporalJoin.pointInInterval(
+      points, "k", "t", intervals, "ik", "lo", "hi", 8L)
+    got.collect()
+    val plan = got.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+      .exists(plan.contains),
+      s"range join must plan as an equi-join on the bucket key:\n$plan")
+    for (bad <- Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!plan.contains(bad), s"unexpected $bad in range-join plan:\n$plan")
+  }
 }
