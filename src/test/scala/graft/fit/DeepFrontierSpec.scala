@@ -101,6 +101,51 @@ class DeepFrontierSpec extends AnyFunSuite {
     assert(leafSet(joined) == leafSet(flat))
   }
 
+  test("join-routed fit reproduces a PREDICTED 160-leaf tree exactly") {
+    // A several-hundred-leaf stress with an absolute pin: the label is
+    // engineered so the whole tree is derivable by hand, and the spec
+    // constructs the EXPECTED rule set from first principles instead
+    // of a committed golden. Design (margins are exact rationals at
+    // perfectly balanced counts, never float-noise ties):
+    //  - cls embeds `a` verbatim -> a's 16-way split scores gain ratio
+    //    exactly 1.0 at the root;
+    //  - cls embeds only floor(b/2) -> b scores exactly 2/3 (gain 2
+    //    bits / splitInfo 3 bits) — a REAL root margin, and b wins
+    //    level 1 inside each a-child;
+    //  - the x band exists only under b in {0,1} -> x scores 1.0 there
+    //    and ~0.25 above.
+    // Frontier 1 -> 16 -> 128 -> 64 with routeJoinThreshold=4: every
+    // level past the root takes the broadcast rule-table join, with
+    // 16- and 8-entry categorical child maps and a numeric boundary
+    // route — widths the lineitem fits never reach.
+    val s = spark
+    import s.implicits._
+    val rows = for {
+      a <- 0 until 16
+      b <- 0 until 8
+      x <- 0 until 4
+      copy <- 0 until 3
+    } yield {
+      val cls =
+        if (b >= 2) s"c$a:${b / 2}"
+        else s"c$a:0:${if (x <= 1) "x0" else "x1"}"
+      (s"a$a", s"b$b", x.toDouble, cls, copy)
+    }
+    val df = rows.toDF("a", "b", "x", "cls", "copy").drop("copy")
+    val schema = C45Schema.fromDataFrame(df, "cls")
+    val m = C45.fit(df, schema, C45Params(routeJoinThreshold = 4))
+    val expected = (for {
+      a <- 0 until 16
+      b <- 0 until 8
+    } yield {
+      if (b >= 2) Seq(s"0,a$a&1,b$b:c$a:${b / 2}")
+      else Seq(s"0,a$a&1,b$b&2,<=1.0:c$a:0:x0",
+        s"0,a$a&1,b$b&2,>1.0:c$a:0:x1")
+    }).flatten.toSet
+    assert(m.leaves.size == 160)
+    assert(leafSet(m) == expected)
+  }
+
   test("join-routed fit leaves no cached blocks behind") {
     val df = wideData
     val schema = C45Schema.fromDataFrame(df, "cls")
