@@ -111,6 +111,14 @@ object C45 {
   private case class Cand(aid: Int, gainRatio: Double, gain: Double,
                           boundary: Option[Double])
 
+  /** Test hook: with -Dgraft.fit.capturePlans=1, every join-routed
+    * level's physical plan is recorded here (pre-execution, so the
+    * broadcast hint's join choice is visible) — lets specs pin the
+    * "one broadcast hash join, no shuffle" routing claim without
+    * exposing the loop's internals. */
+  private[graft] val capturedRoutePlans =
+    new scala.collection.mutable.ArrayBuffer[String]
+
   def fit(df: DataFrame, schema: C45Schema,
           params: C45Params = C45Params()): C45Model = {
     val spark = df.sparkSession
@@ -279,6 +287,11 @@ object C45 {
             // dead columns (shared path prefix) leave the cache here;
             // .drop is lenient about ones the previous level already shed
             .drop(names.filter(n => deadAids(schema.attrIndex(n))): _*)
+          if (sys.props.get("graft.fit.capturePlans").contains("1"))
+            capturedRoutePlans.synchronized {
+              capturedRoutePlans += s"routes=${pendingRoutes.size}\n" +
+                routed.queryExecution.executedPlan.toString
+            }
           // the persist exists for the NEXT level's route join; at
           // level == maxDepth every open rule closes (depth == level),
           // so there is no next level and caching would be pure cost

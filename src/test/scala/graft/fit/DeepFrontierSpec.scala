@@ -146,6 +146,43 @@ class DeepFrontierSpec extends AnyFunSuite {
     assert(leafSet(m) == expected)
   }
 
+  test("every join-routed level plans a broadcast join and no shuffle") {
+    // The routing claim itself, pinned at the plan level: each routed
+    // level is prevBase ⋈ broadcast(routeDf) — a BroadcastHashJoin
+    // with NO hash-partitioning exchange and no sort-merge join. A
+    // regression that loses the broadcast hint (or grows the route
+    // table past a hint-less planner's threshold) would silently turn
+    // every tree level into a full shuffle of the training data.
+    // One benign degenerate is allowed: when the PREVIOUS frontier was
+    // the single root, __rid constant-folds to a literal, the equi
+    // condition folds away, and the one-row route table joins as a
+    // BroadcastNestedLoopJoin — per-row work identical to inlining
+    // that single route as an expression. With >1 route the equi key
+    // is real and the plan must be a BroadcastHashJoin.
+    val df = wideData
+    val schema = C45Schema.fromDataFrame(df, "cls")
+    sys.props("graft.fit.capturePlans") = "1"
+    try {
+      C45.capturedRoutePlans.clear()
+      C45.fit(df, schema, C45Params(routeJoinThreshold = 1))
+      val plans = C45.capturedRoutePlans.toList
+      assert(plans.size >= 2, s"expected >=2 join-routed levels, got ${plans.size}")
+      assert(plans.exists(_.startsWith("routes=") &&
+        !plans.forall(_.startsWith("routes=1\n"))),
+        "at least one level must carry a multi-route table")
+      plans.foreach { p =>
+        if (!p.startsWith("routes=1\n"))
+          assert(p.contains("BroadcastHashJoin"), s"routing must broadcast-hash-join:\n$p")
+        assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+          !p.contains("Exchange hashpartitioning"),
+          s"routing must not shuffle:\n$p")
+      }
+    } finally {
+      sys.props.remove("graft.fit.capturePlans")
+      C45.capturedRoutePlans.clear()
+    }
+  }
+
   test("join-routed fit leaves no cached blocks behind") {
     val df = wideData
     val schema = C45Schema.fromDataFrame(df, "cls")
