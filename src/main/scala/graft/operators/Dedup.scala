@@ -25,6 +25,39 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_doc_id"))
 
+  /** Line-level boilerplate removal (the C4 / RefinedWeb cleanup
+    * stage): drop every line whose exact text occurs in at least
+    * `maxDocFreq` distinct documents — from ALL documents, preserving
+    * each document's remaining line order. Returns one row per input
+    * document: (idCol, clean_text, n_kept, n_dropped); a document
+    * whose every line is boilerplate survives with empty clean_text.
+    *
+    * Scale shape: per-doc DISTINCT lines explode once into a
+    * partial-agg doc-frequency count; the flagged set (lines at/above
+    * the threshold — headers, footers, nav chrome) collapses to ONE
+    * array row that rides a broadcast, so the cleanup itself is a
+    * map-only `filter(split(text))` over the corpus — no second
+    * shuffle and no per-line join against a skewed key distribution
+    * (the hottest join key would BE the boilerplate). The flagged set
+    * must fit the broadcast; it is the output of a ≥-threshold cut,
+    * so raise the threshold if a corpus's boilerplate vocabulary
+    * outgrows it. */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 maxDocFreq: Int): DataFrame = {
+    require(maxDocFreq >= 2, "maxDocFreq < 2 would flag every line")
+    val flagged = docs
+      .select(explode(array_distinct(split(col(textCol), "\n"))).as("line"))
+      .groupBy("line").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= maxDocFreq)
+      .agg(collect_list("line").as("__flagged"))
+    val allLines = split(col(textCol), "\n")
+    val kept = filter(allLines, x => !array_contains(col("__flagged"), x))
+    docs.crossJoin(broadcast(flagged))
+      .select(col(idCol), array_join(kept, "\n").as("clean_text"),
+        size(kept).cast("long").as("n_kept"),
+        (size(allLines) - size(kept)).cast("long").as("n_dropped"))
+  }
+
   /** Canonical-fingerprint dedup (token-set equality — catches
     * reordering/repetition). */
   def byFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -146,6 +146,46 @@ object ExtQueries {
     """SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- line-level boilerplate removal (the C4/RefinedWeb cleanup
+  //      stage). The documents table is single-line, so the corpus
+  //      view builds multi-line "pages" (5 docs per page, ordered by
+  //      doc_id, with injected header/footer chrome) — cross-page
+  //      repeated lines then exist at EVERY tier (the chrome), plus
+  //      the corpus's real duplicate texts at sf0.1+. The operator
+  //      drops lines with doc-frequency >= 2 from every page while
+  //      preserving line order; pages keep their row even when
+  //      everything but chrome is unique ----
+  def qDedupLines(s: SparkSession, dir: String): DataFrame = {
+    val pages = docs(s, dir)
+      .groupBy(expr("doc_id div 5").as("page_id"))
+      .agg(concat(lit("=== header ===\n"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")), "\n"),
+        lit("\n=== footer ===")).as("text"))
+    Dedup.dedupLines(pages, "page_id", "text", maxDocFreq = 2)
+      .orderBy("page_id")
+  }
+  val qDedupLinesSql: String =
+    """WITH pages AS (
+      |  SELECT doc_id // 5 AS page_id,
+      |         '=== header ===' || chr(10) || string_agg(text, chr(10) ORDER BY doc_id)
+      |           || chr(10) || '=== footer ===' AS text
+      |  FROM documents GROUP BY 1),
+      |l AS (SELECT page_id, unnest(list_distinct(string_split(text, chr(10)))) AS line
+      |      FROM pages),
+      |flagged AS (SELECT line FROM (SELECT line, count(*) AS df FROM l GROUP BY 1)
+      |            WHERE df >= 2),
+      |fl AS (SELECT coalesce(list(line), []) AS arr FROM flagged)
+      |SELECT page_id,
+      |  array_to_string(list_filter(string_split(text, chr(10)),
+      |    x -> NOT list_contains(fl.arr, x)), chr(10)) AS clean_text,
+      |  len(list_filter(string_split(text, chr(10)),
+      |    x -> NOT list_contains(fl.arr, x))) AS n_kept,
+      |  len(string_split(text, chr(10))) - len(list_filter(string_split(text, chr(10)),
+      |    x -> NOT list_contains(fl.arr, x))) AS n_dropped
+      |FROM pages, fl ORDER BY page_id""".stripMargin
+
   // ---- fingerprint dedup (order/repetition-insensitive) ----
   def qDedupFp(s: SparkSession, dir: String): DataFrame =
     Dedup.byFingerprint(docs(s, dir), "doc_id", "text").orderBy("fp")
@@ -850,6 +890,7 @@ object ExtQueries {
     "q_lang_id" -> (qLangId _),
     "q_fingerprint" -> (qFingerprint _),
     "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_lines" -> (qDedupLines _),
     "q_dedup_fp" -> (qDedupFp _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_normalize" -> (qNormalize _),
@@ -888,6 +929,7 @@ object ExtQueries {
     "q_lang_id" -> qLangIdSql,
     "q_fingerprint" -> qFingerprintSql,
     "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_lines" -> qDedupLinesSql,
     "q_dedup_fp" -> qDedupFpSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_normalize" -> qNormalizeSql,

@@ -20,6 +20,43 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(dup.getAs[Long]("min_doc_id") == 1L)
   }
 
+  test("line dedup drops corpus-frequent lines, keeps order, keeps empty docs") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "HEADER\nalpha\nbeta\nFOOTER"),
+      (2L, "HEADER\ngamma\nFOOTER"),
+      (3L, "HEADER\nFOOTER"),          // all-boilerplate: must survive, empty
+      (4L, "delta\nalpha"))            // alpha df=2 -> dropped here too
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupLines(df, "doc_id", "text", maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("beta", 1L, 3L)))
+    assert(got(2L) == (("gamma", 1L, 2L)))
+    assert(got(3L) == (("", 0L, 2L)), "all-boilerplate doc keeps its row")
+    assert(got(4L) == (("delta", 1L, 1L)))
+  }
+
+  test("line dedup with no flagged lines is the identity") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a\nb"), (2L, "c\nd")).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(df, "doc_id", "text", maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a\nb", 2L -> "c\nd"))
+  }
+
+  test("line dedup counts doc-frequency, not occurrences within one doc") {
+    val s = spark
+    import s.implicits._
+    // "x" repeats inside doc 1 only: df=1, below threshold -> kept
+    val df = Seq((1L, "x\nx\ny"), (2L, "z")).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(df, "doc_id", "text", maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "x\nx\ny")
+  }
+
   test("fingerprint dedup is order- and repetition-insensitive") {
     val s = spark
     import s.implicits._
