@@ -248,4 +248,170 @@ object Similarity {
     val bucketed = assignBuckets(df, idCol, vecCol, centroids)
     probeTopK(centroids, bucketed, queries, qidCol, qvecCol, k, nProbe)
   }
+
+  // ---------------------------------------------------------------
+  // Product quantization (PQ): the MEMORY-side scale path. IVF cuts
+  // how much of the corpus a query scans; PQ cuts how many bytes each
+  // stored vector occupies — nSub codes of log2(nCodes) bits replace
+  // dim doubles (64 doubles -> 4 bytes here), so a 100 TB embedding
+  // column's searchable form fits a cluster's RAM. Asymmetric distance
+  // (ADC) scores quantized vectors against EXACT query slices.
+  // ---------------------------------------------------------------
+
+  /** Split a unit vector into nSub contiguous subvectors: one row per
+    * (id, m, um). */
+  private def subVectors(df: DataFrame, idCol: String, vecCol: String,
+                         nSub: Int, subDim: Int): DataFrame =
+    df.select(col(idCol).as("id"), unitVector(col(vecCol)).as("u"))
+      .select(col("id"), explode(array((0 until nSub).map(m =>
+        struct(lit(m).as("m"),
+          slice(col("u"), m * subDim + 1, subDim).as("um"))): _*)).as("s"))
+      .select(col("id"), col("s.m").as("m"), col("s.um").as("um"))
+
+  /** Nearest code per (vector, subspace) against a (m, cid, cv)
+    * codebook table: squared-L2 argmin as a partial-aggregated
+    * struct-max (the [[assignBuckets]] shape — the shuffle carries one
+    * row per (id, m), not nCodes rows). Distances round to 9, ties go
+    * to the smallest cid; the expression is written exactly as the
+    * DuckDB oracle spells it so the doubles agree bit-for-bit. */
+  private def nearestCode(sub: DataFrame, codebooks: DataFrame): DataFrame =
+    sub.join(broadcast(codebooks), "m")
+      .select(col("id"), col("m"), col("um"),
+        struct((-round(dot(col("um"), col("um")) - lit(2) * dot(col("um"), col("cv"))
+          + dot(col("cv"), col("cv")), 9)).as("nd"),
+          (-col("cid")).as("nc")).as("sc"))
+      .groupBy("id", "m")
+      .agg(max(col("sc")).as("best"), first(col("um")).as("um"))
+      .select(col("id"), col("m"), (-col("best.nc")).as("code"), col("um"))
+
+  /** Train one L2 Lloyd codebook per subspace — every subspace in the
+    * SAME job each round (the per-round plan is one broadcast join +
+    * two partial-agg shuffles for all nSub codebooks together, and it
+    * is identical across rounds so codegen compiles once). Seeds are
+    * the nCodes smallest-salted-hash vectors, sliced per subspace
+    * (the [[kmeansCentroids]] init). Component means round to 1e-6
+    * (order-independent), empty codes keep their previous centroid,
+    * training stops at the rounded fixpoint — all exactly the
+    * spherical trainer's discipline, minus the normalization (PQ
+    * reconstructs magnitudes, so subvectors must NOT be re-scaled).
+    * Returns (m, cid, cv). */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                  nSub: Int, nCodes: Int, nIter: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
+    val subDim = dim / nSub
+    val sub = subVectors(df, idCol, vecCol, nSub, subDim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    import spark.implicits._
+    val seeds: Array[Array[Double]] = df
+      .select(col(idCol).as("id"), unitVector(col(vecCol)).as("u"))
+      .orderBy(graft.functions.Hashing.hash60(col("id").cast("string")), col("id"))
+      .limit(nCodes)
+      .select(col("u")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    // state[m][cid][d]
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(nSub)(m => seeds.map(_.slice(m * subDim, (m + 1) * subDim)))
+    var iter = 0
+    var converged = false
+    var prev: Array[Array[Array[Double]]] = null
+    while (iter < nIter && !converged) {
+      val cDf = books.zipWithIndex.flatMap { case (book, m) =>
+        book.zipWithIndex.map { case (c, cid) => (m, cid, c.toSeq) }
+      }.toSeq.toDF("m", "cid", "cv")
+      val cells = nearestCode(sub, cDf)
+        .select(col("m"), col("code").as("cid"), posexplode(col("um")).as(Seq("d", "x")))
+        .groupBy("m", "cid", "d")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val byKey = cells.groupBy(r => (r.getAs[Int]("m"), r.getAs[Int]("cid")))
+      val updated = Array.tabulate(nSub) { m =>
+        books(m).indices.map { cid =>
+          byKey.get((m, cid)) match {
+            case Some(rows) =>
+              val out = books(m)(cid).clone()
+              rows.foreach { r =>
+                val d = r.getAs[Int]("d")
+                val mean = r.getAs[Double]("sx") / r.getAs[Long]("n")
+                out(d) = math.rint(mean * 1e6) / 1e6
+              }
+              out
+            case None => books(m)(cid) // empty code: keep previous
+          }
+        }.toArray
+      }
+      converged = prev != null && updated.indices.forall(m =>
+        updated(m).indices.forall(c =>
+          java.util.Arrays.equals(updated(m)(c), prev(m)(c))))
+      prev = updated
+      books = updated
+      iter += 1
+    }
+    books.zipWithIndex.flatMap { case (book, m) =>
+      book.zipWithIndex.map { case (c, cid) => (m, cid, c.toSeq) }
+    }.toSeq.toDF("m", "cid", "cv")
+    } finally sub.unpersist()
+  }
+
+  /** PQ-encode the corpus against trained codebooks: one row per
+    * (id, m) carrying the chosen code — nSub small ints per vector,
+    * the compressed representation ADC scores against. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebooks: DataFrame, nSub: Int, subDim: Int): DataFrame =
+    nearestCode(subVectors(df, idCol, vecCol, nSub, subDim), codebooks)
+      .select(col("id"), col("m"), col("code"))
+
+  /** PQ approximate top-k by asymmetric distance: queries stay EXACT,
+    * the corpus is its codes. Per query the (m, cid) inner-product
+    * lookup table is |queries| × nSub × nCodes rows — always tiny,
+    * always broadcast — so scoring is codes ⋈ broadcast(LUT) + one
+    * partial-agg sum per (qid, id): the corpus is never cross-joined
+    * against queries at full dimensionality, and the shuffled rows
+    * carry a single double each. Scores: per-subspace IPs round to 9,
+    * their sum to 6; rank ties break on id.
+    *
+    * `rerank = 0` returns pure ADC ranks. At aggressive compression
+    * ADC retrieves the right REGION but collapses within-region order
+    * (identically-coded vectors tie), so production retrieval reranks:
+    * `rerank = R` keeps the top-R ADC candidates per query and
+    * re-scores ONLY those against the original vectors by exact cosine
+    * — the candidate set is |queries| × R rows, broadcast, so the
+    * rerank is a broadcast hash join fetching R vectors per query,
+    * never a second corpus scan. */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+             queries: DataFrame, qidCol: String, qvecCol: String,
+             k: Int, nSub: Int, nCodes: Int, nIter: Int = 3,
+             rerank: Int = 0): DataFrame = {
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
+    val subDim = dim / nSub
+    val codebooks = pqCodebooks(df, idCol, vecCol, nSub, nCodes, nIter)
+    val codes = pqEncode(df, idCol, vecCol, codebooks, nSub, subDim)
+    val qsub = subVectors(queries, qidCol, qvecCol, nSub, subDim)
+      .withColumnRenamed("id", "qid")
+    val lut = qsub.join(broadcast(codebooks), "m")
+      .select(col("qid"), col("m"), col("cid"),
+        round(dot(col("um"), col("cv")), 9).as("ip"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    val adc = codes.join(broadcast(lut),
+        codes("m") === lut("m") && codes("code") === lut("cid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(round(sum(col("ip")), 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+    if (rerank <= 0) adc.filter(col("rank") <= k)
+    else {
+      val cand = adc.filter(col("rank") <= rerank).select("qid", "id")
+      val q = queries.select(col(qidCol).as("qid"), toDoubleVec(col(qvecCol)).as("qv"))
+      val v = df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+      val wx = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+      v.join(broadcast(cand), "id")
+        .join(broadcast(q), "qid")
+        .select(col("qid"), col("id"),
+          round(cosine(col("v"), col("qv")), 6).as("score"))
+        .withColumn("rank", row_number().over(wx))
+        .filter(col("rank") <= k)
+    }
+  }
 }

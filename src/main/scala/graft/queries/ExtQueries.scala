@@ -481,6 +481,80 @@ object ExtQueries {
        |WHERE rank <= $IvfTopK ORDER BY qid, rank""".stripMargin
   }
 
+  // ---- ANN via product quantization (the memory-side scale path:
+  //      nSub codes replace dim doubles per stored vector; asymmetric
+  //      distance scores exact query slices against the codebooks).
+  //      Like q_ann_ivf, the oracle replays the WHOLE pipeline in SQL:
+  //      per-subspace L2 Lloyd rounds unrolled as CTEs (fixpoint
+  //      rounds are idempotent, so Spark's early stop and the full
+  //      unroll agree), encoding as an argmin, ADC as a LUT join. ----
+  private val PqSub = 4     // subspaces (64-dim -> 4 x 16)
+  private val PqCodes = 8   // codes per subspace
+  private val PqIter = 3    // Lloyd rounds (cap; early-stops at fixpoint)
+  private val PqTopK = 10
+  private val PqRerank = 50 // ADC candidates kept for the exact rerank
+  def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    Similarity.pqTopK(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 3), "vec_id", "embedding",
+      k = PqTopK, nSub = PqSub, nCodes = PqCodes, nIter = PqIter,
+      rerank = PqRerank)
+      .select(col("qid"), col("id"), col("score"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+  }
+  val qAnnPqSql: String = {
+    val dim = EmbedLshDim
+    val sub = dim / PqSub
+    def slices(src: String) =
+      s"SELECT id, m, list_slice($src, m * $sub + 1, (m + 1) * $sub) AS um " +
+        s"FROM SRC, generate_series(0, ${PqSub - 1}) AS g(m)"
+    val rounds = (1 to PqIter).map { r =>
+      val p = r - 1
+      s"""sc$r AS (SELECT s.id, s.m, s.um, c.cid,
+         |    round(list_dot_product(s.um, s.um) - 2 * list_dot_product(s.um, c.cv)
+         |      + list_dot_product(c.cv, c.cv), 9) AS d
+         |  FROM sub s JOIN c$p c ON s.m = c.m),
+         |best$r AS (SELECT id, m, um, cid FROM (SELECT id, m, um, cid,
+         |    row_number() OVER (PARTITION BY id, m ORDER BY d ASC, cid ASC) AS rn FROM sc$r) WHERE rn = 1),
+         |cell$r AS (SELECT m, cid, i, round_even(sum(um[i]) / count(*), 6) AS mv
+         |  FROM best$r, generate_series(1, $sub) AS gi(i) GROUP BY m, cid, i),
+         |nc$r AS (SELECT m, cid, list(mv ORDER BY i) AS cv FROM cell$r GROUP BY m, cid),
+         |c$r AS (SELECT c$p.m, c$p.cid, coalesce(nc$r.cv, c$p.cv) AS cv
+         |  FROM c$p LEFT JOIN nc$r ON c$p.m = nc$r.m AND c$p.cid = nc$r.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |u AS (SELECT id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u FROM e),
+       |seeds AS (SELECT cid, u FROM (SELECT row_number() OVER (ORDER BY ${Hashing.hash60Sql("id::VARCHAR")}, id) - 1 AS cid, u FROM u) WHERE cid < $PqCodes),
+       |sub AS (${slices("u").replace("SRC", "u")}),
+       |c0 AS (SELECT m, cid, list_slice(u, m * $sub + 1, (m + 1) * $sub) AS cv
+       |  FROM seeds, generate_series(0, ${PqSub - 1}) AS g(m)),
+       |$rounds,
+       |esc AS (SELECT s.id, s.m, c.cid,
+       |    round(list_dot_product(s.um, s.um) - 2 * list_dot_product(s.um, c.cv)
+       |      + list_dot_product(c.cv, c.cv), 9) AS d
+       |  FROM sub s JOIN c$PqIter c ON s.m = c.m),
+       |codes AS (SELECT id, m, cid AS code FROM (SELECT id, m, cid,
+       |    row_number() OVER (PARTITION BY id, m ORDER BY d ASC, cid ASC) AS rn FROM esc) WHERE rn = 1),
+       |q AS (SELECT id AS qid, u FROM u WHERE id < 3),
+       |qsub AS (SELECT qid, m, list_slice(u, m * $sub + 1, (m + 1) * $sub) AS um
+       |  FROM q, generate_series(0, ${PqSub - 1}) AS g(m)),
+       |lut AS (SELECT qs.qid, qs.m, c.cid, round(list_dot_product(qs.um, c.cv), 9) AS ip
+       |  FROM qsub qs JOIN c$PqIter c ON qs.m = c.m),
+       |scored AS (SELECT l.qid, k.id, round(sum(l.ip), 6) AS score
+       |  FROM codes k JOIN lut l ON k.m = l.m AND k.code = l.cid GROUP BY l.qid, k.id),
+       |cand AS (SELECT qid, id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rank FROM scored)
+       |  WHERE rank <= $PqRerank),
+       |qr AS (SELECT id AS qid, v AS qv FROM e WHERE id < 3),
+       |rr AS (SELECT c.qid, c.id,
+       |    round(list_dot_product(ev.v, qr.qv) / (sqrt(list_dot_product(ev.v, ev.v)) * sqrt(list_dot_product(qr.qv, qr.qv))), 6) AS score
+       |  FROM cand c JOIN e ev ON c.id = ev.id JOIN qr ON c.qid = qr.qid)
+       |SELECT qid, id, score, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rank FROM rr)
+       |WHERE rank <= $PqTopK ORDER BY qid, rank""".stripMargin
+  }
+
   // ---- event sessionization (gaps-and-islands) ----
   def qSessionize(s: SparkSession, dir: String): DataFrame =
     Sessionize.sessionize(Tables.load(s, dir, "events"))
@@ -903,6 +977,7 @@ object ExtQueries {
     "q_embed_lsh" -> (qEmbedLsh _),
     "q_knn_brute" -> (qKnnBrute _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_pq" -> (qAnnPq _),
     "q_sessionize" -> (qSessionize _),
     "q_event_daily" -> (qEventDaily _),
     "q_multimodal" -> (qMultimodal _),
@@ -960,5 +1035,6 @@ object ExtQueries {
     "q_minhash_lsh" -> qMinhashLshSql,
     "q_embed_lsh" -> qEmbedLshSql,
     "q_ann_ivf" -> qAnnIvfSql,
+    "q_ann_pq" -> qAnnPqSql,
   )
 }

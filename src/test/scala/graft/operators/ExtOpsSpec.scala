@@ -313,6 +313,79 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"trained-IVF recall $recall too low at nProbe=2/8")
   }
 
+  test("pure PQ ADC retrieves the right region: top-10 all from the query's cluster") {
+    // At 16x compression every same-cluster vector quantizes to (near)
+    // identical codes, so ADC cannot order WITHIN a cluster — the
+    // guarantee it does make is regional: every approximate top-10 hit
+    // belongs to the query's true cluster (cross-cluster scores are
+    // far apart). Within-cluster order is the rerank stage's job.
+    val e = clusteredVectors(k = 8, perCluster = 60, dim = 32)
+    val q = e.filter(col("vec_id") % 60 === 0)
+    val pq = Similarity.pqTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", 10, nSub = 4, nCodes = 8)
+      .select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pq.nonEmpty)
+    val wrongRegion = pq.filter { case (qid, id) => id / 60 != qid / 60 }
+    assert(wrongRegion.isEmpty,
+      s"ADC hits outside the query's cluster: ${wrongRegion.take(5).toSeq}")
+  }
+
+  test("PQ ADC + exact rerank keeps recall@10 >= 0.9 at 16x compression") {
+    // The production retrieval shape: ADC narrows to a candidate
+    // region, the exact cosine rerank restores order inside it.
+    val e = clusteredVectors(k = 8, perCluster = 60, dim = 32)
+    val q = e.filter(col("vec_id") % 60 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", 10))
+    val pq = pairs(Similarity.pqTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", 10, nSub = 4, nCodes = 8, rerank = 60))
+    val recall = (pq & brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"PQ+rerank recall $recall too low")
+  }
+
+  test("PQ codes are the compressed form: nSub small ints per vector") {
+    val e = clusteredVectors(k = 4, perCluster = 20, dim = 16)
+    val books = Similarity.pqCodebooks(e, "vec_id", "embedding",
+      nSub = 4, nCodes = 4)
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", books,
+      nSub = 4, subDim = 4).collect()
+    assert(codes.length == 80 * 4, "one code per (vector, subspace)")
+    assert(codes.forall { r =>
+      val c = r.getAs[Int]("code"); c >= 0 && c < 4
+    })
+    assert(books.count() == 16, "nSub x nCodes codebook entries")
+  }
+
+  test("PQ training and scoring are identical under repartitioning") {
+    val e = clusteredVectors(k = 4, perCluster = 30, dim = 16)
+    val q = e.filter(col("vec_id") % 30 === 0)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pqTopK(df, "vec_id", "embedding", q, "vec_id", "embedding",
+          5, nSub = 4, nCodes = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getInt(3))).toSet
+    assert(run(e.coalesce(1)) == run(e.repartition(13)),
+      "PQ results must not depend on partition layout")
+  }
+
+  test("PQ scoring broadcasts the LUT and never sort-merge joins the codes") {
+    val e = clusteredVectors(k = 4, perCluster = 30, dim = 16)
+    val q = e.filter(col("vec_id") % 30 === 0)
+    val got = Similarity.pqTopK(e, "vec_id", "embedding", q, "vec_id",
+      "embedding", 5, nSub = 4, nCodes = 4)
+    got.collect()
+    val plan = got.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ADC scoring must broadcast the LUT:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no sort-merge join should appear in the PQ plan:\n$plan")
+  }
+
   test("kmeansCentroids is identical under arbitrary repartitioning") {
     // the rounded-mean update must make training independent of float
     // summation order across partitions — same centroids from 1
