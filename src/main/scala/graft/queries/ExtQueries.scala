@@ -178,8 +178,10 @@ object ExtQueries {
       |            WHERE df >= 2),
       |fl AS (SELECT coalesce(list(line), []) AS arr FROM flagged)
       |SELECT page_id,
-      |  array_to_string(list_filter(string_split(text, chr(10)),
-      |    x -> NOT list_contains(fl.arr, x)), chr(10)) AS clean_text,
+      |  -- coalesce: DuckDB's array_to_string of an EMPTY list is NULL,
+      |  -- Spark's array_join is '' — an all-boilerplate page is ''
+      |  coalesce(array_to_string(list_filter(string_split(text, chr(10)),
+      |    x -> NOT list_contains(fl.arr, x)), chr(10)), '') AS clean_text,
       |  len(list_filter(string_split(text, chr(10)),
       |    x -> NOT list_contains(fl.arr, x))) AS n_kept,
       |  len(string_split(text, chr(10))) - len(list_filter(string_split(text, chr(10)),
