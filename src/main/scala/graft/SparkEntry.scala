@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{C45Queries, ExtQueries, RelQueries}
+import graft.queries.{C45Queries, CorpusQueries, ExtQueries, RelQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,10 +20,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    C45Queries.all ++ ExtQueries.all ++ RelQueries.all
+    C45Queries.all ++ ExtQueries.all ++ RelQueries.all ++ CorpusQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    C45Queries.oracles ++ ExtQueries.oracles ++ RelQueries.oracles
+    C45Queries.oracles ++ ExtQueries.oracles ++ RelQueries.oracles ++
+      CorpusQueries.oracles
 }

@@ -147,6 +147,56 @@ object TextAnalysis {
         (col("n").cast("double") / col("n_total")).as("share"))
   }
 
+  /** Gopher-style composite quality filter over lowercase whitespace
+    * tokens, with a 0/1 flag per rule so a curation run can report WHY
+    * each document was dropped, not just that it was:
+    * token count in [minTokens, maxTokens], stopword mass ≥
+    * minStopRatio, duplicate-token fraction ≤ maxDupRatio, dominant
+    * token share ≤ maxTopRatio. Everything derives from ONE
+    * (doc, token) count table — a single explode and two
+    * partial-aggregated shuffles, no join, nothing leaves the
+    * executors but one row per doc. */
+  def qualityFilter(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, minTokens: Long, maxTokens: Long,
+                    minStopRatio: Double, maxDupRatio: Double,
+                    maxTopRatio: Double): org.apache.spark.sql.DataFrame = {
+    val en = StopWords.find(_._1 == "en").get._2
+    val perTok = docs
+      .select(col(idCol).as("id"), explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("n"))
+    val okLen = col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens
+    val okStop = col("stop_n").cast("double") / col("n_tokens") >= minStopRatio
+    val okDup = lit(1.0) - col("n_distinct").cast("double") / col("n_tokens") <= maxDupRatio
+    val okTop = col("top_n").cast("double") / col("n_tokens") <= maxTopRatio
+    perTok.groupBy("id")
+      .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("n")).as("top_n"),
+        sum(when(col("tok").isInCollection(en), col("n")).otherwise(lit(0L)))
+          .as("stop_n"))
+      .select(col("id"), col("n_tokens"),
+        okLen.cast("long").as("ok_len"), okStop.cast("long").as("ok_stop"),
+        okDup.cast("long").as("ok_dup"), okTop.cast("long").as("ok_top"),
+        (okLen && okStop && okDup && okTop).cast("long").as("keep"))
+  }
+
+  /** EXACT inverted index over lowercase whitespace tokens: per term,
+    * document frequency, total term frequency, and the first
+    * `maxPostings` doc ids (sorted) as a bounded posting-list preview.
+    * Scale shape: explode → groupBy(term, doc) with partial aggregation
+    * → groupBy(term); the output is vocabulary-sized and the posting
+    * list is capped, so no term row grows with the corpus. */
+  def invertedIndex(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, maxPostings: Int): org.apache.spark.sql.DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    tf.groupBy("term").agg(
+      count(lit(1)).as("df"),
+      sum(col("tf")).as("total_tf"),
+      concat_ws(",", slice(sort_array(collect_list(col("doc_id"))), 1, maxPostings))
+        .as("postings"))
+  }
+
   /** Per-(doc, term) TF-IDF over lowercase whitespace tokens:
     * tf = term occurrences in the doc, df = number of docs containing
     * the term, idf = ln((1+N)/(1+df)) + 1 (the smoothed sklearn

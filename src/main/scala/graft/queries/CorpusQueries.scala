@@ -1,0 +1,185 @@
+package graft.queries
+
+import graft.operators.{MergeOps, Packing, TextAnalysis}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly queries: the stages that turn a cleaned document
+  * set into training input — chunking, sequence packing, composite
+  * quality filtering, snapshot maintenance, and index construction.
+  * Same conventions as ExtQueries: every query has an exact DuckDB
+  * oracle, outputs avoid float fuzz (ints / strings / 0-1 flags), and
+  * deterministic keys (doc_id % k) stand in for the hash shards a
+  * production run would use, so both engines compute identical
+  * partitions. */
+object CorpusQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val WSql = "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+
+  // ---- fixed-window chunking (RAG/embedding prep): 200-char windows,
+  //      150-char stride = 50-char overlap ----
+  private val ChunkSize = 200
+  private val ChunkStride = 150
+  def qChunkDocs(s: SparkSession, dir: String): DataFrame =
+    Packing.chunkDocs(docs(s, dir), "doc_id", "text", ChunkSize, ChunkStride)
+      .orderBy("doc_id", "chunk_id")
+  val qChunkDocsSql: String =
+    s"""SELECT doc_id, chunk_id,
+       |  substring(text, chunk_id*$ChunkStride+1, $ChunkSize) AS chunk,
+       |  CAST(length(substring(text, chunk_id*$ChunkStride+1, $ChunkSize)) AS BIGINT) AS n_chunk_chars
+       |FROM (SELECT doc_id, text,
+       |    unnest(generate_series(0,
+       |      greatest(CAST(ceil((length(text)-$ChunkSize)/$ChunkStride.0) AS INT), 0))) AS chunk_id
+       |  FROM documents)
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---- sequence packing: 64 deterministic shards, 256-token budget.
+  //      Two disciplines over the same (shard, doc, weight) input:
+  //      concat-then-chunk (zero waste, docs straddle cuts) and greedy
+  //      next-fit (no straddling, padded remainders) ----
+  private val PackShards = 64
+  private val PackBudget = 256L
+  private def packInput(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+
+  def qPackConcat(s: SparkSession, dir: String): DataFrame =
+    Packing.packConcat(packInput(s, dir), "doc_id",
+      TextAnalysis.tokenCount(col("text")),
+      col("doc_id") % PackShards, PackBudget)
+      .withColumnRenamed("offset", "seq_offset")
+      .orderBy("shard", "doc_id")
+  val qPackConcatSql: String =
+    s"""WITH w AS (SELECT doc_id % $PackShards AS shard, doc_id, $WSql AS w FROM documents),
+       |c AS (SELECT shard, doc_id, w,
+       |    CAST(coalesce(sum(w) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+       |  FROM w)
+       |SELECT shard, doc_id, w AS n_tokens,
+       |  cum // $PackBudget AS first_seq,
+       |  (cum + greatest(w, 1) - 1) // $PackBudget AS last_seq,
+       |  cum % $PackBudget AS seq_offset
+       |FROM c ORDER BY shard, doc_id""".stripMargin
+
+  def qPackGreedy(s: SparkSession, dir: String): DataFrame =
+    Packing.packGreedy(packInput(s, dir), "doc_id",
+      TextAnalysis.tokenCount(col("text")),
+      col("doc_id") % PackShards, PackBudget)
+      .orderBy("shard", "doc_id")
+  val qPackGreedySql: String =
+    s"""WITH RECURSIVE
+       |w AS MATERIALIZED (SELECT doc_id % $PackShards AS shard, doc_id, $WSql AS w,
+       |    row_number() OVER (PARTITION BY doc_id % $PackShards ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |p AS (
+       |  SELECT shard, doc_id, w, rn, CAST(0 AS BIGINT) AS bin, w AS fill
+       |  FROM w WHERE rn = 1
+       |  UNION ALL
+       |  SELECT w.shard, w.doc_id, w.w, w.rn,
+       |    CASE WHEN p.fill + w.w > $PackBudget THEN p.bin + 1 ELSE p.bin END,
+       |    CASE WHEN p.fill + w.w > $PackBudget THEN w.w ELSE p.fill + w.w END
+       |  FROM p JOIN w ON w.shard = p.shard AND w.rn = p.rn + 1
+       |)
+       |SELECT shard, doc_id, w AS n_tokens, bin, fill FROM p
+       |ORDER BY shard, doc_id""".stripMargin
+
+  // ---- Gopher-style composite quality filter with per-rule reasons.
+  //      Thresholds chosen to genuinely split the synthetic corpus
+  //      (each rule cuts 12-35% at sf0.01; overall keep ≈ 43%) ----
+  private val QfMinTokens = 20L
+  private val QfMaxTokens = 90L
+  private val QfMinStop = 0.02
+  private val QfMaxDup = 0.6
+  private val QfMaxTop = 0.125
+  def qQualityFilter(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFilter(docs(s, dir), "doc_id", "text",
+      QfMinTokens, QfMaxTokens, QfMinStop, QfMaxDup, QfMaxTop)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  val qQualityFilterSql: String = {
+    val okLen = s"n_tokens BETWEEN $QfMinTokens AND $QfMaxTokens"
+    val okStop = s"stop_n::DOUBLE / n_tokens >= $QfMinStop"
+    val okDup = s"1.0 - n_distinct::DOUBLE / n_tokens <= $QfMaxDup"
+    val okTop = s"top_n::DOUBLE / n_tokens <= $QfMaxTop"
+    s"""WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents),
+       |c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY 1, 2),
+       |s AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |    count(*) AS n_distinct, max(n) AS top_n,
+       |    CAST(coalesce(sum(n) FILTER (WHERE list_contains(['the','a','of','and','to','is'], tok)), 0) AS BIGINT) AS stop_n
+       |  FROM c GROUP BY 1)
+       |SELECT doc_id, n_tokens,
+       |  CAST($okLen AS BIGINT) AS ok_len,
+       |  CAST($okStop AS BIGINT) AS ok_stop,
+       |  CAST($okDup AS BIGINT) AS ok_dup,
+       |  CAST($okTop AS BIGINT) AS ok_top,
+       |  CAST(($okLen) AND ($okStop) AND ($okDup) AND ($okTop) AS BIGINT) AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- CDC snapshot merge: upsert docs with doc_id%10=0 (uppercased
+  //      text), insert shifted copies of doc_id%17=3, delete
+  //      doc_id%13=5 (minus keys already claimed by the upsert class —
+  //      the changeset carries at most one row per key) ----
+  private val InsertOffset = 1000000L
+  def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val payload = Seq("text", "lang", "source", "n_chars")
+    val ups = d.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id") +: (upper(col("text")).as("text") +:
+        payload.tail.map(col)) :+ lit("U").as("op"): _*)
+    val ins = d.filter(col("doc_id") % 17 === 3)
+      .select((col("doc_id") + InsertOffset).as("doc_id") +:
+        (concat(lit("NEW "), col("text")).as("text") +:
+          payload.tail.map(col)) :+ lit("U").as("op"): _*)
+    val del = d.filter(col("doc_id") % 13 === 5 && col("doc_id") % 10 =!= 0)
+      .select(col("doc_id") +: (lit(null).cast("string").as("text") +:
+        payload.tail.map(col)) :+ lit("D").as("op"): _*)
+    MergeOps.merge(d, ups.unionAll(ins).unionAll(del), "doc_id", "op")
+      .select(col("doc_id"), md5(col("text")).as("text_hash"),
+        col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+  val qMergeUpsertSql: String =
+    s"""SELECT doc_id, md5(text) AS text_hash, lang, source FROM (
+       |  SELECT doc_id, upper(text) AS text, lang, source FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + $InsertOffset, 'NEW ' || text, lang, source FROM documents WHERE doc_id % 17 = 3
+       |  UNION ALL
+       |  SELECT doc_id, text, lang, source FROM documents
+       |  WHERE doc_id % 10 != 0 AND doc_id % 13 != 5
+       |) ORDER BY doc_id""".stripMargin
+
+  // ---- exact inverted index (vocabulary-sized output, capped
+  //      posting-list preview) ----
+  private val MaxPostings = 100
+  def qInvertedIndex(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.invertedIndex(docs(s, dir), "doc_id", "text", MaxPostings)
+      .orderBy("term")
+  val qInvertedIndexSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term FROM documents),
+       |tf AS (SELECT term, doc_id, count(*) AS tf FROM t GROUP BY 1, 2)
+       |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+       |  array_to_string(list_sort(list(doc_id))[1:$MaxPostings], ',') AS postings
+       |FROM tf GROUP BY term ORDER BY term""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_docs" -> (qChunkDocs _),
+    "q_pack_concat" -> (qPackConcat _),
+    "q_pack_greedy" -> (qPackGreedy _),
+    "q_quality_filter" -> (qQualityFilter _),
+    "q_merge_upsert" -> (qMergeUpsert _),
+    "q_inverted_index" -> (qInvertedIndex _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_chunk_docs" -> qChunkDocsSql,
+    "q_pack_concat" -> qPackConcatSql,
+    "q_pack_greedy" -> qPackGreedySql,
+    "q_quality_filter" -> qQualityFilterSql,
+    "q_merge_upsert" -> qMergeUpsertSql,
+    "q_inverted_index" -> qInvertedIndexSql,
+  )
+}

@@ -1,0 +1,195 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // ---- chunking ----
+
+  test("chunkDocs tiles text with overlap and clips the tail") {
+    val s = spark
+    import s.implicits._
+    // len 10, size 4, stride 3 -> windows at 1,4,7 (last covers 7..10)
+    val df = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
+    val got = Packing.chunkDocs(df, "doc_id", "text", 4, 3)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, "abcd", 4L), (1L, "defg", 4L), (2L, "ghij", 4L)))
+  }
+
+  test("chunkDocs emits one clipped chunk for short docs") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "ab")).toDF("doc_id", "text")
+    val got = Packing.chunkDocs(df, "doc_id", "text", 4, 3).collect()
+    assert(got.length == 1 && got(0).getString(2) == "ab")
+  }
+
+  test("chunkDocs at an exact window boundary emits no empty chunk") {
+    val s = spark
+    import s.implicits._
+    // len 8 = size + stride: windows at 1 and 5 only (5..8 reaches end)
+    val df = Seq((1L, "abcdefgh")).toDF("doc_id", "text")
+    val got = Packing.chunkDocs(df, "doc_id", "text", 4, 4)
+      .orderBy("chunk_id").collect().map(_.getString(2))
+    assert(got.toSeq == Seq("abcd", "efgh"))
+    assert(got.forall(_.nonEmpty))
+  }
+
+  test("chunkDocs covers every character: concat of stride-prefixes rebuilds the text") {
+    val s = spark
+    import s.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = Packing.chunkDocs(df, "doc_id", "text", 20, 15)
+      .orderBy("chunk_id").collect().map(_.getString(2))
+    val rebuilt = chunks.init.map(_.take(15)).mkString + chunks.last
+    assert(rebuilt == text)
+  }
+
+  // ---- packing ----
+
+  private def packFrame = {
+    val s = spark
+    import s.implicits._
+    // one shard; weights chosen to force a straddle (concat) and a
+    // next-fit break + an oversized doc (greedy) at budget 10
+    Seq((1L, 4L), (2L, 5L), (3L, 3L), (4L, 12L), (5L, 2L))
+      .toDF("doc_id", "w")
+  }
+
+  test("packConcat lays docs end-to-end: straddles cut, offsets are mod-budget") {
+    val got = Packing
+      .packConcat(packFrame, "doc_id", col("w"), lit(0L), budget = 10L)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // cum-before: 0,4,9,12,24 -> first 0,0,0,1,2 ; last covers w tokens
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 0L),   // tokens 0..3
+      (2L, 0L, 0L, 4L),   // tokens 4..8
+      (3L, 0L, 1L, 9L),   // tokens 9..11 -> straddles seq 0/1
+      (4L, 1L, 2L, 2L),   // tokens 12..23 -> straddles seq 1/2
+      (5L, 2L, 2L, 4L)))
+  }
+
+  test("packConcat with zero-weight doc stays within its boundary sequence") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 10L), (2L, 0L), (3L, 1L)).toDF("doc_id", "w")
+    val got = Packing.packConcat(df, "doc_id", col("w"), lit(0L), 10L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4)))
+    // doc 2 has no tokens; it pins to the sequence its boundary is in
+    assert(got.toSeq == Seq((1L, 0L, 0L), (2L, 1L, 1L), (3L, 1L, 1L)))
+  }
+
+  test("packGreedy next-fit: closes bins, isolates oversized docs, resets fill") {
+    val got = Packing
+      .packGreedy(packFrame, "doc_id", col("w"), lit(0L), budget = 10L)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4)))
+    // 4+5 fit bin 0 (fill 9); 3 overflows -> bin 1; 12 overflows -> own
+    // bin 2 (over budget alone); 2 cannot join a 12-full bin -> bin 3
+    assert(got.toSeq == Seq(
+      (1L, 0L, 4L), (2L, 0L, 9L), (3L, 1L, 3L), (4L, 2L, 12L), (5L, 3L, 2L)))
+  }
+
+  test("packGreedy packs shards independently and never mixes them") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, 6L), (1L, 6L), (2L, 6L), (3L, 6L)).toDF("doc_id", "w")
+    val got = Packing
+      .packGreedy(df, "doc_id", col("w"), col("doc_id") % 2, budget = 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .sortBy(r => (r._1, r._2))
+    // each shard sees two 6s: second one opens bin 1 in BOTH shards
+    assert(got.toSeq == Seq(
+      (0L, 0L, 0L), (0L, 2L, 1L), (1L, 1L, 0L), (1L, 3L, 1L)))
+  }
+
+  test("packGreedy never splits a doc and never overfills a multi-doc bin") {
+    val s = spark
+    import s.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val packed = Packing.packGreedy(docs, "doc_id",
+      TextAnalysis.tokenCount(col("text")), col("doc_id") % 8, 256L)
+    val bins = packed.groupBy("shard", "bin")
+      .agg(sum("n_tokens").as("tot"), count(lit(1)).as("n_docs"))
+    assert(bins.filter(col("tot") > 256 && col("n_docs") > 1).count() == 0,
+      "a bin over budget must be a single oversized doc")
+    assert(packed.count() == docs.count(), "every doc packs exactly once")
+  }
+
+  // ---- quality filter ----
+
+  test("qualityFilter flags each rule independently") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "the cat sat on a mat with the dog and a bird by the door"), // clean
+      (2L, "x y"),                                    // too short
+      (3L, ("the a of " * 10).trim),                  // dup/top heavy, stopword rich
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")) // no stopwords
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.qualityFilter(df, "doc_id", "text",
+      minTokens = 5, maxTokens = 50, minStopRatio = 0.02,
+      maxDupRatio = 0.6, maxTopRatio = 0.3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(got(1L) == ((1L, 1L, 1L, 1L, 1L)), "clean doc keeps")
+    assert(got(2L)._1 == 0L && got(2L)._5 == 0L, "short doc fails ok_len")
+    assert(got(3L)._3 == 0L && got(3L)._5 == 0L, "repetitive doc fails ok_dup")
+    assert(got(4L)._2 == 0L && got(4L)._5 == 0L, "stopword-free doc fails ok_stop")
+  }
+
+  // ---- merge ----
+
+  test("merge applies upserts, inserts, deletes; null payload keeps base value") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("id", "v", "n")
+    val changes = Seq(
+      (2L, "B", null.asInstanceOf[Integer], "U"),  // update v, keep n
+      (4L, "d", Integer.valueOf(40), "U"),         // insert
+      (3L, null.asInstanceOf[String], null.asInstanceOf[Integer], "D"))
+      .toDF("id", "v", "n", "op")
+    val got = MergeOps.merge(base, changes, "id", "op")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, "a", 10), (2L, "B", 20), (4L, "d", 40)))
+  }
+
+  test("merge with an empty changeset is the identity") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val changes = Seq.empty[(Long, String, String)].toDF("id", "v", "op")
+    val got = MergeOps.merge(base, changes, "id", "op")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
+  // ---- inverted index ----
+
+  test("invertedIndex counts df/tf and caps sorted postings") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((3L, "b a a"), (1L, "a b"), (2L, "b")).toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(df, "doc_id", "text", maxPostings = 2)
+      .orderBy("term").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      ("a", 2L, 3L, "1,3"),      // df 2, tf 1+2, sorted ids
+      ("b", 3L, 3L, "1,2")))     // postings capped at 2 of 3
+  }
+}
