@@ -33,4 +33,39 @@ object MergeOps {
       .select(col(key) +: payload.map(c =>
         coalesce(col(c), col(s"__b_$c")).as(c)): _*)
   }
+
+  /** SCD-2 history merge: like [[merge]], but instead of overwriting,
+    * every version survives with a validity interval. `base` carries
+    * `valid_from`/`valid_to` (null valid_to = current row); `changes`
+    * carries the payload plus `opCol` ∈ {"U","D"}. At `batchTs`: a
+    * matched current row is CLOSED (valid_to = batchTs), an upsert
+    * opens a new current row, a delete only closes, and closed history
+    * rows pass through untouched. The join is a left join of current
+    * rows against the (deduplicated) change keys — key-partitioned at
+    * scale, broadcast when the changeset is small; history never
+    * shuffles at all. */
+  def scd2(base: DataFrame, changes: DataFrame, key: String, opCol: String,
+           batchTs: Long): DataFrame = {
+    require(base.columns.contains("valid_from") &&
+      base.columns.contains("valid_to"),
+      "scd2 base must carry valid_from/valid_to")
+    val payload = base.columns
+      .filterNot(c => c == key || c == "valid_from" || c == "valid_to").toSeq
+    require(payload.forall(changes.columns.contains),
+      s"changes must carry the base payload columns $payload")
+    val outCols = (col(key) +: payload.map(col)) :+
+      col("valid_from") :+ col("valid_to")
+    val history = base.filter(col("valid_to").isNotNull).select(outCols: _*)
+    val hit = changes.select(col(key)).distinct().withColumn("__hit", lit(1))
+    val currentOut = base.filter(col("valid_to").isNull)
+      .join(hit, Seq(key), "left")
+      .select((col(key) +: payload.map(col)) :+ col("valid_from") :+
+        when(col("__hit").isNotNull, lit(batchTs))
+          .otherwise(col("valid_to")).as("valid_to"): _*)
+    val opened = changes.filter(col(opCol) =!= "D")
+      .select((col(key) +: payload.map(col)) :+
+        lit(batchTs).as("valid_from") :+
+        lit(null).cast("long").as("valid_to"): _*)
+    history.unionByName(currentOut).unionByName(opened)
+  }
 }

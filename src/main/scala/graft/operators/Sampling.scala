@@ -76,6 +76,48 @@ object Sampling {
       .drop("__h", "__salt", "__rn", "__rn2")
   }
 
+  /** Greedy per-stratum token-budget cap (data-mixture construction:
+    * "at most `budget` tokens per source"): within each stratum, rows
+    * are taken in id order until the budget is exhausted — the kept
+    * set is the maximal prefix whose weight sum fits. One windowed
+    * cumulative sum per stratum (a single hash shuffle on the stratum
+    * key); deterministic and partition-independent because the order
+    * is the id, not arrival. At corpus scale the window sort is
+    * per-stratum — if one domain dominates the corpus, pre-filter it
+    * with [[bernoulli]] to a few × budget first so the sort input
+    * stays bounded. */
+  def tokenCapPerStratum(df: DataFrame, strataCol: String, idCol: String,
+                         weightCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(!df.columns.contains("__cum"), "__cum is reserved")
+    val before = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__cum",
+        coalesce(sum(col(weightCol)).over(before), lit(0L)))
+      .filter(col("__cum") + col(weightCol) <= budget)
+      .drop("__cum")
+  }
+
+  /** Leakage-safe train/val/test assignment: the split is decided by
+    * the hash of a CLUSTER key (a near-duplicate cluster label, a
+    * canonical fingerprint, a URL host…), so every member of a cluster
+    * lands in the same split and near-duplicates can never straddle
+    * train and test. Pure Column — no shuffle, pushdown-safe, and
+    * reproducible across runs and engines (portable md5 family).
+    * Fractions are per-mille: test gets [0, testPermille), val the
+    * next valPermille, train the rest. */
+  def splitAssign(df: DataFrame, clusterCol: String, testPermille: Int,
+                  valPermille: Int, salt: Int = 7): DataFrame = {
+    require(testPermille >= 0 && valPermille >= 0 &&
+      testPermille + valPermille <= 1000, "permilles must fit in [0,1000]")
+    val h = Hashing.hash60(
+      coalesce(col(clusterCol).cast("string"), lit("")), salt) % 1000
+    df.withColumn("split",
+      when(h < testPermille, "test")
+        .when(h < testPermille + valPermille, "val")
+        .otherwise("train"))
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch: keep the k smallest
     * 60-bit hashes of the column's distinct values; the estimator is
     * `(k-1) · 2^60 / h_(k)` (Bar-Yossef et al., RANDOM 2002). When

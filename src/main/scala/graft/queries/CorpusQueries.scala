@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.operators.{MergeOps, Packing, TextAnalysis}
+import graft.functions.Hashing
+import graft.operators.{MergeOps, Packing, Sampling, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -165,6 +166,95 @@ object CorpusQueries {
        |  array_to_string(list_sort(list(doc_id))[1:$MaxPostings], ',') AS postings
        |FROM tf GROUP BY term ORDER BY term""".stripMargin
 
+  // ---- per-source token-budget cap (mixture construction: "at most
+  //      1000 tokens per source", greedy prefix by doc_id) ----
+  private val CapBudget = 1000L
+  def qDomainCap(s: SparkSession, dir: String): DataFrame =
+    Sampling.tokenCapPerStratum(
+      docs(s, dir).withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("text")).cast("long")),
+      "source", "doc_id", "n_tokens", CapBudget)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .orderBy("doc_id")
+  val qDomainCapSql: String =
+    s"""WITH w AS (SELECT doc_id, source, $WSql AS w FROM documents),
+       |c AS (SELECT doc_id, source, w,
+       |    CAST(coalesce(sum(w) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+       |  FROM w)
+       |SELECT doc_id, source, w AS n_tokens FROM c
+       |WHERE cum + w <= $CapBudget ORDER BY doc_id""".stripMargin
+
+  // ---- SCD-2 history merge: same changeset classes as q_merge_upsert,
+  //      but every version survives with a validity interval.
+  //      9999999999 is the open-interval sentinel IN THE OUTPUT ONLY
+  //      (the operator uses null; the sentinel keeps both engines'
+  //      dtypes integral for the hash compare) ----
+  private val Scd2BatchTs = 100L
+  private val OpenSentinel = 9999999999L
+  def qScd2History(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val base = d.select(col("doc_id"), md5(col("text")).as("text_hash"),
+      col("lang"), lit(0L).as("valid_from"),
+      lit(null).cast("long").as("valid_to"))
+    val ups = d.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), md5(upper(col("text"))).as("text_hash"),
+        col("lang"), lit("U").as("op"))
+    val ins = d.filter(col("doc_id") % 17 === 3)
+      .select((col("doc_id") + InsertOffset).as("doc_id"),
+        md5(concat(lit("NEW "), col("text"))).as("text_hash"),
+        col("lang"), lit("U").as("op"))
+    val del = d.filter(col("doc_id") % 13 === 5 && col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), lit(null).cast("string").as("text_hash"),
+        col("lang"), lit("D").as("op"))
+    MergeOps.scd2(base, ups.unionAll(ins).unionAll(del), "doc_id", "op",
+      Scd2BatchTs)
+      .select(col("doc_id"), col("text_hash"), col("lang"), col("valid_from"),
+        coalesce(col("valid_to"), lit(OpenSentinel)).as("valid_to"))
+      .orderBy("doc_id", "valid_from")
+  }
+  val qScd2HistorySql: String =
+    s"""WITH ch AS (
+       |  SELECT doc_id, md5(upper(text)) AS text_hash, lang, 'U' AS op FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + $InsertOffset, md5('NEW ' || text), lang, 'U' FROM documents WHERE doc_id % 17 = 3
+       |  UNION ALL
+       |  SELECT doc_id, NULL, lang, 'D' FROM documents WHERE doc_id % 13 = 5 AND doc_id % 10 != 0),
+       |ck AS (SELECT DISTINCT doc_id FROM ch)
+       |SELECT doc_id, md5(text) AS text_hash, lang, CAST(0 AS BIGINT) AS valid_from,
+       |  CAST(CASE WHEN doc_id IN (SELECT doc_id FROM ck) THEN $Scd2BatchTs
+       |       ELSE $OpenSentinel END AS BIGINT) AS valid_to
+       |FROM documents
+       |UNION ALL
+       |SELECT doc_id, text_hash, lang, CAST($Scd2BatchTs AS BIGINT),
+       |  CAST($OpenSentinel AS BIGINT)
+       |FROM ch WHERE op != 'D'
+       |ORDER BY doc_id, valid_from""".stripMargin
+
+  // ---- leakage-safe split assignment: the split is decided by the
+  //      hash of the canonical token-set fingerprint, so reordered /
+  //      repeated-word near-duplicates can never straddle train and
+  //      test (10% test, 10% val) ----
+  private val SplitTestPm = 100
+  private val SplitValPm = 100
+  private val SplitSalt = 7
+  def qLeakageSplit(s: SparkSession, dir: String): DataFrame =
+    Sampling.splitAssign(
+      docs(s, dir).withColumn("fp", TextAnalysis.fingerprint(col("text"))),
+      "fp", SplitTestPm, SplitValPm, SplitSalt)
+      .select(col("doc_id"), col("fp"), col("split"))
+      .orderBy("doc_id")
+  val qLeakageSplitSql: String = {
+    val fp = "md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))), ' '))"
+    val h = s"${Hashing.hash60Sql("fp", SplitSalt)} % 1000"
+    s"""SELECT doc_id, fp,
+       |  CASE WHEN $h < $SplitTestPm THEN 'test'
+       |       WHEN $h < ${SplitTestPm + SplitValPm} THEN 'val'
+       |       ELSE 'train' END AS split
+       |FROM (SELECT doc_id, $fp AS fp FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_concat" -> (qPackConcat _),
@@ -172,6 +262,9 @@ object CorpusQueries {
     "q_quality_filter" -> (qQualityFilter _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_inverted_index" -> (qInvertedIndex _),
+    "q_domain_cap" -> (qDomainCap _),
+    "q_scd2_history" -> (qScd2History _),
+    "q_leakage_split" -> (qLeakageSplit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -181,5 +274,8 @@ object CorpusQueries {
     "q_quality_filter" -> qQualityFilterSql,
     "q_merge_upsert" -> qMergeUpsertSql,
     "q_inverted_index" -> qInvertedIndexSql,
+    "q_domain_cap" -> qDomainCapSql,
+    "q_scd2_history" -> qScd2HistorySql,
+    "q_leakage_split" -> qLeakageSplitSql,
   )
 }

@@ -179,6 +179,135 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "a"), (2L, "b")))
   }
 
+  // ---- token-budget cap ----
+
+  test("tokenCapPerStratum keeps the maximal prefix per stratum, by id order") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", 1L, 4L), ("a", 2L, 4L), ("a", 3L, 3L),  // 4+4=8, +3 busts 10
+      ("b", 1L, 20L), ("b", 2L, 1L))                // first row busts alone
+      .toDF("src", "id", "w")
+    val got = Sampling.tokenCapPerStratum(df, "src", "id", "w", budget = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("a", 1L), ("a", 2L)),
+      "oversized first row takes nothing; prefix stops at the budget")
+  }
+
+  test("tokenCapPerStratum is partition-independent") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 100L).map(i => (s"s${i % 4}", i, i % 7 + 1))
+      .toDF("src", "id", "w")
+    val once = Sampling.tokenCapPerStratum(df, "src", "id", "w", 50L)
+      .collect().map(_.getLong(1)).toSet
+    val again = Sampling.tokenCapPerStratum(df.repartition(13), "src", "id", "w", 50L)
+      .collect().map(_.getLong(1)).toSet
+    assert(once == again)
+  }
+
+  // ---- SCD-2 history ----
+
+  test("scd2 closes matched rows, opens upserts, keeps history untouched") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      (1L, "old1", 0L, Some(50L)),   // closed history: must pass through
+      (1L, "cur1", 50L, None),       // updated at ts=100
+      (2L, "cur2", 0L, None),        // untouched
+      (3L, "cur3", 0L, None))        // deleted at ts=100
+      .toDF("id", "v", "valid_from", "valid_to")
+    val changes = Seq(
+      (1L, "new1", "U"), (3L, null.asInstanceOf[String], "D"),
+      (4L, "ins4", "U"))
+      .toDF("id", "v", "op")
+    val got = MergeOps.scd2(base, changes, "id", "op", batchTs = 100L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, "old1", 0L, 50L),    // history untouched
+      (1L, "cur1", 50L, 100L),  // closed by the upsert
+      (1L, "new1", 100L, -1L),  // new current version
+      (2L, "cur2", 0L, -1L),    // untouched current
+      (3L, "cur3", 0L, 100L),   // closed by the delete, nothing opened
+      (4L, "ins4", 100L, -1L))) // insert opens with no closure
+  }
+
+  // ---- split assignment ----
+
+  test("splitAssign puts every member of a cluster in the same split") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 300L).map(i => (i, s"cluster${i % 30}")).toDF("id", "cl")
+    val got = Sampling.splitAssign(df, "cl", testPermille = 200,
+      valPermille = 200).select("cl", "split").distinct()
+    // 30 clusters -> exactly 30 distinct (cluster, split) pairs
+    assert(got.count() == 30)
+    val splits = got.collect().map(_.getString(1)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) && splits.size >= 2,
+      s"with 30 clusters at 20/20/60 expect >=2 splits hit, got $splits")
+  }
+
+  test("splitAssign fractions are rate-accurate on many clusters") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 2000L).map(i => (i, s"c$i")).toDF("id", "cl")
+    val byS = Sampling.splitAssign(df, "cl", 100, 100)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS("test") > 140 && byS("test") < 260, s"~10% test: $byS")
+    assert(byS("val") > 140 && byS("val") < 260, s"~10% val: $byS")
+    assert(byS("train") > 1500, s"~80% train: $byS")
+  }
+
+  // ---- plan pins: the 100 TB shape claims ----
+
+  test("chunkDocs plans no shuffle and no join — pure map-side explode") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 100L).map(i => (i, "x" * (i.toInt % 300 + 10)))
+      .toDF("doc_id", "text")
+    val got = Packing.chunkDocs(df, "doc_id", "text", 64, 48)
+    got.collect()
+    val plan = got.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange"),
+      s"chunking must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"chunking must not join:\n$plan")
+  }
+
+  test("packGreedy plans exactly one hash shuffle (by shard) and no join") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 200L).map(i => (i, i % 7 + 1)).toDF("doc_id", "w")
+    val got = Packing.packGreedy(df, "doc_id", col("w"),
+      col("doc_id") % 8, budget = 10L)
+    got.collect()
+    val plan = got.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"greedy packing must shuffle exactly once (got $shuffles):\n$plan")
+    assert(!plan.contains("Join"), s"packing must not join:\n$plan")
+  }
+
+  test("merge plans one key-partitioned join and no nested-loop/cartesian") {
+    val s = spark
+    import s.implicits._
+    val base = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    val changes = (1L to 20L).map(i => (i * 5, s"u$i", "U"))
+      .toDF("id", "v", "op")
+    val got = MergeOps.merge(base, changes, "id", "op")
+    got.collect()
+    val plan = got.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"merge must be a key-partitioned join:\n$plan")
+    for (bad <- Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!plan.contains(bad), s"unexpected $bad in merge plan:\n$plan")
+  }
+
   // ---- inverted index ----
 
   test("invertedIndex counts df/tf and caps sorted postings") {
