@@ -197,6 +197,50 @@ object TextAnalysis {
         .as("postings"))
   }
 
+  /** Perplexity-style quality signal: average Laplace-smoothed bigram
+    * log-probability of each document under a bigram model trained on
+    * the corpus itself (the KenLM-filtering pattern, with the n-gram
+    * model expressed relationally instead of as a binary artifact).
+    * p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V); score = Σ c·ln(p) / n.
+    *
+    * Determinism across engines and partitionings: each (doc, bigram)
+    * contribution is rounded to integer MICROS before the per-doc sum,
+    * so the aggregation is an integer sum — order-independent, unlike
+    * a float Σ ln. Scale shape: one explode into bigrams, partial-agg
+    * counts at (doc, bigram) and model level; the model tables are
+    * vocabulary²-bounded (AQE broadcasts them); nothing reaches the
+    * driver. Output: (doc, n_bigrams, avg_logprob). */
+  def bigramLmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val n = size(toks)
+    val bigrams = zip_with(
+      slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val docBg = docs
+      .select(col(idCol).as("id"), explode(bigrams).as("bg"))
+      .groupBy("id", "bg").agg(count(lit(1)).as("c"))
+    val bgCount = docBg.groupBy("bg").agg(sum(col("c")).as("c_bg"))
+    val w1Count = docBg
+      .select(split(col("bg"), " ").getItem(0).as("w1"), col("c"))
+      .groupBy("w1").agg(sum(col("c")).as("c_w1"))
+    val vocab = docs
+      .select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val contrib = floor(col("c") * log((col("c_bg") + lit(1.0)) /
+      (col("c_w1") + col("v"))) * lit(1e6) + lit(0.5)).cast("long")
+    docBg
+      .join(bgCount, "bg")
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(w1Count, "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy("id")
+      .agg(sum(col("c")).as("n_bigrams"), sum(contrib).as("sum_micros"))
+      .select(col("id"), col("n_bigrams"),
+        (floor(col("sum_micros") / col("n_bigrams") + lit(0.5)) / lit(1e6))
+          .as("avg_logprob"))
+  }
+
   /** Per-(doc, term) TF-IDF over lowercase whitespace tokens:
     * tf = term occurrences in the doc, df = number of docs containing
     * the term, idf = ln((1+N)/(1+df)) + 1 (the smoothed sklearn

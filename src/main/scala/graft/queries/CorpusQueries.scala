@@ -255,6 +255,32 @@ object CorpusQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- bigram LM scoring (KenLM-filtering pattern, relational):
+  //      avg Laplace-smoothed bigram log-prob under a corpus-trained
+  //      model; per-(doc,bigram) contributions rounded to integer
+  //      micros BEFORE the per-doc sum so the aggregation is an
+  //      order-independent integer sum ----
+  def qLmScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLmScore(docs(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  val qLmScoreSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents),
+       |g AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2 THEN
+       |    list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])
+       |  ELSE []::VARCHAR[] END) AS bg FROM t),
+       |db AS (SELECT doc_id, bg, count(*) AS c FROM g GROUP BY 1, 2),
+       |bgc AS (SELECT bg, CAST(sum(c) AS BIGINT) AS c_bg FROM db GROUP BY 1),
+       |w1c AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c) AS BIGINT) AS c_w1 FROM db GROUP BY 1),
+       |v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(tk) AS tok FROM t)),
+       |j AS (SELECT doc_id, c,
+       |    CAST(floor(c * ln((c_bg + 1.0) / (c_w1 + v)) * 1000000 + 0.5) AS BIGINT) AS m
+       |  FROM db JOIN bgc USING (bg)
+       |  JOIN w1c ON string_split(bg, ' ')[1] = w1 CROSS JOIN v)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |  floor(CAST(sum(m) AS BIGINT) / CAST(sum(c) AS BIGINT) + 0.5) / 1000000 AS avg_logprob
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_concat" -> (qPackConcat _),
@@ -265,6 +291,7 @@ object CorpusQueries {
     "q_domain_cap" -> (qDomainCap _),
     "q_scd2_history" -> (qScd2History _),
     "q_leakage_split" -> (qLeakageSplit _),
+    "q_lm_score" -> (qLmScore _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -277,5 +304,6 @@ object CorpusQueries {
     "q_domain_cap" -> qDomainCapSql,
     "q_scd2_history" -> qScd2HistorySql,
     "q_leakage_split" -> qLeakageSplitSql,
+    "q_lm_score" -> qLmScoreSql,
   )
 }

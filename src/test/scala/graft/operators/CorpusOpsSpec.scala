@@ -261,6 +261,48 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(byS("train") > 1500, s"~80% train: $byS")
   }
 
+  // ---- bigram LM scoring ----
+
+  test("bigramLmScore: hand-checked Laplace bigram math on a toy corpus") {
+    val s = spark
+    import s.implicits._
+    // corpus: "a b" (x2 docs), "a c". V=3. c(a b)=2, c(a c)=1, c(a .)=3
+    // p(b|a) = (2+1)/(3+3) = 0.5 ; p(c|a) = (1+1)/(3+3) = 1/3
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got(1L)._1 == 1L && math.abs(got(1L)._2 - math.log(0.5)) < 1e-5)
+    assert(got(3L)._1 == 1L && math.abs(got(3L)._2 - math.log(1.0 / 3)) < 1e-5)
+  }
+
+  test("bigramLmScore ranks a garbled doc below natural ones") {
+    val s = spark
+    import s.implicits._
+    val natural = "the cat sat on the mat and the dog sat on the rug"
+    val df = Seq(
+      (1L, natural), (2L, natural), (3L, natural),
+      (4L, "rug the on mat dog sat cat the and on the sat mat dog"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(4L) < got(1L),
+      s"scrambled word order must score below the natural majority: $got")
+  }
+
+  test("bigramLmScore is partition-independent (integer-micros sum)") {
+    val s = spark
+    import s.implicits._
+    val base = (1L to 60L).map(i =>
+      (i, s"tok${i % 5} tok${(i + 1) % 5} tok${(i + 2) % 5} tok${i % 7}"))
+    val a = TextAnalysis.bigramLmScore(base.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    val b = TextAnalysis.bigramLmScore(
+      base.toDF("doc_id", "text").repartition(17), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(a == b)
+  }
+
   // ---- plan pins: the 100 TB shape claims ----
 
   test("chunkDocs plans no shuffle and no join — pure map-side explode") {
