@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-profiling and monitoring operators: the checks a pipeline runs
+  * BEFORE training on a new corpus drop (column distributions) and
+  * AFTER each ingest (per-key time-series anomalies). The reference
+  * has no profiling surface at all; these extend the engine the same
+  * way the dedup/similarity operators do.
+  *
+  * Determinism discipline (both operators hash-match DuckDB oracles):
+  * histogram bucket assignment is pure double arithmetic on exact
+  * min/max; anomaly statistics accumulate DECIMAL sums (exact, any
+  * order) and convert to double only for the final mean/σ/z math.
+  */
+object Profiling {
+
+  /** Equi-width histogram per numeric column: `nBuckets` buckets over
+    * the column's [min, max]; the max lands in the last bucket; a
+    * constant column collapses to bucket 0. Scale shape: ONE global
+    * agg for all columns' min/max (broadcast back), then one
+    * partial-agg count per (column, bucket) — two scans total
+    * (min/max + counts) regardless of column count, no window, no
+    * driver-side data. */
+  def numericHistogram(df: DataFrame, cols: Seq[String],
+                       nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    require(cols.nonEmpty, "need at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"__mn_$c"),
+      max(col(c)).cast("double").as(s"__mx_$c")))
+    val mm = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map { c =>
+      val x = col(c).cast("double")
+      val mn = col(s"__mn_$c")
+      val w = (col(s"__mx_$c") - mn) / lit(nBuckets.toDouble)
+      df.select(x.as("x"))
+        .crossJoin(broadcast(mm.select(col(s"__mn_$c"), col(s"__mx_$c"))))
+        .select(lit(c).as("col_name"),
+          when(w === 0.0, lit(0L)).otherwise(
+            least(floor((col("x") - mn) / w), lit((nBuckets - 1).toLong))
+              .cast("long")).as("bucket"))
+    }
+    perCol.reduce(_ unionAll _)
+      .groupBy("col_name", "bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-key time-series anomaly flags: bucket rows into (key, period)
+    * sums, then flag periods where |sum − mean_key| > z·σ_key. The
+    * period sums are exact DECIMAL(18,2) (order-independent), the
+    * per-key moments come from Σx and Σx² of those exact sums, and
+    * only the final z-score runs in floating point — so the flags are
+    * deterministic under any partitioning. Scale shape: two partial-agg
+    * shuffles (periods, then per-key moments — the second input is
+    * #periods-sized, not #events-sized) and one broadcast-sized join
+    * back. */
+  def periodAnomalies(df: DataFrame, keyCol: String, periodCol: Column,
+                      valueCol: String, zThreshold: Double): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol).as("key"), periodCol.as("period"))
+      // downcast the sum back to (18,2): keeps dsum·dsum inside
+      // DECIMAL(37,4) so BOTH engines multiply exactly (38-wide
+      // operands would overflow DuckDB's multiply and trigger Spark's
+      // precision-loss rounding)
+      .agg(sum(col(valueCol).cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("dsum"))
+      .select(col("key"), col("period"), col("dsum").cast("double").as("s"),
+        col("dsum"))
+    val stats = daily.groupBy("key").agg(
+      count(lit(1)).as("n"),
+      sum(col("dsum")).cast("double").as("sx"),
+      sum(col("dsum") * col("dsum")).cast("double").as("sxx"))
+    val sigma = sqrt(greatest(
+      (col("sxx") - col("sx") * col("sx") / col("n")) / col("n"), lit(0.0)))
+    daily.join(broadcast(stats), "key")
+      .select(col("key"), col("period"), col("s"),
+        // a flat series (σ = 0) has no anomalies by definition — and
+        // ANSI mode would otherwise throw on the division
+        when(sigma === 0.0, lit(0.0))
+          .otherwise((col("s") - col("sx") / col("n")) / sigma).as("z"))
+      .filter(abs(col("z")) > zThreshold)
+  }
+}

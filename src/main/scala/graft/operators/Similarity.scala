@@ -414,4 +414,40 @@ object Similarity {
         .filter(col("rank") <= k)
     }
   }
+
+  /** Per-group embedding outliers (curation: drop the vectors that
+    * least belong to their label/domain): compute each group's
+    * centroid, score every vector by cosine to its group centroid,
+    * and emit the `k` lowest-cosine vectors per group.
+    *
+    * Centroids are order-deterministic: each component is rounded to
+    * integer MICROS before the per-(group, dim) sum, so the mean comes
+    * from an exact integer sum — the same trick as the bigram LM score,
+    * and what makes this hash-match a SQL oracle despite float inputs.
+    * Scale shape: one posexplode → partial-agg (group, dim) sums
+    * (bounded by #groups × dim), centroids rebuilt per group and
+    * broadcast back; ranking shuffles one row per vector. */
+  def groupOutliers(df: DataFrame, idCol: String, vecCol: String,
+                    groupCol: String, k: Int): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      toDoubleVec(col(vecCol)).as("v"))
+    val comp = base
+      .select(col("grp"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("grp"), col("pos"),
+        floor(col("x") * lit(1e6) + lit(0.5)).cast("long").as("m"))
+      .groupBy("grp", "pos")
+      .agg(sum(col("m")).as("sm"), count(lit(1)).as("cnt"))
+      .select(col("grp"), col("pos"),
+        (floor(col("sm") / col("cnt") + lit(0.5)) / lit(1e6)).as("c"))
+    val centroids = comp.groupBy("grp")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cv"))
+    val w = Window.partitionBy("grp")
+      .orderBy(col("cosine").asc, col("id").asc)
+    base.join(broadcast(centroids), "grp")
+      .select(col("id"), col("grp"),
+        round(cosine(col("v"), col("cv")), 6).as("cosine"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
 }

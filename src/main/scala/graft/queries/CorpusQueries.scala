@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.Hashing
-import graft.operators.{MergeOps, Packing, Sampling, TextAnalysis}
+import graft.operators.{MergeOps, Packing, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -281,6 +281,32 @@ object CorpusQueries {
        |  floor(CAST(sum(m) AS BIGINT) / CAST(sum(c) AS BIGINT) + 0.5) / 1000000 AS avg_logprob
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- per-label embedding outliers (curation: the 10 vectors that
+  //      least belong to their label's centroid) ----
+  private val OutlierK = 10
+  def qEmbedOutliers(s: SparkSession, dir: String): DataFrame =
+    Similarity.groupOutliers(Tables.load(s, dir, "embeddings"),
+      "vec_id", "embedding", "label", OutlierK)
+      .select(col("id").as("vec_id"), col("grp").as("label"),
+        col("cosine"), col("rnk"))
+      .orderBy("label", "rnk")
+  val qEmbedOutliersSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |x0 AS (SELECT label, v, unnest(generate_series(1, len(v))) AS pos FROM e),
+       |x AS (SELECT label, pos, CAST(floor(v[pos] * 1000000 + 0.5) AS BIGINT) AS m FROM x0),
+       |c0 AS (SELECT label, pos,
+       |    floor(CAST(sum(m) AS BIGINT) / count(*) + 0.5) / 1000000 AS c
+       |  FROM x GROUP BY 1, 2),
+       |cent AS (SELECT label, list(c ORDER BY pos) AS cv FROM c0 GROUP BY 1),
+       |sc AS (SELECT vec_id, e.label,
+       |    round(list_dot_product(v, cv) /
+       |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+       |  FROM e JOIN cent USING (label)),
+       |rk AS (SELECT *, CAST(row_number() OVER
+       |    (PARTITION BY label ORDER BY cosine ASC, vec_id) AS BIGINT) AS rnk FROM sc)
+       |SELECT vec_id, label, cosine, rnk FROM rk
+       |WHERE rnk <= $OutlierK ORDER BY label, rnk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_concat" -> (qPackConcat _),
@@ -292,6 +318,7 @@ object CorpusQueries {
     "q_scd2_history" -> (qScd2History _),
     "q_leakage_split" -> (qLeakageSplit _),
     "q_lm_score" -> (qLmScore _),
+    "q_embed_outliers" -> (qEmbedOutliers _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -305,5 +332,6 @@ object CorpusQueries {
     "q_scd2_history" -> qScd2HistorySql,
     "q_leakage_split" -> qLeakageSplitSql,
     "q_lm_score" -> qLmScoreSql,
+    "q_embed_outliers" -> qEmbedOutliersSql,
   )
 }

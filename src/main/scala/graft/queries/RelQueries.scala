@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Sessionize, SkewTools, TemporalJoin}
+import graft.operators.{Profiling, Sessionize, SkewTools, TemporalJoin}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -229,7 +229,61 @@ object RelQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- numeric column profiling: equi-width histograms over three
+  //      lineitem measures — the pre-training distribution check ----
+  private val ProfCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+  private val ProfBuckets = 10
+  def qProfile(s: SparkSession, dir: String): DataFrame =
+    Profiling.numericHistogram(Tables.load(s, dir, "lineitem"),
+      ProfCols, ProfBuckets)
+      .orderBy("col_name", "bucket")
+  val qProfileSql: String = {
+    val arms = ProfCols.map { c =>
+      val mn = s"(SELECT CAST(min($c) AS DOUBLE) FROM lineitem)"
+      val mx = s"(SELECT CAST(max($c) AS DOUBLE) FROM lineitem)"
+      val w = s"(($mx - $mn) / ${ProfBuckets}.0)"
+      s"""SELECT '$c' AS col_name,
+         |    CAST(CASE WHEN $w = 0 THEN 0
+         |      ELSE least(floor((CAST($c AS DOUBLE) - $mn) / $w), ${ProfBuckets - 1})
+         |      END AS BIGINT) AS bucket
+         |  FROM lineitem""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""SELECT col_name, bucket, count(*) AS n FROM (
+       |$arms
+       |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---- per-type daily anomaly flags: |z| > 2 on exact DECIMAL daily
+  //      sums (the post-ingest monitoring check) ----
+  private val AnomalyZ = 2.0
+  def qEventAnomaly(s: SparkSession, dir: String): DataFrame =
+    Profiling.periodAnomalies(eventsMs(s, dir), "event_type",
+      expr("ts_ms div 86400000"), "value", AnomalyZ)
+      .select(col("key").as("event_type"), col("period").as("day"),
+        round(col("s"), 2).as("daily_sum"), r6x(col("z")).as("z"))
+      .orderBy("event_type", "day")
+  val qEventAnomalySql: String =
+    s"""WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS dsum
+       |  FROM events GROUP BY 1, 2),
+       |st AS (SELECT event_type, count(*) AS n,
+       |    CAST(sum(dsum) AS DOUBLE) AS sx,
+       |    CAST(sum(dsum * dsum) AS DOUBLE) AS sxx
+       |  FROM d GROUP BY 1),
+       |z AS (SELECT d.event_type, day, CAST(dsum AS DOUBLE) AS s,
+       |    CASE WHEN sqrt(greatest((sxx - sx * sx / n) / n, 0)) = 0 THEN 0
+       |      ELSE (CAST(dsum AS DOUBLE) - sx / n) /
+       |        sqrt(greatest((sxx - sx * sx / n) / n, 0)) END AS z
+       |  FROM d JOIN st USING (event_type))
+       |SELECT event_type, day, round(s, 2) AS daily_sum,
+       |  ${r6xSqlFrag("z")} AS z
+       |FROM z WHERE abs(z) > $AnomalyZ ORDER BY event_type, day""".stripMargin
+  private def r6xSqlFrag(x: String): String =
+    s"floor(($x) * 1000000 + 0.5) / 1000000"
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile" -> (qProfile _),
+    "q_event_anomaly" -> (qEventAnomaly _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_pivot" -> (qPivot _),
@@ -241,6 +295,8 @@ object RelQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_profile" -> qProfileSql,
+    "q_event_anomaly" -> qEventAnomalySql,
     "q_asof_join" -> qAsofJoinSql,
     "q_range_join" -> qRangeJoinSql,
     "q_pivot" -> qPivotSql,
