@@ -36,9 +36,15 @@ import pandas as pd
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
-GOLDEN_BY_TIER = {  # tier-basename marker -> committed golden rule set
-    "sf0.1": "src/test/resources/golden/fit_sf01_rules.txt",
-    "sf1": "src/test/resources/golden/fit_sf01_rules.txt",
+FIT_GOLDENS = {  # fit query -> tier-basename marker -> committed golden
+    "q_fit_tree": {
+        "sf0.1": "src/test/resources/golden/fit_sf01_rules.txt",
+        "sf1": "src/test/resources/golden/fit_sf01_rules.txt",
+    },
+    "q_fit_pruned": {
+        "sf0.1": "src/test/resources/golden/fit_pruned_sf01_rules.txt",
+        "sf1": "src/test/resources/golden/fit_pruned_sf01_rules.txt",
+    },
 }
 
 
@@ -92,15 +98,16 @@ def main():
         got = con.execute(
             f"SELECT * FROM read_parquet('{dump}/{name}/*.parquet')").fetchdf()
         err = None
-        if name == "q_fit_tree" and tier != "sf0.01":
-            marker = next((m for m in GOLDEN_BY_TIER if m in tier), None)
+        if name in FIT_GOLDENS and tier != "sf0.01":
+            tiers = FIT_GOLDENS[name]
+            marker = next((m for m in tiers if m in tier), None)
             if marker is None:
                 report[name] = {"rows_match": None, "schema_match": None,
                                 "hash_match": None, "spark_rows": len(got),
                                 "oracle_rows": None, "err": "no_oracle"}
                 continue
-            golden = os.path.join(REPO, GOLDEN_BY_TIER[marker])
-            exp, err = fit_golden_frame(golden), f"golden:{GOLDEN_BY_TIER[marker]}"
+            golden = os.path.join(REPO, tiers[marker])
+            exp, err = fit_golden_frame(golden), f"golden:{tiers[marker]}"
         elif name in oracles:
             exp = con.execute(oracles[name]).fetchdf()
         else:

@@ -1,0 +1,111 @@
+package graft.fit
+
+import graft.model.Rule
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pessimistic error pruning for a fitted [[C45Model]] — the part of
+  * canonical C4.5 the reference omits entirely (SURVEY.md §0: "no
+  * pruning"). Bottom-up subtree replacement: an internal node collapses
+  * to a majority leaf when its pessimistic error as a leaf is no worse
+  * than the sum of its children's pessimistic subtree errors.
+  *
+  * The pessimistic bound is the Wilson upper confidence limit on the
+  * leaf's error rate at confidence z (default z = 0.6745, the normal
+  * deviate for C4.5's CF = 0.25) — a published, closed-form stand-in
+  * for C4.5's inverse-beta bound with the same monotonicity: small
+  * leaves are penalized hardest, which is exactly what makes noise
+  * splits collapse while real structure survives.
+  *
+  * Scale shape: ONE Spark job — rows route to their leaf through the
+  * model's disjoint predicates (flat CASE WHEN, codegen) and aggregate
+  * to per-(leaf, class) counts, O(#leaves × #classes) rows to the
+  * driver. The pruning pass itself is a driver-side fold over the leaf
+  * trie: O(model), no further jobs, deterministic (ties collapse, and
+  * majority ties pick the lexicographically smallest label). */
+object C45Pruning {
+
+  /** Normal deviate for C4.5's default CF = 0.25. */
+  val DefaultZ = 0.6744897501960817
+
+  /** Wilson upper confidence bound on an error RATE: observed `errors`
+    * in `n` trials. n = 0 is defined as 0 (an empty leaf costs
+    * nothing; it can only appear through degenerate inputs). */
+  def upperErrorRate(errors: Double, n: Double, z: Double = DefaultZ): Double =
+    if (n <= 0) 0.0
+    else {
+      val f = errors / n
+      val z2 = z * z
+      math.min(1.0,
+        (f + z2 / (2 * n) + z * math.sqrt(f * (1 - f) / n + z2 / (4 * n * n))) /
+          (1 + z2 / n))
+    }
+
+  private case class Pruned(leaves: Vector[Rule], err: Double,
+                            counts: Map[String, Long])
+
+  /** Prune `model` against (training) data `df`. Returns a model whose
+    * leaves are a subset-or-collapse of the input's: every pruned leaf
+    * predicate is a prefix of one or more original leaf predicates, so
+    * the leaves still partition the space. */
+  def prune(model: C45Model, df: DataFrame, z: Double = DefaultZ): C45Model = {
+    val names = model.schema.attrNames
+    val leaves = model.leaves
+    if (leaves.isEmpty) return model
+
+    // one job: route every row to its (disjoint) leaf, count classes
+    val rid = leaves.zipWithIndex.tail.foldLeft(
+      when(leaves.head.toPredicate(names), lit(0))) { case (acc, (r, i)) =>
+      acc.when(r.toPredicate(names), lit(i))
+    }.otherwise(lit(-1))
+    val counts: Map[Int, Map[String, Long]] = df
+      .select(rid.as("rid"), col(model.schema.classCol).cast("string").as("cls"))
+      .filter(col("rid") >= 0)
+      .groupBy("rid", "cls").agg(count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (k, rows) =>
+        k -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+      }
+
+    def leafErr(c: Map[String, Long]): Double = {
+      val n = c.values.sum.toDouble
+      val errors = n - (if (c.isEmpty) 0L else c.values.max).toDouble
+      n * upperErrorRate(errors, n, z)
+    }
+
+    /** Majority with deterministic ties: max count, then smallest label. */
+    def majority(c: Map[String, Long]): String =
+      if (c.isEmpty) model.majority
+      else {
+        val mx = c.values.max
+        c.collect { case (l, n) if n == mx => l }.min
+      }
+
+    /** Recursive bottom-up pass over leaves sharing the prefix up to
+      * `depth`. Leaves' condition vectors are root-ordered, so the
+      * group's split attribute at this depth is conditions(depth). */
+    def walk(group: Vector[(Rule, Int)], depth: Int,
+             prefix: Vector[(Int, graft.model.Split)]): Pruned = {
+      if (group.length == 1 && group.head._1.depth == depth) {
+        val (r, i) = group.head
+        val c = counts.getOrElse(i, Map.empty)
+        return Pruned(Vector(r), leafErr(c), c)
+      }
+      val children = group.groupBy(_._1.conditions(depth)).toSeq
+        .sortBy(_._1.toString)
+        .map { case (cond, rs) => walk(rs, depth + 1, prefix :+ cond) }
+      val subtreeErr = children.map(_.err).sum
+      val merged = children.flatMap(_.counts.toSeq)
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      val asLeafErr = leafErr(merged)
+      if (asLeafErr <= subtreeErr + 1e-9)
+        Pruned(Vector(Rule(prefix, Some(majority(merged)))), asLeafErr, merged)
+      else
+        Pruned(children.flatMap(_.leaves).toVector, subtreeErr, merged)
+    }
+
+    val rooted = walk(leaves.zipWithIndex, 0, Vector.empty)
+    model.copy(leaves = rooted.leaves)
+  }
+}

@@ -596,6 +596,31 @@ object C45Queries {
   }
   val qFitDeepSql: String = goldenValuesSql("golden/fit_deep_sf001_rules.txt")
 
+  // ---- O4 + pruning: canonical C4.5's pessimistic subtree
+  //      replacement — the part of C4.5 the reference omits (SURVEY §0
+  //      "no pruning"). A planted 2-attribute structure plus
+  //      deterministic ~10% label noise (portable md5 of the row key,
+  //      so every tier reproduces bit-for-bit) makes the unpruned fit
+  //      grow spurious subtrees on the noise attributes; pruning must
+  //      collapse those and keep the real splits. PruningSpec asserts
+  //      the collapse; the golden pins the exact pruned rule set. ----
+  def qFitPruned(s: SparkSession, dir: String): DataFrame = {
+    val schema = C45Schema(
+      Seq(AttrMeta("l_returnflag", isNumeric = false),
+        AttrMeta("l_quantity", isNumeric = true),
+        AttrMeta("l_discount", isNumeric = true),
+        AttrMeta("l_tax", isNumeric = true)),
+      "cls", Seq("N", "P"))
+    val noisy = graft.functions.Hashing.hash60(
+      concat_ws("|", col("l_orderkey"), col("l_linenumber"))) % 10 === 0
+    val base = (col("l_returnflag") === "A") === (col("l_quantity") <= lit(25.0))
+    val df = li(s, dir).withColumn("cls",
+      when(base =!= noisy, lit("P")).otherwise(lit("N")))
+    val model = C45.fit(df, schema, C45Params(maxDepth = 5))
+    graft.fit.C45Pruning.prune(model, df).toDF(s).orderBy("rule")
+  }
+  val qFitPrunedSql: String = goldenValuesSql("golden/fit_pruned_sf001_rules.txt")
+
   /** Flagship (SparkEntry.entry): rank every attribute by root gain
     * ratio — the reference's level-0 decision, end to end. */
   def rootRank(s: SparkSession, dir: String): DataFrame = {
@@ -659,6 +684,7 @@ object C45Queries {
     "q_quantiles" -> (qQuantiles _),
     "q_fit_tree" -> (qFitTree _),
     "q_fit_deep" -> (qFitDeep _),
+    "q_fit_pruned" -> (qFitPruned _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -688,5 +714,6 @@ object C45Queries {
     "q_quantiles" -> qQuantilesSql,
     "q_fit_tree" -> qFitTreeSql,
     "q_fit_deep" -> qFitDeepSql,
+    "q_fit_pruned" -> qFitPrunedSql,
   )
 }

@@ -9,6 +9,8 @@ object DumpRules {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val fit = if (args.length > 1 && args(1) == "deep")
       graft.queries.C45Queries.qFitDeep _
+    else if (args.length > 1 && args(1) == "pruned")
+      graft.queries.C45Queries.qFitPruned _
     else graft.queries.C45Queries.qFitTree _
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -1,0 +1,111 @@
+package graft.fit
+
+import graft.SparkTestSession
+import graft.meta.{AttrMeta, C45Schema}
+import graft.model.{CatEq, NumLE, NumGT, Rule}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PruningSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("upperErrorRate: exact-zero-error leaves still pay a size penalty") {
+    val small = C45Pruning.upperErrorRate(0, 5)
+    val big = C45Pruning.upperErrorRate(0, 500)
+    assert(small > big, "the bound shrinks as n grows")
+    assert(small > 0 && small < 0.2)
+    assert(C45Pruning.upperErrorRate(0, 0) == 0.0, "empty leaf costs nothing")
+    // worst case: all wrong -> bound near (but below) 1
+    assert(C45Pruning.upperErrorRate(10, 10) <= 1.0)
+  }
+
+  test("upperErrorRate grows with the observed error") {
+    val e0 = C45Pruning.upperErrorRate(0, 100)
+    val e5 = C45Pruning.upperErrorRate(5, 100)
+    val e20 = C45Pruning.upperErrorRate(20, 100)
+    assert(e0 < e5 && e5 < e20)
+  }
+
+  test("prune collapses a noise split but keeps a real one") {
+    val s = spark
+    import s.implicits._
+    val schema = C45Schema(Seq(
+      AttrMeta("a", isNumeric = false), AttrMeta("x", isNumeric = true)),
+      "cls", Seq("n", "p"))
+    // real structure: a decides the class. The x<=5 split below a=u is
+    // noise: both sides stay ~50/50 p/n.
+    val leaves = Vector(
+      Rule(Vector(0 -> CatEq("t")), Some("p")),
+      Rule(Vector(0 -> CatEq("u"), 1 -> NumLE(5.0)), Some("p")),
+      Rule(Vector(0 -> CatEq("u"), 1 -> NumGT(5.0)), Some("n")))
+    val model = C45Model(schema, leaves, "p")
+    // a=t: 80 pure p. a=u: both x-sides mirror the parent's ~50/50 mix
+    // (10p/10n and 12p/11n) — the split reveals nothing, so the
+    // small-n penalty on two leaves exceeds one leaf's and it collapses
+    val rows =
+      (1 to 80).map(i => ("t", i % 10 + 0.0, "p")) ++
+        (1 to 10).map(_ => ("u", 3.0, "p")) ++ (1 to 10).map(_ => ("u", 4.0, "n")) ++
+        (1 to 12).map(_ => ("u", 7.0, "p")) ++ (1 to 11).map(_ => ("u", 8.0, "n"))
+    val df = rows.toDF("a", "x", "cls")
+    val pruned = C45Pruning.prune(model, df)
+    val got = pruned.leaves.map(_.encode).toSet
+    assert(got == Set("0,t:p", "0,u:p"),
+      s"noise subtree collapses to its majority, real split survives: $got")
+  }
+
+  test("prune keeps a genuinely informative subtree") {
+    val s = spark
+    import s.implicits._
+    val schema = C45Schema(Seq(
+      AttrMeta("a", isNumeric = false), AttrMeta("x", isNumeric = true)),
+      "cls", Seq("n", "p"))
+    val leaves = Vector(
+      Rule(Vector(0 -> CatEq("t")), Some("p")),
+      Rule(Vector(0 -> CatEq("u"), 1 -> NumLE(5.0)), Some("p")),
+      Rule(Vector(0 -> CatEq("u"), 1 -> NumGT(5.0)), Some("n")))
+    val model = C45Model(schema, leaves, "p")
+    // under a=u the x split is PERFECT on 60+60 rows: keeping it beats
+    // any single-leaf collapse
+    val rows =
+      (1 to 40).map(i => ("t", i % 10 + 0.0, "p")) ++
+        (1 to 60).map(_ => ("u", 3.0, "p")) ++ (1 to 60).map(_ => ("u", 8.0, "n"))
+    val pruned = C45Pruning.prune(model, rows.toDF("a", "x", "cls"))
+    assert(pruned.leaves.map(_.encode).toSet == leaves.map(_.encode).toSet)
+  }
+
+  test("planted-noise fit: pruning strictly shrinks the tree to the true structure") {
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    val schema = C45Schema(
+      Seq(AttrMeta("l_returnflag", isNumeric = false),
+        AttrMeta("l_quantity", isNumeric = true),
+        AttrMeta("l_discount", isNumeric = true),
+        AttrMeta("l_tax", isNumeric = true)),
+      "cls", Seq("N", "P"))
+    val noisy = graft.functions.Hashing.hash60(
+      concat_ws("|", col("l_orderkey"), col("l_linenumber"))) % 10 === 0
+    val base = (col("l_returnflag") === "A") === (col("l_quantity") <= lit(25.0))
+    val df = spark.read.parquet(s"$sf/lineitem.parquet").withColumn("cls",
+      when(base =!= noisy, lit("P")).otherwise(lit("N")))
+    val unpruned = C45.fit(df, schema, C45Params(maxDepth = 5))
+    val pruned = C45Pruning.prune(unpruned, df)
+    assert(unpruned.leaves.length > pruned.leaves.length,
+      s"noise must overfit (${unpruned.leaves.length}) and prune away " +
+        s"(${pruned.leaves.length})")
+    // every pruned leaf is a prefix of some unpruned leaf (subtree
+    // replacement only ever collapses, never invents conditions)
+    val orig = unpruned.leaves.map(_.conditions)
+    assert(pruned.leaves.forall(p =>
+      orig.exists(_.startsWith(p.conditions))))
+    // the true planted structure: quantity then returnflag, XOR labels
+    assert(pruned.leaves.forall(_.depth <= 2))
+  }
+
+  test("pruned golden: sf0.01 committed rule set reproduces") {
+    val got = graft.queries.C45Queries.qFitPruned(spark, "/root/testdata/sf0.01")
+      .collect().map(_.getString(0)).toVector
+    val src = scala.io.Source.fromResource("golden/fit_pruned_sf001_rules.txt")
+    val want = try src.getLines().filter(_.nonEmpty).toVector finally src.close()
+    assert(got.sorted == want.sorted)
+  }
+}
