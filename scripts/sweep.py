@@ -45,6 +45,10 @@ FIT_GOLDENS = {  # fit query -> tier-basename marker -> committed golden
         "sf0.1": "src/test/resources/golden/fit_pruned_sf01_rules.txt",
         "sf1": "src/test/resources/golden/fit_pruned_sf01_rules.txt",
     },
+    "q_rule_simplify": {
+        "sf0.1": "src/test/resources/golden/rule_simplify_sf01_rules.txt",
+        "sf1": "src/test/resources/golden/rule_simplify_sf01_rules.txt",
+    },
 }
 
 

@@ -621,6 +621,31 @@ object C45Queries {
   }
   val qFitPrunedSql: String = goldenValuesSql("golden/fit_pruned_sf001_rules.txt")
 
+  // ---- O4 + rule generalization: C4.5rules' per-rule condition
+  //      dropping (the other canonical post-processing step the
+  //      reference omits). Same planted-XOR-plus-noise construction as
+  //      q_fit_pruned but on a lighter 3-attribute fit: the overfit
+  //      tree's noise conditions (l_discount) drop out of the rules;
+  //      the two XOR conditions can never drop (removing either admits
+  //      the opposite-label region and the pessimistic rate jumps).
+  //      Simplified rules overlap — the canonical C4.5rules outcome —
+  //      ordered best-rate-first; the golden pins the exact set. ----
+  def qRuleSimplify(s: SparkSession, dir: String): DataFrame = {
+    val schema = C45Schema(
+      Seq(AttrMeta("l_returnflag", isNumeric = false),
+        AttrMeta("l_quantity", isNumeric = true),
+        AttrMeta("l_discount", isNumeric = true)),
+      "cls", Seq("N", "P"))
+    val noisy = graft.functions.Hashing.hash60(
+      concat_ws("|", col("l_orderkey"), col("l_linenumber"))) % 10 === 0
+    val base = (col("l_returnflag") === "A") === (col("l_quantity") <= lit(25.0))
+    val df = li(s, dir).withColumn("cls",
+      when(base =!= noisy, lit("P")).otherwise(lit("N")))
+    val model = C45.fit(df, schema, C45Params(maxDepth = 4))
+    graft.fit.C45RuleSimplify.simplify(model, df).toDF(s).orderBy("rule")
+  }
+  val qRuleSimplifySql: String = goldenValuesSql("golden/rule_simplify_sf001_rules.txt")
+
   /** Flagship (SparkEntry.entry): rank every attribute by root gain
     * ratio — the reference's level-0 decision, end to end. */
   def rootRank(s: SparkSession, dir: String): DataFrame = {
@@ -685,6 +710,7 @@ object C45Queries {
     "q_fit_tree" -> (qFitTree _),
     "q_fit_deep" -> (qFitDeep _),
     "q_fit_pruned" -> (qFitPruned _),
+    "q_rule_simplify" -> (qRuleSimplify _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -715,5 +741,6 @@ object C45Queries {
     "q_fit_tree" -> qFitTreeSql,
     "q_fit_deep" -> qFitDeepSql,
     "q_fit_pruned" -> qFitPrunedSql,
+    "q_rule_simplify" -> qRuleSimplifySql,
   )
 }
