@@ -960,7 +960,31 @@ object ExtQueries {
       |WHERE user_id % 5 = 0
       |ORDER BY event_id""".stripMargin
 
+  // ---- bloom-prefiltered blocklist removal: drop every document
+  //      whose exact text appears in a blocklist (here: all zh-language
+  //      texts — the "known-bad fingerprints" pipeline stage). The
+  //      bloom is built with Spark's native BloomFilterAggregate and
+  //      probed in-scan with BloomFilterMightContain; the anti-join
+  //      then removes false positives exactly, so the result is
+  //      independent of filter sizing (BlocklistSpec pins that with a
+  //      deliberately undersized filter). sf0.1 is the interesting
+  //      tier: it contains cross-language duplicate texts, so a few
+  //      non-zh docs are swept too — exactly NOT EXISTS semantics. ----
+  def qBlocklist(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val blocked = d.filter(col("lang") === "zh")
+      .select(col("text").as("blocked_text")).distinct()
+    Blocklist.filterOut(d, blocked, "text", "blocked_text",
+      expectedItems = 4096).orderBy("doc_id")
+  }
+  val qBlocklistSql: String =
+    """SELECT * FROM documents d
+      |WHERE NOT EXISTS (SELECT 1 FROM documents b
+      |                  WHERE b.lang = 'zh' AND b.text = d.text)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_blocklist" -> (qBlocklist _),
     "q_stream_sessionize" -> (qStreamSessionize _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
@@ -1001,6 +1025,7 @@ object ExtQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_blocklist" -> qBlocklistSql,
     "q_stream_sessionize" -> qStreamSessionizeSql,
     "q_text_stats" -> qTextStatsSql,
     "q_lang_id" -> qLangIdSql,
