@@ -50,6 +50,18 @@ FIT_GOLDENS = {  # fit query -> tier-basename marker -> committed golden
         "sf1": "src/test/resources/golden/rule_simplify_sf01_rules.txt",
     },
 }
+CV_GOLDENS = {  # crossval query -> tier marker -> committed counts csv
+    "q_crossval": {
+        "sf0.1": "src/test/resources/golden/crossval_sf01.txt",
+        "sf1": "src/test/resources/golden/crossval_sf1.txt",
+    },
+}
+IMP_GOLDENS = {  # importance query -> tier marker -> committed micros csv
+    "q_feature_importance": {
+        "sf0.1": "src/test/resources/golden/importance_sf01.txt",
+        "sf1": "src/test/resources/golden/importance_sf1.txt",
+    },
+}
 
 
 def fit_golden_frame(path):
@@ -68,6 +80,34 @@ def fit_golden_frame(path):
     df = pd.DataFrame(rows, columns=["rule", "label", "depth"])
     df["depth"] = df["depth"].astype("int32")
     return df
+
+
+def cv_golden_frame(path):
+    """golden counts txt (fold,n,c lines) -> the (fold, n_test,
+    n_correct) frame qCrossVal emits."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                a, b, c = line.split(",")
+                rows.append((int(a), int(b), int(c)))
+    df = pd.DataFrame(rows, columns=["fold", "n_test", "n_correct"])
+    df["fold"] = df["fold"].astype("int32")
+    return df
+
+
+def imp_golden_frame(path):
+    """golden micros txt (attr,m lines) -> the (attr,
+    importance_micros) frame qFeatureImportance emits."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                a, m = line.split(",")
+                rows.append((a, int(m)))
+    return pd.DataFrame(rows, columns=["attr", "importance_micros"])
 
 
 def canon(df):
@@ -102,8 +142,14 @@ def main():
         got = con.execute(
             f"SELECT * FROM read_parquet('{dump}/{name}/*.parquet')").fetchdf()
         err = None
-        if name in FIT_GOLDENS and tier != "sf0.01":
-            tiers = FIT_GOLDENS[name]
+        golden_kind = next((
+            (tiers, builder)
+            for tiers, builder in ((FIT_GOLDENS.get(name), fit_golden_frame),
+                                   (CV_GOLDENS.get(name), cv_golden_frame),
+                                   (IMP_GOLDENS.get(name), imp_golden_frame))
+            if tiers), None)
+        if golden_kind and tier != "sf0.01":
+            tiers, builder = golden_kind
             marker = next((m for m in tiers if m in tier), None)
             if marker is None:
                 report[name] = {"rows_match": None, "schema_match": None,
@@ -111,7 +157,7 @@ def main():
                                 "oracle_rows": None, "err": "no_oracle"}
                 continue
             golden = os.path.join(REPO, tiers[marker])
-            exp, err = fit_golden_frame(golden), f"golden:{tiers[marker]}"
+            exp, err = builder(golden), f"golden:{tiers[marker]}"
         elif name in oracles:
             exp = con.execute(oracles[name]).fetchdf()
         else:

@@ -646,6 +646,85 @@ object C45Queries {
   }
   val qRuleSimplifySql: String = goldenValuesSql("golden/rule_simplify_sf001_rules.txt")
 
+  // ---- O4 + evaluation: k-fold cross-validation — the train/test
+  //      surface the reference lacks entirely. Same planted XOR + 10%
+  //      noise labels; folds stamped by the portable hash at a
+  //      DIFFERENT salt than the noise (salt 7 vs 0 — the same salt
+  //      would correlate fold membership with label noise). Depth-2
+  //      fits recover the planted structure on every 2/3 subset, so
+  //      held-out accuracy ≈ 1 - noise rate; exact (n, correct) counts
+  //      are pinned by a committed per-fold golden. ----
+  def qCrossVal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = C45Schema(
+      Seq(AttrMeta("l_returnflag", isNumeric = false),
+        AttrMeta("l_quantity", isNumeric = true),
+        AttrMeta("l_discount", isNumeric = true)),
+      "cls", Seq("N", "P"))
+    val key = concat_ws("|", col("l_orderkey"), col("l_linenumber"))
+    val noisy = graft.functions.Hashing.hash60(key) % 10 === 0
+    val base = (col("l_returnflag") === "A") === (col("l_quantity") <= lit(25.0))
+    val df = li(s, dir).withColumn("cls",
+      when(base =!= noisy, lit("P")).otherwise(lit("N")))
+    graft.fit.C45CrossVal
+      .crossValidate(df, schema, C45Params(maxDepth = 2), key, k = 3, salt = 7)
+      .toDF("fold", "n_test", "n_correct").orderBy("fold")
+  }
+  val qCrossValSql: String = goldenCountsSql("golden/crossval_sf001.txt")
+
+  // ---- O4 + model introspection: gain-based feature importance —
+  //      Σ over chosen splits of (node rows × information gain), per
+  //      attribute, from the fit's own driver-side selection pass
+  //      (zero extra Spark jobs). Emitted in exact integer micros so
+  //      the pin is float-free; the planted structure puts nearly all
+  //      importance on l_quantity + l_returnflag, the noise attribute
+  //      gets only the crumbs of spurious deep splits. ----
+  def qFeatureImportance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = C45Schema(
+      Seq(AttrMeta("l_returnflag", isNumeric = false),
+        AttrMeta("l_quantity", isNumeric = true),
+        AttrMeta("l_discount", isNumeric = true)),
+      "cls", Seq("N", "P"))
+    val noisy = graft.functions.Hashing.hash60(
+      concat_ws("|", col("l_orderkey"), col("l_linenumber"))) % 10 === 0
+    val base = (col("l_returnflag") === "A") === (col("l_quantity") <= lit(25.0))
+    val df = li(s, dir).withColumn("cls",
+      when(base =!= noisy, lit("P")).otherwise(lit("N")))
+    val (_, imp) = C45.fitWithImportance(df, schema, C45Params(maxDepth = 4))
+    schema.attrNames.map(n => (n,
+      math.floor(imp.getOrElse(schema.attrIndex(n), 0.0) * 1e6 + 0.5).toLong))
+      .toDF("attr", "importance_micros").orderBy("attr")
+  }
+  val qFeatureImportanceSql: String =
+    goldenImportanceSql("golden/importance_sf001.txt")
+
+  /** Committed per-attribute micros (resource path, lines `attr,m`) →
+    * the VALUES oracle DuckDB replays: (attr, importance_micros). */
+  private def goldenImportanceSql(resource: String): String = {
+    val src = scala.io.Source.fromResource(resource)
+    val lines = try src.getLines().filter(_.nonEmpty).toVector finally src.close()
+    val rows = lines.map { l =>
+      val Array(a, m) = l.split(",")
+      s"('$a', CAST($m AS BIGINT))"
+    }
+    s"SELECT attr, importance_micros FROM (VALUES ${rows.mkString(", ")}) " +
+      "AS t(attr, importance_micros) ORDER BY attr"
+  }
+
+  /** Committed per-fold counts (resource path, lines `fold,n,c`) → the
+    * VALUES oracle DuckDB replays: (fold, n_test, n_correct). */
+  private def goldenCountsSql(resource: String): String = {
+    val src = scala.io.Source.fromResource(resource)
+    val lines = try src.getLines().filter(_.nonEmpty).toVector finally src.close()
+    val rows = lines.map { l =>
+      val Array(f, n, c) = l.split(",")
+      s"(CAST($f AS INTEGER), CAST($n AS BIGINT), CAST($c AS BIGINT))"
+    }
+    s"SELECT fold, n_test, n_correct FROM (VALUES ${rows.mkString(", ")}) " +
+      "AS t(fold, n_test, n_correct) ORDER BY fold"
+  }
+
   /** Flagship (SparkEntry.entry): rank every attribute by root gain
     * ratio — the reference's level-0 decision, end to end. */
   def rootRank(s: SparkSession, dir: String): DataFrame = {
@@ -711,6 +790,8 @@ object C45Queries {
     "q_fit_deep" -> (qFitDeep _),
     "q_fit_pruned" -> (qFitPruned _),
     "q_rule_simplify" -> (qRuleSimplify _),
+    "q_crossval" -> (qCrossVal _),
+    "q_feature_importance" -> (qFeatureImportance _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -742,5 +823,7 @@ object C45Queries {
     "q_fit_deep" -> qFitDeepSql,
     "q_fit_pruned" -> qFitPrunedSql,
     "q_rule_simplify" -> qRuleSimplifySql,
+    "q_crossval" -> qCrossValSql,
+    "q_feature_importance" -> qFeatureImportanceSql,
   )
 }

@@ -20,7 +20,13 @@ object DumpRules {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    fit(spark, sfDir).collect()
+    if (args.length > 1 && args(1) == "crossval")
+      graft.queries.C45Queries.qCrossVal(spark, sfDir).collect()
+        .foreach(r => println("CV|" + r.getInt(0) + "," + r.getLong(1) + "," + r.getLong(2)))
+    else if (args.length > 1 && args(1) == "importance")
+      graft.queries.C45Queries.qFeatureImportance(spark, sfDir).collect()
+        .foreach(r => println("IMP|" + r.getString(0) + "," + r.getLong(1)))
+    else fit(spark, sfDir).collect()
       .foreach(r => println("RULE|" + r.getString(0) + "|" + r.getString(1) + "|" + r.getInt(2)))
     spark.stop()
   }
