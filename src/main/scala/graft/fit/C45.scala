@@ -120,7 +120,19 @@ object C45 {
     new scala.collection.mutable.ArrayBuffer[String]
 
   def fit(df: DataFrame, schema: C45Schema,
-          params: C45Params = C45Params()): C45Model = {
+          params: C45Params = C45Params()): C45Model =
+    fitWithImportance(df, schema, params)._1
+
+  /** [[fit]], additionally returning gain-based feature importance:
+    * per attribute, Σ over the splits that chose it of
+    * (rows at the node) × (information gain of the split) — the
+    * standard impurity-decrease importance, un-normalized. Computed
+    * entirely from the driver-side selection pass (zero extra jobs);
+    * deterministic because every gain is derived from the sorted
+    * histogram in a fixed order. Attributes never chosen are absent
+    * from the map. */
+  def fitWithImportance(df: DataFrame, schema: C45Schema,
+                        params: C45Params = C45Params()): (C45Model, Map[Int, Double]) = {
     val spark = df.sparkSession
     val names = schema.attrNames
     val clsCol = schema.classCol
@@ -182,6 +194,8 @@ object C45 {
     }
     var open = Vector(Rule.root)
     var closed = Vector.empty[Rule]
+    val attrImportance = scala.collection.mutable.Map.empty[Int, Double]
+      .withDefaultValue(0.0)
     var globalMajority: Option[String] = None
     var level = 0
     // per-level wall-clock diagnostics, -Dgraft.fit.profile=1
@@ -445,6 +459,7 @@ object C45 {
             closed :+= rule.closed(majority)
           } else {
             val best = cands.maxBy(c => (c.gainRatio, -c.aid))
+            attrImportance(best.aid) += counts.values.sum.toDouble * best.gain
             best.boundary match {
               case Some(b) =>
                 nextOpen += rule.withCondition(best.aid, NumLE(b))
@@ -479,7 +494,8 @@ object C45 {
     }
     // maxDepth exhaustion: close any survivors as majority leaves (#4)
     open.foreach { r => closed :+= r.closed(globalMajority.getOrElse(classLabels.head)) }
-    C45Model(schema.copy(classLabels = classLabels), closed, globalMajority.getOrElse(classLabels.head))
+    (C45Model(schema.copy(classLabels = classLabels), closed,
+      globalMajority.getOrElse(classLabels.head)), attrImportance.toMap)
     // the fit is fully eager: failed level jobs must not strand cached
     // blocks — free the routed-base chain, then the training projection
     } finally routedPersists.foreach(_.unpersist())
