@@ -281,7 +281,35 @@ object RelQueries {
   private def r6xSqlFrag(x: String): String =
     s"floor(($x) * 1000000 + 0.5) / 1000000"
 
+  // ---- semi-structured extraction: typed JSON-path access over the
+  //      events.props payload — from_json with an explicit schema (the
+  //      100 TB shape: schema-on-read typed extraction; malformed or
+  //      missing keys become NULLs, never task failures — pinned in
+  //      JsonExtractSpec) aggregated per event_type. `n_k` counts the
+  //      extractable rows separately from `n`, the audit a lossy
+  //      payload column needs. ----
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame = {
+    val k = from_json(col("props"),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))).getField("k")
+    Tables.load(s, dir, "events")
+      .select(col("event_type"), k.as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+        sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+  }
+  val qJsonExtractSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_extract" -> (qJsonExtract _),
     "q_profile" -> (qProfile _),
     "q_event_anomaly" -> (qEventAnomaly _),
     "q_asof_join" -> (qAsofJoin _),
@@ -295,6 +323,7 @@ object RelQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_json_extract" -> qJsonExtractSql,
     "q_profile" -> qProfileSql,
     "q_event_anomaly" -> qEventAnomalySql,
     "q_asof_join" -> qAsofJoinSql,
