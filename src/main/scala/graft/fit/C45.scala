@@ -138,8 +138,21 @@ object C45 {
     val clsCol = schema.classCol
     val catAttrs = schema.categoricalAttrs
     val numAttrs = schema.numericAttrs
-    val data = df.select((names :+ clsCol).map(col): _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // callers that already persisted the input (cross-validation fits
+    // k models over one stamped cache; prune/simplify re-scan the
+    // training frame after the fit) keep THEIR cache: re-persisting
+    // the projection would materialize the ~same bytes again per fit.
+    // The level loop then reads through the caller's cache — the
+    // projection on top is free at scan time. Detection looks through
+    // plan wrappers (a filter-of-cached reports storageLevel NONE, but
+    // its resolved plan substitutes the InMemoryRelation).
+    val prePersisted = df.storageLevel != StorageLevel.NONE ||
+      df.queryExecution.withCachedData.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
+    val data = {
+      val proj = df.select((names :+ clsCol).map(col): _*)
+      if (prePersisted) proj else proj.persist(StorageLevel.MEMORY_AND_DISK)
+    }
     try {
 
     // contract: class labels must be non-null (the reference NPEs on a
@@ -499,6 +512,6 @@ object C45 {
     // the fit is fully eager: failed level jobs must not strand cached
     // blocks — free the routed-base chain, then the training projection
     } finally routedPersists.foreach(_.unpersist())
-    } finally data.unpersist()
+    } finally { if (!prePersisted) data.unpersist() }
   }
 }

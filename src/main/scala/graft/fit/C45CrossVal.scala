@@ -32,8 +32,15 @@ object C45CrossVal {
                     foldKey: Column, k: Int, salt: Int = 0): Seq[FoldResult] = {
     require(k >= 2, s"need at least 2 folds, got $k")
     val fold = (Hashing.hash60(foldKey, salt) % k).cast("int")
-    val stamped = df.withColumn("__fold", fold)
-    (0 until k).map { f =>
+    // ONE materialization serves all k fits and all k eval passes: the
+    // per-fit filters read through this cache, and the pre-persisted
+    // input makes C45.fit skip its own per-fit persist
+    val stamped = df
+      .withColumn("__fold", fold) // stamp BEFORE projecting the key away
+      .select(("__fold" +: schema.attrNames :+ schema.classCol)
+        .map(org.apache.spark.sql.functions.col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try (0 until k).map { f =>
       val model = C45.fit(stamped.filter(col("__fold") =!= f), schema, params)
       val scored = model.transform(stamped.filter(col("__fold") === f), "__pred")
       val row = scored.agg(
@@ -41,7 +48,7 @@ object C45CrossVal {
         count(when(col("__pred") ===
           col(schema.classCol).cast("string"), 1)).as("c")).head()
       FoldResult(f, row.getLong(0), row.getLong(1))
-    }
+    } finally stamped.unpersist()
   }
 
   /** SQL fragment mirroring the fold stamp for oracles/goldens. */

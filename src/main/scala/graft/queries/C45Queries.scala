@@ -616,8 +616,12 @@ object C45Queries {
     val base = (col("l_returnflag") === "A") === (col("l_quantity") <= lit(25.0))
     val df = li(s, dir).withColumn("cls",
       when(base =!= noisy, lit("P")).otherwise(lit("N")))
-    val model = C45.fit(df, schema, C45Params(maxDepth = 5))
-    graft.fit.C45Pruning.prune(model, df).toDF(s).orderBy("rule")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val model = C45.fit(df, schema, C45Params(maxDepth = 5))
+      // prune() collects eagerly, so the result no longer needs df
+      graft.fit.C45Pruning.prune(model, df).toDF(s).orderBy("rule")
+    } finally df.unpersist()
   }
   val qFitPrunedSql: String = goldenValuesSql("golden/fit_pruned_sf001_rules.txt")
 
@@ -641,8 +645,13 @@ object C45Queries {
     val base = (col("l_returnflag") === "A") === (col("l_quantity") <= lit(25.0))
     val df = li(s, dir).withColumn("cls",
       when(base =!= noisy, lit("P")).otherwise(lit("N")))
-    val model = C45.fit(df, schema, C45Params(maxDepth = 4))
-    graft.fit.C45RuleSimplify.simplify(model, df).toDF(s).orderBy("rule")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val model = C45.fit(df, schema, C45Params(maxDepth = 4))
+      // the greedy rounds' conditional aggs all re-scan df; simplify()
+      // finishes eagerly, so the result no longer needs it
+      graft.fit.C45RuleSimplify.simplify(model, df).toDF(s).orderBy("rule")
+    } finally df.unpersist()
   }
   val qRuleSimplifySql: String = goldenValuesSql("golden/rule_simplify_sf001_rules.txt")
 
