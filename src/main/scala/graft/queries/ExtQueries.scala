@@ -960,6 +960,34 @@ object ExtQueries {
       |WHERE user_id % 5 = 0
       |ORDER BY event_id""".stripMargin
 
+  // ---- stream-stream interval join: clicks matched to the same
+  //      user's purchases within the following hour — watermarked on
+  //      BOTH sides so join state stays bounded by the horizon, never
+  //      by stream length. Inner append-mode join: each match emits
+  //      exactly once regardless of arrival order (StreamingSpec pins
+  //      the cross-micro-batch case), so the AvailableNow replay
+  //      equals the batch interval join the oracle runs. ----
+  def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"graft_stream_join_${streamRuns.incrementAndGet()}"
+    val ev = graft.streaming.StreamingStats.readRawEventStream(s, dir)
+    val q = graft.streaming.StreamingJoin.intervalJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        "user_id")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    awaitStreamOrFail(q)
+    s.table(name).orderBy("l_id", "r_id")
+  }
+  val qStreamJoinSql: String =
+    """SELECT c.event_id AS l_id, p.event_id AS r_id, c.user_id,
+      |  epoch_ms(c.ts) AS l_ts_ms, epoch_ms(p.ts) AS r_ts_ms
+      |FROM events c JOIN events p ON c.user_id = p.user_id
+      |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+      |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |ORDER BY l_id, r_id""".stripMargin
+
   // ---- bloom-prefiltered blocklist removal: drop every document
   //      whose exact text appears in a blocklist (here: all zh-language
   //      texts — the "known-bad fingerprints" pipeline stage). The
@@ -985,6 +1013,7 @@ object ExtQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_blocklist" -> (qBlocklist _),
+    "q_stream_join" -> (qStreamJoin _),
     "q_stream_sessionize" -> (qStreamSessionize _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
@@ -1026,6 +1055,7 @@ object ExtQueries {
 
   val oracles: Map[String, String] = Map(
     "q_blocklist" -> qBlocklistSql,
+    "q_stream_join" -> qStreamJoinSql,
     "q_stream_sessionize" -> qStreamSessionizeSql,
     "q_text_stats" -> qTextStatsSql,
     "q_lang_id" -> qLangIdSql,

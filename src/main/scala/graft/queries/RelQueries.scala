@@ -308,8 +308,34 @@ object RelQueries {
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- unpivot (wide → long): the inverse of q_pivot, via the native
+  //      Dataset.unpivot (Spark's UNPIVOT relational op — one map-side
+  //      explode, no shuffle beyond the feeding aggregation). Measures
+  //      are integer-valued doubles, so sums are exact and
+  //      order-independent. ----
+  def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.load(s, dir, "lineitem").groupBy("l_returnflag")
+      .agg(sum(col("l_quantity")).cast("double").as("qty"),
+        count(lit(1)).cast("double").as("cnt"),
+        sum(col("l_linenumber")).cast("double").as("lines"))
+    wide.unpivot(Array(col("l_returnflag")),
+        Array(col("qty"), col("cnt"), col("lines")), "measure", "value")
+      .orderBy("l_returnflag", "measure")
+  }
+  val qUnpivotSql: String =
+    """WITH w AS (SELECT l_returnflag,
+      |    CAST(sum(l_quantity) AS DOUBLE) AS qty,
+      |    CAST(count(*) AS DOUBLE) AS cnt,
+      |    CAST(sum(l_linenumber) AS DOUBLE) AS lines
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, 'qty' AS measure, qty AS value FROM w
+      |UNION ALL SELECT l_returnflag, 'cnt', cnt FROM w
+      |UNION ALL SELECT l_returnflag, 'lines', lines FROM w
+      |ORDER BY l_returnflag, measure""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_extract" -> (qJsonExtract _),
+    "q_unpivot" -> (qUnpivot _),
     "q_profile" -> (qProfile _),
     "q_event_anomaly" -> (qEventAnomaly _),
     "q_asof_join" -> (qAsofJoin _),
@@ -324,6 +350,7 @@ object RelQueries {
 
   val oracles: Map[String, String] = Map(
     "q_json_extract" -> qJsonExtractSql,
+    "q_unpivot" -> qUnpivotSql,
     "q_profile" -> qProfileSql,
     "q_event_anomaly" -> qEventAnomalySql,
     "q_asof_join" -> qAsofJoinSql,

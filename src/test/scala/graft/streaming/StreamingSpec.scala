@@ -130,4 +130,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val ev = spark.readStream
+      .schema(StreamingSessionize.eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sf)
+    val q = StreamingJoin.intervalJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"), "user_id")
+      .writeStream.format("memory").queryName("sjoin_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sjoin_out")
+      .collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(s"$sf/events.parquet")
+    val batch = StreamingJoin.intervalJoin( // same plan works on batch
+        b.filter(col("event_type") === "click"),
+        b.filter(col("event_type") === "purchase"), "user_id")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("interval join emits a cross-micro-batch match exactly once") {
+    val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // (event_id, ns-epoch ts, user_id)
+    val left = MemoryStream[(Long, Long, Long)]
+    val right = MemoryStream[(Long, Long, Long)]
+    def shape(ms: MemoryStream[(Long, Long, Long)]) =
+      ms.toDF.toDF("event_id", "ts", "user_id")
+    val joined = StreamingJoin.intervalJoin(
+      shape(left), shape(right), "user_id")
+    val q = joined.writeStream.format("memory").queryName("sjoin_mb")
+      .outputMode("append").start()
+    try {
+      val h = 3600L * 1000 * 1000 * 1000 // 1h in ns
+      left.addData((1L, 10 * h, 7L))
+      q.processAllAvailable() // batch 1: left only, no emission yet
+      assert(spark.table("sjoin_mb").count() == 0)
+      right.addData((2L, 10 * h + h / 2, 7L)) // in [t, t+1h] -> match
+      right.addData((3L, 13 * h, 7L)) // outside the interval
+      q.processAllAvailable() // batch 2: the match emits HERE, once
+      val rows = spark.table("sjoin_mb")
+        .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((1L, 2L)))
+      right.addData((4L, 10 * h + h / 4, 7L)) // second in-window right
+      q.processAllAvailable()
+      assert(spark.table("sjoin_mb").count() == 2,
+        "late-but-within-watermark arrival still matches; nothing re-emits")
+    } finally q.stop()
+  }
 }
