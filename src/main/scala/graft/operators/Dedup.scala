@@ -64,6 +64,46 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_doc_id"))
 
+  /** Cross-document duplicate-substring detection — the windowed
+    * formulation of exact-substring dedup (strided character windows
+    * of `window` chars hashed and counted across the corpus, instead
+    * of a monolithic suffix array; same signal, but expressed as two
+    * relational passes that partition by window hash and scale out).
+    * A window is "duplicated" when its exact text occurs in >= 2
+    * DISTINCT documents (within-doc repetition is a different screen —
+    * see TextAnalysis.repetition). Returns one row per document of at
+    * least `window` chars: (idCol, n_windows, n_dup_windows,
+    * dup_ratio), dup_ratio rounded to 6dp.
+    *
+    * Scale shape: windows are generated map-side (sequence + explode —
+    * ~len/stride rows per doc, no per-char blowup) carrying ONLY
+    * (id, md5) — the text itself never shuffles; the doc-frequency
+    * count is a partial-aggregated groupBy on the window hash; the
+    * flag-back is a second hash partition of the same key (the dup
+    * side is pre-aggregated to one row per distinct duplicated hash,
+    * so the join fans out only to true occurrences). */
+  def duplicateWindows(df: DataFrame, idCol: String, textCol: String,
+                       window: Int, stride: Int): DataFrame = {
+    require(window >= 2 && stride >= 1, s"bad window/stride $window/$stride")
+    val wins = df.filter(length(col(textCol)) >= window)
+      .select(col(idCol),
+        explode(sequence(lit(0), length(col(textCol)) - window, lit(stride)))
+          .as("__off"),
+        col(textCol))
+      .select(col(idCol),
+        md5(col(textCol).substr(col("__off") + 1, lit(window))).as("__wh"))
+    val dup = wins.groupBy("__wh")
+      .agg(count_distinct(col(idCol)).as("__ndocs"))
+      .filter(col("__ndocs") >= 2)
+      .select("__wh")
+    wins.join(dup.withColumn("__dup", lit(1)), Seq("__wh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("__dup")).as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        floor(col("n_dup_windows") / col("n_windows") * lit(1e6) + lit(0.5)) / lit(1e6))
+  }
+
   /** Distinct word n-grams of a text column as an array (n=1 → token
     * set). A document with fewer than n tokens has no n-grams → empty
     * array (an unguarded sequence(0, size-n) would auto-step -1 and

@@ -196,6 +196,24 @@ object ExtQueries {
        |  count(*) AS n_docs, min(doc_id) AS min_doc_id
        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- cross-document duplicate-substring screen (windowed
+  //      exact-substring dedup: 40-char windows, stride 10) ----
+  private val DupWin = 40
+  private val DupStride = 10
+  def qSubstringDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateWindows(docs(s, dir), "doc_id", "text", DupWin, DupStride)
+      .orderBy("doc_id")
+  val qSubstringDupSql: String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= $DupWin),
+       |w AS (SELECT doc_id, unnest(generate_series(0, len(text) - $DupWin, $DupStride)) AS off, text FROM d),
+       |h AS (SELECT doc_id, md5(substr(text, off + 1, $DupWin)) AS wh FROM w),
+       |dup AS (SELECT wh FROM h GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+       |per AS (SELECT h.doc_id, count(*) AS n_windows, count(dup.wh) AS n_dup_windows
+       |  FROM h LEFT JOIN dup USING (wh) GROUP BY 1)
+       |SELECT doc_id, n_windows, n_dup_windows,
+       |  ${r6xSql("n_dup_windows::DOUBLE / n_windows")} AS dup_ratio
+       |FROM per ORDER BY doc_id""".stripMargin
+
   // ---- minhash signatures (k=8, one-pass aggregation) ----
   private val MinHashK = 8
   def qMinhash(s: SparkSession, dir: String): DataFrame =
@@ -419,6 +437,38 @@ object ExtQueries {
       |SELECT qid, id, cosine, rank FROM (
       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
       |  FROM scored) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  // ---- higher-order array functions over the embedding column:
+  //      transform (float→double), filter, exists, aggregate (fold),
+  //      zip_with, element_at — the per-vector feature-engineering
+  //      surface, all codegen-friendly builtins (no UDFs). Both
+  //      engines fold left-to-right over the same doubles, so sums
+  //      agree bit-for-bit before the 6dp round ----
+  def qArrayOps(s: SparkSession, dir: String): DataFrame = {
+    val v = col("v")
+    emb(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"),
+        size(v).cast("long").as("dim"),
+        size(filter(v, x => x > 0)).cast("long").as("n_pos"),
+        r6(sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))).as("l2_norm"),
+        r6(aggregate(zip_with(v, reverse(v), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x)).as("rev_dot"),
+        exists(v, x => x > lit(2.5)).as("has_big"),
+        r6(element_at(v, 1) + element_at(v, -1)).as("ends_sum"))
+      .orderBy("vec_id")
+  }
+  val qArrayOpsSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT vec_id,
+      |  CAST(len(v) AS BIGINT) AS dim,
+      |  CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+      |  round(sqrt(list_dot_product(v, v)), 6) AS l2_norm,
+      |  round(list_dot_product(v, list_reverse(v)), 6) AS rev_dot,
+      |  len(list_filter(v, x -> x > 2.5)) > 0 AS has_big,
+      |  round(v[1] + v[-1], 6) AS ends_sum
+      |FROM e ORDER BY vec_id""".stripMargin
 
   // ---- IVF approximate top-k (bucketed scale path). The quantizer is
   //      DETERMINISTIC (hash-sampled init + rounded-mean Lloyd rounds),
@@ -1021,6 +1071,7 @@ object ExtQueries {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_lines" -> (qDedupLines _),
     "q_dedup_fp" -> (qDedupFp _),
+    "q_substring_dup" -> (qSubstringDup _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_normalize" -> (qNormalize _),
     "q_minhash" -> (qMinhash _),
@@ -1031,6 +1082,7 @@ object ExtQueries {
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_embed_lsh" -> (qEmbedLsh _),
     "q_knn_brute" -> (qKnnBrute _),
+    "q_array_ops" -> (qArrayOps _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_pq" -> (qAnnPq _),
     "q_sessionize" -> (qSessionize _),
@@ -1063,6 +1115,7 @@ object ExtQueries {
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_lines" -> qDedupLinesSql,
     "q_dedup_fp" -> qDedupFpSql,
+    "q_substring_dup" -> qSubstringDupSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_normalize" -> qNormalizeSql,
     "q_minhash" -> qMinhashSql,
@@ -1071,6 +1124,7 @@ object ExtQueries {
     "q_simhash" -> qSimhashSql,
     "q_embed_neardup" -> qEmbedNearDupSql,
     "q_knn_brute" -> qKnnBruteSql,
+    "q_array_ops" -> qArrayOpsSql,
     "q_sessionize" -> qSessionizeSql,
     "q_event_daily" -> qEventDailySql,
     "q_multimodal" -> qMultimodalSql,

@@ -177,6 +177,52 @@ object RelQueries {
       |  wu AS (PARTITION BY o_orderpriority ORDER BY band DESC, o_orderkey)
       |ORDER BY o_orderpriority, o_orderkey""".stripMargin
 
+  // ---- window frames: lead / nth_value / first-last over an explicit
+  //      centered ROWS frame, plus a value-based time-RANGE frame (the
+  //      sliding 1-hour aggregate without sessionizing). Sums ride
+  //      DECIMAL inside the frame (order-independent), cast to double
+  //      only at the end; the centered mean divides two doubles, so
+  //      both engines compute the identical quotient ----
+  def qWindowFrames(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsMs(s, dir).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    val wCenter = wOrd.rowsBetween(-2, 2)
+    val wRange = Window.partitionBy("user_id").orderBy(col("ts_ms"))
+      .rangeBetween(-3600000L, 0L)
+    ev.select(col("event_id"), col("user_id"), col("ts_ms"),
+        lead(col("v"), 1).over(wOrd).cast("double").as("next_v"),
+        nth_value(col("v"), 2).over(wOrd).cast("double").as("second_v"),
+        first(col("v")).over(wCenter).cast("double").as("win_first"),
+        last(col("v")).over(wCenter).cast("double").as("win_last"),
+        r6x(sum(col("v")).over(wCenter).cast("double")
+          / count(lit(1)).over(wCenter)).as("centered_avg"),
+        sum(col("v")).over(wRange).cast("double").as("hour_sum"),
+        count(lit(1)).over(wRange).cast("long").as("hour_n"))
+      .orderBy("event_id")
+  }
+  val qWindowFramesSql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+      |    CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT event_id, user_id, ts_ms,
+      |  CAST(lead(v) OVER wo AS DOUBLE) AS next_v,
+      |  CAST(nth_value(v, 2) OVER wo AS DOUBLE) AS second_v,
+      |  CAST(first_value(v) OVER wc AS DOUBLE) AS win_first,
+      |  CAST(last_value(v) OVER wc AS DOUBLE) AS win_last,
+      |  floor(CAST(sum(v) OVER wc AS DOUBLE) / (count(*) OVER wc)
+      |    * 1000000 + 0.5) / 1000000 AS centered_avg,
+      |  CAST(sum(v) OVER wr AS DOUBLE) AS hour_sum,
+      |  CAST(count(*) OVER wr AS BIGINT) AS hour_n
+      |FROM e
+      |WINDOW wo AS (PARTITION BY user_id ORDER BY ts_ms, event_id),
+      |  wc AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING),
+      |  wr AS (PARTITION BY user_id ORDER BY ts_ms
+      |         RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   // ---- date/time function surface (exact day arithmetic; dow as
   //      explicit epoch-day modulus — no engine-specific week rules) ----
   def qDatetime(s: SparkSession, dir: String): DataFrame =
@@ -344,6 +390,7 @@ object RelQueries {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_window_rank" -> (qWindowRank _),
+    "q_window_frames" -> (qWindowFrames _),
     "q_datetime" -> (qDatetime _),
     "q_salted_join" -> (qSaltedJoin _),
   )
@@ -359,6 +406,7 @@ object RelQueries {
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_semi_anti" -> qSemiAntiSql,
     "q_window_rank" -> qWindowRankSql,
+    "q_window_frames" -> qWindowFramesSql,
     "q_datetime" -> qDatetimeSql,
     "q_salted_join" -> qSaltedJoinSql,
   )

@@ -57,6 +57,26 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got(1L) == "x\nx\ny")
   }
 
+  test("duplicate windows: cross-doc shared substrings flagged, within-doc repeats are not") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "abcdefgh"),   // windows (W=4, S=2): abcd cdef efgh
+      (2L, "xxabcdyy"),   // xxab abcd cdyy — shares "abcd" with 1 and 4
+      (3L, "zzz"),        // shorter than the window: no rows
+      (4L, "abcdabcd"),   // abcd cdab abcd — BOTH abcd occurrences flagged
+      (5L, "pppppppp"))   // pppp ×3 in ONE doc only: repetition, not dup
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateWindows(df, "doc_id", "text", window = 4, stride = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 4L, 5L), "sub-window doc 3 excluded")
+    assert(got(1L) == ((3L, 1L, 0.333333)))
+    assert(got(2L) == ((3L, 1L, 0.333333)))
+    assert(got(4L) == ((3L, 2L, 0.666667)), "every occurrence of a cross-doc window counts")
+    assert(got(5L) == ((3L, 0L, 0.0)), "single-doc repetition is not cross-doc duplication")
+  }
+
   test("fingerprint dedup is order- and repetition-insensitive") {
     val s = spark
     import s.implicits._
