@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable frequency sketch: count-min (Cormode & Muthukrishnan,
+  * "An improved data stream summary: the count-min sketch and its
+  * applications", J. Algorithms 2005).
+  *
+  * The exact heavy-hitter pass (TextAnalysis — `q_heavy_hitters`)
+  * shuffles a vocabulary-sized count table; at 100 TB with a web-scale
+  * vocabulary even that partial-agg table is billions of keys. The CMS
+  * bounds the shuffled state to depth × width counters NO MATTER the
+  * corpus or vocabulary size: each token occurrence increments `depth`
+  * cells picked by independent salted hashes, partial aggregation
+  * collapses per-partition sketches map-side, and the merged sketch is
+  * an elementwise sum — order- and partition-independent, so estimates
+  * are deterministic. Point estimate = min over the depth rows; it
+  * never under-counts, and over-counts by at most εN (ε = e/width)
+  * with probability 1 − e^−depth.
+  *
+  * Hashes are the engine-portable salted-md5 family (Hashing.hash60,
+  * salt = row index), so the whole sketch replays in the DuckDB
+  * oracle. */
+object Sketches {
+
+  val CmsDepth = 4
+
+  /** Lower-cased whitespace tokens of a text column. */
+  private def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** Builds the merged corpus sketch: one row per non-empty cell,
+    * (row, cell, n) with row < depth, cell < width. Occurrences
+    * explode once; the depth hashes are computed map-side from the
+    * SAME token value (no extra pass), and the groupBy partial-agg is
+    * the sketch merge. */
+  def cmsBuild(df: DataFrame, textCol: String, width: Int,
+               depth: Int = CmsDepth): DataFrame = {
+    require(width >= 2 && depth >= 1, s"bad cms shape $depth x $width")
+    val tok = df.select(explode(toks(col(textCol))).as("__tok"))
+    val rows = (0 until depth).map(r =>
+      struct(lit(r).as("row"), pmod(Hashing.hash60(col("__tok"), salt = r),
+        lit(width.toLong)).as("cell")))
+    tok.select(explode(array(rows: _*)).as("rc"))
+      .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Point-estimates the probe tokens against a built sketch: joins
+    * each probe's depth cells (a `depth × |probes|` build side — tiny,
+    * broadcastable) and takes the row-wise min. Probes absent from the
+    * corpus still return a row (their cells exist only via collisions;
+    * min over empty matches → 0). */
+  def cmsEstimate(cells: DataFrame, probes: DataFrame, probeCol: String,
+                  width: Int, depth: Int = CmsDepth): DataFrame = {
+    val pcells = (0 until depth).foldLeft(Seq.empty[DataFrame]) { (acc, r) =>
+      acc :+ probes.select(col(probeCol),
+        lit(r).cast("long").as("row"),
+        pmod(Hashing.hash60(col(probeCol), salt = r), lit(width.toLong)).as("cell"))
+    }.reduce(_ unionAll _)
+    pcells.join(cells, Seq("row", "cell"), "left")
+      .groupBy(col(probeCol))
+      .agg(min(coalesce(col("n"), lit(0L))).as("cms_est"))
+  }
+}

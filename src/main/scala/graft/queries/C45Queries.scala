@@ -414,6 +414,37 @@ object C45Queries {
       |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
       |ORDER BY o_custkey""".stripMargin
 
+  // ---- multiset (ALL) set operations: EXCEPT ALL / INTERSECT ALL
+  //      keep duplicates with bag semantics (count difference / min),
+  //      unlike q_setops' distinct EXCEPT; summarized per value so the
+  //      multiplicities are visible ----
+  def qSetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val l = o.filter(col("o_orderstatus") === "F").select("o_orderpriority")
+    val r = o.filter(col("o_orderstatus") === "O").select("o_orderpriority")
+    val ea = l.exceptAll(r).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_except_all"))
+    val ia = l.intersectAll(r).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_intersect_all"))
+    ea.join(ia, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        coalesce(col("n_except_all"), lit(0L)).as("n_except_all"),
+        coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"))
+      .orderBy("o_orderpriority")
+  }
+  val qSetOpsAllSql: String =
+    """WITH l AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+      |r AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'),
+      |ea AS (SELECT o_orderpriority, count(*) AS n_except_all
+      |  FROM (SELECT * FROM l EXCEPT ALL SELECT * FROM r) GROUP BY 1),
+      |ia AS (SELECT o_orderpriority, count(*) AS n_intersect_all
+      |  FROM (SELECT * FROM l INTERSECT ALL SELECT * FROM r) GROUP BY 1)
+      |SELECT o_orderpriority,
+      |  coalesce(n_except_all, 0) AS n_except_all,
+      |  coalesce(n_intersect_all, 0) AS n_intersect_all
+      |FROM ea FULL JOIN ia USING (o_orderpriority)
+      |ORDER BY o_orderpriority""".stripMargin
+
   // ---- model scoring (the prediction phase the reference lacks): a
   //      FIXED rule set compiled to one flat CASE WHEN — SQL-oracled,
   //      which also oracles multi-rule predicate compilation (F1) ----
@@ -791,6 +822,7 @@ object C45Queries {
     "q_cube" -> (qCube _),
     "q_distinct_agg" -> (qDistinctAgg _),
     "q_setops" -> (qSetOps _),
+    "q_setops_all" -> (qSetOpsAll _),
     "q_predict" -> (qPredict _),
     "q_confusion" -> (qConfusion _),
     "q_running" -> (qRunning _),
@@ -824,6 +856,7 @@ object C45Queries {
     "q_cube" -> qCubeSql,
     "q_distinct_agg" -> qDistinctAggSql,
     "q_setops" -> qSetOpsSql,
+    "q_setops_all" -> qSetOpsAllSql,
     "q_predict" -> qPredictSql,
     "q_confusion" -> qConfusionSql,
     "q_running" -> qRunningSql,

@@ -438,6 +438,45 @@ object ExtQueries {
       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
       |  FROM scored) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  // ---- count-min sketch: bounded-state frequency estimation (the
+  //      mergeable-sketch companion to exact q_heavy_hitters). The
+  //      query builds the 4×512 corpus sketch, then point-estimates
+  //      the exact top-20 tokens — est >= exact always (CMS never
+  //      under-counts), and the overshoot is the collision mass ----
+  private val CmsWidth = 512
+  def qCmsCounts(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val exact = d.select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("exact_n"))
+    val probes = exact.orderBy(desc("exact_n"), asc("token")).limit(20)
+    val cells = Sketches.cmsBuild(d, "text", CmsWidth)
+    Sketches.cmsEstimate(cells, probes.select("token"), "token", CmsWidth)
+      .join(probes, Seq("token"))
+      .select(col("token"), col("exact_n"), col("cms_est"))
+      .orderBy(desc("exact_n"), asc("token"))
+  }
+  val qCmsCountsSql: String = {
+    val d = Sketches.CmsDepth
+    val cellArms = (0 until d).map(r =>
+      s"SELECT $r AS row, ${Hashing.hash60Sql("token", r)} % $CmsWidth AS cell, count(*) AS n FROM tok GROUP BY 1, 2")
+      .mkString("\n  UNION ALL ")
+    val probeArms = (0 until d).map(r =>
+      s"SELECT token, $r AS row, ${Hashing.hash60Sql("token", r)} % $CmsWidth AS cell FROM probes")
+      .mkString("\n  UNION ALL ")
+    s"""WITH tok AS (SELECT unnest($SplitToksLowerSql) AS token FROM documents),
+       |exact AS (SELECT token, count(*) AS exact_n FROM tok GROUP BY 1),
+       |probes AS (SELECT * FROM exact ORDER BY exact_n DESC, token LIMIT 20),
+       |cells AS (
+       |  $cellArms),
+       |pc AS (
+       |  $probeArms),
+       |est AS (SELECT token, min(coalesce(n, 0)) AS cms_est
+       |  FROM pc LEFT JOIN cells USING (row, cell) GROUP BY 1)
+       |SELECT probes.token, exact_n, cms_est
+       |FROM probes JOIN est USING (token)
+       |ORDER BY exact_n DESC, token""".stripMargin
+  }
+
   // ---- higher-order array functions over the embedding column:
   //      transform (float→double), filter, exists, aggregate (fold),
   //      zip_with, element_at — the per-vector feature-engineering
@@ -1083,6 +1122,7 @@ object ExtQueries {
     "q_embed_lsh" -> (qEmbedLsh _),
     "q_knn_brute" -> (qKnnBrute _),
     "q_array_ops" -> (qArrayOps _),
+    "q_cms_counts" -> (qCmsCounts _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_pq" -> (qAnnPq _),
     "q_sessionize" -> (qSessionize _),
@@ -1125,6 +1165,7 @@ object ExtQueries {
     "q_embed_neardup" -> qEmbedNearDupSql,
     "q_knn_brute" -> qKnnBruteSql,
     "q_array_ops" -> qArrayOpsSql,
+    "q_cms_counts" -> qCmsCountsSql,
     "q_sessionize" -> qSessionizeSql,
     "q_event_daily" -> qEventDailySql,
     "q_multimodal" -> qMultimodalSql,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.operators.{Profiling, Sessionize, SkewTools, TemporalJoin}
-import graft.sources.Tables
+import graft.sources.{Layout, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -176,6 +176,35 @@ object RelQueries {
       |WINDOW wt AS (PARTITION BY o_orderpriority ORDER BY band DESC),
       |  wu AS (PARTITION BY o_orderpriority ORDER BY band DESC, o_orderkey)
       |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
+  // ---- z-order layout: per-coarse-z-bucket key ranges. The output IS
+  //      the zone-map narrowing proof — every bucket's (min,max) span
+  //      in BOTH interleaved keys is a fraction of the table's range,
+  //      which is exactly what lets a filtered scan skip row groups ----
+  private val ZBits = 8
+  def qZorder(s: SparkSession, dir: String): DataFrame =
+    Layout.zValue(Tables.load(s, dir, "lineitem"), "l_partkey", "l_suppkey", ZBits)
+      .withColumn("zbucket", shiftright(col("zval"), 2 * ZBits - 6).cast("long"))
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n"),
+        min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+        min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
+      .orderBy("zbucket")
+  val qZorderSql: String = {
+    val w = 1L << ZBits
+    s"""WITH b AS (SELECT min(l_partkey) AS mn1, max(l_partkey) AS mx1,
+       |    min(l_suppkey) AS mn2, max(l_suppkey) AS mx2 FROM lineitem),
+       |k AS (SELECT l_partkey, l_suppkey,
+       |    ((l_partkey - mn1) * $w) // (mx1 - mn1 + 1) AS b1,
+       |    ((l_suppkey - mn2) * $w) // (mx2 - mn2 + 1) AS b2
+       |  FROM lineitem, b),
+       |z AS (SELECT l_partkey, l_suppkey,
+       |    ${Layout.interleaveSql("b1", "b2", ZBits)} AS zval FROM k)
+       |SELECT zval // ${1L << (2 * ZBits - 6)} AS zbucket, count(*) AS n,
+       |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+       |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   // ---- window frames: lead / nth_value / first-last over an explicit
   //      centered ROWS frame, plus a value-based time-RANGE frame (the
@@ -391,6 +420,7 @@ object RelQueries {
     "q_semi_anti" -> (qSemiAnti _),
     "q_window_rank" -> (qWindowRank _),
     "q_window_frames" -> (qWindowFrames _),
+    "q_zorder" -> (qZorder _),
     "q_datetime" -> (qDatetime _),
     "q_salted_join" -> (qSaltedJoin _),
   )
@@ -407,6 +437,7 @@ object RelQueries {
     "q_semi_anti" -> qSemiAntiSql,
     "q_window_rank" -> qWindowRankSql,
     "q_window_frames" -> qWindowFramesSql,
+    "q_zorder" -> qZorderSql,
     "q_datetime" -> qDatetimeSql,
     "q_salted_join" -> qSaltedJoinSql,
   )
