@@ -123,6 +123,24 @@ object C45 {
           params: C45Params = C45Params()): C45Model =
     fitWithImportance(df, schema, params)._1
 
+  /** Is the WHOLE input cache-backed — i.e. does the plan root reach an
+    * InMemoryRelation through nothing but row-preserving wrappers
+    * (Project/Filter/aliases)? An InMemoryRelation merely somewhere in
+    * the tree (say a small cached dimension joined to a huge uncached
+    * fact input) must NOT count: skipping fit's own persist there would
+    * silently recompute the full upstream plan once per level. */
+  private[fit] def inputCacheBacked(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan, Project, SubqueryAlias}
+    def backed(p: LogicalPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => true
+      case Project(_, child) => backed(child)
+      case LFilter(_, child) => backed(child)
+      case SubqueryAlias(_, child) => backed(child)
+      case _ => false
+    }
+    backed(df.queryExecution.withCachedData)
+  }
+
   /** [[fit]], additionally returning gain-based feature importance:
     * per attribute, Σ over the splits that chose it of
     * (rows at the node) × (information gain of the split) — the
@@ -147,8 +165,7 @@ object C45 {
     // plan wrappers (a filter-of-cached reports storageLevel NONE, but
     // its resolved plan substitutes the InMemoryRelation).
     val prePersisted = df.storageLevel != StorageLevel.NONE ||
-      df.queryExecution.withCachedData.exists(
-        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
+      inputCacheBacked(df)
     val data = {
       val proj = df.select((names :+ clsCol).map(col): _*)
       if (prePersisted) proj else proj.persist(StorageLevel.MEMORY_AND_DISK)

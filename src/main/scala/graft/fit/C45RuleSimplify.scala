@@ -114,12 +114,40 @@ object C45RuleSimplify {
       case _ => false
     }
 
-  /** C4.5rules' redundancy cleanup, specialized to the safe case: a
-    * rule whose predicate implies a SAME-label rule's predicate (every
-    * condition of the general rule is implied by one of the specific
-    * rule's) can never change a first-match prediction — any row it
-    * catches, the general rule catches with the same label — so it
-    * goes. Driver-side O(R² d²) over the model, deterministic. */
+  /** Are `c1` and `c2` mutually exclusive (no value satisfies both)? */
+  private def excludes(c1: graft.model.Split, c2: graft.model.Split): Boolean =
+    (c1, c2) match {
+      case (graft.model.CatEq(a), graft.model.CatEq(b)) => a != b
+      case (graft.model.NumLE(x), graft.model.NumGT(y)) => x <= y
+      case (graft.model.NumGT(y), graft.model.NumLE(x)) => x <= y
+      case _ => false
+    }
+
+  /** Provably-disjoint predicates: some attribute carries mutually
+    * exclusive conditions in the two rules. (Sound, not complete —
+    * rules not provably disjoint are treated as overlapping.) */
+  private def disjoint(r1: Rule, r2: Rule): Boolean =
+    r1.conditions.exists { case (a1, s1) =>
+      r2.conditions.exists { case (a2, s2) => a1 == a2 && excludes(s1, s2) }
+    }
+
+  /** C4.5rules' redundancy cleanup, specialized to the cases that can
+    * NEVER change a first-match prediction. A specific rule goes when a
+    * same-label general rule subsumes it (every condition of the
+    * general rule implied by one of the specific rule's) and either
+    *  - the general rule ranks EARLIER — the specific rule is dead
+    *    code (covers mutually-equivalent duplicates: earlier wins); or
+    *  - the general rule ranks later but STRICTLY more general, and
+    *    every different-label rule ranked between them is provably
+    *    [[disjoint]] from the specific rule — rows the specific rule
+    *    claimed then fall through only same-label rules until the
+    *    general one catches them. Without that disjointness an
+    *    intervening different-label rule would capture those rows and
+    *    flip predictions, so such rules are kept.
+    * Drops apply one at a time against the CURRENT survivor list (each
+    * step is individually prediction-preserving, so the composition
+    * is), iterated to a fixpoint. Driver-side O(R³ d²) worst case over
+    * the model — tiny — and deterministic. */
   private[fit] def dropSubsumed(rules: Vector[Rule]): Vector[Rule] = {
     def subsumes(general: Rule, specific: Rule): Boolean =
       general.label == specific.label &&
@@ -128,12 +156,24 @@ object C45RuleSimplify {
             sa == ga && implies(ss, gs)
           }
         }
-    rules.zipWithIndex.filterNot { case (s, i) =>
-      rules.zipWithIndex.exists { case (g, j) =>
-        // strictly more general wins; mutually-equivalent keeps the
-        // earlier (better-ranked) occurrence
-        j != i && subsumes(g, s) && (!subsumes(s, g) || j < i)
+    var kept = rules
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < kept.length) {
+        val s = kept(i)
+        val droppable = kept.indices.exists { j =>
+          j != i && subsumes(kept(j), s) && (
+            j < i ||
+              (!subsumes(s, kept(j)) &&
+                (i + 1 until j).forall(k =>
+                  kept(k).label == s.label || disjoint(kept(k), s))))
+        }
+        if (droppable) { kept = kept.patch(i, Nil, 1); changed = true }
+        else i += 1
       }
-    }.map(_._1)
+    }
+    kept
   }
 }

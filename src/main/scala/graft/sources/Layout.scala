@@ -35,12 +35,16 @@ object Layout {
 
   /** Equi-width bucket id in [0, 2^bits) of an integer column over the
     * closed global range [mn, mx]: `(v - mn) * 2^bits div (mx - mn + 1)`
-    * — and < 2^bits for every in-range v without clamping. The long
-    * products are exact; the double quotient's distance from any
-    * integer is ≥ 1/divisor ≫ ulp at these magnitudes, so floor
-    * matches DuckDB's integer `//` bit-for-bit. */
+    * — and < 2^bits for every in-range v without clamping. Both the
+    * product and the division run in DECIMAL(38,0): the product can
+    * never overflow (≤ 2^63 · 2^31 < 10^38) and the integral division
+    * is exact at any magnitude, so the result matches DuckDB's integer
+    * `//` bit-for-bit with no double-rounding regime to validate.
+    * Operands are non-negative, so truncating division == floor. */
   def rangeBucket(v: Column, mn: Column, mx: Column, bits: Int): Column =
-    floor(((v - mn) * lit(1L << bits)) / (mx - mn + lit(1L))).cast("long")
+    call_function("div",
+      (v - mn).cast("decimal(38,0)") * lit(1L << bits),
+      (mx - mn + lit(1L)).cast("decimal(38,0)"))
 
   /** Adds `zval` — the interleave of the two keys' range-bucket ids
     * (`bits` bits each, so zval < 2^(2·bits)). One global min/max

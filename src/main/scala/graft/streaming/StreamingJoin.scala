@@ -25,20 +25,39 @@ object StreamingJoin {
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    interval: String = "1 hour",
                    watermark: String = "2 hours"): DataFrame = {
+    // the interval's exact length in ns, resolved once driver-side (a
+    // one-row local plan, no cluster job): the RANGE comparison runs on
+    // the raw ns longs so sub-ms boundary events resolve exactly as a
+    // batch engine comparing native timestamps would
+    val intervalUs = left.sparkSession.range(1)
+      .select(unix_micros(timestamp_micros(lit(0L)) + expr(s"INTERVAL $interval")))
+      .first().getLong(0)
+    // the watermark-visible conditions below truncate to ms; they stay
+    // implied by (strictly looser than) the ns conditions only when
+    // the interval is whole milliseconds
+    require(intervalUs % 1000 == 0, s"interval '$interval' must be whole ms")
+    val intervalNs = intervalUs * 1000
     val l = left
       .withColumn("l_time", timestamp_millis(expr("ts div 1000000")))
       .withWatermark("l_time", watermark)
       .select(col("event_id").as("l_id"), col(keyCol).as("l_key"),
-        col("l_time"))
+        col("l_time"), col("ts").as("l_ts"))
     val r = right
       .withColumn("r_time", timestamp_millis(expr("ts div 1000000")))
       .withWatermark("r_time", watermark)
       .select(col("event_id").as("r_id"), col(keyCol).as("r_key"),
-        col("r_time"))
+        col("r_time"), col("ts").as("r_ts"))
+    // ms-truncated event-time bounds drive the state-store retention
+    // (Spark derives each side's horizon from them); the ns-exact
+    // bounds are a strictly tighter refinement evaluated as a plain
+    // post-join filter, so state stays bounded AND the match set is
+    // exact at full input precision
     l.join(r,
         col("l_key") === col("r_key") &&
           col("r_time") >= col("l_time") &&
-          col("r_time") <= col("l_time") + expr(s"INTERVAL $interval"))
+          col("r_time") <= col("l_time") + expr(s"INTERVAL $interval") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + lit(intervalNs))
       .select(col("l_id"), col("r_id"), col("l_key").as(keyCol),
         unix_millis(col("l_time")).as("l_ts_ms"),
         unix_millis(col("r_time")).as("r_ts_ms"))

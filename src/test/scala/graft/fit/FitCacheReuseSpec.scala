@@ -40,6 +40,28 @@ class FitCacheReuseSpec extends AnyFunSuite {
     } finally cached.unpersist()
   }
 
+  test("cache detection: root-backed counts, an interior cached dim does not") {
+    val s = spark
+    import s.implicits._
+    val cached = toy.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      cached.count()
+      assert(C45.inputCacheBacked(cached))
+      assert(C45.inputCacheBacked(
+        cached.filter(org.apache.spark.sql.functions.lit(true))))
+      assert(C45.inputCacheBacked(cached.select("a", "x", "cls")))
+      // a cached SMALL side joined to an uncached input must NOT read
+      // as "caller cached the training data" — fit still owns its
+      // persist there, or every level would recompute the join
+      val dim = Seq(("t", 1), ("u", 2)).toDF("a", "grp")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        dim.count()
+        assert(!C45.inputCacheBacked(toy.join(dim, "a")))
+      } finally dim.unpersist()
+    } finally cached.unpersist()
+  }
+
   test("fit does not register a new cache when the input is pre-persisted") {
     val cached = toy.persist(StorageLevel.MEMORY_AND_DISK)
     try {

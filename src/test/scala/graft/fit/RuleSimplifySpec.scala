@@ -69,6 +69,18 @@ class RuleSimplifySpec extends AnyFunSuite {
     assert(C45RuleSimplify.dropSubsumed(Vector(ab, ba)) == Vector(ab))
   }
 
+  test("dropSubsumed: a LATER general rule does not remove the specific one") {
+    // first-match order [specific p, other-label n, general p]: rows in
+    // (a=t & x>3) hit the specific rule and predict p; removing it
+    // would let the different-label rule at rank 1 capture them. The
+    // specific rule is only dead code when the general rule PRECEDES it.
+    val spec = Rule(Vector(0 -> CatEq("t"), 1 -> NumGT(3.0)), Some("p"))
+    val other = Rule(Vector(0 -> CatEq("t")), Some("n"))
+    val gen = Rule(Vector(1 -> NumGT(1.0)), Some("p"))
+    assert(C45RuleSimplify.dropSubsumed(Vector(spec, other, gen)) ==
+      Vector(spec, other, gen))
+  }
+
   test("planted-noise fit: simplification recovers the exact XOR rule set") {
     val s = spark
     val sf = "/root/testdata/sf0.001"
