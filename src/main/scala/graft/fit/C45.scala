@@ -28,12 +28,29 @@ case class C45Params(minDataRatio: Double = InfoStats.DefaultMinDataRatio,
 case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String) {
   def ruleStrings: Seq[String] = leaves.map(_.encode)
 
-  /** Score a DataFrame: adds `outputCol` with the leaf label. Leaves
-    * partition the training space, so this compiles to one flat
-    * CASE WHEN (codegen-friendly, no UDF); rows reaching no leaf (an
-    * attribute value unseen in training) fall back to the global
-    * majority class. */
-  def transform(df: DataFrame, outputCol: String = "prediction"): DataFrame = {
+  /** Score a DataFrame: adds `outputCol` with the leaf label. Rows
+    * reaching no leaf (an attribute value unseen in training, or a null
+    * along the path) fall back to the global majority class.
+    *
+    * Two plans, mirroring the fit's frontier routing (C45.fit): up to
+    * `routeThreshold` leaves, one flat first-match CASE WHEN over the
+    * full root-to-leaf conjunctions — codegen-friendly while short. A
+    * WIDER model would blow past whole-stage-codegen limits (the same
+    * wall that routes deep fit frontiers through a join) and re-test
+    * depth-long conjunction prefixes once per rule, so it instead walks
+    * the tree level by level: `depth` chained broadcast hash joins
+    * against tiny per-level route tables, constant expression size per
+    * level, zero shuffles, one final broadcast label lookup. Falls back
+    * to the CASE WHEN when the leaf set has no tree form (rule sets
+    * generalized by [[C45RuleSimplify]] overlap, and first-match order
+    * is then semantic). */
+  def transform(df: DataFrame, outputCol: String = "prediction",
+                routeThreshold: Int = 64): DataFrame =
+    if (leaves.size > routeThreshold)
+      routedTransform(df, outputCol).getOrElse(flatTransform(df, outputCol))
+    else flatTransform(df, outputCol)
+
+  private def flatTransform(df: DataFrame, outputCol: String): DataFrame = {
     val names = schema.attrNames
     val pred = leaves.headOption match {
       case None => lit(majority)
@@ -44,6 +61,110 @@ case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String) {
         }.otherwise(lit(majority))
     }
     df.withColumn(outputCol, pred)
+  }
+
+  /** Level-walk scoring (the wide-model path): reconstructs the tree
+    * from the leaf rules' condition prefixes, then routes every row
+    * down one level per broadcast join exactly as the fit's deep-
+    * frontier routing does (raw column comparisons, so semantics match
+    * [[graft.model.Rule.toPredicate]]: a null or unseen value routes
+    * nowhere → majority). Leaves self-loop through later levels, so the
+    * plan is one linear chain — no per-level unions, nothing persisted.
+    * Returns None when the leaves don't form a proper tree partition
+    * (overlapping generalized rules, a lone child, mixed sibling
+    * splits) — the caller then keeps the order-aware CASE WHEN. */
+  private[fit] def routedTransform(df: DataFrame, outputCol: String): Option[DataFrame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val leafConds = leaves.map(_.conditions)
+    if (leafConds.isEmpty || leaves.exists(_.label.isEmpty)) return None
+    val leafSet = leafConds.toSet
+    if (leafSet.size != leafConds.size) return None // duplicate leaves: order matters
+    val maxD = leafConds.map(_.length).max
+    if (maxD == 0) return None // single root leaf — the flat literal is ideal
+    // node ids for every distinct path prefix, assigned level-wise in
+    // first-appearance order (deterministic: leaves is an ordered Vector)
+    val nid = scala.collection.mutable.LinkedHashMap[Vector[(Int, Split)], Int]()
+    (0 to maxD).foreach { d =>
+      leafConds.foreach { c =>
+        if (c.length >= d) { val p = c.take(d); if (!nid.contains(p)) nid(p) = nid.size }
+      }
+    }
+    // a prefix that is both a leaf and extended further = overlap
+    val extendedPrefixes = nid.keys.filter(_.nonEmpty).map(_.init).toSet
+    if (leafSet.exists(extendedPrefixes.contains)) return None
+    val prefixes = nid.keys.toSeq
+    val levels: Seq[Seq[Route]] =
+      (0 until maxD).map { d =>
+        val internal = prefixes.filter(p => p.length == d && !leafSet.contains(p))
+        val routeRows = internal.map { p =>
+          val added = prefixes.filter(q => q.length == d + 1 && q.init == p).map(_.last)
+          val le = added.collect { case (a, NumLE(b)) => (a, b) }
+          val gt = added.collect { case (a, NumGT(b)) => (a, b) }
+          val cat = added.collect { case (a, CatEq(v)) => (a, v) }
+          (le, gt, cat) match {
+            case (Seq((a1, b1)), Seq((a2, b2)), Seq()) if a1 == a2 && b1 == b2 =>
+              Route(nid(p), "num", a1, b1,
+                nid(p :+ (a1 -> NumLE(b1))), nid(p :+ (a1 -> NumGT(b1))), Map.empty)
+            case (Seq(), Seq(), vs) if vs.nonEmpty &&
+              vs.map(_._1).distinct.size == 1 && vs.map(_._2).distinct.size == vs.size =>
+              val a = vs.head._1
+              Route(nid(p), "cat", a, 0.0, -1, -1,
+                vs.map { case (ai, v) => v -> nid(p :+ (ai -> CatEq(v))) }.toMap)
+            case _ => return None // not a clean single-attribute split
+          }
+        }
+        val leafLoops = prefixes
+          .filter(p => p.length <= d && leafSet.contains(p))
+          .map(p => Route(nid(p), "leaf", -1, 0.0, nid(p), nid(p), Map.empty))
+        routeRows ++ leafLoops
+      }
+    val names = schema.attrNames
+    var cur = df.withColumn("__nid", lit(nid(Vector.empty)))
+    levels.foreach { routes =>
+      val routeDf = routes.toDF(
+        "__prid", "__kind", "__aid", "__boundary", "__lrid", "__rrid", "__children")
+      val routeAids = routes.filter(_.kind != "leaf").map(_.aid).toSet
+      val routeNum = schema.numericAttrs.filter(a => routeAids(schema.attrIndex(a.name)))
+      val routeCat = schema.categoricalAttrs.filter(a => routeAids(schema.attrIndex(a.name)))
+      val numBranch =
+        if (routeNum.isEmpty) None
+        else {
+          val numv = map(routeNum.flatMap(a =>
+            Seq(lit(schema.attrIndex(a.name)), col(a.name).cast("double"))): _*)
+          Some(when(col("__kind") === "num",
+            when(element_at(numv, col("__aid")) <= col("__boundary"), col("__lrid"))
+              .when(element_at(numv, col("__aid")) > col("__boundary"), col("__rrid"))))
+        }
+      val catBranchOf: Column => Column = prev => {
+        val catv = map(routeCat.flatMap(a =>
+          Seq(lit(schema.attrIndex(a.name)), col(a.name).cast("string"))): _*)
+        val hit = element_at(col("__children"), element_at(catv, col("__aid")))
+        if (prev == null) when(col("__kind") === "cat", hit)
+        else prev.when(col("__kind") === "cat", hit)
+      }
+      val core = (numBranch, routeCat.isEmpty) match {
+        case (Some(nb), true)  => nb
+        case (Some(nb), false) => catBranchOf(nb)
+        case (None, false)     => catBranchOf(null)
+        case (None, true)      => null // leaf-only level: cannot occur below maxD
+      }
+      val routedRid =
+        if (core == null) when(col("__kind") === "leaf", col("__prid"))
+        else core.when(col("__kind") === "leaf", col("__prid"))
+      // LEFT join: a row whose nid went null (null/unseen value at an
+      // earlier level) rides through unrouted and lands on majority
+      cur = cur.join(broadcast(routeDf), cur("__nid") === routeDf("__prid"), "left")
+        .withColumn("__nidN", routedRid)
+        .drop("__nid", "__prid", "__kind", "__aid", "__boundary",
+          "__lrid", "__rrid", "__children")
+        .withColumnRenamed("__nidN", "__nid")
+    }
+    val labelDf = leaves.map(r => (nid(r.conditions), r.label.get))
+      .toDF("__lnid", "__label")
+    Some(cur.join(broadcast(labelDf), cur("__nid") === labelDf("__lnid"), "left")
+      .withColumn(outputCol, coalesce(col("__label"), lit(majority)))
+      .drop("__nid", "__lnid", "__label"))
   }
 
   /** The model as a DataFrame (rule codec string, label, depth). */
