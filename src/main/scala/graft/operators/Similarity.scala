@@ -1,8 +1,58 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
+
+/** One (score, candidate id) pair flowing into [[TopKAggregator]].
+  * Top-level: a nested case class defeats encoder codegen. */
+private[operators] case class Scored(score: Double, id: Long)
+
+/** Aggregated top-k result as parallel arrays, best-first. */
+private[operators] case class TopHits(score: Array[Double], id: Array[Long])
+
+/** Bounded top-k as a partial-combining aggregate: the buffer is a
+  * best-first list CAPPED AT k, merged associatively — so map-side
+  * partial aggregation reduces every partition's candidates to at most
+  * k per query BEFORE the shuffle, and the exchange carries O(k) rows
+  * per (query, partition) instead of serializing every candidate of a
+  * hot query into one window partition. Ordering is total (score desc,
+  * id asc — callers pre-round the score), so the result is independent
+  * of partitioning and arrival order. */
+private[operators] class TopKAggregator(k: Int)
+  extends Aggregator[Scored, List[Scored], TopHits] {
+  require(k >= 1, s"k must be positive: $k")
+
+  private def better(a: Scored, b: Scored): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  override def zero: List[Scored] = Nil
+
+  override def reduce(buf: List[Scored], x: Scored): List[Scored] =
+    if (buf.lengthCompare(k) >= 0 && !better(x, buf.last)) buf
+    else {
+      val (pre, post) = buf.span(better(_, x))
+      (pre ::: x :: post).take(k)
+    }
+
+  override def merge(a: List[Scored], b: List[Scored]): List[Scored] = {
+    val out = List.newBuilder[Scored]
+    var (l, r, n) = (a, b, 0)
+    while (n < k && (l.nonEmpty || r.nonEmpty)) {
+      if (r.isEmpty || (l.nonEmpty && better(l.head, r.head))) {
+        out += l.head; l = l.tail
+      } else { out += r.head; r = r.tail }
+      n += 1
+    }
+    out.result()
+  }
+
+  override def finish(b: List[Scored]): TopHits =
+    TopHits(b.map(_.score).toArray, b.map(_.id).toArray)
+
+  override def bufferEncoder: Encoder[List[Scored]] = Encoders.kryo[List[Scored]]
+  override def outputEncoder: Encoder[TopHits] = Encoders.product[TopHits]
+}
 
 /** Approximate/exact nearest-neighbor search over an embedding column
   * (`array<float>`). The vector math is pure `Column` composition
@@ -18,6 +68,25 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   def toDoubleVec(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Rank `scored` (qid, id, scoreCol) to per-qid top-k via
+    * [[TopKAggregator]] — the k-bounded replacement for a per-qid
+    * `row_number` window. The window shape serializes EVERY candidate
+    * of a query into a single partition before ranking; here partial
+    * aggregation combines map-side, the exchange moves ≤ k rows per
+    * (query, partition), and one query's fan-in can never skew a
+    * partition. `scoreCol` must already be rounded (ties break on id,
+    * so the order must be exact). Output: (qid, id, scoreCol, rank)
+    * with rank 1..k best-first — the window's exact schema. */
+  private def boundedTopK(scored: DataFrame, k: Int, scoreCol: String): DataFrame = {
+    val agg = udaf(new TopKAggregator(k), Encoders.product[Scored])
+    scored.groupBy("qid")
+      .agg(agg(col(scoreCol), col("id")).as("h"))
+      .select(col("qid"),
+        posexplode(arrays_zip(col("h.score").as("score"), col("h.id").as("id"))))
+      .select(col("qid"), col("col.id").as("id"),
+        col("col.score").as(scoreCol), (col("pos") + 1).as("rank"))
+  }
 
   /** Sequential left-to-right dot product — a native codegen'd Catalyst
     * expression (graft.functions.DotProduct); same accumulation order
@@ -51,10 +120,7 @@ object Similarity {
     val scored = cand.crossJoin(broadcast(q))
       .select(col("qid"), col("id"),
         round(cosine(col("v"), col("qv")), 6).as("cosine"))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("cosine").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    boundedTopK(scored, k, "cosine")
   }
 
   /** Deterministic coarse centroids WITHOUT training: the first
@@ -222,13 +288,10 @@ object Similarity {
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nProbe)
       .select(col("qid"), col("qv"), col("cid"))
-    val wTop = Window.partitionBy("qid")
-      .orderBy(col("cosine").desc, col("id").asc)
-    bucketed.join(broadcast(probes), "cid")
+    val scored = bucketed.join(broadcast(probes), "cid")
       .select(col("qid"), col("id"),
         round(cosine(col("v"), col("qv")), 6).as("cosine"))
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= k)
+    boundedTopK(scored, k, "cosine")
   }
 
   /** IVF approximate top-k, one shot: train + assign + probe in a
@@ -394,24 +457,20 @@ object Similarity {
     val lut = qsub.join(broadcast(codebooks), "m")
       .select(col("qid"), col("m"), col("cid"),
         round(dot(col("um"), col("cv")), 9).as("ip"))
-    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
-    val adc = codes.join(broadcast(lut),
+    val adcScored = codes.join(broadcast(lut),
         codes("m") === lut("m") && codes("code") === lut("cid"))
       .groupBy(col("qid"), col("id"))
       .agg(round(sum(col("ip")), 6).as("score"))
-      .withColumn("rank", row_number().over(w))
-    if (rerank <= 0) adc.filter(col("rank") <= k)
+    if (rerank <= 0) boundedTopK(adcScored, k, "score")
     else {
-      val cand = adc.filter(col("rank") <= rerank).select("qid", "id")
+      val cand = boundedTopK(adcScored, rerank, "score").select("qid", "id")
       val q = queries.select(col(qidCol).as("qid"), toDoubleVec(col(qvecCol)).as("qv"))
       val v = df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
-      val wx = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
-      v.join(broadcast(cand), "id")
+      val rescored = v.join(broadcast(cand), "id")
         .join(broadcast(q), "qid")
         .select(col("qid"), col("id"),
           round(cosine(col("v"), col("qv")), 6).as("score"))
-        .withColumn("rank", row_number().over(wx))
-        .filter(col("rank") <= k)
+      boundedTopK(rescored, k, "score")
     }
   }
 
