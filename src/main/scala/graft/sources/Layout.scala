@@ -41,10 +41,15 @@ object Layout {
     * is exact at any magnitude, so the result matches DuckDB's integer
     * `//` bit-for-bit with no double-rounding regime to validate.
     * Operands are non-negative, so truncating division == floor. */
-  def rangeBucket(v: Column, mn: Column, mx: Column, bits: Int): Column =
+  def rangeBucket(v: Column, mn: Column, mx: Column, bits: Int): Column = {
+    // operands enter decimal BEFORE any arithmetic: even the (v - mn)
+    // difference can overflow a long when the key range spans most of
+    // the long domain
+    val d = (c: Column) => c.cast("decimal(38,0)")
     call_function("div",
-      (v - mn).cast("decimal(38,0)") * lit(1L << bits),
-      (mx - mn + lit(1L)).cast("decimal(38,0)"))
+      (d(v) - d(mn)) * lit(1L << bits),
+      d(mx) - d(mn) + lit(1L))
+  }
 
   /** Adds `zval` — the interleave of the two keys' range-bucket ids
     * (`bits` bits each, so zval < 2^(2·bits)). One global min/max
