@@ -255,6 +255,23 @@ object Similarity {
     * leaked implicitly — one-shot [[ivfTopK]] does not persist). */
   final case class IvfIndex(centroids: DataFrame, bucketed: DataFrame) {
     def release(): Unit = { bucketed.unpersist(); () }
+
+    /** Append vectors to the index WITHOUT retraining: assign the new
+      * batch against the frozen centroids (one broadcast join over the
+      * batch only) and union it into the bucketed table. This is the
+      * cheap common case at corpus scale — an arriving shard costs
+      * O(shard), not O(corpus) — at the price of centroids that slowly
+      * drift from the true cluster structure; retrain via
+      * [[buildIvfIndex]] when recall decays. The returned index owns a
+      * NEW persisted table; this one is released. */
+    def append(df: DataFrame, idCol: String, vecCol: String): IvfIndex = {
+      val merged = bucketed
+        .unionByName(assignBuckets(df, idCol, vecCol, centroids))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      merged.count() // materialize THROUGH the old cache before freeing it
+      bucketed.unpersist()
+      IvfIndex(centroids, merged)
+    }
   }
 
   /** Train the quantizer and materialize the bucket assignment once.

@@ -57,6 +57,53 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got(1L) == "x\nx\ny")
   }
 
+  test("line dedup: join fallback output is identical to the broadcast path") {
+    // same cleanup at maxBroadcastLines = 0 (everything via the anti-
+    // join tail), 1 (hybrid: hottest line broadcast, rest joined), and
+    // default (pure broadcast) — on real corpus docs plus the edge
+    // shapes (all-boilerplate doc, within-doc repeats, empty lines)
+    val s = spark
+    import s.implicits._
+    val edge = Seq((9001L, "HEADER\n\nalpha\nFOOTER"),
+      (9002L, "HEADER\n\nFOOTER"), (9003L, "HEADER\nalpha\nalpha\nFOOTER"))
+      .toDF("doc_id", "text")
+    val df = docs.select(col("doc_id"), col("text")).unionByName(edge)
+    def run(cap: Int) =
+      Dedup.dedupLines(df, "doc_id", "text", maxDocFreq = 2, maxBroadcastLines = cap)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+    val viaBroadcast = run(Int.MaxValue)
+    assert(run(0).sameElements(viaBroadcast), "pure-join path diverged")
+    assert(run(1).sameElements(viaBroadcast), "hybrid path diverged")
+  }
+
+  test("IVF append equals rebuild-from-scratch on the union") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val old = e.filter(col("vec_id") % 5 =!= 0)
+    val fresh = e.filter(col("vec_id") % 5 === 0)
+    val q = e.filter(col("vec_id") < 3)
+    val idx = Similarity.buildIvfIndex(old, "vec_id", "embedding", nCentroids = 4)
+    val appended = idx.append(fresh, "vec_id", "embedding")
+    try {
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.select("qid", "id", "cosine", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val got = key(Similarity.probeTopK(appended.centroids, appended.bucketed,
+        q, "vec_id", "embedding", k = 10, nProbe = 4))
+      // rebuild against the SAME frozen centroids over the union: the
+      // append contract is assign-only, so results must be identical
+      val rebuilt = Similarity.assignBuckets(old.unionByName(fresh),
+        "vec_id", "embedding", appended.centroids)
+      val want = key(Similarity.probeTopK(appended.centroids, rebuilt,
+        q, "vec_id", "embedding", k = 10, nProbe = 4))
+      assert(got == want)
+      // the appended vectors are actually searchable
+      val hitIds = got.map(_._2)
+      assert(fresh.select("vec_id").collect().map(_.getLong(0)).exists(hitIds.contains))
+    } finally appended.release()
+  }
+
   test("duplicate windows: cross-doc shared substrings flagged, within-doc repeats are not") {
     val s = spark
     import s.implicits._
