@@ -43,19 +43,55 @@ object Dedup {
     * so raise the threshold if a corpus's boilerplate vocabulary
     * outgrows it. */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
-                 maxDocFreq: Int): DataFrame = {
+                 maxDocFreq: Int, maxBroadcastLines: Int = 1 << 20): DataFrame = {
     require(maxDocFreq >= 2, "maxDocFreq < 2 would flag every line")
-    val flagged = docs
+    val flaggedLines = docs
       .select(explode(array_distinct(split(col(textCol), "\n"))).as("line"))
       .groupBy("line").agg(count(lit(1)).as("df"))
       .filter(col("df") >= maxDocFreq)
-      .agg(collect_list("line").as("__flagged"))
-    val allLines = split(col(textCol), "\n")
-    val kept = filter(allLines, x => !array_contains(col("__flagged"), x))
-    docs.crossJoin(broadcast(flagged))
-      .select(col(idCol), array_join(kept, "\n").as("clean_text"),
-        size(kept).cast("long").as("n_kept"),
-        (size(allLines) - size(kept)).cast("long").as("n_dropped"))
+    // one count decides the shape (the flagged set was going to be
+    // materialized either way)
+    if (flaggedLines.count() <= maxBroadcastLines) {
+      val flagged = flaggedLines.agg(collect_list("line").as("__flagged"))
+      val allLines = split(col(textCol), "\n")
+      val kept = filter(allLines, x => !array_contains(col("__flagged"), x))
+      docs.crossJoin(broadcast(flagged))
+        .select(col(idCol), array_join(kept, "\n").as("clean_text"),
+          size(kept).cast("long").as("n_kept"),
+          (size(allLines) - size(kept)).cast("long").as("n_dropped"))
+    } else {
+      // Broadcast blow-up guard: a boilerplate vocabulary too large for
+      // one broadcast array. Hybrid cleanup — broadcast only the
+      // HOTTEST `maxBroadcastLines` flagged lines (df desc; these are
+      // the headers/footers that would otherwise be white-hot join
+      // keys) and strip them map-side; the long tail of rarer flagged
+      // lines is removed by an anti-join on the survivors, where every
+      // key's heat is bounded by the hot cutoff's doc frequency.
+      val hot = flaggedLines
+        .orderBy(col("df").desc, col("line").asc).limit(maxBroadcastLines)
+        .agg(collect_list("line").as("__flagged"))
+      val cold = flaggedLines
+        .orderBy(col("df").desc, col("line").asc)
+        .offset(maxBroadcastLines).select(col("line").as("__line"))
+      val allLines = split(col(textCol), "\n")
+      val preKept = filter(allLines, x => !array_contains(col("__flagged"), x))
+      val exploded = docs.crossJoin(broadcast(hot))
+        .select(col(idCol), size(allLines).cast("long").as("__total"),
+          posexplode_outer(preKept).as(Seq("__pos", "__line")))
+      val kept = exploded.join(cold, Seq("__line"), "left_anti")
+      val agg = kept.filter(col("__line").isNotNull)
+        .groupBy(col(idCol))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            x => x.getField("__line")), "\n").as("__clean"),
+          count(lit(1)).as("__nk"))
+      docs.select(col(idCol), size(allLines).cast("long").as("__total"))
+        .join(agg, Seq(idCol), "left")
+        .select(col(idCol), coalesce(col("__clean"), lit("")).as("clean_text"),
+          coalesce(col("__nk"), lit(0L)).as("n_kept"),
+          (col("__total") - coalesce(col("__nk"), lit(0L))).as("n_dropped"))
+    }
   }
 
   /** Canonical-fingerprint dedup (token-set equality — catches
