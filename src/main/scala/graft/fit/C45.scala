@@ -16,10 +16,24 @@ import org.apache.spark.storage.StorageLevel
   * per-(rule,attr) window in the split search bounded at any data
   * scale — the reference instead buffers and rescans EVERY distinct
   * value inside one reducer (MyReducer.java:112-205). 0 disables. */
+/** `missingMode` governs null ATTRIBUTE values (null class labels are
+  * always rejected): "fractional" (default) is canonical C4.5 — a null
+  * row's weight is split across the children of its rule's split in
+  * proportion to observed branch mass, gains are scaled by the known
+  * fraction and split-info charges the unknown slice as an extra
+  * branch; "drop" reproduces the pre-weighting behavior (null rows
+  * silently leave each attribute's histogram and drop from the tree
+  * once their path splits on the null attribute — the closest a
+  * no-NPE engine gets to the reference, which crashes). Corpora with
+  * no nulls take a byte-identical code path either way. */
 case class C45Params(minDataRatio: Double = InfoStats.DefaultMinDataRatio,
                      maxDepth: Int = 30,
                      maxBins: Int = 256,
-                     routeJoinThreshold: Int = 64)
+                     routeJoinThreshold: Int = 64,
+                     missingMode: String = "fractional") {
+  require(missingMode == "fractional" || missingMode == "drop",
+    s"missingMode must be fractional|drop: $missingMode")
+}
 
 /** A fitted C4.5 model: the leaf rule set (root-to-leaf conjunctions,
   * exactly the reference's printed deliverable, Main.java:128-131) plus
@@ -227,10 +241,24 @@ private[fit] case class Route(prid: Int, kind: String, aid: Int,
                               boundary: Double, lrid: Int, rrid: Int,
                               children: Map[String, Int])
 
+/** Exploded routing row for the FRACTIONAL-weight path: one row per
+  * (parent rule, child rule) edge, carrying the one condition that
+  * selects the child ("num" side le/gt of `boundary`, or "cat"
+  * equality on `catval`) and `frac` — the child's share of the
+  * parent's KNOWN mass on the split attribute, which is the weight
+  * multiplier a null-valued row receives for this child (Quinlan's
+  * C4.5 unknown-value distribution). The join fans each parent row out
+  * to its children and the weight expression keeps exactly one branch
+  * for a known value (full weight) or all branches for a null
+  * (fractional weights). */
+private[fit] case class RouteX(prid: Int, kind: String, aid: Int,
+                               boundary: Double, side: String,
+                               catval: String, crid: Int, frac: Double)
+
 object C45 {
 
   private case class Cand(aid: Int, gainRatio: Double, gain: Double,
-                          boundary: Option[Double])
+                          boundary: Option[Double], fracLeft: Double = 0.0)
 
   /** Test hook: with -Dgraft.fit.capturePlans=1, every join-routed
     * level's physical plan is recorded here (pre-execution, so the
@@ -301,6 +329,20 @@ object C45 {
     require(data.filter(col(clsCol).isNull).isEmpty,
       s"C45.fit requires non-null class labels: column '$clsCol' contains NULLs")
 
+    // fractional-weight machinery engages ONLY when null attribute
+    // values actually exist (one take(1) probe against the persisted
+    // projection): a null-free corpus must take the original count-
+    // based path byte-for-byte — identical float arithmetic, identical
+    // goldens — and pays nothing for the capability.
+    val fractional = params.missingMode == "fractional" && names.nonEmpty &&
+      !data.filter(names.map(col(_).isNull).reduce(_ || _)).isEmpty
+    // weights ride as exact long MICROS (1 row = 1_000_000): histogram
+    // cells stay order-independent integer sums under any partitioning;
+    // the driver divides by `unit` once when the math goes to doubles.
+    // In the unweighted path unit == 1.0 and c/unit == c.toDouble.
+    val W1 = 1000000L
+    val unit = if (fractional) 1e6 else 1.0
+
     // closed class-label set: declared, else discovered once (the
     // reference requires the declared set, Main.java:154-158)
     val classLabels: Seq[String] =
@@ -356,6 +398,7 @@ object C45 {
     // free once the next level has materialized on top of it
     var prevBase: DataFrame = null
     var pendingRoutes: Seq[Route] = Nil
+    var pendingRoutesX: Seq[RouteX] = Nil
     var prevPersisted: Option[DataFrame] = None
     // every join-routed base ever persisted; unpersist is idempotent,
     // so the finally can sweep the whole list even though each level
@@ -378,7 +421,11 @@ object C45 {
       //    Constant expression size per level, one broadcast hash join,
       //    no shuffle — the Spark analogue of the reference's
       //    distributed-cache rule queue (Main.java:189).
-      val useJoin = level > 0 && open.size > params.routeJoinThreshold
+      // fractional mode always join-routes past the root: a flat
+      // root-to-leaf CASE WHEN can assign a row only ONE rule id, and
+      // fractional membership needs one row per (row, child) edge
+      val useJoin = level > 0 &&
+        (open.size > params.routeJoinThreshold || fractional)
       // attributes used on EVERY open path are dead: the once-per-path
       // rule bars them as candidates for every open rule and therefore
       // for every future route. Drop them from the routed base's cache
@@ -398,9 +445,66 @@ object C45 {
               acc.when(r.toPredicate(names), lit(i))
             }.otherwise(lit(-1))
           }
-          data.withColumn("__rid", ridCol)
+          val flat = data.withColumn("__rid", ridCol)
             .filter(col("__rid") >= 0)
             .withColumn("__cls", col(clsCol).cast("string"))
+          if (fractional) flat.withColumn("__w", lit(W1)) else flat
+        } else if (fractional) {
+          import spark.implicits._
+          val routeDf = pendingRoutesX.toDF(
+            "__prid", "__kind", "__aid", "__boundary", "__side", "__catval",
+            "__crid", "__frac")
+          val routeAids = pendingRoutesX.map(_.aid).toSet
+          val routeNum = numAttrs.filter(a => routeAids(schema.attrIndex(a.name)))
+          val routeCat = catAttrs.filter(a => routeAids(schema.attrIndex(a.name)))
+          // fan every parent row out to its children (broadcast hash
+          // join on prid, one row per edge) and weight each branch:
+          // full weight where the value selects this child, frac-scaled
+          // weight on EVERY child where the value is null, nothing
+          // otherwise. Rounding to whole micros keeps downstream sums
+          // exact integers; a weight rounding to 0 is dropped outright.
+          val fracW = floor(col("__w") * col("__frac") + lit(0.5)).cast("long")
+          val numBranch =
+            if (routeNum.isEmpty) None
+            else {
+              val numvCol = map(routeNum.flatMap(a =>
+                Seq(lit(schema.attrIndex(a.name)), col(a.name).cast("double"))): _*)
+              val v = element_at(numvCol, col("__aid"))
+              Some(when(col("__kind") === "num",
+                when(col("__side") === "le" && v <= col("__boundary"), col("__w"))
+                  .when(col("__side") === "gt" && v > col("__boundary"), col("__w"))
+                  .when(v.isNull, fracW)))
+            }
+          val catBranchOf: Column => Column = prev => {
+            val catvCol = map(attrPairs(routeCat, "string"): _*)
+            val cv = element_at(catvCol, col("__aid"))
+            val hit = when(cv === col("__catval"), col("__w"))
+              .when(cv.isNull, fracW)
+            if (prev == null) when(col("__kind") === "cat", hit)
+            else prev.when(col("__kind") === "cat", hit)
+          }
+          val newW = (numBranch, routeCat.isEmpty) match {
+            case (Some(nb), true)  => nb
+            case (Some(nb), false) => catBranchOf(nb)
+            case (None, false)     => catBranchOf(null)
+            case (None, true)      => lit(null)
+          }
+          val routed = prevBase
+            .join(broadcast(routeDf), prevBase("__rid") === routeDf("__prid"))
+            .withColumn("__wN", newW)
+            .filter(col("__wN").isNotNull && col("__wN") > 0)
+            .drop("__rid", "__w", "__prid", "__kind", "__aid", "__boundary",
+              "__side", "__catval", "__frac")
+            .withColumnRenamed("__crid", "__rid")
+            .withColumnRenamed("__wN", "__w")
+            .drop(names.filter(n => deadAids(schema.attrIndex(n))): _*)
+          if (sys.props.get("graft.fit.capturePlans").contains("1"))
+            capturedRoutePlans.synchronized {
+              capturedRoutePlans += s"routes=${pendingRoutesX.size}\n" +
+                routed.queryExecution.executedPlan.toString
+            }
+          if (level < params.maxDepth) routed.persist(StorageLevel.MEMORY_AND_DISK)
+          else routed
         } else {
           import spark.implicits._
           val routeDf = pendingRoutes.toDF(
@@ -492,16 +596,20 @@ object C45 {
         Seq(lit(-1), col("__cls")) ++ attrPairs(liveCatAttrs, "string") ++
           liveNumAttrs.flatMap(a => Seq(lit(schema.attrIndex(a.name)),
             numValCol(a).cast("string")))
+      // cell counts are plain row counts, or exact micro-weight sums in
+      // fractional mode — either way an order-independent integer agg
       val tLevel0 = System.nanoTime()
-      val cells: Array[(Int, Int, String, String, Long)] = base
-        .select(col("__rid"), col("__cls").as("cls"),
+      val cells: Array[(Int, Int, String, String, Long)] = {
+        val b0 = base.select(col("__rid"), col("__cls").as("cls"),
+          (if (fractional) col("__w") else lit(1L)).as("__w"),
           explode(map(allPairs: _*)).as(Seq("aid", "val")))
-        .filter(col("val").isNotNull)
-        .groupBy("__rid", "aid", "val", "cls")
-        .agg(count(lit(1)).as("cnt"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
-          r.getLong(4)))
+        b0.filter(col("val").isNotNull)
+          .groupBy("__rid", "aid", "val", "cls")
+          .agg(sum(col("__w")).as("cnt"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
+            r.getLong(4)))
+      }
 
       val clsCounts: Map[Int, Map[String, Long]] = cells.iterator
         .filter(_._2 == -1).toSeq
@@ -513,34 +621,61 @@ object C45 {
       // scan), summed in sorted (value, class) order so the floating-
       // point result is independent of partitioning AND of scale
       // (10× counts shift every term by the same log2(10)).
+      // ε special cases exactly as InfoStats.gainRatioD, but taking the
+      // (possibly known-fraction-scaled) gain as given: in unweighted
+      // mode gain == info - condE and this IS gainRatioD bit-for-bit
+      def gainRatioOf(gain: Double, splitInfo: Double, info: Double): Double = {
+        val tol = 1e-12
+        if (math.abs(splitInfo) < tol) {
+          if (math.abs(info) < tol) 0.0 else InfoStats.Epsilon
+        } else gain / splitInfo
+      }
       val catStats = Map.newBuilder[(Int, Int), Cand]
-      val catValues = Map.newBuilder[(Int, Int), Seq[String]]
+      val catValues = Map.newBuilder[(Int, Int), Seq[(String, Long)]]
       val numStats = Map.newBuilder[(Int, Int), Cand]
       cells.iterator.filter(_._2 != -1).toSeq
         .groupBy(t => (t._1, t._2))
         .toSeq.sortBy(_._1)
         .foreach { case ((rid, aid), cs) =>
-          val n = cs.map(_._5).sum
+          // nRaw: the rule's KNOWN mass on this attribute; totRaw: its
+          // full mass (sentinel slice). In fractional mode gain scales
+          // by the known fraction and splitInfo charges the unknown
+          // slice as an extra branch (Quinlan's unknown-value
+          // accounting); with no nulls the two are equal and every
+          // expression below reduces to the unweighted original.
+          val nRaw = cs.map(_._5).sum
+          val n = nRaw / unit
+          val totRaw = clsCounts.getOrElse(rid, Map.empty).values.sum
+          val nTot = totRaw / unit
+          val nUnknown = nTot - n
           val sCls = cs.groupBy(_._4)
             .map { case (c, g) => c -> g.map(_._5).sum }
-            .toSeq.sortBy(_._1).map(t => InfoStats.plogpD(t._2)).sum
+            .toSeq.sortBy(_._1).map(t => InfoStats.plogpD(t._2 / unit)).sum
           val info = InfoStats.log2D(n) - sCls / n
           if (!schema.isNumericAttr(aid)) {
             val perVal = cs.groupBy(_._3).toSeq.sortBy(_._1)
-            val sVal = perVal.map { case (_, g) => InfoStats.plogpD(g.map(_._5).sum) }.sum
-            val sCell = cs.sortBy(t => (t._3, t._4)).map(t => InfoStats.plogpD(t._5)).sum
-            val splitInfo = InfoStats.log2D(n) - sVal / n
+            val sVal = perVal.map { case (_, g) =>
+              InfoStats.plogpD(g.map(_._5).sum / unit) }.sum
+            val sCell = cs.sortBy(t => (t._3, t._4))
+              .map(t => InfoStats.plogpD(t._5 / unit)).sum
+            val splitInfo =
+              if (!fractional) InfoStats.log2D(n) - sVal / n
+              else InfoStats.log2D(nTot) -
+                (sVal + InfoStats.plogpD(nUnknown)) / nTot
             val condE = (sVal - sCell) / n
-            catStats += (rid, aid) -> Cand(aid, InfoStats.gainRatioD(info, splitInfo, condE),
-              info - condE, None)
-            catValues += (rid, aid) -> perVal.map(_._1)
+            val gain = if (fractional) (n / nTot) * (info - condE) else info - condE
+            catStats += (rid, aid) -> Cand(aid, gainRatioOf(gain, splitInfo, info),
+              gain, None)
+            catValues += (rid, aid) -> perVal.map { case (v, g) =>
+              v -> g.map(_._5).sum }
           } else {
             // boundary scan over sorted distinct values: cumulative
             // class counts give the left contingency row at each
             // candidate; the maximum value has no right side and the
             // minDataRatio guard applies to both sides
             // (MyReducer.java:140-141,188-190). Argmin on
-            // (cond_entropy, boundary), strict <.
+            // (cond_entropy, boundary), strict <. Counts stay exact
+            // longs (micros) through the cumulative scan.
             val labels = classLabels.sorted
             val byVal = cs.groupBy(_._3)
               .map { case (v, g) =>
@@ -554,24 +689,32 @@ object C45 {
             byVal.foreach { case (v, rowCounts) =>
               labels.indices.foreach(i => left(i) += rowCounts(i))
               leftN += rowCounts.sum
-              val rightN = n - leftN
-              if (rightN > 0 && leftN >= n * params.minDataRatio &&
-                  rightN >= n * params.minDataRatio) {
-                val sLeft = labels.indices.map(i => InfoStats.plogpD(left(i))).sum
+              val rightN = nRaw - leftN
+              if (rightN > 0 && leftN >= nRaw * params.minDataRatio &&
+                  rightN >= nRaw * params.minDataRatio) {
+                val sLeft = labels.indices.map(i => InfoStats.plogpD(left(i) / unit)).sum
                 val sRight = labels.indices.map(i =>
-                  InfoStats.plogpD(tot(i) - left(i))).sum
-                val condE = ((leftN * InfoStats.log2D(leftN) - sLeft) +
-                  (rightN * InfoStats.log2D(rightN) - sRight)) / n
+                  InfoStats.plogpD((tot(i) - left(i)) / unit)).sum
+                val lN = leftN / unit
+                val rN = rightN / unit
+                val condE = ((lN * InfoStats.log2D(lN) - sLeft) +
+                  (rN * InfoStats.log2D(rN) - sRight)) / n
                 if (best.forall(b => condE < b._1)) best = Some((condE, v))
               }
             }
             best.foreach { case (condE, b) =>
               val leftBN = byVal.takeWhile(_._1 <= b).map(_._2.sum).sum
-              val rightBN = n - leftBN
-              val splitInfo = InfoStats.log2D(n) -
-                (InfoStats.plogpD(leftBN) + InfoStats.plogpD(rightBN)) / n
+              val rightBN = nRaw - leftBN
+              val splitInfo =
+                if (!fractional) InfoStats.log2D(n) -
+                  (InfoStats.plogpD(leftBN / unit) + InfoStats.plogpD(rightBN / unit)) / n
+                else InfoStats.log2D(nTot) -
+                  (InfoStats.plogpD(leftBN / unit) + InfoStats.plogpD(rightBN / unit) +
+                    InfoStats.plogpD(nUnknown)) / nTot
+              val gain = if (fractional) (n / nTot) * (info - condE) else info - condE
               numStats += (rid, aid) -> Cand(aid,
-                InfoStats.gainRatioD(info, splitInfo, condE), info - condE, Some(b))
+                gainRatioOf(gain, splitInfo, info), gain, Some(b),
+                leftBN.toDouble / nRaw.toDouble)
             }
           }
         }
@@ -589,6 +732,7 @@ object C45 {
       // index the flat CASE WHEN would assign too).
       val nextOpen = Vector.newBuilder[Rule]
       val routes = Seq.newBuilder[Route]
+      val routesX = Seq.newBuilder[RouteX]
       var nextIdx = 0
       open.zipWithIndex.foreach { case (rule, rid) =>
         val counts = clsCounts.getOrElse(rid, Map.empty)
@@ -610,22 +754,35 @@ object C45 {
             closed :+= rule.closed(majority)
           } else {
             val best = cands.maxBy(c => (c.gainRatio, -c.aid))
-            attrImportance(best.aid) += counts.values.sum.toDouble * best.gain
+            attrImportance(best.aid) += counts.values.sum / unit * best.gain
             best.boundary match {
               case Some(b) =>
                 nextOpen += rule.withCondition(best.aid, NumLE(b))
                 nextOpen += rule.withCondition(best.aid, NumGT(b))
                 routes += Route(rid, "num", best.aid, b, nextIdx, nextIdx + 1,
                   Map.empty)
+                if (fractional) {
+                  routesX += RouteX(rid, "num", best.aid, b, "le", "",
+                    nextIdx, best.fracLeft)
+                  routesX += RouteX(rid, "num", best.aid, b, "gt", "",
+                    nextIdx + 1, 1.0 - best.fracLeft)
+                }
                 nextIdx += 2
               case None =>
                 // one child per value observed at this node (#4: children
                 // for absent domain values would hold zero rows)
                 val vals = catValuesM((rid, best.aid))
                 routes += Route(rid, "cat", best.aid, 0.0, -1, -1,
-                  vals.zipWithIndex.map { case (v, i) => v -> (nextIdx + i) }
+                  vals.zipWithIndex.map { case ((v, _), i) => v -> (nextIdx + i) }
                     .toMap)
-                vals.foreach { v =>
+                if (fractional) {
+                  val known = vals.map(_._2).sum.toDouble
+                  vals.zipWithIndex.foreach { case ((v, c), i) =>
+                    routesX += RouteX(rid, "cat", best.aid, 0.0, "", v,
+                      nextIdx + i, c / known)
+                  }
+                }
+                vals.foreach { case (v, _) =>
                   nextOpen += rule.withCondition(best.aid, CatEq(v))
                 }
                 nextIdx += vals.size
@@ -635,6 +792,7 @@ object C45 {
       }
       open = nextOpen.result()
       pendingRoutes = routes.result()
+      pendingRoutesX = routesX.result()
       // the next level (if join-routed) chains off THIS level's base;
       // the previous persisted base is now safe to free — this level's
       // stat jobs have already materialized on top of it
