@@ -627,6 +627,47 @@ object C45Queries {
   }
   val qFitDeepSql: String = goldenValuesSql("golden/fit_deep_sf001_rules.txt")
 
+  /** The fit under MISSING attribute values — canonical C4.5
+    * fractional-weight distribution (C45Params.missingMode default),
+    * the capability the reference outright lacks (it NPEs on any null,
+    * MyMapper.java value routing). qFitDeep's hierarchical label is
+    * computed from the ORIGINAL columns (ground truth), then ~25% of
+    * l_tax is nulled by a deterministic key predicate — the fit must
+    * route those rows fractionally through every split and still
+    * recover the planted structure from the remaining 75% known mass.
+    * Null rows reaching the l_tax node distribute to both children in
+    * proportion to known branch mass (exact long micros, so the tree
+    * is deterministic under any partitioning). The injection predicate
+    * is pure key arithmetic, so each tier's null slice is reproducible;
+    * sf1 being an exact 10× replication of sf0.1 scales every
+    * histogram cell by exactly 10 and leaves the tree invariant
+    * between those tiers (scripts/sweep.py golden-compares them
+    * against the same committed rule set). Oracle: VALUES pin of the
+    * committed sf0.01 golden. */
+  def qFitMissing(s: SparkSession, dir: String): DataFrame = {
+    val schema = C45Schema(
+      Seq(AttrMeta("l_returnflag", isNumeric = false),
+        AttrMeta("l_linenumber", isNumeric = false),
+        AttrMeta("l_quantity", isNumeric = true),
+        AttrMeta("l_discount", isNumeric = true),
+        AttrMeta("l_tax", isNumeric = true)),
+      "cls", DeepClassLabels)
+    val df = li(s, dir)
+      .withColumn("cls",
+        when(col("l_quantity") <= 25,
+          when(col("l_returnflag") === "A",
+            when(col("l_tax") <= 0.04, lit("LAt0")).otherwise(lit("LAt1")))
+            .otherwise(concat(lit("L"), col("l_returnflag"))))
+          .otherwise(
+            when(col("l_discount") <= 0.05, lit("Hd0")).otherwise(lit("Hd1"))))
+      .withColumn("l_tax",
+        when(pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(4)) === 0,
+          lit(null).cast("double")).otherwise(col("l_tax")))
+      .withColumn("l_linenumber", col("l_linenumber").cast("string"))
+    C45.fit(df, schema, C45Params(maxDepth = 3)).toDF(s).orderBy("rule")
+  }
+  val qFitMissingSql: String = goldenValuesSql("golden/fit_missing_sf001_rules.txt")
+
   // ---- O4 + pruning: canonical C4.5's pessimistic subtree
   //      replacement — the part of C4.5 the reference omits (SURVEY §0
   //      "no pruning"). A planted 2-attribute structure plus
@@ -829,6 +870,7 @@ object C45Queries {
     "q_quantiles" -> (qQuantiles _),
     "q_fit_tree" -> (qFitTree _),
     "q_fit_deep" -> (qFitDeep _),
+    "q_fit_missing" -> (qFitMissing _),
     "q_fit_pruned" -> (qFitPruned _),
     "q_rule_simplify" -> (qRuleSimplify _),
     "q_crossval" -> (qCrossVal _),
@@ -863,6 +905,7 @@ object C45Queries {
     "q_quantiles" -> qQuantilesSql,
     "q_fit_tree" -> qFitTreeSql,
     "q_fit_deep" -> qFitDeepSql,
+    "q_fit_missing" -> qFitMissingSql,
     "q_fit_pruned" -> qFitPrunedSql,
     "q_rule_simplify" -> qRuleSimplifySql,
     "q_crossval" -> qCrossValSql,

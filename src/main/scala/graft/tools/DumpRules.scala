@@ -13,6 +13,8 @@ object DumpRules {
       graft.queries.C45Queries.qFitPruned _
     else if (args.length > 1 && args(1) == "simplify")
       graft.queries.C45Queries.qRuleSimplify _
+    else if (args.length > 1 && args(1) == "missing")
+      graft.queries.C45Queries.qFitMissing _
     else graft.queries.C45Queries.qFitTree _
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

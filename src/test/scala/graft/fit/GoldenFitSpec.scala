@@ -87,6 +87,29 @@ class GoldenFitSpec extends AnyFunSuite {
       graft.queries.C45Queries.qFitDeep)
   }
 
+  // q_fit_missing: qFitDeep's planted structure with ~25% of l_tax
+  // nulled by a deterministic key predicate — fractional-weight
+  // distribution (the missingMode default) must recover the identical
+  // tree from the 75% known mass, at every tier. The committed goldens
+  // at sf0.01 and sf0.1 are in fact the same rule set: the planted
+  // margins (gain ratio 1.0 vs ≤0.67 rivals, scaled by the ~0.75 known
+  // fraction at the l_tax node) dominate the per-tier noise in the
+  // null slice's class mix.
+  test("q_fit_missing reproduces the committed sf0.01 rule set exactly") {
+    check("sf0.01", "golden/fit_missing_sf001_rules.txt",
+      graft.queries.C45Queries.qFitMissing)
+  }
+
+  test("q_fit_missing at sf0.1 matches the committed golden") {
+    check("sf0.1", "golden/fit_missing_sf01_rules.txt",
+      graft.queries.C45Queries.qFitMissing)
+  }
+
+  test("q_fit_missing at the replicated sf1 tier reproduces the committed golden") {
+    check("sf1", "golden/fit_missing_sf01_rules.txt",
+      graft.queries.C45Queries.qFitMissing)
+  }
+
   test("q_fit_tree reproduces the committed sf0.1 rule set exactly") {
     // at sf0.1 the golden tree is a single majority leaf — legitimate:
     // TPC-H l_linestatus is independent of these attributes, so root
