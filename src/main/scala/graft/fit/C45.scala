@@ -39,7 +39,8 @@ case class C45Params(minDataRatio: Double = InfoStats.DefaultMinDataRatio,
   * exactly the reference's printed deliverable, Main.java:128-131) plus
   * a majority-class fallback and a prediction phase the reference lacks
   * (SURVEY.md §0). */
-case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String) {
+case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String,
+                    leafMass: Vector[Long] = Vector.empty) {
   def ruleStrings: Seq[String] = leaves.map(_.encode)
 
   /** Score a DataFrame: adds `outputCol` with the leaf label. Rows
@@ -90,49 +91,9 @@ case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String) {
   private[fit] def routedTransform(df: DataFrame, outputCol: String): Option[DataFrame] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val leafConds = leaves.map(_.conditions)
-    if (leafConds.isEmpty || leaves.exists(_.label.isEmpty)) return None
-    val leafSet = leafConds.toSet
-    if (leafSet.size != leafConds.size) return None // duplicate leaves: order matters
-    val maxD = leafConds.map(_.length).max
-    if (maxD == 0) return None // single root leaf — the flat literal is ideal
-    // node ids for every distinct path prefix, assigned level-wise in
-    // first-appearance order (deterministic: leaves is an ordered Vector)
-    val nid = scala.collection.mutable.LinkedHashMap[Vector[(Int, Split)], Int]()
-    (0 to maxD).foreach { d =>
-      leafConds.foreach { c =>
-        if (c.length >= d) { val p = c.take(d); if (!nid.contains(p)) nid(p) = nid.size }
-      }
-    }
-    // a prefix that is both a leaf and extended further = overlap
-    val extendedPrefixes = nid.keys.filter(_.nonEmpty).map(_.init).toSet
-    if (leafSet.exists(extendedPrefixes.contains)) return None
-    val prefixes = nid.keys.toSeq
-    val levels: Seq[Seq[Route]] =
-      (0 until maxD).map { d =>
-        val internal = prefixes.filter(p => p.length == d && !leafSet.contains(p))
-        val routeRows = internal.map { p =>
-          val added = prefixes.filter(q => q.length == d + 1 && q.init == p).map(_.last)
-          val le = added.collect { case (a, NumLE(b)) => (a, b) }
-          val gt = added.collect { case (a, NumGT(b)) => (a, b) }
-          val cat = added.collect { case (a, CatEq(v)) => (a, v) }
-          (le, gt, cat) match {
-            case (Seq((a1, b1)), Seq((a2, b2)), Seq()) if a1 == a2 && b1 == b2 =>
-              Route(nid(p), "num", a1, b1,
-                nid(p :+ (a1 -> NumLE(b1))), nid(p :+ (a1 -> NumGT(b1))), Map.empty)
-            case (Seq(), Seq(), vs) if vs.nonEmpty &&
-              vs.map(_._1).distinct.size == 1 && vs.map(_._2).distinct.size == vs.size =>
-              val a = vs.head._1
-              Route(nid(p), "cat", a, 0.0, -1, -1,
-                vs.map { case (ai, v) => v -> nid(p :+ (ai -> CatEq(v))) }.toMap)
-            case _ => return None // not a clean single-attribute split
-          }
-        }
-        val leafLoops = prefixes
-          .filter(p => p.length <= d && leafSet.contains(p))
-          .map(p => Route(nid(p), "leaf", -1, 0.0, nid(p), nid(p), Map.empty))
-        routeRows ++ leafLoops
-      }
+    val structure = treeStructure()
+    if (structure.isEmpty) return None
+    val (nid, levels) = structure.get
     val names = schema.attrNames
     var cur = df.withColumn("__nid", lit(nid(Vector.empty)))
     levels.foreach { routes =>
@@ -179,6 +140,235 @@ case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String) {
     Some(cur.join(broadcast(labelDf), cur("__nid") === labelDf("__lnid"), "left")
       .withColumn(outputCol, coalesce(col("__label"), lit(majority)))
       .drop("__nid", "__lnid", "__label"))
+  }
+
+  /** Reconstruct the tree from the leaf rules' condition prefixes:
+    * node ids for every distinct path prefix (assigned level-wise in
+    * first-appearance order — deterministic, leaves is an ordered
+    * Vector) plus one Route row set per level (internal splits + leaf
+    * self-loops, so a level-walk is one linear join chain). None when
+    * the leaf set has no tree form: a single root leaf, duplicate
+    * leaves, a leaf prefix extended further (overlapping generalized
+    * rules), or a node whose children mix attributes/boundaries. */
+  private def treeStructure(): Option[
+      (scala.collection.mutable.LinkedHashMap[Vector[(Int, Split)], Int],
+       Seq[Seq[Route]])] = {
+    val leafConds = leaves.map(_.conditions)
+    if (leafConds.isEmpty || leaves.exists(_.label.isEmpty)) return None
+    val leafSet = leafConds.toSet
+    if (leafSet.size != leafConds.size) return None // duplicate leaves: order matters
+    val maxD = leafConds.map(_.length).max
+    if (maxD == 0) return None // single root leaf — the flat literal is ideal
+    val nid = scala.collection.mutable.LinkedHashMap[Vector[(Int, Split)], Int]()
+    (0 to maxD).foreach { d =>
+      leafConds.foreach { c =>
+        if (c.length >= d) { val p = c.take(d); if (!nid.contains(p)) nid(p) = nid.size }
+      }
+    }
+    // a prefix that is both a leaf and extended further = overlap
+    val extendedPrefixes = nid.keys.filter(_.nonEmpty).map(_.init).toSet
+    if (leafSet.exists(extendedPrefixes.contains)) return None
+    val prefixes = nid.keys.toSeq
+    val levels: Seq[Seq[Route]] =
+      (0 until maxD).map { d =>
+        val internal = prefixes.filter(p => p.length == d && !leafSet.contains(p))
+        val routeRows = internal.map { p =>
+          val added = prefixes.filter(q => q.length == d + 1 && q.init == p).map(_.last)
+          val le = added.collect { case (a, NumLE(b)) => (a, b) }
+          val gt = added.collect { case (a, NumGT(b)) => (a, b) }
+          val cat = added.collect { case (a, CatEq(v)) => (a, v) }
+          (le, gt, cat) match {
+            case (Seq((a1, b1)), Seq((a2, b2)), Seq()) if a1 == a2 && b1 == b2 =>
+              Route(nid(p), "num", a1, b1,
+                nid(p :+ (a1 -> NumLE(b1))), nid(p :+ (a1 -> NumGT(b1))), Map.empty)
+            case (Seq(), Seq(), vs) if vs.nonEmpty &&
+              vs.map(_._1).distinct.size == 1 && vs.map(_._2).distinct.size == vs.size =>
+              val a = vs.head._1
+              Route(nid(p), "cat", a, 0.0, -1, -1,
+                vs.map { case (ai, v) => v -> nid(p :+ (ai -> CatEq(v))) }.toMap)
+            case _ => return None // not a clean single-attribute split
+          }
+        }
+        val leafLoops = prefixes
+          .filter(p => p.length <= d && leafSet.contains(p))
+          .map(p => Route(nid(p), "leaf", -1, 0.0, nid(p), nid(p), Map.empty))
+        routeRows ++ leafLoops
+      }
+    Some((nid, levels))
+  }
+
+  /** Score rows that may carry NULL attribute values with Quinlan's
+    * fractional-weight vote — the prediction-side counterpart of
+    * `C45Params.missingMode = "fractional"`. A row descends the tree;
+    * at a node whose split attribute is null it follows EVERY child
+    * with its weight scaled by the child's share of training mass
+    * (`leafMass`, recorded by the fit in exact micros), and the
+    * predicted label is the class with the largest summed leaf weight
+    * (ties break to the lexicographically smallest class; an all-zero
+    * vote — every known value unseen in training — falls back to the
+    * global majority). Rows with no nulls get exactly [[transform]]'s
+    * answer: every factor is 0 or 1 and one leaf carries weight 1.
+    *
+    * Two plans, mirroring [[transform]]: up to `routeThreshold` leaves,
+    * one flat map-only expression (per leaf a product of per-condition
+    * factors, per class a fixed-order sum — zero shuffles, fully
+    * codegen'd). Wider models level-walk through broadcast edge joins
+    * with the weight fanning out exactly as the fit's fractional
+    * routing does (weights ride as exact long micros so the per-row
+    * per-class sums are order-independent), then ONE hash aggregation
+    * by row id and a join back to the input. Models not produced by a
+    * fit (loadRules, pruned/simplified rule sets) carry no masses and
+    * must use [[transform]]. */
+  def transformFractional(df: DataFrame, outputCol: String = "prediction",
+                          routeThreshold: Int = 64): DataFrame = {
+    require(leafMass.size == leaves.size && leaves.nonEmpty,
+      "transformFractional needs per-leaf training masses: only fit-produced " +
+        "models carry them (loadRules/pruned/simplified models do not — use transform)")
+    require(leaves.forall(_.label.nonEmpty), "model has open rules")
+    val classes = leaves.flatMap(_.label).distinct.sorted
+    if (leaves.size <= routeThreshold) flatFractional(df, outputCol, classes)
+    else routedFractional(df, outputCol, classes)
+      .getOrElse(flatFractional(df, outputCol, classes))
+  }
+
+  /** Training mass of every distinct path prefix (micros): the
+    * denominator/numerator pool for the per-edge fractions. */
+  private def prefixMass: Map[Vector[(Int, Split)], Long] = {
+    val m = scala.collection.mutable.Map.empty[Vector[(Int, Split)], Long]
+    leaves.zip(leafMass).foreach { case (r, w) =>
+      (0 to r.conditions.length).foreach { d =>
+        val p = r.conditions.take(d); m(p) = m.getOrElse(p, 0L) + w
+      }
+    }
+    m.toMap
+  }
+
+  /** Deterministic argmax over per-class weight columns: greatest on
+    * (weight, -classIndex, label) structs — ties go to the smaller
+    * index, i.e. the lexicographically smallest class — then the
+    * all-zero fallback to majority. */
+  private def argmaxPred(byClass: Seq[(String, Column)]): Column =
+    if (byClass.size == 1)
+      when(byClass.head._2 > 0, lit(byClass.head._1)).otherwise(lit(majority))
+    else {
+      val best = greatest(byClass.zipWithIndex.map { case ((c, w), i) =>
+        struct(w.as("w"), lit(-i).as("r"), lit(c).as("c")) }: _*)
+      when(best.getField("w") > 0, best.getField("c")).otherwise(lit(majority))
+    }
+
+  private def flatFractional(df: DataFrame, outputCol: String,
+                             classes: Seq[String]): DataFrame = {
+    val names = schema.attrNames
+    val mass = prefixMass
+    val wLeaf: Vector[Column] = leaves.map { r =>
+      r.conditions.zipWithIndex.map { case ((aid, s), d) =>
+        val frac = mass(r.conditions.take(d + 1)).toDouble /
+          mass(r.conditions.take(d)).toDouble
+        val a = col(names(aid))
+        when(a.isNull, lit(frac))
+          .otherwise(when(s.toPredicate(a), lit(1.0)).otherwise(lit(0.0)))
+      }.foldLeft(lit(1.0))(_ * _)
+    }
+    val byClass = classes.map { c =>
+      c -> leaves.zipWithIndex.collect {
+        case (r, i) if r.label.contains(c) => wLeaf(i)
+      }.reduce(_ + _)
+    }
+    df.withColumn(outputCol, argmaxPred(byClass))
+  }
+
+  /** Wide-model fractional scoring: the level-walk of
+    * [[routedTransform]] with the fit's fractional fan-out — one
+    * broadcast edge join per level where a null split value multiplies
+    * the row into every child at `floor(w·frac + 0.5)` micros, leaves
+    * self-loop at full weight, and a known-but-unseen value drops the
+    * branch (that subtree's vote is zero, exactly as the flat factors
+    * give 0). One hash aggregation by row id collapses the fan-out to
+    * per-class long sums (order-independent), and a left join back to
+    * the input restores rows whose every branch died (→ majority).
+    * Row ids come from monotonically_increasing_id, which is
+    * deterministic for a deterministic source partitioning — both
+    * scans of `withId` in the self-join see identical ids. Returns
+    * None when the leaves don't form a proper tree (overlapping
+    * generalized rules) — such models carry no masses anyway. */
+  private def routedFractional(df: DataFrame, outputCol: String,
+                               classes: Seq[String]): Option[DataFrame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val structure = treeStructure()
+    if (structure.isEmpty) return None
+    val (nid, levels) = structure.get
+    val mass = prefixMass
+    val nidMass: Map[Int, Long] = nid.map { case (p, i) => i -> mass(p) }.toMap
+    val edgeLevels: Seq[Seq[PredEdge]] = levels.map(_.flatMap { r =>
+      r.kind match {
+        case "leaf" => Seq(PredEdge(r.prid, "leaf", -1, 0.0, "", "", r.prid, 1.0))
+        case "num" =>
+          val pm = nidMass(r.prid).toDouble
+          Seq(PredEdge(r.prid, "num", r.aid, r.boundary, "le", "", r.lrid,
+              nidMass(r.lrid) / pm),
+            PredEdge(r.prid, "num", r.aid, r.boundary, "gt", "", r.rrid,
+              nidMass(r.rrid) / pm))
+        case _ =>
+          val pm = nidMass(r.prid).toDouble
+          r.children.toSeq.sortBy(_._1).map { case (v, c) =>
+            PredEdge(r.prid, "cat", r.aid, 0.0, "", v, c, nidMass(c) / pm) }
+      }
+    })
+    val names = schema.attrNames
+    val withId = df.withColumn("__rowid", monotonically_increasing_id())
+    var cur = withId.select(
+      (col("__rowid") +: names.map(col)) :+
+        lit(1000000L).as("__w") :+ lit(nid(Vector.empty)).as("__nid"): _*)
+    edgeLevels.foreach { edges =>
+      val edgeDf = edges.toDF("__pnid", "__kind", "__aid", "__boundary",
+        "__side", "__catval", "__cnid", "__frac")
+      val routeAids = edges.filter(_.kind != "leaf").map(_.aid).toSet
+      val routeNum = schema.numericAttrs.filter(a => routeAids(schema.attrIndex(a.name)))
+      val routeCat = schema.categoricalAttrs.filter(a => routeAids(schema.attrIndex(a.name)))
+      val fracW = floor(col("__w") * col("__frac") + lit(0.5)).cast("long")
+      val leafBranch = when(col("__kind") === "leaf", col("__w"))
+      val withNum =
+        if (routeNum.isEmpty) leafBranch
+        else {
+          val numv = map(routeNum.flatMap(a =>
+            Seq(lit(schema.attrIndex(a.name)), col(a.name).cast("double"))): _*)
+          val v = element_at(numv, col("__aid"))
+          leafBranch.when(col("__kind") === "num",
+            when(col("__side") === "le" && v <= col("__boundary"), col("__w"))
+              .when(col("__side") === "gt" && v > col("__boundary"), col("__w"))
+              .when(v.isNull, fracW))
+        }
+      val newW =
+        if (routeCat.isEmpty) withNum
+        else {
+          val catv = map(routeCat.flatMap(a =>
+            Seq(lit(schema.attrIndex(a.name)), col(a.name).cast("string"))): _*)
+          val cv = element_at(catv, col("__aid"))
+          withNum.when(col("__kind") === "cat",
+            when(cv === col("__catval"), col("__w")).when(cv.isNull, fracW))
+        }
+      cur = cur.join(broadcast(edgeDf), cur("__nid") === edgeDf("__pnid"))
+        .withColumn("__wN", newW)
+        .filter(col("__wN").isNotNull && col("__wN") > 0)
+        .drop("__nid", "__w", "__pnid", "__kind", "__aid", "__boundary",
+          "__side", "__catval", "__frac")
+        .withColumnRenamed("__cnid", "__nid")
+        .withColumnRenamed("__wN", "__w")
+    }
+    val labelDf = leaves.map(r => (nid(r.conditions), r.label.get))
+      .toDF("__lnid", "__lbl")
+    val sums = classes.map(c =>
+      sum(when(col("__lbl") === lit(c), col("__w")).otherwise(lit(0L)))
+        .as(s"__wc_$c"))
+    val votes = cur.join(broadcast(labelDf), col("__nid") === col("__lnid"))
+      .groupBy("__rowid")
+      .agg(sums.head, sums.tail: _*)
+    val pred = argmaxPred(classes.map(c => c -> col(s"__wc_$c")))
+    Some(withId.join(votes, Seq("__rowid"), "left")
+      .withColumn(outputCol,
+        when(col(s"__wc_${classes.head}").isNull, lit(majority)).otherwise(pred))
+      .drop((("__rowid" +: classes.map(c => s"__wc_$c"))): _*))
   }
 
   /** The model as a DataFrame (rule codec string, label, depth). */
@@ -254,6 +444,15 @@ private[fit] case class Route(prid: Int, kind: String, aid: Int,
 private[fit] case class RouteX(prid: Int, kind: String, aid: Int,
                                boundary: Double, side: String,
                                catval: String, crid: Int, frac: Double)
+
+/** One routing edge for the wide-model fractional PREDICT level-walk
+  * ([[C45Model.transformFractional]]): like [[RouteX]] but in node-id
+  * space with leaf self-loops, `frac` = the child subtree's share of
+  * its parent's training mass. (Top-level for the same encoder reason
+  * as [[Route]].) */
+private[fit] case class PredEdge(pnid: Int, kind: String, aid: Int,
+                                 boundary: Double, side: String,
+                                 catval: String, cnid: Int, frac: Double)
 
 object C45 {
 
@@ -387,6 +586,9 @@ object C45 {
     }
     var open = Vector(Rule.root)
     var closed = Vector.empty[Rule]
+    // per-leaf training mass in exact micros, aligned with `closed` —
+    // the branch-share denominators transformFractional scores with
+    var closedMass = Vector.empty[Long]
     val attrImportance = scala.collection.mutable.Map.empty[Int, Double]
       .withDefaultValue(0.0)
     var globalMajority: Option[String] = None
@@ -740,6 +942,7 @@ object C45 {
           // no rows reached this rule (possible only via races in input);
           // close with global majority rather than silently dropping (#4)
           closed :+= rule.closed(globalMajority.getOrElse(classLabels.head))
+          closedMass :+= 0L
         } else {
           val majority = counts.toSeq.maxBy { case (l, n) => (n, l) }._1
           if (globalMajority.isEmpty && rid == 0 && level == 0)
@@ -752,6 +955,8 @@ object C45 {
           }
           if (pure || cands.isEmpty || rule.depth >= params.maxDepth) {
             closed :+= rule.closed(majority)
+            closedMass :+= (if (fractional) counts.values.sum
+                            else counts.values.sum * 1000000L)
           } else {
             val best = cands.maxBy(c => (c.gainRatio, -c.aid))
             attrImportance(best.aid) += counts.values.sum / unit * best.gain
@@ -802,9 +1007,12 @@ object C45 {
       level += 1
     }
     // maxDepth exhaustion: close any survivors as majority leaves (#4)
-    open.foreach { r => closed :+= r.closed(globalMajority.getOrElse(classLabels.head)) }
+    open.foreach { r =>
+      closed :+= r.closed(globalMajority.getOrElse(classLabels.head))
+      closedMass :+= 0L
+    }
     (C45Model(schema.copy(classLabels = classLabels), closed,
-      globalMajority.getOrElse(classLabels.head)), attrImportance.toMap)
+      globalMajority.getOrElse(classLabels.head), closedMass), attrImportance.toMap)
     // the fit is fully eager: failed level jobs must not strand cached
     // blocks — free the routed-base chain, then the training projection
     } finally routedPersists.foreach(_.unpersist())

@@ -106,6 +106,8 @@ object C45Pruning {
     }
 
     val rooted = walk(leaves.zipWithIndex, 0, Vector.empty)
-    model.copy(leaves = rooted.leaves)
+    // leafMass is aligned with the UNPRUNED leaves — clear it rather
+    // than ship a misaligned vector (pruned models use transform)
+    model.copy(leaves = rooted.leaves, leafMass = Vector.empty)
   }
 }

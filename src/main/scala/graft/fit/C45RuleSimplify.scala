@@ -102,7 +102,9 @@ object C45RuleSimplify {
     // best-rule-first order; exact duplicates collapse
     val ordered = done.result().sortBy { case (r, rt) => (rt, r.encode) }
       .map(_._1).distinct
-    model.copy(leaves = dropSubsumed(ordered))
+    // leafMass aligns with the original leaves, not the generalized
+    // rule list — clear it (simplified models score via transform)
+    model.copy(leaves = dropSubsumed(ordered), leafMass = Vector.empty)
   }
 
   /** Does satisfying `c1` guarantee satisfying `c2`? */

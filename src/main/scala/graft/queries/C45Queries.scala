@@ -470,6 +470,69 @@ object C45Queries {
       .select(col("l_orderkey"), col("l_linenumber"), col("prediction"))
       .orderBy("l_orderkey", "l_linenumber")
   }
+
+  // ---- fractional-weight scoring under MISSING values: the demo
+  //      model with FIXED leaf masses (A-subtree 400 = 300 le + 100 gt,
+  //      N-subtree 400 = 200 + 200, R 200 — so the branch fractions
+  //      are exact constants 0.4/0.4/0.2, 0.75/0.25, 0.5/0.5), scored
+  //      over lineitem with two deterministic null injections. Because
+  //      the model AND its masses are fixed, Quinlan's weighted vote is
+  //      plain arithmetic the DuckDB oracle replays exactly — same
+  //      factor CASEs, same left-assoc products/sums, same tie rule
+  //      (w_F >= w_O prefers the lexicographically smaller class) —
+  //      a REAL SQL oracle for the missing-value classifier, no golden
+  //      needed. Rows with neither column nulled take the one-hot path
+  //      and reproduce q_predict's labels bit-for-bit. ----
+  private lazy val demoModelM: graft.fit.C45Model =
+    demoModel.copy(leafMass = Vector(300000000L, 100000000L,
+      200000000L, 200000000L, 200000000L))
+
+  def qPredictMissing(s: SparkSession, dir: String): DataFrame = {
+    demoModelM.transformFractional(
+      li(s, dir)
+        .withColumn("l_returnflag",
+          when(pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(5)) === 0,
+            lit(null).cast("string")).otherwise(col("l_returnflag")))
+        .withColumn("l_quantity",
+          when(pmod(col("l_orderkey") * 11 + col("l_linenumber"), lit(7)) === 0,
+            lit(null).cast("double")).otherwise(col("l_quantity"))))
+      .select(col("l_orderkey"), col("l_linenumber"), col("prediction"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+  val qPredictMissingSql: String =
+    """WITH t AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0 THEN NULL
+      |         ELSE l_returnflag END AS rf,
+      |    CASE WHEN (l_orderkey * 11 + l_linenumber) % 7 = 0 THEN NULL
+      |         ELSE l_quantity END AS q,
+      |    l_discount AS d
+      |  FROM lineitem),
+      |w AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    ((1.0 * (CASE WHEN rf IS NULL THEN 0.4
+      |             ELSE (CASE WHEN rf = 'A' THEN 1.0 ELSE 0.0 END) END))
+      |        * (CASE WHEN q IS NULL THEN 0.75
+      |           ELSE (CASE WHEN q <= 25.0 THEN 1.0 ELSE 0.0 END) END))
+      |    + ((1.0 * (CASE WHEN rf IS NULL THEN 0.4
+      |               ELSE (CASE WHEN rf = 'N' THEN 1.0 ELSE 0.0 END) END))
+      |        * (CASE WHEN d IS NULL THEN 0.5
+      |           ELSE (CASE WHEN d > 0.05 THEN 1.0 ELSE 0.0 END) END)) AS w_f,
+      |    (((1.0 * (CASE WHEN rf IS NULL THEN 0.4
+      |              ELSE (CASE WHEN rf = 'A' THEN 1.0 ELSE 0.0 END) END))
+      |        * (CASE WHEN q IS NULL THEN 0.25
+      |           ELSE (CASE WHEN q > 25.0 THEN 1.0 ELSE 0.0 END) END)
+      |    + (1.0 * (CASE WHEN rf IS NULL THEN 0.4
+      |              ELSE (CASE WHEN rf = 'N' THEN 1.0 ELSE 0.0 END) END))
+      |        * (CASE WHEN d IS NULL THEN 0.5
+      |           ELSE (CASE WHEN d <= 0.05 THEN 1.0 ELSE 0.0 END) END))
+      |    + (1.0 * (CASE WHEN rf IS NULL THEN 0.2
+      |              ELSE (CASE WHEN rf = 'R' THEN 1.0 ELSE 0.0 END) END))) AS w_o
+      |  FROM t)
+      |SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN w_f >= w_o AND w_f > 0 THEN 'F'
+      |       WHEN w_o > 0 THEN 'O' ELSE 'O' END AS prediction
+      |FROM w ORDER BY l_orderkey, l_linenumber""".stripMargin
   val qPredictSql: String =
     """SELECT l_orderkey, l_linenumber,
       |  CASE WHEN l_returnflag = 'A' AND l_quantity <= 25.0 THEN 'F'
@@ -865,6 +928,7 @@ object C45Queries {
     "q_setops" -> (qSetOps _),
     "q_setops_all" -> (qSetOpsAll _),
     "q_predict" -> (qPredict _),
+    "q_predict_missing" -> (qPredictMissing _),
     "q_confusion" -> (qConfusion _),
     "q_running" -> (qRunning _),
     "q_quantiles" -> (qQuantiles _),
@@ -900,6 +964,7 @@ object C45Queries {
     "q_setops" -> qSetOpsSql,
     "q_setops_all" -> qSetOpsAllSql,
     "q_predict" -> qPredictSql,
+    "q_predict_missing" -> qPredictMissingSql,
     "q_confusion" -> qConfusionSql,
     "q_running" -> qRunningSql,
     "q_quantiles" -> qQuantilesSql,
