@@ -41,10 +41,33 @@ object Bench {
       val ts = samples.collect { case (`name`, t) => t }.sorted
       name -> ts(ts.length / 2)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}""")
+    // Full-precision per-query timings go to a sidecar file; the stdout
+    // line is consumed from a bounded tail of the run log, so it must
+    // stay under ~1800 chars: 3-decimal values, slowest queries first,
+    // and an explicit omitted count once the budget is hit.
+    val full = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"reps":$reps,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_full.json"),
+        fullLine.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    def f3(v: Double): String = "%.3f".format(v)
+    val slowFirst = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    val fixed =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_total":${results.size},"omitted":OMIT,"reps":$reps,"sf":"$sfDir","queries":{}}"""
+    val budget = 1800 - fixed.length
+    val kept = scala.collection.mutable.ArrayBuffer[String]()
+    var used = 0
+    slowFirst.foreach { s =>
+      if (used + s.length + 1 <= budget) { kept += s; used += s.length + 1 }
+    }
+    val omitted = results.size - kept.length
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_total":${results.size},"omitted":$omitted,"reps":$reps,"sf":"$sfDir","queries":${kept.mkString("{", ",", "}")}}""")
     spark.stop()
   }
 }
