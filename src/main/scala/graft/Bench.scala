@@ -15,9 +15,12 @@ object Bench {
     // parquet footer caches; the timed pass then measures steady-state
     // query cost rather than first-run compilation. Disable with
     // SPARK_GRAFT_WARMUP=0.
+    // SPARK_GRAFT_ONLY=q_a,q_b times just those queries (dev loop)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      SparkEntry.queries.foreach { case (name, fn) =>
+        if (only.forall(_.contains(name)))
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     }
     // median of SPARK_GRAFT_REPS (default 3) timed passes per query,
@@ -29,6 +32,7 @@ object Bench {
     // outlier rep in either direction.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val names = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n)))
     val samples = (1 to reps).flatMap { _ =>
       names.map { name =>
         val fn = SparkEntry.queries(name)

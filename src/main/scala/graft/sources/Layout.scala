@@ -46,9 +46,19 @@ object Layout {
     // difference can overflow a long when the key range spans most of
     // the long domain
     val d = (c: Column) => c.cast("decimal(38,0)")
-    call_function("div",
+    val exact = call_function("div",
       (d(v) - d(mn)) * lit(1L << bits),
       d(mx) - d(mn) + lit(1L))
+    // Fast path: when (mx-mn+1)·2^bits fits a long — every realistic
+    // key range — the same quotient in pure long arithmetic, which
+    // codegens to two integer ops instead of a Decimal128 chain. The
+    // decimal branch only evaluates (codegen if/else) on ranges wider
+    // than 2^(63-bits), where long math would overflow.
+    // the guard itself must not overflow: a range spanning most of the
+    // long domain overflows even the (mx - mn) difference under ANSI
+    val safe = (d(mx) - d(mn)) < lit((Long.MaxValue >> bits) - 1)
+    when(safe, call_function("div", (v - mn) * lit(1L << bits), mx - mn + lit(1L)))
+      .otherwise(exact.cast("long"))
   }
 
   /** Adds `zval` — the interleave of the two keys' range-bucket ids
@@ -59,12 +69,17 @@ object Layout {
     val bounds = df.agg(
       min(col(c1).cast("long")).as("__mn1"), max(col(c1).cast("long")).as("__mx1"),
       min(col(c2).cast("long")).as("__mn2"), max(col(c2).cast("long")).as("__mx2"))
+    // bucket ids materialize in their own projection: the interleave
+    // references each bucket `bits` times, and inlining would make
+    // every bit term re-run the whole bucket division chain (the
+    // non-cheap expressions also keep CollapseProject from re-inlining)
     df.crossJoin(broadcast(bounds))
-      .withColumn("zval", interleaveBits(
-        rangeBucket(col(c1).cast("long"), col("__mn1"), col("__mx1"), bits),
-        rangeBucket(col(c2).cast("long"), col("__mn2"), col("__mx2"), bits),
-        bits))
-      .drop("__mn1", "__mx1", "__mn2", "__mx2")
+      .withColumn("__b1",
+        rangeBucket(col(c1).cast("long"), col("__mn1"), col("__mx1"), bits))
+      .withColumn("__b2",
+        rangeBucket(col(c2).cast("long"), col("__mn2"), col("__mx2"), bits))
+      .withColumn("zval", interleaveBits(col("__b1"), col("__b2"), bits))
+      .drop("__mn1", "__mx1", "__mn2", "__mx2", "__b1", "__b2")
   }
 
   /** Writes `df` as parquet z-ordered on (c1, c2): range-partitioned
