@@ -408,6 +408,90 @@ object RelQueries {
       |UNION ALL SELECT l_returnflag, 'lines', lines FROM w
       |ORDER BY l_returnflag, measure""".stripMargin
 
+  // ---- bucketed co-located join: both sides written bucketed on the
+  //      join key (graft.sources.Bucketing), so the equi-join plans
+  //      with NO Exchange on either side — the storage-level shuffle
+  //      elimination a repeated-join workload wants at 100 TB (shuffle
+  //      the fact tables once at write time, never per query).
+  //      BucketJoinSpec pins the exchange-free SortMergeJoin plan. ----
+  private val bucketRuns = new java.util.concurrent.atomic.AtomicInteger()
+  def qBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Bucketing
+    val n = bucketRuns.incrementAndGet()
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucket_$n"
+    Bucketing.writeBucketed(Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+      s"graft_bk_orders_$n", s"$base/orders", "o_custkey", 8)
+    Bucketing.writeBucketed(Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment"),
+      s"graft_bk_customer_$n", s"$base/customer", "c_custkey", 8)
+    val o = Bucketing.readBucketed(s, s"graft_bk_orders_$n")
+    val c = Bucketing.readBucketed(s, s"graft_bk_customer_$n")
+    // merge hint: the demo is the co-located SMJ (broadcast would win
+    // at this tier and hide the bucketing; at fact×fact scale there is
+    // no broadcast side and SMJ is what the planner picks unaided)
+    o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_total"))
+      .orderBy("c_mktsegment")
+  }
+  val qBucketJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---- ordered-step funnel (view → click → purchase): stage times as
+  //      cumulative conditional window minimums — ONE shuffle for the
+  //      whole funnel regardless of step count (the per-step self-join
+  //      formulation the oracle uses costs a shuffle per step) ----
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val steps = Seq("view", "click", "purchase")
+    val ev = eventsMs(s, dir)
+      .filter(col("event_type").isin(steps: _*))
+      .select("user_id", "event_id", "ts_ms", "event_type")
+    graft.operators.Funnel.funnel(ev, "user_id", "event_type",
+        "ts_ms", "event_id", steps, r6x)
+      .orderBy("step")
+  }
+  val qFunnelSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
+       |a AS (SELECT user_id, min(ts_ms) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+       |b AS (SELECT e.user_id, min(ts_ms) AS t2 FROM e JOIN a ON e.user_id = a.user_id
+       |  WHERE event_type = 'click' AND ts_ms > t1 GROUP BY 1),
+       |c AS (SELECT e.user_id, min(ts_ms) AS t3 FROM e JOIN b ON e.user_id = b.user_id
+       |  WHERE event_type = 'purchase' AND ts_ms > t2 GROUP BY 1),
+       |n AS (SELECT (SELECT count(*) FROM a) AS n1,
+       |  (SELECT count(*) FROM b) AS n2, (SELECT count(*) FROM c) AS n3)
+       |SELECT 1 AS step, 'view' AS step_name, n1 AS n_users,
+       |  ${r6xSqlFrag("n1::DOUBLE / n1")} AS conv_rate FROM n
+       |UNION ALL SELECT 2, 'click', n2, ${r6xSqlFrag("n2::DOUBLE / n1")} FROM n
+       |UNION ALL SELECT 3, 'purchase', n3, ${r6xSqlFrag("n3::DOUBLE / n1")} FROM n
+       |ORDER BY step""".stripMargin
+
+  // ---- exact per-group top-k WITHOUT a window: the k-bounded
+  //      partial-combining aggregate (graft.operators.GroupTopK) trims
+  //      map-side, so a hot key never serializes its whole group into
+  //      one partition — the skew-proof replacement for row_number()
+  //      at corpus scale. Top-3 customers per nation by balance. ----
+  def qGroupTopK(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GroupTopK.topKByKey(Tables.load(s, dir, "customer"),
+        col("c_nationkey").cast("long"), col("c_custkey"),
+        round(col("c_acctbal"), 2), k = 3)
+      .select(col("key").as("nation_key"), col("rank").cast("long").as("rnk"),
+        col("id").as("c_custkey"), col("score").as("acctbal"))
+      .orderBy("nation_key", "rnk")
+  val qGroupTopKSql: String =
+    """WITH r AS (SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
+      |    c_custkey, round(c_acctbal, 2) AS acctbal,
+      |    row_number() OVER (PARTITION BY c_nationkey
+      |      ORDER BY round(c_acctbal, 2) DESC, c_custkey) AS rnk
+      |  FROM customer)
+      |SELECT nation_key, rnk, c_custkey, acctbal
+      |FROM r WHERE rnk <= 3 ORDER BY nation_key, rnk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_extract" -> (qJsonExtract _),
     "q_unpivot" -> (qUnpivot _),
@@ -423,6 +507,9 @@ object RelQueries {
     "q_zorder" -> (qZorder _),
     "q_datetime" -> (qDatetime _),
     "q_salted_join" -> (qSaltedJoin _),
+    "q_bucket_join" -> (qBucketJoin _),
+    "q_funnel" -> (qFunnel _),
+    "q_group_topk" -> (qGroupTopK _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -440,5 +527,8 @@ object RelQueries {
     "q_zorder" -> qZorderSql,
     "q_datetime" -> qDatetimeSql,
     "q_salted_join" -> qSaltedJoinSql,
+    "q_bucket_join" -> qBucketJoinSql,
+    "q_funnel" -> qFunnelSql,
+    "q_group_topk" -> qGroupTopKSql,
   )
 }
