@@ -891,14 +891,40 @@ object ExtQueries {
       throw new IllegalStateException(
         s"streaming query '${q.name}' still running after $timeoutMs ms")
     }
+
+  /** A stateful streaming query's state-store count is pinned at start
+    * from spark.sql.shuffle.partitions — an independent deploy decision
+    * from the batch session's width: every micro-batch COMMITS every
+    * store (delta file + fsync), so the count should track the
+    * stream's key cardinality and throughput, not the cluster's batch
+    * parallelism (a 32-wide batch session replaying one file would pay
+    * 32 store commits per stateful op per batch for single-digit-MB
+    * state; a production job sizes this to keys/throughput and scales
+    * executors independently). Runs `body` (start + await) with the
+    * conf pinned to `n`, restoring the session's value after — the
+    * batch plans before and after are untouched. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
+
+  /** State-store count for the bounded single-file replays the gate
+    * and bench drive (sf0.001–sf1): small enough that per-batch store
+    * commits don't dominate, wide enough to keep all cores busy at the
+    * largest replayed tier. */
+  private val StreamStatePartitions = 8
   def qStreamSessionize(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val name = s"graft_stream_sess_${streamRuns.incrementAndGet()}"
-    val q = graft.streaming.StreamingSessionize.sessionize(
-        graft.streaming.StreamingSessionize.readEventStream(s, dir))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    awaitStreamOrFail(q)
+    withStatePartitions(s, StreamStatePartitions) {
+      val q = graft.streaming.StreamingSessionize.sessionize(
+          graft.streaming.StreamingSessionize.readEventStream(s, dir))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      awaitStreamOrFail(q)
+    }
     s.table(name)
       .select(col("user_id"), col("session_id"), col("start_ms"), col("end_ms"),
         col("n_events"), round(col("sum_value"), 2).as("sum_value"))
@@ -939,12 +965,14 @@ object ExtQueries {
   def qStreamWindowStats(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val name = s"graft_stream_wstats_${streamRuns.incrementAndGet()}"
-    val q = graft.streaming.StreamingStats.windowedTypeStats(
-        graft.streaming.StreamingStats.readRawEventStream(s, dir),
-        windowLen = "1 hour", watermark = "2 hours")
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    awaitStreamOrFail(q)
+    withStatePartitions(s, StreamStatePartitions) {
+      val q = graft.streaming.StreamingStats.windowedTypeStats(
+          graft.streaming.StreamingStats.readRawEventStream(s, dir),
+          windowLen = "1 hour", watermark = "2 hours")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      awaitStreamOrFail(q)
+    }
     s.table(name)
       .select(col("w_start"), col("event_type"), col("n"),
         round(col("sum_value"), 2).as("sum_value"))
@@ -970,12 +998,14 @@ object ExtQueries {
   def qStreamWindowDaily(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val name = s"graft_stream_wdaily_${streamRuns.incrementAndGet()}"
-    val q = graft.streaming.StreamingStats.windowedDailyStats(
-        graft.streaming.StreamingStats.readRawEventStream(s, dir),
-        windowLen = "1 day", watermark = "6 hours")
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    awaitStreamOrFail(q)
+    withStatePartitions(s, StreamStatePartitions) {
+      val q = graft.streaming.StreamingStats.windowedDailyStats(
+          graft.streaming.StreamingStats.readRawEventStream(s, dir),
+          windowLen = "1 day", watermark = "6 hours")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      awaitStreamOrFail(q)
+    }
     s.table(name)
       .select(col("w_start"), col("n"), round(col("sum_value"), 2).as("sum_value"),
         round(col("min_value"), 6).as("min_value"),
@@ -1005,11 +1035,13 @@ object ExtQueries {
   def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val name = s"graft_stream_dedup_${streamRuns.incrementAndGet()}"
-    val q = graft.streaming.StreamingDedup.dedupStream(
-        graft.streaming.StreamingDedup.readDocStream(s, dir))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    awaitStreamOrFail(q)
+    withStatePartitions(s, StreamStatePartitions) {
+      val q = graft.streaming.StreamingDedup.dedupStream(
+          graft.streaming.StreamingDedup.readDocStream(s, dir))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      awaitStreamOrFail(q)
+    }
     s.table(name).select("text_hash").orderBy("text_hash")
   }
   val qStreamDedupSql: String =
@@ -1060,13 +1092,15 @@ object ExtQueries {
     import org.apache.spark.sql.streaming.Trigger
     val name = s"graft_stream_join_${streamRuns.incrementAndGet()}"
     val ev = graft.streaming.StreamingStats.readRawEventStream(s, dir)
-    val q = graft.streaming.StreamingJoin.intervalJoin(
-        ev.filter(col("event_type") === "click"),
-        ev.filter(col("event_type") === "purchase"),
-        "user_id")
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    awaitStreamOrFail(q)
+    withStatePartitions(s, StreamStatePartitions) {
+      val q = graft.streaming.StreamingJoin.intervalJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          "user_id")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      awaitStreamOrFail(q)
+    }
     s.table(name).orderBy("l_id", "r_id")
   }
   val qStreamJoinSql: String =
