@@ -749,8 +749,13 @@ object C45Queries {
     val noisy = graft.functions.Hashing.hash60(
       concat_ws("|", col("l_orderkey"), col("l_linenumber"))) % 10 === 0
     val base = (col("l_returnflag") === "A") === (col("l_quantity") <= lit(25.0))
+    // persist ONLY the fit's columns: the label is stamped from the
+    // full row first, then the other 7 lineitem columns leave the plan
+    // — the cache this builds (and every fit/prune scan through it) is
+    // attrs+cls wide, not table-wide
     val df = li(s, dir).withColumn("cls",
       when(base =!= noisy, lit("P")).otherwise(lit("N")))
+      .select((schema.attrNames :+ "cls").map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val model = C45.fit(df, schema, C45Params(maxDepth = 5))
@@ -778,8 +783,11 @@ object C45Queries {
     val noisy = graft.functions.Hashing.hash60(
       concat_ws("|", col("l_orderkey"), col("l_linenumber"))) % 10 === 0
     val base = (col("l_returnflag") === "A") === (col("l_quantity") <= lit(25.0))
+    // narrow cache, same rationale as qFitPruned: stamp cls, then keep
+    // only the 3 fit attributes + label in the persisted projection
     val df = li(s, dir).withColumn("cls",
       when(base =!= noisy, lit("P")).otherwise(lit("N")))
+      .select((schema.attrNames :+ "cls").map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val model = C45.fit(df, schema, C45Params(maxDepth = 4))
