@@ -471,6 +471,25 @@ object C45 {
           params: C45Params = C45Params()): C45Model =
     fitWithImportance(df, schema, params)._1
 
+  /** Persist WITHOUT columnar compression — for the level loop's
+    * transient routed bases, which live for exactly one level and are
+    * scanned exactly twice (this level's histogram, the next level's
+    * route join). Dictionary/RLE encoding buys memory at CPU cost on
+    * both the build and every scan; for a frame that short-lived it is
+    * a net loss (~25% of a join-routed fit at 600k rows). Memory stays
+    * bounded: at most one level's base is cached at a time, and
+    * MEMORY_AND_DISK spills rather than evicts under pressure. The
+    * conf is snapshotted by the InMemoryRelation at persist time, so
+    * the temporary set/restore cannot leak to caller caches. */
+  private def persistUncompressed(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val key = "spark.sql.inMemoryColumnarStorage.compressed"
+    val old = s.conf.get(key)
+    s.conf.set(key, "false")
+    try df.persist(StorageLevel.MEMORY_AND_DISK)
+    finally s.conf.set(key, old)
+  }
+
   /** Is the WHOLE input cache-backed — i.e. does the plan root reach an
     * InMemoryRelation through nothing but row-preserving wrappers
     * (Project/Filter/aliases)? An InMemoryRelation merely somewhere in
@@ -705,7 +724,7 @@ object C45 {
               capturedRoutePlans += s"routes=${pendingRoutesX.size}\n" +
                 routed.queryExecution.executedPlan.toString
             }
-          if (level < params.maxDepth) routed.persist(StorageLevel.MEMORY_AND_DISK)
+          if (level < params.maxDepth) persistUncompressed(routed)
           else routed
         } else {
           import spark.implicits._
@@ -766,7 +785,7 @@ object C45 {
           // the persist exists for the NEXT level's route join; at
           // level == maxDepth every open rule closes (depth == level),
           // so there is no next level and caching would be pure cost
-          if (level < params.maxDepth) routed.persist(StorageLevel.MEMORY_AND_DISK)
+          if (level < params.maxDepth) persistUncompressed(routed)
           else routed
         }
       if (useJoin && level < params.maxDepth) routedPersists += base
