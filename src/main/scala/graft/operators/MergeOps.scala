@@ -34,6 +34,52 @@ object MergeOps {
         coalesce(col(c), col(s"__b_$c")).as(c)): _*)
   }
 
+  /** Incremental aggregate maintenance (the materialized-view update):
+    * fold a NEW batch's pre-aggregated state into the standing per-key
+    * aggregate state so the result equals re-aggregating everything —
+    * without ever rescanning history. The pattern every warehouse
+    * rollup at 100 TB runs: per refresh, cost is O(delta aggregation)
+    * + O(state merge), while the naive recompute rescans the full
+    * history each time.
+    *
+    * `measures` maps each state column to its combiner: "sum" (counts
+    * and exact sums — the value must already be count/sum-shaped on
+    * BOTH sides), "min", or "max". All three are distributive, so the
+    * merged state is exactly the state of the unioned inputs under any
+    * batching; avg/quantiles must be carried as (sum, n) / sketch
+    * components, not merged directly.
+    *
+    * Scale shape: ONE full-outer equi-join on the grouping keys — both
+    * sides are aggregate-sized (keys × measures, not rows); with the
+    * state table bucketed on the keys ([[graft.sources.Bucketing]])
+    * the join is shuffle-free, and the delta side arrives partially
+    * aggregated from its own groupBy. */
+  def mergeAggState(state: DataFrame, deltaState: DataFrame,
+                    keys: Seq[String],
+                    measures: Seq[(String, String)]): DataFrame = {
+    require(measures.nonEmpty && measures.forall { case (_, c) =>
+      Set("sum", "min", "max")(c) }, s"combiners must be sum|min|max: $measures")
+    val cols = keys ++ measures.map(_._1)
+    require(cols.forall(state.columns.contains) &&
+      cols.forall(deltaState.columns.contains),
+      s"state and delta must both carry $cols")
+    val b = state.select(keys.map(col) ++
+      measures.map { case (c, _) => col(c).as(s"__b_$c") }: _*)
+    b.join(deltaState.select(cols.map(col): _*), keys, "full_outer")
+      .select(keys.map(col) ++ measures.map { case (c, comb) =>
+        val l = col(s"__b_$c")
+        val r = col(c)
+        (comb match {
+          // null-on-one-side = key absent there: take the other side
+          // verbatim (preserves the measure's exact type; least/
+          // greatest already skip nulls)
+          case "sum" => when(l.isNull, r).when(r.isNull, l).otherwise(l + r)
+          case "min" => least(l, r)
+          case "max" => greatest(l, r)
+        }).as(c)
+      }: _*)
+  }
+
   /** SCD-2 history merge: like [[merge]], but instead of overwriting,
     * every version survives with a validity interval. `base` carries
     * `valid_from`/`valid_to` (null valid_to = current row); `changes`

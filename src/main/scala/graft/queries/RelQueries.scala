@@ -471,6 +471,43 @@ object RelQueries {
        |UNION ALL SELECT 3, 'purchase', n3, ${r6xSqlFrag("n3::DOUBLE / n1")} FROM n
        |ORDER BY step""".stripMargin
 
+  // ---- incremental aggregate maintenance (materialized-view update):
+  //      the standing per-(day, type) state absorbs the newest 20% of
+  //      the stream via MergeOps.mergeAggState — O(delta) + O(state
+  //      merge), history never rescanned. The ORACLE is the full batch
+  //      recompute over everything, so the hash match itself proves
+  //      incremental == recompute (sum/count/max are distributive;
+  //      exact DECIMAL sums keep the equality bit-level). ----
+  def qIncrAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MergeOps
+    val ev = eventsMs(s, dir)
+      .select(col("event_type"), col("ts_ms"), col("value"))
+      .withColumn("day", expr("ts_ms div 86400000"))
+    // refresh boundary at 80% of the observed time range — driver-side
+    // O(1) bounds read (the same one-row pattern intervalJoin uses)
+    val b = ev.agg(min("ts_ms").as("mn"), max("ts_ms").as("mx")).first()
+    val cutoff = b.getLong(0) + ((b.getLong(1) - b.getLong(0)) * 4) / 5
+    def aggState(df: DataFrame): DataFrame =
+      df.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("sum_v"),
+          max(col("value")).as("max_v"))
+    val state = aggState(ev.filter(col("ts_ms") < cutoff))
+    val delta = aggState(ev.filter(col("ts_ms") >= cutoff))
+    MergeOps.mergeAggState(state, delta, Seq("day", "event_type"),
+        Seq(("n", "sum"), ("sum_v", "sum"), ("max_v", "max")))
+      .select(col("day"), col("event_type"), col("n"),
+        col("sum_v").cast("double").as("sum_value"),
+        col("max_v").as("max_value"))
+      .orderBy("day", "event_type")
+  }
+  val qIncrAggSql: String =
+    """WITH e AS (SELECT epoch_ms(ts) AS ts_ms, event_type, value FROM events)
+      |SELECT ts_ms // 86400000 AS day, event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  max(value) AS max_value
+      |FROM e GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
   // ---- exact per-group top-k WITHOUT a window: the k-bounded
   //      partial-combining aggregate (graft.operators.GroupTopK) trims
   //      map-side, so a hot key never serializes its whole group into
@@ -510,6 +547,7 @@ object RelQueries {
     "q_bucket_join" -> (qBucketJoin _),
     "q_funnel" -> (qFunnel _),
     "q_group_topk" -> (qGroupTopK _),
+    "q_incr_agg" -> (qIncrAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -530,5 +568,6 @@ object RelQueries {
     "q_bucket_join" -> qBucketJoinSql,
     "q_funnel" -> qFunnelSql,
     "q_group_topk" -> qGroupTopKSql,
+    "q_incr_agg" -> qIncrAggSql,
   )
 }
