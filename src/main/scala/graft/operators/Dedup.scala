@@ -605,4 +605,37 @@ object Dedup {
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
   }
+
+  /** All unordered pairs of distinct strings within Levenshtein
+    * distance 1 — the typo/variant-mining join (vocabulary cleanup,
+    * entity-name resolution), via FastSS deletion neighborhoods: two
+    * strings are within one edit iff they share a member of
+    * D(s) = {s} ∪ {s with one character deleted} (a substitution pair
+    * shares the both-sides deletion at the differing position; an
+    * insertion/deletion pair shares the shorter string itself). So
+    * candidate generation is a KEY-EQUALITY self-join on the O(len)
+    * deletion variants — Σ bucket² over shared variants, never the n²
+    * cross join — and the exact `levenshtein` filter (codegen'd
+    * builtin) removes the false positives (distinct variants of the
+    * same deletion collapse via array_distinct before the explode).
+    * Everything is pure Column — sequence/transform/substr — so the
+    * variant generation stays in whole-stage codegen.
+    *
+    * Input must be one row per DISTINCT string (caller dedups);
+    * output (tok_a, tok_b), tok_a < tok_b, each pair once. */
+  def editDistanceOnePairs(df: DataFrame, strCol: String): DataFrame = {
+    // alias first, generate variants in a second projection — doing
+    // both in one select would make the explode a lateral reference to
+    // the just-aliased column (rejected by the analyzer)
+    val base = df.select(col(strCol).as("tok"))
+    val s = col("tok")
+    val variants = base.select(s,
+      explode(array_distinct(transform(sequence(lit(0), length(s)), i =>
+        concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s)))))).as("v"))
+    variants.as("a").join(variants.as("b"),
+        col("a.v") === col("b.v") && col("a.tok") < col("b.tok"))
+      .select(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .distinct()
+      .filter(levenshtein(col("tok_a"), col("tok_b")) <= 1)
+  }
 }

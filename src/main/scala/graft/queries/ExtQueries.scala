@@ -146,6 +146,44 @@ object ExtQueries {
     """SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- typo/variant mining: edit-distance-1 pairs over the corpus
+  //      vocabulary (FastSS deletion-neighborhood join — key-equality
+  //      candidates on O(len) deletion variants, never the n² cross
+  //      join, exact levenshtein verify). The synthetic vocabulary is
+  //      typo-free, so the query PLANTS one deterministic deletion
+  //      typo for half the tokens (hash-chosen position, mirrored in
+  //      the oracle) and the miner must recover every (clean, dirty)
+  //      pair — plus any incidental pairs the planted forms create
+  //      with each other. ----
+  def qTypoPairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) >= 4)
+      .distinct()
+    val h = Hashing.hash60(col("tok"))
+    val p = (h % length(col("tok"))).cast("int") // deleted position (0-based)
+    val dirty = toks.filter(h % 2 === 0)
+      .select(concat(col("tok").substr(lit(1), p),
+        col("tok").substr(p + lit(2), length(col("tok")))).as("tok"))
+    val vocab = toks.union(dirty).distinct()
+    Dedup.editDistanceOnePairs(vocab, "tok").orderBy("tok_a", "tok_b")
+  }
+  val qTypoPairsSql: String = {
+    val h = Hashing.hash60Sql("tok")
+    val pos = s"CAST($h % length(tok) AS INT)"
+    s"""WITH t AS (SELECT DISTINCT unnest($SplitToksLowerSql) AS tok FROM documents),
+       |t4 AS (SELECT tok FROM t WHERE length(tok) >= 4),
+       |d AS (SELECT substr(tok, 1, $pos) || substr(tok, $pos + 2) AS tok
+       |  FROM t4 WHERE $h % 2 = 0),
+       |v0 AS (SELECT DISTINCT tok FROM (SELECT tok FROM t4 UNION ALL SELECT tok FROM d)),
+       |var AS (SELECT tok, substr(tok, 1, i) || substr(tok, i + 2) AS v
+       |  FROM v0, unnest(generate_series(0, length(tok))) AS u(i)),
+       |c AS (SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b
+       |  FROM var a JOIN var b ON a.v = b.v AND a.tok < b.tok)
+       |SELECT tok_a, tok_b FROM c WHERE levenshtein(tok_a, tok_b) <= 1
+       |ORDER BY tok_a, tok_b""".stripMargin
+  }
+
   // ---- line-level boilerplate removal (the C4/RefinedWeb cleanup
   //      stage). The documents table is single-line, so the corpus
   //      view builds multi-line "pages" (5 docs per page, ordered by
@@ -1142,6 +1180,7 @@ object ExtQueries {
     "q_lang_id" -> (qLangId _),
     "q_fingerprint" -> (qFingerprint _),
     "q_dedup_exact" -> (qDedupExact _),
+    "q_typo_pairs" -> (qTypoPairs _),
     "q_dedup_lines" -> (qDedupLines _),
     "q_dedup_fp" -> (qDedupFp _),
     "q_substring_dup" -> (qSubstringDup _),
@@ -1187,6 +1226,7 @@ object ExtQueries {
     "q_lang_id" -> qLangIdSql,
     "q_fingerprint" -> qFingerprintSql,
     "q_dedup_exact" -> qDedupExactSql,
+    "q_typo_pairs" -> qTypoPairsSql,
     "q_dedup_lines" -> qDedupLinesSql,
     "q_dedup_fp" -> qDedupFpSql,
     "q_substring_dup" -> qSubstringDupSql,
