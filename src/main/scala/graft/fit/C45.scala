@@ -544,16 +544,22 @@ object C45 {
     // from the sentinel class-count slice while its row still feeds
     // per-attribute split stats — an inconsistent n). Fail loudly up
     // front instead — one limit-1 job against the just-persisted data.
-    require(data.filter(col(clsCol).isNull).isEmpty,
+    // BOTH up-front probes in ONE agg job over the just-persisted
+    // projection (the common null-free corpus previously paid two full
+    // scans: a filter().isEmpty probe only short-circuits when nulls
+    // EXIST): the class-label check, and whether null attribute values
+    // occur at all — the fractional-weight machinery engages only when
+    // they do, so a null-free corpus takes the original count-based
+    // path byte-for-byte (identical float arithmetic, identical
+    // goldens) and pays nothing for the capability.
+    val nullProbe = data.agg(
+      count(when(col(clsCol).isNull, 1)).as("cls"),
+      count(when(names.map(col(_).isNull).reduceOption(_ || _)
+        .getOrElse(lit(false)), 1)).as("attr")).head()
+    require(nullProbe.getLong(0) == 0L,
       s"C45.fit requires non-null class labels: column '$clsCol' contains NULLs")
-
-    // fractional-weight machinery engages ONLY when null attribute
-    // values actually exist (one take(1) probe against the persisted
-    // projection): a null-free corpus must take the original count-
-    // based path byte-for-byte — identical float arithmetic, identical
-    // goldens — and pays nothing for the capability.
     val fractional = params.missingMode == "fractional" && names.nonEmpty &&
-      !data.filter(names.map(col(_).isNull).reduce(_ || _)).isEmpty
+      nullProbe.getLong(1) > 0L
     // weights ride as exact long MICROS (1 row = 1_000_000): histogram
     // cells stay order-independent integer sums under any partitioning;
     // the driver divides by `unit` once when the math goes to doubles.

@@ -629,9 +629,14 @@ object Dedup {
     // the just-aliased column (rejected by the analyzer)
     val base = df.select(col(strCol).as("tok"))
     val s = col("tok")
+    // join on the 64-bit hash of each variant, not the variant string:
+    // the exchange then carries (tok, 8 bytes) instead of (tok, ~len
+    // bytes), and a hash collision can only ADD a candidate pair —
+    // which the exact levenshtein verify below removes
     val variants = base.select(s,
       explode(array_distinct(transform(sequence(lit(0), length(s)), i =>
-        concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s)))))).as("v"))
+        xxhash64(concat(s.substr(lit(1), i),
+          s.substr(i + lit(2), length(s))))))).as("v"))
     variants.as("a").join(variants.as("b"),
         col("a.v") === col("b.v") && col("a.tok") < col("b.tok"))
       .select(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
