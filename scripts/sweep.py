@@ -62,6 +62,12 @@ IMP_GOLDENS = {  # importance query -> tier marker -> committed micros csv
         "sf1": "src/test/resources/golden/importance_sf1.txt",
     },
 }
+PROBA_GOLDENS = {  # q_predict_proba: distinct (prediction, micros) + counts
+    "q_predict_proba": {
+        "sf0.1": "src/test/resources/golden/proba_sf01.txt",
+        "sf1": "src/test/resources/golden/proba_sf1.txt",
+    },
+}
 
 
 def fit_golden_frame(path):
@@ -110,6 +116,19 @@ def imp_golden_frame(path):
     return pd.DataFrame(rows, columns=["attr", "importance_micros"])
 
 
+def proba_golden_frame(path):
+    """golden proba txt (prediction,p_f,p_o,n lines) -> the frame
+    qPredictProba emits."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                p, pf, po, n = line.split(",")
+                rows.append((p, int(pf), int(po), int(n)))
+    return pd.DataFrame(rows, columns=["prediction", "p_f", "p_o", "n"])
+
+
 def canon(df):
     cols = sorted(df.columns)
     return df[cols].sort_values(by=cols).reset_index(drop=True)
@@ -146,7 +165,8 @@ def main():
             (tiers, builder)
             for tiers, builder in ((FIT_GOLDENS.get(name), fit_golden_frame),
                                    (CV_GOLDENS.get(name), cv_golden_frame),
-                                   (IMP_GOLDENS.get(name), imp_golden_frame))
+                                   (IMP_GOLDENS.get(name), imp_golden_frame),
+                                   (PROBA_GOLDENS.get(name), proba_golden_frame))
             if tiers), None)
         if golden_kind and tier != "sf0.01":
             tiers, builder = golden_kind

@@ -40,7 +40,8 @@ case class C45Params(minDataRatio: Double = InfoStats.DefaultMinDataRatio,
   * a majority-class fallback and a prediction phase the reference lacks
   * (SURVEY.md §0). */
 case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String,
-                    leafMass: Vector[Long] = Vector.empty) {
+                    leafMass: Vector[Long] = Vector.empty,
+                    leafDist: Vector[Map[String, Long]] = Vector.empty) {
   def ruleStrings: Seq[String] = leaves.map(_.encode)
 
   /** Score a DataFrame: adds `outputCol` with the leaf label. Rows
@@ -91,10 +92,27 @@ case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String,
   private[fit] def routedTransform(df: DataFrame, outputCol: String): Option[DataFrame] = {
     val spark = df.sparkSession
     import spark.implicits._
+    routedNid(df).map { case (cur, nid) =>
+      val labelDf = leaves.map(r => (nid(r.conditions), r.label.get))
+        .toDF("__lnid", "__label")
+      cur.join(broadcast(labelDf), cur("__nid") === labelDf("__lnid"), "left")
+        .withColumn(outputCol, coalesce(col("__label"), lit(majority)))
+        .drop("__nid", "__lnid", "__label")
+    }
+  }
+
+  /** The level-walk itself: route every row to its leaf's node id (or
+    * null for null/unseen values along the path) — the shared core of
+    * [[routedTransform]] and the wide-model [[transformProba]] path.
+    * Returns the routed frame (input columns + `__nid`) and the node-id
+    * map, or None when the leaves have no tree form. */
+  private def routedNid(df: DataFrame)
+      : Option[(DataFrame, scala.collection.Map[Vector[(Int, Split)], Int])] = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val structure = treeStructure()
     if (structure.isEmpty) return None
     val (nid, levels) = structure.get
-    val names = schema.attrNames
     var cur = df.withColumn("__nid", lit(nid(Vector.empty)))
     levels.foreach { routes =>
       val routeDf = routes.toDF(
@@ -135,11 +153,86 @@ case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String,
           "__lrid", "__rrid", "__children")
         .withColumnRenamed("__nidN", "__nid")
     }
-    val labelDf = leaves.map(r => (nid(r.conditions), r.label.get))
-      .toDF("__lnid", "__label")
-    Some(cur.join(broadcast(labelDf), cur("__nid") === labelDf("__lnid"), "left")
-      .withColumn(outputCol, coalesce(col("__label"), lit(majority)))
-      .drop("__nid", "__lnid", "__label"))
+    Some((cur, nid))
+  }
+
+  /** Per-row class-membership probabilities from the leaves' training
+    * class distributions — C4.5's predict_proba. Each row routes to
+    * its leaf exactly as [[transform]] does, and emits that leaf's
+    * class shares in EXACT INTEGER MICROS (`floor(cnt·10⁶/total+0.5)`
+    * on the fit-recorded long micros — float-free, so outputs golden-
+    * pin bit-stably at any tier; the per-leaf micros may sum to
+    * 10⁶ ± (#classes-1) from rounding). Rows reaching no leaf (null or
+    * unseen value on the path) and zero-mass leaves take the majority
+    * class at 10⁶. Output: `outputCol` (the [[transform]] label) plus
+    * one `<probPrefix><class>` micros column per class label, classes
+    * sorted. Same two plans as transform: flat CASE WHEN to a leaf
+    * index while the model is narrow, broadcast level-walk past
+    * `routeThreshold` leaves. Only fit-produced models carry the
+    * distributions (loaded/pruned/simplified ones do not). */
+  def transformProba(df: DataFrame, outputCol: String = "prediction",
+                     probPrefix: String = "p_",
+                     routeThreshold: Int = 64): DataFrame = {
+    require(leafDist.size == leaves.size && leaves.nonEmpty,
+      "transformProba needs per-leaf class distributions: only fit-produced " +
+        "models carry them (loadRules/pruned/simplified models do not)")
+    require(leaves.forall(_.label.nonEmpty), "model has open rules")
+    val classes: Seq[String] =
+      (leafDist.flatMap(_.keys) ++ leaves.flatMap(_.label) :+ majority)
+        .distinct.sorted
+    // per-leaf micros vector, exact integer arithmetic on the recorded
+    // long micros; zero-mass leaves -> all mass on the leaf's label
+    def microsOf(d: Map[String, Long], fallback: String): Seq[Long] = {
+      val tot = d.values.sum
+      if (tot == 0L) classes.map(c => if (c == fallback) 1000000L else 0L)
+      else classes.map(c =>
+        math.floorDiv(d.getOrElse(c, 0L) * 1000000L + tot / 2, tot))
+    }
+    val leafMicros: Vector[Seq[Long]] =
+      leaves.zip(leafDist).map { case (r, d) => microsOf(d, r.label.get) }
+    val majorityMicros = classes.map(c => if (c == majority) 1000000L else 0L)
+    val names = schema.attrNames
+    val routed =
+      if (leaves.size <= routeThreshold) None
+      else routedNid(df).map { case (cur, nid) =>
+        val spark = df.sparkSession
+        import spark.implicits._
+        val distDf = leaves.zip(leafMicros).map { case (r, m) =>
+          (nid(r.conditions), r.label.get, m) }
+          .toDF("__lnid", "__label", "__micros")
+        cur.join(broadcast(distDf), cur("__nid") === col("__lnid"), "left")
+          .withColumn(outputCol, coalesce(col("__label"), lit(majority)))
+          .select((df.columns.map(col) :+ col(outputCol)) ++
+            classes.zipWithIndex.map { case (c, i) =>
+              coalesce(element_at(col("__micros"), i + 1),
+                lit(majorityMicros(i))).as(s"$probPrefix$c") }: _*)
+      }
+    routed.getOrElse {
+      // flat path: one CASE WHEN to the leaf index, then per-class
+      // literal lookups — first-match order preserved (required for
+      // overlapping generalized rule sets)
+      val leafIdx = leaves.headOption match {
+        case None => lit(-1)
+        case Some(h) =>
+          leaves.zipWithIndex.tail.foldLeft(
+            when(h.toPredicate(names), lit(0))) { case (acc, (r, i)) =>
+            acc.when(r.toPredicate(names), lit(i))
+          }.otherwise(lit(-1))
+      }
+      val withIdx = df.withColumn("__leaf", leafIdx)
+      val labelOf = leaves.zipWithIndex.foldLeft(lit(majority)) {
+        case (acc, (r, i)) =>
+          when(col("__leaf") === i, lit(r.label.get)).otherwise(acc)
+      }
+      val probCols = classes.zipWithIndex.map { case (c, ci) =>
+        leafMicros.zipWithIndex.foldLeft(lit(majorityMicros(ci))) {
+          case (acc, (m, li)) =>
+            when(col("__leaf") === li, lit(m(ci))).otherwise(acc)
+        }.as(s"$probPrefix$c")
+      }
+      withIdx.select((df.columns.map(col) :+ labelOf.as(outputCol)) ++
+        probCols: _*)
+    }
   }
 
   /** Reconstruct the tree from the leaf rules' condition prefixes:
@@ -614,6 +707,9 @@ object C45 {
     // per-leaf training mass in exact micros, aligned with `closed` —
     // the branch-share denominators transformFractional scores with
     var closedMass = Vector.empty[Long]
+    // per-leaf class distribution in exact micros, aligned with
+    // `closed` — transformProba's per-leaf probability numerators
+    var closedDist = Vector.empty[Map[String, Long]]
     val attrImportance = scala.collection.mutable.Map.empty[Int, Double]
       .withDefaultValue(0.0)
     var globalMajority: Option[String] = None
@@ -968,6 +1064,7 @@ object C45 {
           // close with global majority rather than silently dropping (#4)
           closed :+= rule.closed(globalMajority.getOrElse(classLabels.head))
           closedMass :+= 0L
+          closedDist :+= Map.empty
         } else {
           val majority = counts.toSeq.maxBy { case (l, n) => (n, l) }._1
           if (globalMajority.isEmpty && rid == 0 && level == 0)
@@ -982,6 +1079,8 @@ object C45 {
             closed :+= rule.closed(majority)
             closedMass :+= (if (fractional) counts.values.sum
                             else counts.values.sum * 1000000L)
+            closedDist :+= (if (fractional) counts
+                            else counts.view.mapValues(_ * 1000000L).toMap)
           } else {
             val best = cands.maxBy(c => (c.gainRatio, -c.aid))
             attrImportance(best.aid) += counts.values.sum / unit * best.gain
@@ -1035,9 +1134,11 @@ object C45 {
     open.foreach { r =>
       closed :+= r.closed(globalMajority.getOrElse(classLabels.head))
       closedMass :+= 0L
+      closedDist :+= Map.empty
     }
     (C45Model(schema.copy(classLabels = classLabels), closed,
-      globalMajority.getOrElse(classLabels.head), closedMass), attrImportance.toMap)
+      globalMajority.getOrElse(classLabels.head), closedMass, closedDist),
+      attrImportance.toMap)
     // the fit is fully eager: failed level jobs must not strand cached
     // blocks — free the routed-base chain, then the training projection
     } finally routedPersists.foreach(_.unpersist())

@@ -108,6 +108,7 @@ object C45Pruning {
     val rooted = walk(leaves.zipWithIndex, 0, Vector.empty)
     // leafMass is aligned with the UNPRUNED leaves — clear it rather
     // than ship a misaligned vector (pruned models use transform)
-    model.copy(leaves = rooted.leaves, leafMass = Vector.empty)
+    model.copy(leaves = rooted.leaves, leafMass = Vector.empty,
+      leafDist = Vector.empty)
   }
 }

@@ -104,7 +104,8 @@ object C45RuleSimplify {
       .map(_._1).distinct
     // leafMass aligns with the original leaves, not the generalized
     // rule list — clear it (simplified models score via transform)
-    model.copy(leaves = dropSubsumed(ordered), leafMass = Vector.empty)
+    model.copy(leaves = dropSubsumed(ordered), leafMass = Vector.empty,
+      leafDist = Vector.empty)
   }
 
   /** Does satisfying `c1` guarantee satisfying `c2`? */

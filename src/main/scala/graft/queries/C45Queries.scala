@@ -641,6 +641,44 @@ object C45Queries {
       "AS t(rule, label, depth) ORDER BY rule"
   }
 
+  /** O4 + predict_proba: per-row class-membership probabilities from
+    * the fitted leaves' training class distributions, in EXACT integer
+    * micros (float-free — the golden pins bit-stably at any tier).
+    * Same planted fit as q_fit_tree; the output collapses the scored
+    * training table to its distinct (prediction, probability-vector)
+    * combinations with row counts — one row per reachable leaf
+    * (+ majority fallback), so the pin covers every leaf's exact
+    * distribution AND how many rows land on it. */
+  def qPredictProba(s: SparkSession, dir: String): DataFrame = {
+    val schema = C45Schema(
+      Seq(AttrMeta("l_returnflag", isNumeric = false),
+        AttrMeta("l_linenumber", isNumeric = false),
+        AttrMeta("l_quantity", isNumeric = true),
+        AttrMeta("l_discount", isNumeric = true),
+        AttrMeta("l_tax", isNumeric = true)),
+      "l_linestatus", ClassLabels)
+    val df = li(s, dir).withColumn("l_linenumber", col("l_linenumber").cast("string"))
+    val model = C45.fit(df, schema, C45Params(maxDepth = 3))
+    model.transformProba(df, "prediction", "p_")
+      .select(col("prediction"), col("p_F").as("p_f"), col("p_O").as("p_o"))
+      .groupBy("prediction", "p_f", "p_o")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prediction", "p_f", "p_o")
+  }
+  /** Committed golden (prediction,p_f,p_o,n CSV lines) → VALUES pin. */
+  private def goldenProbaSql(resource: String): String = {
+    val src = scala.io.Source.fromResource(resource)
+    val lines = try src.getLines().filter(_.nonEmpty).toVector finally src.close()
+    val rows = lines.map { l =>
+      val Array(p, pf, po, n) = l.split(",")
+      s"('${p.replace("'", "''")}', CAST($pf AS BIGINT), " +
+        s"CAST($po AS BIGINT), CAST($n AS BIGINT))"
+    }
+    s"SELECT prediction, p_f, p_o, n FROM (VALUES ${rows.mkString(", ")}) " +
+      "AS t(prediction, p_f, p_o, n) ORDER BY prediction, p_f, p_o"
+  }
+  val qPredictProbaSql: String = goldenProbaSql("golden/proba_sf001.txt")
+
   /** Deep-frontier fit under the driver's gate. `q_fit_tree`'s natural
     * label (l_linestatus) is independent of the attributes, so past
     * sf0.01 its tree is a single root leaf and the incremental
@@ -936,6 +974,7 @@ object C45Queries {
     "q_setops" -> (qSetOps _),
     "q_setops_all" -> (qSetOpsAll _),
     "q_predict" -> (qPredict _),
+    "q_predict_proba" -> (qPredictProba _),
     "q_predict_missing" -> (qPredictMissing _),
     "q_confusion" -> (qConfusion _),
     "q_running" -> (qRunning _),
@@ -972,6 +1011,7 @@ object C45Queries {
     "q_setops" -> qSetOpsSql,
     "q_setops_all" -> qSetOpsAllSql,
     "q_predict" -> qPredictSql,
+    "q_predict_proba" -> qPredictProbaSql,
     "q_predict_missing" -> qPredictMissingSql,
     "q_confusion" -> qConfusionSql,
     "q_running" -> qRunningSql,
