@@ -13,8 +13,10 @@ and leaves the fixed dimensions (region, nation) alone:
   deliberately: a duplicate-heavy corpus is the realistic stress for
   the dedup pipelines, and it reproduces at 10x the scale the class of
   bug that sf0.1's real duplicates caught in streaming dedup;
-- schemas are preserved bit-for-bit via pyarrow (events.ts stays
-  timestamp[ns] — DuckDB vs Spark precision parity depends on it).
+- schemas are preserved bit-for-bit via pyarrow (events.ts keeps
+  whatever precision the driver shipped — timestamp[us] since
+  2026-08-13, timestamp[ns] before; DuckDB vs Spark precision parity
+  depends on replicas matching the source tier exactly).
 
 Usage: python3 scripts/gen_sf1.py [outdir]   (default testdata-sf1/)
 """

@@ -43,12 +43,17 @@ object Dedup {
     * so raise the threshold if a corpus's boilerplate vocabulary
     * outgrows it. */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
-                 maxDocFreq: Int, maxBroadcastLines: Int = 1 << 20): DataFrame = {
+                 maxDocFreq: Int, maxBroadcastLines: Int = 1 << 20,
+                 scope: CacheScope = CacheScope.unmanaged()): DataFrame = {
     require(maxDocFreq >= 2, "maxDocFreq < 2 would flag every line")
-    val flaggedLines = docs
+    // persisted: the shape-deciding count() below and the chosen
+    // branch's consumption share ONE corpus-wide explode+groupBy
+    // instead of recomputing it (the set itself is small — it is the
+    // ≥-threshold cut). Lifetime: the caller's `scope` (see CacheScope).
+    val flaggedLines = scope.persist(docs
       .select(explode(array_distinct(split(col(textCol), "\n"))).as("line"))
       .groupBy("line").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= maxDocFreq)
+      .filter(col("df") >= maxDocFreq))
     // one count decides the shape (the flagged set was going to be
     // materialized either way)
     if (flaggedLines.count() <= maxBroadcastLines) {

@@ -23,13 +23,9 @@ object Sessionize {
                  tsCol: String = "ts", idCol: String = "event_id",
                  valueCol: String = "value",
                  gapMs: Long = DefaultGapMs): DataFrame = {
-    // ns-precision parquet arrives as LongType under
-    // spark.sql.legacy.parquet.nanosAsLong — integer `div` keeps the
-    // ns→ms conversion exact (a double division of ~1e18 would not be)
-    val tsMs = events.schema(tsCol).dataType match {
-      case org.apache.spark.sql.types.LongType => expr(s"$tsCol div 1000000")
-      case _ => unix_millis(col(tsCol))
-    }
+    // schema-adaptive exact ms conversion (ns-as-long, NTZ µs, TZ µs) —
+    // the testdata ts contract lives in one place, Tables.epochMs
+    val tsMs = graft.sources.Tables.epochMs(events, tsCol)
     val w = Window.partitionBy(userCol).orderBy(col("ts_ms"), col(idCol))
     events
       .withColumn("ts_ms", tsMs)

@@ -699,10 +699,9 @@ object ExtQueries {
        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---- daily event statistics (batch windowing over event time;
-  //      day index from exact ms arithmetic — ts arrives as ns longs) ----
+  //      day index from exact ms arithmetic, schema-adaptive ts) ----
   def qEventDaily(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "events")
-      .withColumn("ts_ms", expr("ts div 1000000"))
+    Tables.loadEventsMs(s, dir)
       .groupBy(expr("ts_ms div 86400000").as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
@@ -1106,9 +1105,10 @@ object ExtQueries {
       .writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     awaitStreamOrFail(q)
-    s.table(name)
+    val sunk = s.table(name)
+    sunk
       .select(col("event_id"), col("user_id"),
-        expr("ts div 1000000").as("ts_ms"),
+        Tables.epochMs(sunk, "ts").as("ts_ms"),
         col("event_type"), col("value"), col("c_mktsegment"))
       .orderBy("event_id")
   }

@@ -15,16 +15,11 @@ object RelQueries {
 
   private def r6x(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
 
-  /** events with an exact epoch-ms column (ts arrives as ns longs
-    * under nanosAsLong, or as a µs timestamp in test sessions). */
-  private def eventsMs(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(s, dir, "events")
-    val tsMs = ev.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
-      case _ => unix_millis(col("ts"))
-    }
-    ev.withColumn("ts_ms", tsMs)
-  }
+  /** events with an exact epoch-ms column — schema-adaptive across the
+    * testdata's ts shapes (ns-as-long, TIMESTAMP_NTZ µs, TIMESTAMP µs);
+    * see the contract note on Tables.epochUs. */
+  private def eventsMs(s: SparkSession, dir: String): DataFrame =
+    Tables.loadEventsMs(s, dir)
 
   // ---- as-of join: each click joined to the user's most recent
   //      purchase at or before it (inner asof semantics) ----

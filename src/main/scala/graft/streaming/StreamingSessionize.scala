@@ -29,22 +29,31 @@ case class SessOut(user_id: Long, session_id: Long, start_ms: Long,
   * aggregates, verified against each other in StreamingSpec. */
 object StreamingSessionize {
 
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** The streaming source needs an explicit schema; pinning the ts type
+    * blindly would silently reinterpret µs as ns (a 1000× event-time
+    * error with NO analysis failure) whenever the testdata contract
+    * shifts. Instead sniff the on-disk type from the parquet footer
+    * driver-side — a schema-only read, no cluster job — and let
+    * Tables.epochMs do the (type-checked, loud-on-unknown) conversion. */
+  def eventSchema(spark: SparkSession, dir: String): StructType = {
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+  }
 
-  /** Read the events table as a file stream (ts arrives as ns longs
-    * under nanosAsLong; converted exactly to ms). The testdata tables
-    * are single parquet FILES, while the file stream source requires a
-    * directory — stream the sf directory with a glob filter instead. */
+  /** Read the events table as a file stream with ts normalized to exact
+    * epoch-ms. The testdata tables are single parquet FILES, while the
+    * file stream source requires a directory — stream the sf directory
+    * with a glob filter instead. */
   def readEventStream(spark: SparkSession, dir: String): Dataset[SessEvent] = {
     import spark.implicits._
-    spark.readStream.schema(eventSchema)
+    val raw = spark.readStream.schema(eventSchema(spark, dir))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .select(col("event_id"), col("user_id"),
-        expr("ts div 1000000").as("ts_ms"), col("value"))
+    raw.select(col("event_id"), col("user_id"),
+        graft.sources.Tables.epochMs(raw, "ts").as("ts_ms"), col("value"))
       .as[SessEvent]
   }
 

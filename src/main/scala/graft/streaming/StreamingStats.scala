@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,20 +12,20 @@ import org.apache.spark.sql.functions._
   * in StreamingSpec. */
 object StreamingStats {
 
-  /** Raw events file stream (all columns, ts as ns-epoch long under
-    * nanosAsLong) — single-file table streamed via glob filter, as in
-    * StreamingSessionize.readEventStream. */
+  /** Raw events file stream (all columns, ts in its sniffed on-disk
+    * type — see StreamingSessionize.eventSchema) — single-file table
+    * streamed via glob filter, as in readEventStream. */
   def readRawEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(StreamingSessionize.eventSchema)
+    spark.readStream.schema(StreamingSessionize.eventSchema(spark, dir))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
 
   /** Windowed per-event-type stats over a streaming events DataFrame
-    * whose `ts` column is ns-epoch LongType (nanosAsLong). */
+    * (ts converted via the schema-adaptive Tables.epochMs). */
   def windowedTypeStats(events: DataFrame, windowLen: String = "1 hour",
                         watermark: String = "2 hours"): DataFrame =
     events
-      .withColumn("ts_time", timestamp_millis(expr("ts div 1000000")))
+      .withColumn("ts_time", timestamp_millis(Tables.epochMs(events, "ts")))
       .withWatermark("ts_time", watermark)
       .groupBy(window(col("ts_time"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -41,7 +42,7 @@ object StreamingStats {
   def windowedDailyStats(events: DataFrame, windowLen: String = "1 day",
                          watermark: String = "6 hours"): DataFrame =
     events
-      .withColumn("ts_time", timestamp_millis(expr("ts div 1000000")))
+      .withColumn("ts_time", timestamp_millis(Tables.epochMs(events, "ts")))
       .withWatermark("ts_time", watermark)
       .groupBy(window(col("ts_time"), windowLen).as("w"))
       .agg(count(lit(1)).as("n"),
@@ -54,7 +55,7 @@ object StreamingStats {
   /** Batch twin of [[windowedDailyStats]] for differential testing. */
   def windowedDailyStatsBatch(events: DataFrame, windowLen: String = "1 day"): DataFrame =
     events
-      .withColumn("ts_time", timestamp_millis(expr("ts div 1000000")))
+      .withColumn("ts_time", timestamp_millis(Tables.epochMs(events, "ts")))
       .groupBy(window(col("ts_time"), windowLen).as("w"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
@@ -67,7 +68,7 @@ object StreamingStats {
     * reject it) for differential testing. */
   def windowedTypeStatsBatch(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
     events
-      .withColumn("ts_time", timestamp_millis(expr("ts div 1000000")))
+      .withColumn("ts_time", timestamp_millis(Tables.epochMs(events, "ts")))
       .groupBy(window(col("ts_time"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))

@@ -71,9 +71,9 @@ class FunnelSpec extends AnyFunSuite {
   }
 
   test("whole funnel plans exactly one exchange (not one per step)") {
-    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select(col("user_id"), col("event_id"),
-        expr("ts div 1000000").as("ts_ms"), col("event_type").as("step"))
+    val df = graft.sources.Tables.loadEventsMs(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        col("event_type").as("step"))
     val staged = Funnel.stageTimes(df, "user_id", "step", "ts_ms",
       "event_id", Seq("view", "click", "purchase"))
     val plan = staged.queryExecution.executedPlan.toString

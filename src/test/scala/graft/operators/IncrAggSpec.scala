@@ -42,9 +42,8 @@ class IncrAggSpec extends AnyFunSuite {
   }
 
   test("chained refreshes == one-shot aggregation on real data") {
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select(col("event_type").as("k"), col("value").as("v"),
-        expr("ts div 1000000").as("ts_ms"))
+    val ev = graft.sources.Tables.loadEventsMs(spark, "/root/testdata/sf0.001")
+      .select(col("event_type").as("k"), col("value").as("v"), col("ts_ms"))
     val Array(b1, b2) = Array(0.5, 0.8).map { f =>
       val r = ev.agg(min("ts_ms"), max("ts_ms")).first()
       r.getLong(0) + ((r.getLong(1) - r.getLong(0)) * (f * 10).toInt) / 10

@@ -59,7 +59,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming windowed stats match the batch twin") {
     val stream = spark.readStream
-      .schema(StreamingSessionize.eventSchema)
+      .schema(StreamingSessionize.eventSchema(spark, sf))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sf)
     val q = StreamingStats.windowedTypeStats(stream).writeStream
@@ -85,7 +85,7 @@ class StreamingSpec extends AnyFunSuite {
     // each emitted row equals the batch twin bit-for-bit (the same
     // rule the q_stream_window_daily DuckDB oracle mirrors).
     val stream = spark.readStream
-      .schema(StreamingSessionize.eventSchema)
+      .schema(StreamingSessionize.eventSchema(spark, sf))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sf)
     val q = StreamingStats.windowedDailyStats(stream).writeStream
@@ -96,7 +96,8 @@ class StreamingSpec extends AnyFunSuite {
     q.awaitTermination(120000)
     val streamed = spark.table("win_daily_out").collect().map(_.toSeq).toSet
     val events = spark.read.parquet(s"$sf/events.parquet")
-    val maxMs = events.agg(max(expr("ts div 1000000"))).collect()(0).getLong(0)
+    val maxMs = events.agg(max(graft.sources.Tables.epochMs(events, "ts")))
+      .collect()(0).getLong(0)
     val dayMs = 86400000L
     val expected = StreamingStats.windowedDailyStatsBatch(events)
       .filter(col("w_start") + dayMs <= maxMs - 21600000L)
@@ -107,7 +108,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("stream-static enrichment equals the batch join exactly") {
     val stream = spark.readStream
-      .schema(StreamingSessionize.eventSchema)
+      .schema(StreamingSessionize.eventSchema(spark, sf))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sf)
     val customers = spark.read.parquet(s"$sf/customer.parquet")
@@ -133,7 +134,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("stream-stream interval join equals the batch interval join") {
     val ev = spark.readStream
-      .schema(StreamingSessionize.eventSchema)
+      .schema(StreamingSessionize.eventSchema(spark, sf))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sf)
     val q = StreamingJoin.intervalJoin(
