@@ -476,6 +476,59 @@ object Dedup {
     votes.select(col("id"), sig.as("simhash"))
   }
 
+  /** SimHash near-duplicate PAIRS at hamming distance ≤ `maxHamming` —
+    * the banded multi-index formulation (the approach of Manku,
+    * Jain & Sarma, "Detecting Near-Duplicates for Web Crawling",
+    * WWW 2007: split the fingerprint into blocks, index each block,
+    * probe by block equality, verify by full hamming distance).
+    *
+    * EXHAUSTIVE by pigeonhole: the signature splits into
+    * `maxHamming + 1` equal bit-bands, so any pair differing in at
+    * most `maxHamming` bits agrees EXACTLY on at least one band —
+    * banding here is a lossless index, not a recall trade-off (unlike
+    * the probabilistic MinHash/SRP banding). Candidates are the
+    * band-equality self-join; the verify step computes the true
+    * hamming distance with one XOR + popcount (integer-exact, no
+    * float anywhere).
+    *
+    * Scale shape: only (id, simhash, band, bandKey) rows shuffle — the
+    * text never leaves the signature job. The self-join is key-equality
+    * on (band, bandKey): Σ bucket² work per band, never all-pairs; with
+    * B-bit bands a random corpus spreads each band over 2^B buckets.
+    * Skew = a boilerplate-identical signature flooding one bucket —
+    * exactly the duplicate mass the screen exists to find; cap it
+    * upstream with exact dedup first if a corpus is pathological. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   bits: Int = 32, maxHamming: Int = 3,
+                   scope: CacheScope = CacheScope.unmanaged()): DataFrame = {
+    val nBands = maxHamming + 1
+    require(bits % nBands == 0,
+      s"bits=$bits must split evenly into maxHamming+1=$nBands bands")
+    val bandBits = bits / nBands
+    val mask = (1L << bandBits) - 1
+    // signatures feed both join sides; persist once (lifetime: caller's
+    // scope), sized one row per document
+    val sigs = scope.persist(simHash(df, idCol, textCol, bits))
+    val banded = sigs.select(col("id"), col("simhash"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))
+            .as("key"))): _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      // a pair can collide in several bands — dedup BEFORE the verify
+      // so each candidate's hamming is computed once
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        col("a.simhash").as("si"), col("b.simhash").as("sj"))
+      .distinct()
+      .select(col("i"), col("j"),
+        bit_count(col("si").bitwiseXOR(col("sj"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Embedding near-duplicate pairs by cosine similarity — the EXACT
     * all-pairs baseline (O(n²) nested-loop join): the correctness
     * oracle for [[embeddingLshPairs]], and only appropriate on bounded

@@ -418,6 +418,39 @@ object ExtQueries {
        |SELECT id AS doc_id, $assemble AS simhash FROM votes ORDER BY doc_id""".stripMargin
   }
 
+  // ---- simhash near-dup pairs: banded hamming-distance join
+  //      (Manku multi-index — exhaustive for hamming ≤ 3 by
+  //      pigeonhole over 4 bands, so the banded Spark plan and the
+  //      band-mirroring oracle agree EXACTLY; integer-only, no float
+  //      parity risk) ----
+  private val SimHashMaxHamming = 3
+  def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(docs(s, dir), "doc_id", "text",
+        SimHashBits, SimHashMaxHamming)
+      .orderBy("i", "j")
+  val qSimhashPairsSql: String = {
+    val votes = (0 until SimHashBits).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n  ")
+    val assemble = (0 until SimHashBits).map(j =>
+      s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    val bandBits = SimHashBits / (SimHashMaxHamming + 1)
+    s"""WITH toks AS (SELECT doc_id AS id, unnest($SplitToksLowerSql) AS t FROM documents),
+       |h AS (SELECT id, ${Hashing.hash60Sql("t")} AS h FROM toks),
+       |votes AS (SELECT id, $votes FROM h GROUP BY 1),
+       |sig AS (SELECT id, $assemble AS simhash FROM votes),
+       |banded AS (SELECT id, simhash, b.band,
+       |    (simhash >> (b.band * $bandBits)) & ${(1L << bandBits) - 1} AS key
+       |  FROM sig, (SELECT unnest(range(${SimHashMaxHamming + 1})) AS band) b),
+       |cands AS (SELECT DISTINCT a.id AS i, b.id AS j,
+       |    a.simhash AS si, b.simhash AS sj
+       |  FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+       |SELECT i, j, bit_count(xor(si, sj))::INTEGER AS hamming
+       |FROM cands WHERE bit_count(xor(si, sj)) <= $SimHashMaxHamming
+       |ORDER BY i, j""".stripMargin
+  }
+
   // ---- embedding cosine near-dup pairs ----
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     // norms precomputed once per vector (not per pair); numerically
@@ -1191,6 +1224,7 @@ object ExtQueries {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_simhash" -> (qSimhash _),
+    "q_simhash_pairs" -> (qSimhashPairs _),
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_embed_lsh" -> (qEmbedLsh _),
     "q_knn_brute" -> (qKnnBrute _),
@@ -1236,6 +1270,7 @@ object ExtQueries {
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_simhash" -> qSimhashSql,
+    "q_simhash_pairs" -> qSimhashPairsSql,
     "q_embed_neardup" -> qEmbedNearDupSql,
     "q_knn_brute" -> qKnnBruteSql,
     "q_array_ops" -> qArrayOpsSql,

@@ -336,6 +336,35 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(sig(1L) != sig(3L))
   }
 
+  test("simhash pairs: banded join equals brute-force hamming<=3 (pigeonhole)") {
+    // real corpus slice so band keys are organic, not hand-picked
+    val d = docs.filter(col("doc_id") < 200)
+    val banded = Dedup.simHashPairs(d, "doc_id", "text", bits = 32, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = Dedup.simHash(d, "doc_id", "text", 32)
+    val brute = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute)
+    assert(banded.nonEmpty, "slice should contain at least one near-dup pair")
+  }
+
+  test("simhash pairs: multi-band collisions emit one row; plan has no cartesian") {
+    val s = spark
+    import s.implicits._
+    // identical docs collide in EVERY band (hamming 0) — still one row
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "unrelated totally different words")).toDF("doc_id", "text")
+    val out = Dedup.simHashPairs(df, "doc_id", "text")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.toSeq == Seq((1L, 2L, 0)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      s"banded candidate join must be key-equality, got:\n$plan")
+  }
+
   test("IVF with nProbe == nCentroids equals brute force exactly") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = e.filter(col("vec_id") < 3)
