@@ -76,6 +76,47 @@ object Sampling {
       .drop("__h", "__salt", "__rn", "__rn2")
   }
 
+  /** Data-mixture rebalancing: sample each stratum at the rate that
+    * hits a TARGET mixture by weight (the "30% web / 30% code / 40%
+    * books" step of training-corpus construction). Each listed stratum
+    * s with target share `share_pm(s)` per-mille of `budget` total
+    * weight keeps rows at rate
+    *   ppm(s) = min(10^6, (budget·share_pm(s) div 1000)·10^6 div W_s)
+    * parts-per-million, where W_s is the stratum's OBSERVED total
+    * weight — so the expected sampled weight per stratum is its
+    * mixture target (capped at keep-everything when the corpus has
+    * less of s than the mixture wants). Unlisted strata are excluded:
+    * a mixture is a whitelist.
+    *
+    * Everything stays in the plan: the per-stratum weights are a
+    * partial-aggregated groupBy (#strata rows), the derived rates ride
+    * a broadcast join back onto the corpus, and the keep decision is
+    * the usual portable id-hash Bernoulli — no driver collect, any
+    * number of strata. Integer-only rate arithmetic (floor divisions)
+    * keeps the decision bit-identical across engines. */
+  def mixtureSample(df: DataFrame, strataCol: String, idCol: String,
+                    weightCol: String, sharePermille: Map[String, Int],
+                    budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(sharePermille.values.forall(v => v >= 0 && v <= 1000),
+      "shares are per-mille in [0, 1000]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = sharePermille.toSeq.sortBy(_._1)
+      .toDF(strataCol, "__share_pm")
+    val rates = df.groupBy(strataCol)
+      .agg(sum(col(weightCol)).as("__w"))
+      .join(broadcast(targets), strataCol)
+      // L-suffixed literal: an int32 product here would overflow
+      // silently (non-ANSI) once budget·share·10^6 passes 2^31
+      .withColumn("__ppm", least(lit(1000000L),
+        expr(s"((${budget}L * __share_pm) div 1000) * 1000000 div __w")))
+      .select(col(strataCol), col("__ppm"))
+    df.join(broadcast(rates), strataCol)
+      .filter(idHash(col(idCol)) % 1000000 < col("__ppm"))
+      .drop("__ppm")
+  }
+
   /** Greedy per-stratum token-budget cap (data-mixture construction:
     * "at most `budget` tokens per source"): within each stratum, rows
     * are taken in id order until the budget is exhausted — the kept

@@ -916,6 +916,32 @@ object ExtQueries {
        |  CASE event_type WHEN 'click' THEN 200 WHEN 'purchase' THEN 500 ELSE 50 END
        |ORDER BY event_id""".stripMargin
 
+  // ---- mixture rebalancing: per-source rates derived IN-PLAN from
+  //      target shares and observed weights (the data-mixing step of
+  //      corpus construction); integer-exact rate arithmetic so the
+  //      keep decision is bit-identical across engines ----
+  private val MixtureShares = Seq(
+    "src0" -> 400, "src1" -> 300, "src2" -> 200, "src3" -> 50, "src4" -> 50)
+  private val MixtureBudget = 20000L // chars; > W_src0·0.4 at sf0.01 → exercises the keep-all cap
+  def qMixtureSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixtureSample(docs(s, dir), "source", "doc_id", "n_chars",
+        MixtureShares.toMap, MixtureBudget)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  val qMixtureSampleSql: String = {
+    val targetRows = MixtureShares
+      .map { case (k, v) => s"('$k', $v)" }.mkString(", ")
+    s"""WITH w AS (SELECT source, sum(n_chars) AS w FROM documents GROUP BY 1),
+       |t(source, share_pm) AS (VALUES $targetRows),
+       |r AS (SELECT w.source,
+       |    least(1000000, ((${MixtureBudget}::BIGINT * share_pm) // 1000) * 1000000 // w) AS ppm
+       |  FROM w JOIN t ON w.source = t.source)
+       |SELECT d.doc_id, d.source, d.n_chars
+       |FROM documents d JOIN r ON d.source = r.source
+       |WHERE ${Hashing.hash60Sql("doc_id")} % 1000000 < ppm
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- deterministic fixed-size sample per stratum (rank-based
   //      reservoir: the n smallest id-hashes of each stratum) ----
   def qSampleFixed(s: SparkSession, dir: String): DataFrame =
@@ -1241,6 +1267,7 @@ object ExtQueries {
     "q_frame_sample" -> (qFrameSample _),
     "q_tfidf" -> (qTfidf _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_mixture_sample" -> (qMixtureSample _),
     "q_sample_fixed" -> (qSampleFixed _),
     "q_kmv_distinct" -> (qKmvDistinct _),
     "q_redact" -> (qRedact _),
@@ -1284,6 +1311,7 @@ object ExtQueries {
     "q_frame_sample" -> qFrameSampleSql,
     "q_tfidf" -> qTfidfSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
+    "q_mixture_sample" -> qMixtureSampleSql,
     "q_sample_fixed" -> qSampleFixedSql,
     "q_kmv_distinct" -> qKmvDistinctSql,
     "q_redact" -> qRedactSql,

@@ -50,6 +50,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(got.getOrElse("b", 0L) - 50) < 40, s"stratum b: ${got.getOrElse("b", 0L)} vs ~50")
   }
 
+  test("mixture sample hits target shares in expectation; caps scarce strata; " +
+    "excludes unlisted strata") {
+    val s = spark
+    import s.implicits._
+    // three sources, 1000 docs of weight 10 each (W = 10000 per source)
+    val df = (1 to 3000).map(i =>
+      (i.toLong, s"src${(i - 1) / 1000}", 10L)).toDF("id", "source", "w")
+    // budget 25000: src0 target 15000 > W -> keep all (cap); src1
+    // target 5000 of 10000 -> ppm 500000 (~half); src2 unlisted -> out
+    val got = Sampling.mixtureSample(df, "source", "id", "w",
+      Map("src0" -> 600, "src1" -> 200), budget = 25000L)
+    val bySrc = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == 1000, "capped stratum keeps every row")
+    assert(bySrc("src1") > 350 && bySrc("src1") < 650,
+      s"~half expected at ppm 500000, got ${bySrc("src1")}")
+    assert(!bySrc.contains("src2"), "a mixture is a whitelist")
+    // reproducible: same call, same rows
+    val again = Sampling.mixtureSample(df, "source", "id", "w",
+      Map("src0" -> 600, "src1" -> 200), budget = 25000L)
+    assert(got.select("id").collect().map(_.getLong(0)).toSet ==
+      again.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("fixed-size sample returns exactly n per stratum, stable under shuffling") {
     val df = ids(500)
     val got = Sampling.fixedPerStratum(df, "stratum", "id", 25)
