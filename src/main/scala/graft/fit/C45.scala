@@ -549,8 +549,234 @@ private[fit] case class PredEdge(pnid: Int, kind: String, aid: Int,
 
 object C45 {
 
-  private case class Cand(aid: Int, gainRatio: Double, gain: Double,
-                          boundary: Option[Double], fracLeft: Double = 0.0)
+  private[fit] case class Cand(aid: Int, gainRatio: Double, gain: Double,
+                               boundary: Option[Double], fracLeft: Double = 0.0)
+
+  /** Driver-side statistics of one level, derived from one histogram
+    * collect: the per-rule class marginals plus per-(rule, attr) split
+    * candidates. Extracted from the fit loop so the fused k-fold fit
+    * ([[fitFolds]]) replays the exact same math on its per-fold cell
+    * slices — bit-identical decisions by construction. */
+  private[fit] case class LevelStats(
+      clsCounts: Map[Int, Map[String, Long]],
+      cat: Map[(Int, Int), Cand],
+      catValues: Map[(Int, Int), Seq[(String, Long)]],
+      num: Map[(Int, Int), Cand])
+
+  /** What one level's driver-side decision pass produced: rules closed
+    * this level (with their exact-micros mass and class distribution),
+    * the next frontier, the routing rows the next level's deep-frontier
+    * join would need, gain-importance increments, and the (possibly
+    * newly fixed) global majority. */
+  private[fit] case class LevelDecision(
+      closedAdd: Vector[(Rule, Long, Map[String, Long])],
+      nextOpen: Vector[Rule],
+      routes: Seq[Route], routesX: Seq[RouteX],
+      importanceAdd: Seq[(Int, Double)],
+      globalMajority: Option[String])
+
+  /** The flat frontier-routing expression: first-match CASE WHEN over
+    * the open rules' root-to-leaf conjunctions, -1 = no rule (row
+    * leaves the fit). Shared by [[fit]]'s small-frontier path and the
+    * fused fold fit so rid assignment is identical by construction. */
+  private[fit] def flatRidColumn(open: Vector[Rule], names: Seq[String]): Column = {
+    val first = when(open.head.toPredicate(names), 0)
+    open.zipWithIndex.tail.foldLeft(first) { case (acc, (r, i)) =>
+      acc.when(r.toPredicate(names), lit(i))
+    }.otherwise(lit(-1))
+  }
+
+  /** Driver-side split stats on the collected cells — the same
+    * factored identities as InfoStats (A4-A7 and the O2 boundary
+    * scan), summed in sorted (value, class) order so the floating-
+    * point result is independent of partitioning AND of scale
+    * (10× counts shift every term by the same log2(10)).
+    * ε special cases exactly as InfoStats.gainRatioD, but taking the
+    * (possibly known-fraction-scaled) gain as given: in unweighted
+    * mode gain == info - condE and this IS gainRatioD bit-for-bit. */
+  private[fit] def levelStats(cells: Array[(Int, Int, String, String, Long)],
+      schema: C45Schema, classLabels: Seq[String], fractional: Boolean,
+      unit: Double, params: C45Params): LevelStats = {
+    val clsCounts: Map[Int, Map[String, Long]] = cells.iterator
+      .filter(_._2 == -1).toSeq
+      .groupBy(_._1)
+      .map { case (rid, cs) => rid -> cs.map(c => c._3 -> c._5).toMap }
+
+    def gainRatioOf(gain: Double, splitInfo: Double, info: Double): Double = {
+      val tol = 1e-12
+      if (math.abs(splitInfo) < tol) {
+        if (math.abs(info) < tol) 0.0 else InfoStats.Epsilon
+      } else gain / splitInfo
+    }
+    val catStats = Map.newBuilder[(Int, Int), Cand]
+    val catValues = Map.newBuilder[(Int, Int), Seq[(String, Long)]]
+    val numStats = Map.newBuilder[(Int, Int), Cand]
+    cells.iterator.filter(_._2 != -1).toSeq
+      .groupBy(t => (t._1, t._2))
+      .toSeq.sortBy(_._1)
+      .foreach { case ((rid, aid), cs) =>
+        // nRaw: the rule's KNOWN mass on this attribute; totRaw: its
+        // full mass (sentinel slice). In fractional mode gain scales
+        // by the known fraction and splitInfo charges the unknown
+        // slice as an extra branch (Quinlan's unknown-value
+        // accounting); with no nulls the two are equal and every
+        // expression below reduces to the unweighted original.
+        val nRaw = cs.map(_._5).sum
+        val n = nRaw / unit
+        val totRaw = clsCounts.getOrElse(rid, Map.empty).values.sum
+        val nTot = totRaw / unit
+        val nUnknown = nTot - n
+        val sCls = cs.groupBy(_._4)
+          .map { case (c, g) => c -> g.map(_._5).sum }
+          .toSeq.sortBy(_._1).map(t => InfoStats.plogpD(t._2 / unit)).sum
+        val info = InfoStats.log2D(n) - sCls / n
+        if (!schema.isNumericAttr(aid)) {
+          val perVal = cs.groupBy(_._3).toSeq.sortBy(_._1)
+          val sVal = perVal.map { case (_, g) =>
+            InfoStats.plogpD(g.map(_._5).sum / unit) }.sum
+          val sCell = cs.sortBy(t => (t._3, t._4))
+            .map(t => InfoStats.plogpD(t._5 / unit)).sum
+          val splitInfo =
+            if (!fractional) InfoStats.log2D(n) - sVal / n
+            else InfoStats.log2D(nTot) -
+              (sVal + InfoStats.plogpD(nUnknown)) / nTot
+          val condE = (sVal - sCell) / n
+          val gain = if (fractional) (n / nTot) * (info - condE) else info - condE
+          catStats += (rid, aid) -> Cand(aid, gainRatioOf(gain, splitInfo, info),
+            gain, None)
+          catValues += (rid, aid) -> perVal.map { case (v, g) =>
+            v -> g.map(_._5).sum }
+        } else {
+          // boundary scan over sorted distinct values: cumulative
+          // class counts give the left contingency row at each
+          // candidate; the maximum value has no right side and the
+          // minDataRatio guard applies to both sides
+          // (MyReducer.java:140-141,188-190). Argmin on
+          // (cond_entropy, boundary), strict <. Counts stay exact
+          // longs (micros) through the cumulative scan.
+          val labels = classLabels.sorted
+          val byVal = cs.groupBy(_._3)
+            .map { case (v, g) =>
+              v.toDouble -> labels.map(c =>
+                g.filter(_._4 == c).map(_._5).sum)
+            }.toSeq.sortBy(_._1)
+          val tot = labels.indices.map(i => byVal.map(_._2(i)).sum)
+          val left = Array.fill(labels.size)(0L)
+          var leftN = 0L
+          var best: Option[(Double, Double)] = None // (condE, boundary)
+          byVal.foreach { case (v, rowCounts) =>
+            labels.indices.foreach(i => left(i) += rowCounts(i))
+            leftN += rowCounts.sum
+            val rightN = nRaw - leftN
+            if (rightN > 0 && leftN >= nRaw * params.minDataRatio &&
+                rightN >= nRaw * params.minDataRatio) {
+              val sLeft = labels.indices.map(i => InfoStats.plogpD(left(i) / unit)).sum
+              val sRight = labels.indices.map(i =>
+                InfoStats.plogpD((tot(i) - left(i)) / unit)).sum
+              val lN = leftN / unit
+              val rN = rightN / unit
+              val condE = ((lN * InfoStats.log2D(lN) - sLeft) +
+                (rN * InfoStats.log2D(rN) - sRight)) / n
+              if (best.forall(b => condE < b._1)) best = Some((condE, v))
+            }
+          }
+          best.foreach { case (condE, b) =>
+            val leftBN = byVal.takeWhile(_._1 <= b).map(_._2.sum).sum
+            val rightBN = nRaw - leftBN
+            val splitInfo =
+              if (!fractional) InfoStats.log2D(n) -
+                (InfoStats.plogpD(leftBN / unit) + InfoStats.plogpD(rightBN / unit)) / n
+              else InfoStats.log2D(nTot) -
+                (InfoStats.plogpD(leftBN / unit) + InfoStats.plogpD(rightBN / unit) +
+                  InfoStats.plogpD(nUnknown)) / nTot
+            val gain = if (fractional) (n / nTot) * (info - condE) else info - condE
+            numStats += (rid, aid) -> Cand(aid,
+              gainRatioOf(gain, splitInfo, info), gain, Some(b),
+              leftBN.toDouble / nRaw.toDouble)
+          }
+        }
+      }
+    LevelStats(clsCounts, catStats.result(), catValues.result(), numStats.result())
+  }
+
+  /** Driver-side per-rule decision (O3/O4): tiny tables only. The
+    * same pass records each split as a Route row so the next level
+    * can broadcast-join its way to child rids if its frontier is
+    * deep (child rid = position in nextOpen, by construction the
+    * index the flat CASE WHEN would assign too). */
+  private[fit] def decideLevel(open: Vector[Rule], level: Int, st: LevelStats,
+      schema: C45Schema, params: C45Params, classLabels: Seq[String],
+      fractional: Boolean, unit: Double,
+      globalMajority0: Option[String]): LevelDecision = {
+    val closedAdd = Vector.newBuilder[(Rule, Long, Map[String, Long])]
+    val nextOpen = Vector.newBuilder[Rule]
+    val routes = Seq.newBuilder[Route]
+    val routesX = Seq.newBuilder[RouteX]
+    val imp = Seq.newBuilder[(Int, Double)]
+    var globalMajority = globalMajority0
+    var nextIdx = 0
+    open.zipWithIndex.foreach { case (rule, rid) =>
+      val counts = st.clsCounts.getOrElse(rid, Map.empty)
+      if (counts.isEmpty) {
+        // no rows reached this rule (possible only via races in input);
+        // close with global majority rather than silently dropping (#4)
+        closedAdd += ((rule.closed(globalMajority.getOrElse(classLabels.head)),
+          0L, Map.empty))
+      } else {
+        val majority = counts.toSeq.maxBy { case (l, n) => (n, l) }._1
+        if (globalMajority.isEmpty && rid == 0 && level == 0)
+          globalMajority = Some(majority)
+        val pure = counts.size == 1
+        val cands = (st.cat ++ st.num).collect {
+          case ((r, aid), c)
+            if r == rid && !rule.usedAttrs.contains(aid) &&
+              c.gain > 1e-12 && c.gainRatio > InfoStats.Epsilon => c
+        }
+        if (pure || cands.isEmpty || rule.depth >= params.maxDepth) {
+          closedAdd += ((rule.closed(majority),
+            if (fractional) counts.values.sum else counts.values.sum * 1000000L,
+            if (fractional) counts else counts.view.mapValues(_ * 1000000L).toMap))
+        } else {
+          val best = cands.maxBy(c => (c.gainRatio, -c.aid))
+          imp += best.aid -> (counts.values.sum / unit * best.gain)
+          best.boundary match {
+            case Some(b) =>
+              nextOpen += rule.withCondition(best.aid, NumLE(b))
+              nextOpen += rule.withCondition(best.aid, NumGT(b))
+              routes += Route(rid, "num", best.aid, b, nextIdx, nextIdx + 1,
+                Map.empty)
+              if (fractional) {
+                routesX += RouteX(rid, "num", best.aid, b, "le", "",
+                  nextIdx, best.fracLeft)
+                routesX += RouteX(rid, "num", best.aid, b, "gt", "",
+                  nextIdx + 1, 1.0 - best.fracLeft)
+              }
+              nextIdx += 2
+            case None =>
+              // one child per value observed at this node (#4: children
+              // for absent domain values would hold zero rows)
+              val vals = st.catValues((rid, best.aid))
+              routes += Route(rid, "cat", best.aid, 0.0, -1, -1,
+                vals.zipWithIndex.map { case ((v, _), i) => v -> (nextIdx + i) }
+                  .toMap)
+              if (fractional) {
+                val known = vals.map(_._2).sum.toDouble
+                vals.zipWithIndex.foreach { case ((v, c), i) =>
+                  routesX += RouteX(rid, "cat", best.aid, 0.0, "", v,
+                    nextIdx + i, c / known)
+                }
+              }
+              vals.foreach { case (v, _) =>
+                nextOpen += rule.withCondition(best.aid, CatEq(v))
+              }
+              nextIdx += vals.size
+          }
+        }
+      }
+    }
+    LevelDecision(closedAdd.result(), nextOpen.result(), routes.result(),
+      routesX.result(), imp.result(), globalMajority)
+  }
 
   /** Test hook: with -Dgraft.fit.capturePlans=1, every join-routed
     * level's physical plan is recorded here (pre-execution, so the
@@ -762,12 +988,7 @@ object C45 {
       val liveNumAttrs = numAttrs.filterNot(a => deadAids(schema.attrIndex(a.name)))
       val base =
         if (!useJoin) {
-          val ridCol = {
-            val first = when(open.head.toPredicate(names), 0)
-            open.zipWithIndex.tail.foldLeft(first) { case (acc, (r, i)) =>
-              acc.when(r.toPredicate(names), lit(i))
-            }.otherwise(lit(-1))
-          }
+          val ridCol = flatRidColumn(open, names)
           val flat = data.withColumn("__rid", ridCol)
             .filter(col("__rid") >= 0)
             .withColumn("__cls", col(clsCol).cast("string"))
@@ -934,194 +1155,20 @@ object C45 {
             r.getLong(4)))
       }
 
-      val clsCounts: Map[Int, Map[String, Long]] = cells.iterator
-        .filter(_._2 == -1).toSeq
-        .groupBy(_._1)
-        .map { case (rid, cs) => rid -> cs.map(c => c._3 -> c._5).toMap }
-
-      // driver-side split stats on the collected cells — the same
-      // factored identities as InfoStats (A4-A7 and the O2 boundary
-      // scan), summed in sorted (value, class) order so the floating-
-      // point result is independent of partitioning AND of scale
-      // (10× counts shift every term by the same log2(10)).
-      // ε special cases exactly as InfoStats.gainRatioD, but taking the
-      // (possibly known-fraction-scaled) gain as given: in unweighted
-      // mode gain == info - condE and this IS gainRatioD bit-for-bit
-      def gainRatioOf(gain: Double, splitInfo: Double, info: Double): Double = {
-        val tol = 1e-12
-        if (math.abs(splitInfo) < tol) {
-          if (math.abs(info) < tol) 0.0 else InfoStats.Epsilon
-        } else gain / splitInfo
-      }
-      val catStats = Map.newBuilder[(Int, Int), Cand]
-      val catValues = Map.newBuilder[(Int, Int), Seq[(String, Long)]]
-      val numStats = Map.newBuilder[(Int, Int), Cand]
-      cells.iterator.filter(_._2 != -1).toSeq
-        .groupBy(t => (t._1, t._2))
-        .toSeq.sortBy(_._1)
-        .foreach { case ((rid, aid), cs) =>
-          // nRaw: the rule's KNOWN mass on this attribute; totRaw: its
-          // full mass (sentinel slice). In fractional mode gain scales
-          // by the known fraction and splitInfo charges the unknown
-          // slice as an extra branch (Quinlan's unknown-value
-          // accounting); with no nulls the two are equal and every
-          // expression below reduces to the unweighted original.
-          val nRaw = cs.map(_._5).sum
-          val n = nRaw / unit
-          val totRaw = clsCounts.getOrElse(rid, Map.empty).values.sum
-          val nTot = totRaw / unit
-          val nUnknown = nTot - n
-          val sCls = cs.groupBy(_._4)
-            .map { case (c, g) => c -> g.map(_._5).sum }
-            .toSeq.sortBy(_._1).map(t => InfoStats.plogpD(t._2 / unit)).sum
-          val info = InfoStats.log2D(n) - sCls / n
-          if (!schema.isNumericAttr(aid)) {
-            val perVal = cs.groupBy(_._3).toSeq.sortBy(_._1)
-            val sVal = perVal.map { case (_, g) =>
-              InfoStats.plogpD(g.map(_._5).sum / unit) }.sum
-            val sCell = cs.sortBy(t => (t._3, t._4))
-              .map(t => InfoStats.plogpD(t._5 / unit)).sum
-            val splitInfo =
-              if (!fractional) InfoStats.log2D(n) - sVal / n
-              else InfoStats.log2D(nTot) -
-                (sVal + InfoStats.plogpD(nUnknown)) / nTot
-            val condE = (sVal - sCell) / n
-            val gain = if (fractional) (n / nTot) * (info - condE) else info - condE
-            catStats += (rid, aid) -> Cand(aid, gainRatioOf(gain, splitInfo, info),
-              gain, None)
-            catValues += (rid, aid) -> perVal.map { case (v, g) =>
-              v -> g.map(_._5).sum }
-          } else {
-            // boundary scan over sorted distinct values: cumulative
-            // class counts give the left contingency row at each
-            // candidate; the maximum value has no right side and the
-            // minDataRatio guard applies to both sides
-            // (MyReducer.java:140-141,188-190). Argmin on
-            // (cond_entropy, boundary), strict <. Counts stay exact
-            // longs (micros) through the cumulative scan.
-            val labels = classLabels.sorted
-            val byVal = cs.groupBy(_._3)
-              .map { case (v, g) =>
-                v.toDouble -> labels.map(c =>
-                  g.filter(_._4 == c).map(_._5).sum)
-              }.toSeq.sortBy(_._1)
-            val tot = labels.indices.map(i => byVal.map(_._2(i)).sum)
-            val left = Array.fill(labels.size)(0L)
-            var leftN = 0L
-            var best: Option[(Double, Double)] = None // (condE, boundary)
-            byVal.foreach { case (v, rowCounts) =>
-              labels.indices.foreach(i => left(i) += rowCounts(i))
-              leftN += rowCounts.sum
-              val rightN = nRaw - leftN
-              if (rightN > 0 && leftN >= nRaw * params.minDataRatio &&
-                  rightN >= nRaw * params.minDataRatio) {
-                val sLeft = labels.indices.map(i => InfoStats.plogpD(left(i) / unit)).sum
-                val sRight = labels.indices.map(i =>
-                  InfoStats.plogpD((tot(i) - left(i)) / unit)).sum
-                val lN = leftN / unit
-                val rN = rightN / unit
-                val condE = ((lN * InfoStats.log2D(lN) - sLeft) +
-                  (rN * InfoStats.log2D(rN) - sRight)) / n
-                if (best.forall(b => condE < b._1)) best = Some((condE, v))
-              }
-            }
-            best.foreach { case (condE, b) =>
-              val leftBN = byVal.takeWhile(_._1 <= b).map(_._2.sum).sum
-              val rightBN = nRaw - leftBN
-              val splitInfo =
-                if (!fractional) InfoStats.log2D(n) -
-                  (InfoStats.plogpD(leftBN / unit) + InfoStats.plogpD(rightBN / unit)) / n
-                else InfoStats.log2D(nTot) -
-                  (InfoStats.plogpD(leftBN / unit) + InfoStats.plogpD(rightBN / unit) +
-                    InfoStats.plogpD(nUnknown)) / nTot
-              val gain = if (fractional) (n / nTot) * (info - condE) else info - condE
-              numStats += (rid, aid) -> Cand(aid,
-                gainRatioOf(gain, splitInfo, info), gain, Some(b),
-                leftBN.toDouble / nRaw.toDouble)
-            }
-          }
-        }
+      val st = levelStats(cells, schema, classLabels, fractional, unit, params)
       if (profile) {
         val t = (System.nanoTime() - tLevel0) / 1e9
         println(f"[fit] level=$level rules=${open.size} cells=${cells.length} stats=$t%.2fs")
       }
-      val (catStatsM, catValuesM, numStatsM) =
-        (catStats.result(), catValues.result(), numStats.result())
-
-      // driver-side per-rule decision (O3/O4): tiny tables only. The
-      // same pass records each split as a Route row so the next level
-      // can broadcast-join its way to child rids if its frontier is
-      // deep (child rid = position in nextOpen, by construction the
-      // index the flat CASE WHEN would assign too).
-      val nextOpen = Vector.newBuilder[Rule]
-      val routes = Seq.newBuilder[Route]
-      val routesX = Seq.newBuilder[RouteX]
-      var nextIdx = 0
-      open.zipWithIndex.foreach { case (rule, rid) =>
-        val counts = clsCounts.getOrElse(rid, Map.empty)
-        if (counts.isEmpty) {
-          // no rows reached this rule (possible only via races in input);
-          // close with global majority rather than silently dropping (#4)
-          closed :+= rule.closed(globalMajority.getOrElse(classLabels.head))
-          closedMass :+= 0L
-          closedDist :+= Map.empty
-        } else {
-          val majority = counts.toSeq.maxBy { case (l, n) => (n, l) }._1
-          if (globalMajority.isEmpty && rid == 0 && level == 0)
-            globalMajority = Some(majority)
-          val pure = counts.size == 1
-          val cands = (catStatsM ++ numStatsM).collect {
-            case ((r, aid), c)
-              if r == rid && !rule.usedAttrs.contains(aid) &&
-                c.gain > 1e-12 && c.gainRatio > InfoStats.Epsilon => c
-          }
-          if (pure || cands.isEmpty || rule.depth >= params.maxDepth) {
-            closed :+= rule.closed(majority)
-            closedMass :+= (if (fractional) counts.values.sum
-                            else counts.values.sum * 1000000L)
-            closedDist :+= (if (fractional) counts
-                            else counts.view.mapValues(_ * 1000000L).toMap)
-          } else {
-            val best = cands.maxBy(c => (c.gainRatio, -c.aid))
-            attrImportance(best.aid) += counts.values.sum / unit * best.gain
-            best.boundary match {
-              case Some(b) =>
-                nextOpen += rule.withCondition(best.aid, NumLE(b))
-                nextOpen += rule.withCondition(best.aid, NumGT(b))
-                routes += Route(rid, "num", best.aid, b, nextIdx, nextIdx + 1,
-                  Map.empty)
-                if (fractional) {
-                  routesX += RouteX(rid, "num", best.aid, b, "le", "",
-                    nextIdx, best.fracLeft)
-                  routesX += RouteX(rid, "num", best.aid, b, "gt", "",
-                    nextIdx + 1, 1.0 - best.fracLeft)
-                }
-                nextIdx += 2
-              case None =>
-                // one child per value observed at this node (#4: children
-                // for absent domain values would hold zero rows)
-                val vals = catValuesM((rid, best.aid))
-                routes += Route(rid, "cat", best.aid, 0.0, -1, -1,
-                  vals.zipWithIndex.map { case ((v, _), i) => v -> (nextIdx + i) }
-                    .toMap)
-                if (fractional) {
-                  val known = vals.map(_._2).sum.toDouble
-                  vals.zipWithIndex.foreach { case ((v, c), i) =>
-                    routesX += RouteX(rid, "cat", best.aid, 0.0, "", v,
-                      nextIdx + i, c / known)
-                  }
-                }
-                vals.foreach { case (v, _) =>
-                  nextOpen += rule.withCondition(best.aid, CatEq(v))
-                }
-                nextIdx += vals.size
-            }
-          }
-        }
-      }
-      open = nextOpen.result()
-      pendingRoutes = routes.result()
-      pendingRoutesX = routesX.result()
+      val d = decideLevel(open, level, st, schema, params, classLabels,
+        fractional, unit, globalMajority)
+      d.closedAdd.foreach { case (r, m, dd) =>
+        closed :+= r; closedMass :+= m; closedDist :+= dd }
+      d.importanceAdd.foreach { case (a, v) => attrImportance(a) += v }
+      globalMajority = d.globalMajority
+      open = d.nextOpen
+      pendingRoutes = d.routes
+      pendingRoutesX = d.routesX
       // the next level (if join-routed) chains off THIS level's base;
       // the previous persisted base is now safe to free — this level's
       // stat jobs have already materialized on top of it
@@ -1143,5 +1190,189 @@ object C45 {
     // blocks — free the routed-base chain, then the training projection
     } finally routedPersists.foreach(_.unpersist())
     } finally { if (!prePersisted) data.unpersist() }
+  }
+
+  /** Fused k-fold fitting: train k C4.5 models — model f on the rows
+    * whose `foldCol` != f — with ONE histogram job per tree level
+    * shared by ALL k fits, instead of k independent fits each scanning
+    * the base once per level (the round-11 flagged cost: cross-
+    * validation was k × fit = 3k+ scans of base for a depth-d tree).
+    *
+    * Mechanics: every row fans out to the (k-1) fits it trains via an
+    * `explode(map(fit → rid))` whose per-fit rid expression is exactly
+    * [[flatRidColumn]] over that fit's frontier (held-out rows get -1
+    * and drop). A second explode emits the per-fit (attr, value) pairs
+    * — per-fit maps selected by a CASE on the fit tag, so each fit
+    * sees its own live attributes and its own quantile-bin snapping —
+    * and one partially-aggregated `groupBy(fit, rid, aid, val, cls)`
+    * collapses everything to O(k × model) cells in a single job. The
+    * driver then replays [[levelStats]] + [[decideLevel]] per fit on
+    * its slice: bit-identical decisions to k independent fits, because
+    * the cell counts and the driver math are identical by construction.
+    * Shuffle volume is pre-aggregated counts (k× a single fit's, the
+    * same total the k separate jobs shuffled); what's saved is (k-1)
+    * scans of base per level plus per-fit job overhead — at 100 TB the
+    * dominant cost. Total explode volume is unchanged vs sequential:
+    * rows × (k-1) × attrs either way.
+    *
+    * Frontiers are routed FLAT at any width here (no join-routing):
+    * rid assignment still matches the sequential fit exactly (the
+    * join-routed rid is pinned to equal the flat rid by construction
+    * — see the Route scaladoc), so results are identical; only the
+    * expression size grows with very deep frontiers. Callers with
+    * fractional-missing corpora must use sequential [[fit]] per fold
+    * (fractional fan-out needs per-fit row weights, which this fused
+    * explode does not carry).
+    *
+    * Contract: `stamped` is persisted by the caller and contains
+    * `foldCol` (int in [0, k)) + the schema's attributes + class
+    * column; class labels are non-null (caller-probed).
+    * `approxDistinct` optionally carries the per-(fit, numeric attr)
+    * approx-distinct counts when the caller already aggregated them
+    * (crossValidate folds them into its null-probe scan); absent, one
+    * batched gating job runs here. */
+  private[fit] def fitFolds(stamped: DataFrame, foldCol: String, k: Int,
+      schema: C45Schema, params: C45Params,
+      approxDistinct: Option[Map[(Int, String), Long]] = None): Seq[C45Model] = {
+    val names = schema.attrNames
+    val clsCol = schema.classCol
+    val catAttrs = schema.categoricalAttrs
+    val numAttrs = schema.numericAttrs
+    val fits = 0 until k
+
+    // per-fit class-label sets: declared, else discovered in ONE job
+    // (label → set of folds containing it; fit f trains on folds != f)
+    val classLabelsByFit: Seq[Seq[String]] =
+      if (schema.classLabels.nonEmpty) fits.map(_ => schema.classLabels)
+      else {
+        val rows = stamped.groupBy(col(clsCol).cast("string").as("c"))
+          .agg(collect_set(col(foldCol)).as("fs")).collect()
+        val pairs = rows.map(r => r.getString(0) -> r.getSeq[Int](1).toSet)
+        fits.map(f => pairs.collect {
+          case (c, fs) if fs.exists(_ != f) => c }.sorted.toSeq)
+      }
+
+    // per-fit quantile binning, mirroring fit's maxBins contract: ONE
+    // batched approx-distinct job gates (HLL sketches are set-valued,
+    // so the when()-filtered agg equals the sequential filtered scan),
+    // then per-fit approxQuantile through the SAME API the sequential
+    // fit uses — identical edges, identical snapping
+    val binEdgesByFit: Map[Int, Map[Int, Array[Double]]] =
+      if (params.maxBins <= 0 || numAttrs.isEmpty)
+        fits.map(_ -> Map.empty[Int, Array[Double]]).toMap
+      else {
+        val dc: Map[(Int, String), Long] = approxDistinct.getOrElse {
+          val aggs = for { f <- fits; a <- numAttrs } yield
+            approx_count_distinct(when(col(foldCol) =!= f, col(a.name)))
+              .as(s"dc_${f}_${a.name}")
+          val dcRow = stamped.agg(aggs.head, aggs.tail: _*).collect()(0)
+          (for { f <- fits; a <- numAttrs } yield
+            (f, a.name) -> dcRow.getAs[Long](s"dc_${f}_${a.name}")).toMap
+        }
+        fits.map { f =>
+          val need = numAttrs.filter(a => dc((f, a.name)) > params.maxBins)
+          val edges =
+            if (need.isEmpty) Map.empty[Int, Array[Double]]
+            else {
+              val probs = (1 until params.maxBins)
+                .map(_.toDouble / params.maxBins).toArray
+              val qs = stamped.filter(col(foldCol) =!= f)
+                .stat.approxQuantile(need.map(_.name).toArray, probs, 1e-4)
+              need.map(_.name).zip(qs).collect {
+                case (nm, es) if es.nonEmpty =>
+                  schema.attrIndex(nm) -> es.distinct.sorted
+              }.toMap
+            }
+          f -> edges
+        }.toMap
+      }
+    def numValColF(f: Int)(a: graft.meta.AttrMeta): Column = {
+      val raw = col(a.name).cast("double")
+      binEdgesByFit(f).get(schema.attrIndex(a.name))
+        .map(e => graft.functions.SortedCeilSnap.snapTo(e, raw))
+        .getOrElse(raw)
+    }
+
+    final class FState {
+      var open: Vector[Rule] = Vector(Rule.root)
+      var closed: Vector[Rule] = Vector.empty
+      var closedMass: Vector[Long] = Vector.empty
+      var closedDist: Vector[Map[String, Long]] = Vector.empty
+      var globalMajority: Option[String] = None
+    }
+    val state = Array.fill(k)(new FState)
+    val profile = sys.props.get("graft.fit.profile").contains("1") ||
+      sys.env.get("GRAFT_FIT_PROFILE").contains("1")
+    var level = 0
+    while (state.exists(_.open.nonEmpty) && level <= params.maxDepth) {
+      val tLevel0 = System.nanoTime()
+      val active = fits.filter(f => state(f).open.nonEmpty)
+      val ridPairs: Seq[Column] = active.flatMap { f =>
+        Seq(lit(f), when(col(foldCol) === f, lit(-1))
+          .otherwise(flatRidColumn(state(f).open, names)))
+      }
+      val attrMaps: Seq[(Int, Column)] = active.map { f =>
+        val deadAids = state(f).open.map(_.usedAttrs).reduce(_ intersect _)
+        val liveCat = catAttrs.filterNot(a => deadAids(schema.attrIndex(a.name)))
+        val liveNum = numAttrs.filterNot(a => deadAids(schema.attrIndex(a.name)))
+        val pairs: Seq[Column] = Seq(lit(-1), col("__cls")) ++
+          liveCat.flatMap(a =>
+            Seq(lit(schema.attrIndex(a.name)), col(a.name).cast("string"))) ++
+          liveNum.flatMap(a => Seq(lit(schema.attrIndex(a.name)),
+            numValColF(f)(a).cast("string")))
+        (f, map(pairs: _*))
+      }
+      val mapByFit: Column =
+        if (attrMaps.size == 1) attrMaps.head._2
+        else attrMaps.tail.foldLeft(
+          when(col("__fit") === attrMaps.head._1, attrMaps.head._2)) {
+          case (acc, (f, m)) => acc.when(col("__fit") === f, m)
+        }
+      val cellRows = stamped
+        .withColumn("__cls", col(clsCol).cast("string"))
+        .select(col("__cls") +: names.map(col) :+
+          explode(map(ridPairs: _*)).as(Seq("__fit", "__rid")): _*)
+        .filter(col("__rid") >= 0)
+        .select(col("__fit"), col("__rid"), col("__cls").as("cls"),
+          explode(mapByFit).as(Seq("aid", "val")))
+        .filter(col("val").isNotNull)
+        .groupBy("__fit", "__rid", "aid", "val", "cls")
+        .agg(sum(lit(1L)).as("cnt"))
+        .collect()
+      if (profile) {
+        val t = (System.nanoTime() - tLevel0) / 1e9
+        println(f"[fitFolds] level=$level fits=${active.size} " +
+          f"cells=${cellRows.length} hist=$t%.2fs")
+      }
+      val byFit = cellRows.groupBy(_.getInt(0))
+      active.foreach { f =>
+        val cells: Array[(Int, Int, String, String, Long)] =
+          byFit.getOrElse(f, Array.empty[org.apache.spark.sql.Row]).map(r =>
+            (r.getInt(1), r.getInt(2), r.getString(3), r.getString(4),
+              r.getLong(5)))
+        val s = state(f)
+        val st = levelStats(cells, schema, classLabelsByFit(f),
+          fractional = false, unit = 1.0, params)
+        val d = decideLevel(s.open, level, st, schema, params,
+          classLabelsByFit(f), fractional = false, unit = 1.0, s.globalMajority)
+        d.closedAdd.foreach { case (r, m, dd) =>
+          s.closed :+= r; s.closedMass :+= m; s.closedDist :+= dd }
+        s.globalMajority = d.globalMajority
+        s.open = d.nextOpen
+      }
+      level += 1
+    }
+    fits.map { f =>
+      val s = state(f)
+      val labels = classLabelsByFit(f)
+      // maxDepth exhaustion: close survivors as majority leaves (#4)
+      s.open.foreach { r =>
+        s.closed :+= r.closed(s.globalMajority.getOrElse(labels.head))
+        s.closedMass :+= 0L
+        s.closedDist :+= Map.empty
+      }
+      C45Model(schema.copy(classLabels = labels), s.closed,
+        s.globalMajority.getOrElse(labels.head), s.closedMass, s.closedDist)
+    }
   }
 }
