@@ -317,7 +317,16 @@ object Dedup {
     * the cap from the sets before BOTH signatures and verify (the
     * corpus-dedup stopword heuristic): a ubiquitous shingle makes many
     * signature components collide, fanning the band join toward n². The
-    * cap changes the Jaccard denominator, so it is off by default. */
+    * cap changes the Jaccard denominator, so it is off by default.
+    *
+    * Hot-bucket guard (same shape as [[simHashPairs]]): the banded
+    * self-join runs over DISTINCT full signatures — duplicate mass
+    * (boilerplate-identical texts produce identical k-component
+    * signatures, flooding one (band, hash) bucket toward Σ cnt²)
+    * collapses to one banded row per distinct signature; candidates
+    * expand back to id pairs afterwards (output-bound) and every pair
+    * is still individually verified by exact Jaccard, so the result
+    * is exactly the naive banded join's. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int, rowsPerBand: Int, threshold: Double,
                       n: Int = 1, maxShingleDf: Long = 0L,
@@ -328,23 +337,47 @@ object Dedup {
       if (maxShingleDf <= 0) ex0
       else ex0.join(ex0.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxShingleDf).select("s"), "s")
-    val sig = minHashFromExploded(ex, k)
     val nBands = k / rowsPerBand
     // the signature aggregation (corpus explode + md5 + k mins) feeds
-    // BOTH sides of the candidate self-join — persist the banded table
-    // (nBands small rows per doc) so it computes once; lifetime owned
+    // the group table, both expansion joins and the intra-group
+    // pairing — persist it once with the exact full-signature group
+    // key (pipe-joined components: collision-free, unlike a hash of
+    // them, so no pair can be lost to a key collision); lifetime owned
     // by the caller's `scope`
-    val bands = scope.persist(sig.select(col("id"),
+    val mStr = (0 until k).map(i => col(s"m$i").cast("string"))
+    val sigG = scope.persist(minHashFromExploded(ex, k)
+      .withColumn("gk", concat_ws("|", mStr: _*)))
+    // one representative row per distinct signature; members share
+    // every component, so min() reproduces the group's m-values exactly
+    val groups = sigG.groupBy("gk").agg(
+      min(col("m0")).as("m0"),
+      (1 until k).map(i => min(col(s"m$i")).as(s"m$i")): _*)
+    // feeds both sides of the candidate self-join; distinct-signature-
+    // sized, so the persist is tiny
+    val bands = scope.persist(groups.select(col("gk"),
       explode(map((0 until nBands).flatMap { b =>
         val bandCols = (0 until rowsPerBand)
           .map(r => col(s"m${b * rowsPerBand + r}").cast("string"))
         Seq(lit(b), Hashing.hash60(concat_ws("|", bandCols: _*), 1000 + b))
       }: _*)).as(Seq("band", "bh"))))
-    val cands = bands.as("a").join(bands.as("b"),
+    // candidate GROUP pairs (multi-band collisions dedup here, where
+    // rows are distinct-signature-sized), then expand to id pairs and
+    // add the intra-group pairs (identical signatures collide in every
+    // band by construction) — both still verified below
+    val gkPairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j"))
+          col("a.gk") < col("b.gk"))
+      .select(col("a.gk").as("ga"), col("b.gk").as("gb"))
       .distinct()
+    val cross = gkPairs
+      .join(sigG.select(col("gk").as("ga"), col("id").as("ia")), "ga")
+      .join(sigG.select(col("gk").as("gb"), col("id").as("ib")), "gb")
+      .select(least(col("ia"), col("ib")).as("i"),
+        greatest(col("ia"), col("ib")).as("j"))
+    val intra = sigG.as("a").join(sigG.as("b"),
+        col("a.gk") === col("b.gk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+    val cands = cross.unionByName(intra)
     // verify: exact Jaccard on the candidate pairs only — sorted-array
     // merge scan (native expression) instead of per-pair hash sets
     // (over the post-cap sets when a cap is active). Persisted: the
@@ -491,13 +524,22 @@ object Dedup {
     * hamming distance with one XOR + popcount (integer-exact, no
     * float anywhere).
     *
-    * Scale shape: only (id, simhash, band, bandKey) rows shuffle — the
-    * text never leaves the signature job. The self-join is key-equality
-    * on (band, bandKey): Σ bucket² work per band, never all-pairs; with
-    * B-bit bands a random corpus spreads each band over 2^B buckets.
-    * Skew = a boilerplate-identical signature flooding one bucket —
-    * exactly the duplicate mass the screen exists to find; cap it
-    * upstream with exact dedup first if a corpus is pathological. */
+    * Scale shape: only (simhash, band, bandKey) rows shuffle — the
+    * text never leaves the signature job — and the banded self-join
+    * runs over DISTINCT signatures, never documents. That is the
+    * hot-bucket guard: duplicate mass (boilerplate-identical texts,
+    * the classic banded-join pathology where one bucket goes Σ cnt²)
+    * collapses to ONE banded row per distinct signature before the
+    * join, so bucket sizes are bounded by distinct-signature counts —
+    * with B-bit bands a random corpus spreads each band over 2^B
+    * buckets of distinct values. Matched signature pairs then expand
+    * back to id pairs through two equi-joins, and identical-signature
+    * documents pair directly (hamming 0 by definition) — both
+    * output-bound, and LOSSLESS: the result set is exactly the naive
+    * banded join's. The only remaining quadratic is the answer itself
+    * (n identical docs DO have n²/2 duplicate pairs); consumers who
+    * want clusters, not pairs, should feed [[connectedComponents]] or
+    * run exact dedup first. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    bits: Int = 32, maxHamming: Int = 3,
                    scope: CacheScope = CacheScope.unmanaged()): DataFrame = {
@@ -506,27 +548,45 @@ object Dedup {
       s"bits=$bits must split evenly into maxHamming+1=$nBands bands")
     val bandBits = bits / nBands
     val mask = (1L << bandBits) - 1
-    // signatures feed both join sides; persist once (lifetime: caller's
+    // signatures feed the distinct-banding, both expansion joins and
+    // the intra-signature pairing; persist once (lifetime: caller's
     // scope), sized one row per document
     val sigs = scope.persist(simHash(df, idCol, textCol, bits))
-    val banded = sigs.select(col("id"), col("simhash"),
+    val distinctSigs = sigs.select(col("simhash")).distinct()
+    // feeds both sides of the candidate self-join; distinct-signature-
+    // sized, so the persist is tiny
+    val banded = scope.persist(distinctSigs.select(col("simhash"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))
             .as("key"))): _*)).as("bk"))
-      .select(col("id"), col("simhash"), col("bk.band").as("band"),
-        col("bk.key").as("key"))
-    banded.as("a").join(banded.as("b"),
+      .select(col("simhash"), col("bk.band").as("band"),
+        col("bk.key").as("key")))
+    // candidate SIGNATURE pairs; a pair can collide in several bands —
+    // dedup BEFORE the verify so each candidate's hamming is computed
+    // once, and sa < sb dedups the symmetric hit
+    val sigPairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      // a pair can collide in several bands — dedup BEFORE the verify
-      // so each candidate's hamming is computed once
-      .select(col("a.id").as("i"), col("b.id").as("j"),
-        col("a.simhash").as("si"), col("b.simhash").as("sj"))
+          col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("sa"), col("b.simhash").as("sb"))
       .distinct()
-      .select(col("i"), col("j"),
-        bit_count(col("si").bitwiseXOR(col("sj"))).cast("int").as("hamming"))
+      .withColumn("hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
+    // expand matched signature pairs to id pairs (each unordered id
+    // pair appears exactly once: its signature pair is unique under
+    // sa < sb), normalizing to i < j
+    val cross = sigPairs
+      .join(sigs.select(col("simhash").as("sa"), col("id").as("ia")), "sa")
+      .join(sigs.select(col("simhash").as("sb"), col("id").as("ib")), "sb")
+      .select(least(col("ia"), col("ib")).as("i"),
+        greatest(col("ia"), col("ib")).as("j"), col("hamming"))
+    // identical signatures are hamming 0 by definition — no verify
+    val intra = sigs.as("a").join(sigs.as("b"),
+        col("a.simhash") === col("b.simhash") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        lit(0).cast("int").as("hamming"))
+    cross.unionByName(intra)
   }
 
   /** Embedding near-duplicate pairs by cosine similarity — the EXACT

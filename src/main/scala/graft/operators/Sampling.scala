@@ -100,17 +100,27 @@ object Sampling {
     require(budget > 0, "budget must be positive")
     require(sharePermille.values.forall(v => v >= 0 && v <= 1000),
       "shares are per-mille in [0, 1000]")
+    // an oversubscribed mixture (> 1000‰ total) would silently target
+    // more than `budget` total weight — reject it loudly
+    require(sharePermille.values.sum <= 1000,
+      s"mixture shares sum to ${sharePermille.values.sum}‰ > 1000‰ of budget")
     val spark = df.sparkSession
     import spark.implicits._
     val targets = sharePermille.toSeq.sortBy(_._1)
       .toDF(strataCol, "__share_pm")
+    // DECIMAL(38,0) intermediates: the target-weight × 10^6 product
+    // wraps int64 (silently, under non-ANSI Spark) once a stratum's
+    // target weight passes ~9.2e12 — realistic for multi-trillion-token
+    // mixtures — while DuckDB errors or promotes; decimal keeps the
+    // rate bit-identical across engines to 38 digits (the oracle
+    // mirrors with HUGEINT). Operation order matters: the div-1000
+    // truncation happens BEFORE the ppm scaling, per the doc formula.
     val rates = df.groupBy(strataCol)
       .agg(sum(col(weightCol)).as("__w"))
       .join(broadcast(targets), strataCol)
-      // L-suffixed literal: an int32 product here would overflow
-      // silently (non-ANSI) once budget·share·10^6 passes 2^31
       .withColumn("__ppm", least(lit(1000000L),
-        expr(s"((${budget}L * __share_pm) div 1000) * 1000000 div __w")))
+        expr(s"CAST((CAST($budget AS DECIMAL(38,0)) * __share_pm) div 1000" +
+          " AS DECIMAL(38,0)) * 1000000 div __w")))
       .select(col(strataCol), col("__ppm"))
     df.join(broadcast(rates), strataCol)
       .filter(idHash(col(idCol)) % 1000000 < col("__ppm"))

@@ -401,8 +401,12 @@ object ExtQueries {
        |WHERE cos >= 0.3 ORDER BY i, j""".stripMargin
   }
 
-  // ---- simhash (32-bit) ----
-  private val SimHashBits = 32
+  // ---- simhash (60-bit — the full hash60 width; with 4 hamming bands
+  //      this gives 15-bit band keys = 32k buckets per band, vs the 256
+  //      a 32-bit signature would leave: the banded candidate join is
+  //      Σ bucket² per band ≈ n²/2^bandBits on an unclustered corpus,
+  //      so band width IS the scale knob) ----
+  private val SimHashBits = 60
   def qSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHash(docs(s, dir), "doc_id", "text", SimHashBits)
       .withColumnRenamed("id", "doc_id").orderBy("doc_id")
@@ -451,7 +455,12 @@ object ExtQueries {
        |ORDER BY i, j""".stripMargin
   }
 
-  // ---- embedding cosine near-dup pairs ----
+  // ---- embedding cosine near-dup pairs — the EXACT all-pairs
+  //      BASELINE on an explicitly BOUNDED input (vec_id < 1000, the
+  //      same slice the LSH variant uses, so the two stay comparable):
+  //      this is the correctness yardstick for q_embed_lsh, not the
+  //      scaled path; bench readers should treat its cost as O(n²) by
+  //      construction. The corpus-scale path is q_embed_lsh. ----
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     // norms precomputed once per vector (not per pair); numerically
     // identical to the per-pair form, so oracle parity holds
@@ -934,7 +943,7 @@ object ExtQueries {
     s"""WITH w AS (SELECT source, sum(n_chars) AS w FROM documents GROUP BY 1),
        |t(source, share_pm) AS (VALUES $targetRows),
        |r AS (SELECT w.source,
-       |    least(1000000, ((${MixtureBudget}::BIGINT * share_pm) // 1000) * 1000000 // w) AS ppm
+       |    least(1000000, ((${MixtureBudget}::HUGEINT * share_pm) // 1000) * 1000000 // w) AS ppm
        |  FROM w JOIN t ON w.source = t.source)
        |SELECT d.doc_id, d.source, d.n_chars
        |FROM documents d JOIN r ON d.source = r.source

@@ -45,10 +45,15 @@ object Tables {
     * and fail LOUDLY (naming the type found) on anything else, so the next
     * silent contract change surfaces as one clear error, not a dozen
     * scattered analysis failures. */
+  /** Backtick-quote a column name for safe interpolation into
+    * `expr(...)` SQL (a raw name with a space, dot or hyphen would
+    * break parsing or resolve a nested field). */
+  private def q(name: String): String = s"`${name.replace("`", "``")}`"
+
   def epochUs(df: DataFrame, tsCol: String = "ts"): Column =
     df.schema(tsCol).dataType match {
       // integer div keeps ns→µs exact (a double divide of ~1e18 would not)
-      case LongType => expr(s"$tsCol div 1000")
+      case LongType => expr(s"${q(tsCol)} div 1000")
       case TimestampNTZType =>
         requireUtc(df.sparkSession, s"events.$tsCol: TIMESTAMP_NTZ")
         unix_micros(col(tsCol).cast(TimestampType))
@@ -64,7 +69,7 @@ object Tables {
     * for the accepted on-disk shapes. */
   def epochMs(df: DataFrame, tsCol: String = "ts"): Column =
     df.schema(tsCol).dataType match {
-      case LongType => expr(s"$tsCol div 1000000")
+      case LongType => expr(s"${q(tsCol)} div 1000000")
       case TimestampNTZType =>
         requireUtc(df.sparkSession, s"events.$tsCol: TIMESTAMP_NTZ")
         unix_millis(col(tsCol).cast(TimestampType))

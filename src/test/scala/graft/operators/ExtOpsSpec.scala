@@ -337,18 +337,30 @@ class ExtOpsSpec extends AnyFunSuite {
   }
 
   test("simhash pairs: banded join equals brute-force hamming<=3 (pigeonhole)") {
-    // real corpus slice so band keys are organic, not hand-picked
-    val d = docs.filter(col("doc_id") < 200)
-    val banded = Dedup.simHashPairs(d, "doc_id", "text", bits = 32, maxHamming = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val sigs = Dedup.simHash(d, "doc_id", "text", 32)
-    val brute = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
-      .select(col("a.id"), col("b.id"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("h"))
-      .filter(col("h") <= 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(banded == brute)
-    assert(banded.nonEmpty, "slice should contain at least one near-dup pair")
+    val s = spark
+    import s.implicits._
+    // real corpus slice so band keys are organic — plus a SEEDED
+    // guaranteed near-dup pair, so the nonEmpty assertion below cannot
+    // go flaky if a future testdata regeneration leaves the slice
+    // without an organic hamming<=3 pair
+    val seeded = Seq(
+      (1000001L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1000002L, "the quick brown fox jumps over the lazy dog again and again tonight"))
+      .toDF("doc_id", "text")
+    val d = docs.filter(col("doc_id") < 200).select("doc_id", "text")
+      .unionByName(seeded)
+    for (bits <- Seq(32, 60)) {
+      val banded = Dedup.simHashPairs(d, "doc_id", "text", bits, maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val sigs = Dedup.simHash(d, "doc_id", "text", bits)
+      val brute = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("h"))
+        .filter(col("h") <= 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(banded == brute, s"bits=$bits")
+      assert(banded.nonEmpty, s"bits=$bits: no near-dup pair found")
+    }
   }
 
   test("simhash pairs: multi-band collisions emit one row; plan has no cartesian") {
@@ -363,6 +375,49 @@ class ExtOpsSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
       s"banded candidate join must be key-equality, got:\n$plan")
+  }
+
+  test("simhash pairs: degenerate all-identical corpus never floods a band bucket") {
+    val s = spark
+    import s.implicits._
+    // 400 identical docs + 2 distinct: the naive per-document banded
+    // join would put 400 rows in ONE (band, key) bucket (Σ cnt² =
+    // 160k join rows per band × 4 bands); the distinct-signature
+    // banding must collapse them to one banded row per band, with the
+    // quadratic confined to the (true, output-bound) intra pairs
+    val dup = (1L to 400L).map(i => (i, "boilerplate header repeated verbatim"))
+    val other = Seq((901L, "some entirely different content"),
+      (902L, "yet another unrelated document"))
+    val df = (dup ++ other).toDF("doc_id", "text")
+    val out = Dedup.simHashPairs(df, "doc_id", "text")
+    // all C(400,2) duplicate pairs at hamming 0, plus whatever the two
+    // extra docs contribute — every dup pair must be present exactly once
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val dupPairs = got.filter { case (i, j, _) => i <= 400 && j <= 400 }
+    assert(dupPairs.length == 400 * 399 / 2)
+    assert(dupPairs.forall(_._3 == 0))
+    assert(got.length == got.distinct.length, "pairs must be unique")
+    // the banded self-join itself sees only DISTINCT signatures: 3 docs
+    // worth of text → at most 3 signatures × 4 bands on each side
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"))
+  }
+
+  test("minhash LSH pairs: degenerate all-identical corpus matches per-doc banding") {
+    val s = spark
+    import s.implicits._
+    val dup = (1L to 300L).map(i => (i, "common boilerplate text block"))
+    val other = Seq((901L, "completely different words here"),
+      (902L, "nothing shared with anything else"))
+    val df = (dup ++ other).toDF("doc_id", "text")
+    val out = Dedup.minHashLshPairs(df, "doc_id", "text",
+      k = 16, rowsPerBand = 2, threshold = 0.5)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val dupPairs = got.filter { case (i, j, _) => i <= 300 && j <= 300 }
+    // identical texts: jaccard 1.0, every pair exactly once
+    assert(dupPairs.length == 300 * 299 / 2)
+    assert(dupPairs.forall(_._3 == 1.0))
+    assert(got.length == got.distinct.length, "pairs must be unique")
   }
 
   test("IVF with nProbe == nCentroids equals brute force exactly") {

@@ -74,6 +74,25 @@ class SamplingSpec extends AnyFunSuite {
       again.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("mixture sample: trillion-scale target weights don't wrap; oversubscription rejected") {
+    val s = spark
+    import s.implicits._
+    // W = 100 × 1e12 = 1e14; budget 2e13 at share 1000‰ → target weight
+    // T = 2e13 (> the ~9.2e12 int64 wrap point of the old T·10^6
+    // product) and T < W → fractional rate ppm = 200000 (20%). The
+    // wrapped arithmetic produced a NEGATIVE ppm and kept nothing.
+    val df = (1 to 100).map(i => (i.toLong, "src0", 1000000000000L))
+      .toDF("id", "source", "w")
+    val kept = Sampling.mixtureSample(df, "source", "id", "w",
+      Map("src0" -> 1000), budget = 20000000000000L).count()
+    assert(kept > 5 && kept < 40, s"~20 of 100 expected at ppm 200000, got $kept")
+    // a >1000‰ mixture silently over-targets the budget — reject loudly
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(df, "source", "id", "w",
+        Map("a" -> 600, "b" -> 600), budget = 100L)
+    }
+  }
+
   test("fixed-size sample returns exactly n per stratum, stable under shuffling") {
     val df = ids(500)
     val got = Sampling.fixedPerStratum(df, "stratum", "id", 25)
