@@ -491,6 +491,76 @@ object Similarity {
     }
   }
 
+  /** IVF-PQ composed top-k — the standard large-scale ANN shape
+    * (FAISS's IndexIVFPQ): the trained IVF coarse quantizer routes
+    * each query to its `nProbe` nearest CELLS, and PQ asymmetric
+    * distance scores ONLY the codes inside those cells. IVF cuts how
+    * much of the corpus a query touches (nProbe/nCentroids of it); PQ
+    * cuts what each touched vector costs (nSub small codes instead of
+    * dim doubles) — composed, a query scans a fraction of the corpus
+    * at ~16× less data per vector.
+    *
+    * Plan shape: both trainers are the existing deterministic Lloyd
+    * loops ([[kmeansCentroids]], [[pqCodebooks]]); the cell-of-id
+    * attachment is ONE corpus equi-join (at index-build time — amortize
+    * it across query batches by persisting, exactly as [[IvfIndex]]
+    * does for plain IVF); query-side probes and the per-query
+    * (m, code) → inner-product LUT are tiny and always broadcast, so
+    * scoring is codes ⋈ broadcast(probes) ⋈ broadcast(LUT) + one
+    * partial-agg sum per (qid, id) — the corpus never shuffles for a
+    * query, and rows outside the probed cells never leave the scan.
+    * `rerank = R` re-scores the top-R ADC candidates per query by
+    * exact cosine (broadcast candidate fetch, never a second corpus
+    * scan), restoring within-cell order at aggressive compression. */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, qidCol: String, qvecCol: String,
+                k: Int, nCentroids: Int, nProbe: Int,
+                nSub: Int, nCodes: Int,
+                nIterIvf: Int = 5, nIterPq: Int = 3,
+                rerank: Int = 0): DataFrame = {
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
+    val subDim = dim / nSub
+    val centroids = kmeansCentroids(df, idCol, vecCol, nCentroids, nIterIvf)
+    val bucketed = assignBuckets(df, idCol, vecCol, centroids)
+    val codebooks = pqCodebooks(df, idCol, vecCol, nSub, nCodes, nIterPq)
+    val codes = pqEncode(df, idCol, vecCol, codebooks, nSub, subDim)
+    // probe selection: verbatim the [[probeTopK]] ranking (round-6
+    // cosine desc, cid asc) so IVF and IVF-PQ probe identical cells
+    val q = queries.select(col(qidCol).as("qid"), toDoubleVec(col(qvecCol)).as("qv"))
+    val wProbe = Window.partitionBy("qid")
+      .orderBy(round(col("sim"), 6).desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("cid"))
+    val qsub = subVectors(queries, qidCol, qvecCol, nSub, subDim)
+      .withColumnRenamed("id", "qid")
+    val lut = qsub.join(broadcast(codebooks), "m")
+      .select(col("qid"), col("m"), col("cid"),
+        round(dot(col("um"), col("cv")), 9).as("ip"))
+    // restrict ADC to the probed cells: cell-of-id ⋈ broadcast probes
+    // keeps only (query, id) pairs whose cell the query probes
+    val withCell = codes.join(bucketed.select(col("id"), col("cid")), "id")
+      .join(broadcast(probes), "cid")
+    val adcScored = withCell.join(broadcast(lut),
+        withCell("qid") === lut("qid") && withCell("m") === lut("m") &&
+          withCell("code") === lut("cid"))
+      .groupBy(withCell("qid"), col("id"))
+      .agg(round(sum(col("ip")), 6).as("score"))
+    if (rerank <= 0) boundedTopK(adcScored, k, "score")
+    else {
+      val cand = boundedTopK(adcScored, rerank, "score").select("qid", "id")
+      val v = df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+      val rescored = v.join(broadcast(cand), "id")
+        .join(broadcast(q), "qid")
+        .select(col("qid"), col("id"),
+          round(cosine(col("v"), col("qv")), 6).as("score"))
+      boundedTopK(rescored, k, "score")
+    }
+  }
+
   /** Per-group embedding outliers (curation: drop the vectors that
     * least belong to their label/domain): compute each group's
     * centroid, score every vector by cosine to its group centroid,

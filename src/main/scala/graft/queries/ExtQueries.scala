@@ -726,6 +726,108 @@ object ExtQueries {
        |WHERE rank <= $PqTopK ORDER BY qid, rank""".stripMargin
   }
 
+  // ---- IVF-PQ composed ANN (the standard large-scale index shape:
+  //      IVF cell routing cuts WHAT a query scans, PQ codes cut what
+  //      each scanned vector COSTS; ADC runs only inside the probed
+  //      cells, then an exact rerank restores within-cell order).
+  //      Both trainers are the deterministic Lloyd loops the separate
+  //      q_ann_ivf / q_ann_pq oracles already replay, so the COMPOSED
+  //      pipeline also unrolls fully in SQL and hash-matches. ----
+  private val IvfPqRerank = 50
+  def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfPqTopK(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 3), "vec_id", "embedding",
+      k = IvfTopK, nCentroids = IvfCentroids, nProbe = IvfProbe,
+      nSub = PqSub, nCodes = PqCodes,
+      nIterIvf = IvfIter, nIterPq = PqIter, rerank = IvfPqRerank)
+      .select(col("qid"), col("id"), col("score"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Full SQL oracle for [[qAnnIvfPq]]: the IVF chain (c0..c5 etc.) is
+    * copied verbatim from [[qAnnIvfSql]] and the PQ chain from
+    * [[qAnnPqSql]] with k-prefixed CTE names (the two pipelines share
+    * `e`/`u` but collide on every per-round name); the composition
+    * point is the `adc` CTE, which scores codes ONLY for (query, id)
+    * pairs whose IVF cell the query probes. */
+  val qAnnIvfPqSql: String = {
+    val dim = EmbedLshDim
+    val sub = dim / PqSub
+    val ivfRounds = (1 to IvfIter).map { r =>
+      val p = r - 1
+      s"""cn$r AS (SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cn FROM c$p),
+         |sc$r AS (SELECT id, u, cid, round(list_dot_product(u, cn), 9) AS sim FROM u, cn$r),
+         |best$r AS (SELECT id, u, cid FROM (SELECT id, u, cid,
+         |    row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid ASC) AS rn FROM sc$r) WHERE rn = 1),
+         |cell$r AS (SELECT cid, i, round_even(sum(u[i]) / count(*), 6) AS m
+         |  FROM best$r, generate_series(1, $dim) AS g(i) GROUP BY cid, i),
+         |nc$r AS (SELECT cid, list(m ORDER BY i) AS cv FROM cell$r GROUP BY cid),
+         |c$r AS (SELECT cn$r.cid, coalesce(nc$r.cv, cn$r.cn) AS cv FROM cn$r LEFT JOIN nc$r USING (cid))""".stripMargin
+    }.mkString(",\n")
+    val pqRounds = (1 to PqIter).map { r =>
+      val p = r - 1
+      s"""ksc$r AS (SELECT s.id, s.m, s.um, c.cid,
+         |    round(list_dot_product(s.um, s.um) - 2 * list_dot_product(s.um, c.cv)
+         |      + list_dot_product(c.cv, c.cv), 9) AS d
+         |  FROM sub s JOIN kc$p c ON s.m = c.m),
+         |kbest$r AS (SELECT id, m, um, cid FROM (SELECT id, m, um, cid,
+         |    row_number() OVER (PARTITION BY id, m ORDER BY d ASC, cid ASC) AS rn FROM ksc$r) WHERE rn = 1),
+         |kcell$r AS (SELECT m, cid, i, round_even(sum(um[i]) / count(*), 6) AS mv
+         |  FROM kbest$r, generate_series(1, $sub) AS gi(i) GROUP BY m, cid, i),
+         |knc$r AS (SELECT m, cid, list(mv ORDER BY i) AS cv FROM kcell$r GROUP BY m, cid),
+         |kc$r AS (SELECT kc$p.m, kc$p.cid, coalesce(knc$r.cv, kc$p.cv) AS cv
+         |  FROM kc$p LEFT JOIN knc$r ON kc$p.m = knc$r.m AND kc$p.cid = knc$r.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |u AS (SELECT id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u FROM e),
+       |c0 AS (SELECT cid, cv FROM (SELECT row_number() OVER (ORDER BY ${Hashing.hash60Sql("id::VARCHAR")}, id) - 1 AS cid, u AS cv FROM u) WHERE cid < $IvfCentroids),
+       |$ivfRounds,
+       |bsc AS (SELECT e.id, e.v, c.cid,
+       |    round(list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+       |  FROM e, c$IvfIter c),
+       |bucketed AS (SELECT id, cid FROM (SELECT id, cid,
+       |    row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid ASC) AS rn FROM bsc) WHERE rn = 1),
+       |q AS (SELECT id AS qid, v AS qv FROM e WHERE id < 3),
+       |psc AS (SELECT qid, qv, cid,
+       |    list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+       |  FROM q, c$IvfIter),
+       |probes AS (SELECT qid, cid FROM (SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, cid ASC) AS rn FROM psc) WHERE rn <= $IvfProbe),
+       |kseeds AS (SELECT cid, u FROM (SELECT row_number() OVER (ORDER BY ${Hashing.hash60Sql("id::VARCHAR")}, id) - 1 AS cid, u FROM u) WHERE cid < $PqCodes),
+       |sub AS (SELECT id, m, list_slice(u, m * $sub + 1, (m + 1) * $sub) AS um
+       |  FROM u, generate_series(0, ${PqSub - 1}) AS g(m)),
+       |kc0 AS (SELECT m, cid, list_slice(u, m * $sub + 1, (m + 1) * $sub) AS cv
+       |  FROM kseeds, generate_series(0, ${PqSub - 1}) AS g(m)),
+       |$pqRounds,
+       |kesc AS (SELECT s.id, s.m, c.cid,
+       |    round(list_dot_product(s.um, s.um) - 2 * list_dot_product(s.um, c.cv)
+       |      + list_dot_product(c.cv, c.cv), 9) AS d
+       |  FROM sub s JOIN kc$PqIter c ON s.m = c.m),
+       |codes AS (SELECT id, m, cid AS code FROM (SELECT id, m, cid,
+       |    row_number() OVER (PARTITION BY id, m ORDER BY d ASC, cid ASC) AS rn FROM kesc) WHERE rn = 1),
+       |qu AS (SELECT id AS qid, u FROM u WHERE id < 3),
+       |qsub AS (SELECT qid, m, list_slice(u, m * $sub + 1, (m + 1) * $sub) AS um
+       |  FROM qu, generate_series(0, ${PqSub - 1}) AS g(m)),
+       |lut AS (SELECT qs.qid, qs.m, c.cid, round(list_dot_product(qs.um, c.cv), 9) AS ip
+       |  FROM qsub qs JOIN kc$PqIter c ON qs.m = c.m),
+       |adc AS (SELECT l.qid, k.id, round(sum(l.ip), 6) AS score
+       |  FROM codes k JOIN bucketed b ON k.id = b.id
+       |  JOIN probes p ON p.cid = b.cid
+       |  JOIN lut l ON l.qid = p.qid AND l.m = k.m AND l.cid = k.code
+       |  GROUP BY l.qid, k.id),
+       |cand AS (SELECT qid, id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rank FROM adc)
+       |  WHERE rank <= $IvfPqRerank),
+       |rr AS (SELECT c.qid, c.id,
+       |    round(list_dot_product(ev.v, q.qv) / (sqrt(list_dot_product(ev.v, ev.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+       |  FROM cand c JOIN e ev ON c.id = ev.id JOIN q ON c.qid = q.qid)
+       |SELECT qid, id, score, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rank FROM rr)
+       |WHERE rank <= $IvfTopK ORDER BY qid, rank""".stripMargin
+  }
+
   // ---- event sessionization (gaps-and-islands) ----
   def qSessionize(s: SparkSession, dir: String): DataFrame =
     Sessionize.sessionize(Tables.load(s, dir, "events"))
@@ -1267,6 +1369,7 @@ object ExtQueries {
     "q_cms_counts" -> (qCmsCounts _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_pq" -> (qAnnPq _),
+    "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_sessionize" -> (qSessionize _),
     "q_event_daily" -> (qEventDaily _),
     "q_multimodal" -> (qMultimodal _),
@@ -1334,5 +1437,6 @@ object ExtQueries {
     "q_embed_lsh" -> qEmbedLshSql,
     "q_ann_ivf" -> qAnnIvfSql,
     "q_ann_pq" -> qAnnPqSql,
+    "q_ann_ivfpq" -> qAnnIvfPqSql,
   )
 }

@@ -498,6 +498,39 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"PQ+rerank recall $recall too low")
   }
 
+  test("IVF-PQ equals brute force when probing every cell with a full rerank") {
+    val e = clusteredVectors(k = 8, perCluster = 60, dim = 32)
+    val q = e.filter(col("vec_id") % 60 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = key(Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", 10))
+    // nProbe == nCentroids (nothing pruned) + rerank covering the whole
+    // corpus (exact cosine restores true order) ⇒ exactly brute force
+    val all = key(Similarity.ivfPqTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", 10, nCentroids = 8, nProbe = 8,
+      nSub = 4, nCodes = 8, rerank = 480))
+    assert(all == brute)
+  }
+
+  test("IVF-PQ recall@10 >= 0.9 at nProbe=2/8 with within-cell rerank") {
+    // the composed production shape: IVF prunes to 2 of 8 cells, ADC
+    // narrows within them, the exact rerank restores order
+    val e = clusteredVectors(k = 8, perCluster = 60, dim = 32)
+    val q = e.filter(col("vec_id") % 60 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = key(Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", 10))
+    val ivfpq = key(Similarity.ivfPqTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", 10, nCentroids = 8, nProbe = 2,
+      nSub = 4, nCodes = 8, rerank = 60))
+    val recall = (ivfpq & brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"IVF-PQ recall $recall too low at nProbe=2/8")
+  }
+
   test("PQ codes are the compressed form: nSub small ints per vector") {
     val e = clusteredVectors(k = 4, perCluster = 20, dim = 16)
     val books = Similarity.pqCodebooks(e, "vec_id", "embedding",
