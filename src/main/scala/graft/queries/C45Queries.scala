@@ -915,6 +915,89 @@ object C45Queries {
       "AS t(fold, n_test, n_correct) ORDER BY fold"
   }
 
+  // ---- S2: the reference's external attributes-file grammar
+  //      (Main.java:137-166), exercised END TO END as a named query:
+  //      the attribute lines are COMPOSED from observed data (closed
+  //      categorical/class domains from distinct scans, exactly what a
+  //      reference user would write for this table), parsed back by
+  //      C45Schema.parse, and the parsed schema emitted as rows. The
+  //      oracle rebuilds the same rows straight from the parquet, so a
+  //      grammar regression (split-limit, empty-domain, kind
+  //      classification) breaks the hash. ----
+  def qAttrMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = li(s, dir)
+    val rfDomain = d.select(col("l_returnflag")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val clsDomain = d.select(col("l_linestatus")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val lines = Seq(
+      s"l_returnflag:string:${rfDomain.mkString(",")}",
+      "l_quantity:numeric",
+      "l_discount:numeric",
+      s"cls:${clsDomain.mkString(",")}")
+    val schema = C45Schema.parse(lines)
+    val rows = schema.attrs.zipWithIndex.map { case (a, i) =>
+      (i.toLong, a.name, if (a.isNumeric) "numeric" else "string",
+        a.domain.mkString(","))
+    } :+ ((schema.attrs.size.toLong, schema.classCol, "class",
+      schema.classLabels.mkString(",")))
+    rows.toDF("pos", "attr", "kind", "domain").orderBy("pos")
+  }
+  val qAttrMetaSql: String =
+    """WITH rf AS (SELECT string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag) AS d FROM lineitem),
+      |cls AS (SELECT string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS d FROM lineitem)
+      |SELECT * FROM (
+      |  SELECT CAST(0 AS BIGINT) AS pos, 'l_returnflag' AS attr, 'string' AS kind, rf.d AS domain FROM rf
+      |  UNION ALL SELECT 1, 'l_quantity', 'numeric', ''
+      |  UNION ALL SELECT 2, 'l_discount', 'numeric', ''
+      |  UNION ALL SELECT 3, 'cls', 'class', cls.d FROM cls
+      |) ORDER BY pos""".stripMargin
+
+  // ---- S4: the reference's rule queue-file text codec
+  //      (Rule.java:22-33 / Main.java:272-289), exercised END TO END:
+  //      a per-value decision-stump rule set is computed FROM DATA
+  //      (majority class per l_returnflag value, count-desc label-asc
+  //      tie-break), written through C45Model.saveRules in the
+  //      reference wire format, read back via loadRules, and the
+  //      round-tripped rules re-encoded as the output. The oracle
+  //      formats the same encoded strings in SQL, so an encode/decode
+  //      asymmetry (separator, label cut, condition order) breaks the
+  //      hash. ----
+  def qRuleCodec(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("n").desc, col("l_linestatus").asc)
+    val stumps = li(s, dir)
+      .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("l_returnflag", "l_linestatus")
+      .collect() // one row per domain value — O(domain), never O(rows)
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    val rules = stumps.map { case (v, label) =>
+      graft.model.Rule(Vector(0 -> graft.model.CatEq(v)), Some(label))
+    }.toVector
+    val schema = C45Schema(
+      Seq(AttrMeta("l_returnflag", isNumeric = false)), "cls", ClassLabels)
+    val model = graft.fit.C45Model(schema, rules, rules.head.label.get)
+    val tmp = java.nio.file.Files.createTempFile("graft_rules", ".txt")
+    try {
+      model.saveRules(tmp.toString)
+      val loaded = graft.fit.C45Model.loadRules(tmp.toString, schema)
+      loaded.leaves.map(r => (r.encode, r.label.get, r.depth.toLong))
+        .toDF("rule", "label", "depth").orderBy("rule")
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+  val qRuleCodecSql: String =
+    """SELECT '0,' || l_returnflag || ':' || l_linestatus AS rule,
+      |  l_linestatus AS label, CAST(1 AS BIGINT) AS depth
+      |FROM (
+      |  SELECT l_returnflag, l_linestatus,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY count(*) DESC, l_linestatus ASC) AS rn
+      |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+      |WHERE rn = 1 ORDER BY rule""".stripMargin
+
   /** Flagship (SparkEntry.entry): rank every attribute by root gain
     * ratio — the reference's level-0 decision, end to end. */
   def rootRank(s: SparkSession, dir: String): DataFrame = {
@@ -986,6 +1069,8 @@ object C45Queries {
     "q_rule_simplify" -> (qRuleSimplify _),
     "q_crossval" -> (qCrossVal _),
     "q_feature_importance" -> (qFeatureImportance _),
+    "q_attr_meta" -> (qAttrMeta _),
+    "q_rule_codec" -> (qRuleCodec _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1023,5 +1108,7 @@ object C45Queries {
     "q_rule_simplify" -> qRuleSimplifySql,
     "q_crossval" -> qCrossValSql,
     "q_feature_importance" -> qFeatureImportanceSql,
+    "q_attr_meta" -> qAttrMetaSql,
+    "q_rule_codec" -> qRuleCodecSql,
   )
 }
