@@ -632,7 +632,8 @@ class ExtOpsSpec extends AnyFunSuite {
     val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
       k = 4, rowsPerBand = 2, threshold = 0.5, scope = scope)
     pairs.count() // consume fully
-    assert(scope.trackedCount == 2, "bands + verify sets should be tracked")
+    assert(scope.trackedCount == 3,
+      "signature groups + bands + verify sets should be tracked")
     scope.release()
     assert(scope.trackedCount == 0)
     // idempotent
