@@ -863,18 +863,27 @@ object C45 {
     // from the sentinel class-count slice while its row still feeds
     // per-attribute split stats — an inconsistent n). Fail loudly up
     // front instead — one limit-1 job against the just-persisted data.
-    // BOTH up-front probes in ONE agg job over the just-persisted
+    // ALL up-front probes in ONE agg job over the just-persisted
     // projection (the common null-free corpus previously paid two full
     // scans: a filter().isEmpty probe only short-circuits when nulls
-    // EXIST): the class-label check, and whether null attribute values
+    // EXIST): the class-label check, whether null attribute values
     // occur at all — the fractional-weight machinery engages only when
     // they do, so a null-free corpus takes the original count-based
     // path byte-for-byte (identical float arithmetic, identical
-    // goldens) and pays nothing for the capability.
-    val nullProbe = data.agg(
+    // goldens) and pays nothing for the capability — and the binning
+    // gate's per-numeric-attr approx-distinct sketches (previously a
+    // second full scan; the same fusion fitFolds already does), so
+    // the cache-building scan carries everything the level loop needs
+    // short of the approxQuantile edges themselves.
+    val dcAggs =
+      if (params.maxBins <= 0) Seq.empty
+      else numAttrs.map(a =>
+        approx_count_distinct(col(a.name)).as(s"__dc_${a.name}"))
+    val probeAggs = Seq(
       count(when(col(clsCol).isNull, 1)).as("cls"),
       count(when(names.map(col(_).isNull).reduceOption(_ || _)
-        .getOrElse(lit(false)), 1)).as("attr")).head()
+        .getOrElse(lit(false)), 1)).as("attr")) ++ dcAggs
+    val nullProbe = data.agg(probeAggs.head, probeAggs.tail: _*).head()
     require(nullProbe.getLong(0) == 0L,
       s"C45.fit requires non-null class labels: column '$clsCol' contains NULLs")
     val fractional = params.missingMode == "fractional" && names.nonEmpty &&
@@ -900,18 +909,16 @@ object C45 {
         Seq(lit(schema.attrIndex(a.name)), col(a.name).cast(castTo)))
 
     // quantile-bin high-cardinality numeric attributes ONCE (maxBins):
-    // one approx-distinct job decides which attrs need it, one
-    // approxQuantile job produces the edges; values then snap to the
-    // smallest edge >= v via a codegen'd binary search, which preserves
-    // split semantics exactly (snap(v) <= e ⟺ v <= e for any edge e)
+    // the probe's approx-distinct sketches decide which attrs need it,
+    // one approxQuantile job produces the edges; values then snap to
+    // the smallest edge >= v via a codegen'd binary search, which
+    // preserves split semantics exactly (snap(v) <= e ⟺ v <= e for
+    // any edge e)
     val binEdges: Map[Int, Array[Double]] =
       if (params.maxBins <= 0 || numAttrs.isEmpty) Map.empty
       else {
-        val dc = data.agg(
-          approx_count_distinct(col(numAttrs.head.name)).as(numAttrs.head.name),
-          numAttrs.tail.map(a => approx_count_distinct(col(a.name)).as(a.name)): _*)
-          .collect()(0)
-        val need = numAttrs.filter(a => dc.getAs[Long](a.name) > params.maxBins)
+        val need = numAttrs.filter(a =>
+          nullProbe.getAs[Long](s"__dc_${a.name}") > params.maxBins)
         if (need.isEmpty) Map.empty
         else {
           val probs = (1 until params.maxBins).map(_.toDouble / params.maxBins).toArray
