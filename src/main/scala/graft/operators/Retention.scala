@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cohort retention over an event log — the classic product-analytics
+  * triangle: each user's cohort is their FIRST active day, and the
+  * retention cell (cohort_day, day_offset) counts how many users from
+  * that cohort were active exactly `day_offset` days after it. The
+  * reference engine has no event-time surface at all (SURVEY.md §0);
+  * this extends the events family (q_event_daily, q_sessionize,
+  * q_funnel) with the remaining canonical batch-analytics shape.
+  *
+  * Scale shape — TWO partial-aggregated shuffles, no window sort, no
+  * join:
+  *
+  *  1. `groupBy(user).agg(collect_set(day))` — one shuffle on the user
+  *     key. `collect_set` dedupes map-side, so the shuffle carries at
+  *     most one entry per (user, active-day) regardless of how many
+  *     events a user emits in a day. The per-user state is bounded by
+  *     the CALENDAR, not the event volume: a user active every single
+  *     day for 10 years is a 3,653-element set. The cohort day is
+  *     `array_min` over that set — no second pass, no window.
+  *  2. `groupBy(cohort_day, day_offset).agg(count)` — one shuffle of
+  *     pre-counted cells; output is at most |days|² / 2 rows.
+  *
+  * The obvious alternative — distinct (user, day) → `min(day) OVER
+  * (PARTITION BY user)` → groupBy — costs a third shuffle (the
+  * distinct's (user, day) partitioning doesn't serve the window's
+  * user partitioning) and a per-user sort; the fold above gets the
+  * same cells from one user-keyed exchange. `count(*)` is exact
+  * (not countDistinct) because step 1 already collapsed to one row
+  * per (user, day).
+  *
+  * `dayCol` is an integer day index (e.g. `ts_ms div 86400000`), kept
+  * as exact integer arithmetic end to end so the result is
+  * bit-identical across engines — no date/timezone casting anywhere. */
+object Retention {
+
+  /** Retention cells (cohort_day, day_offset, n_users), day_offset 0
+    * (the cohort's own size) through `maxOffset` inclusive. */
+  def cohortRetention(events: DataFrame, userCol: String, dayCol: String,
+                      maxOffset: Int = Int.MaxValue): DataFrame = {
+    require(maxOffset >= 0, "maxOffset must be non-negative")
+    events
+      .select(col(userCol).as("__user"), col(dayCol).cast("long").as("__day"))
+      .groupBy("__user")
+      .agg(collect_set(col("__day")).as("__days"))
+      .select(array_min(col("__days")).as("cohort_day"),
+        explode(col("__days")).as("__day"))
+      .select(col("cohort_day"),
+        (col("__day") - col("cohort_day")).as("day_offset"))
+      .filter(col("day_offset") <= maxOffset)
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

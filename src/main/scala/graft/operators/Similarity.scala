@@ -247,6 +247,43 @@ object Similarity {
       .select(col("id"), col("v"), (-col("best.nc")).as("cid"))
   }
 
+  /** K-means clustering as a first-class corpus operator (topic /
+    * domain clustering for data curation, not just the IVF routing
+    * step): train the deterministic spherical quantizer
+    * ([[kmeansCentroids]]) and profile the resulting partition —
+    * per cluster, its member count and mean cosine to the centroid
+    * (a cohesion score: ~1 = tight topical cluster, ~0 = grab-bag).
+    *
+    * Scale shape is the trainer's (per round: one broadcast of the
+    * tiny centroid table + two partial-aggregated shuffles) plus ONE
+    * assignment pass: broadcast cross join against nCentroids rows,
+    * per-id argmax folded into the aggregation so the shuffle carries
+    * one row per vector, then a cluster-keyed partial-agg rollup to
+    * nCentroids output rows. Mean cosine is summed as DECIMAL(18,6)
+    * over the 6dp-rounded per-member sims — exact integer arithmetic,
+    * so the mean is independent of partition order and bit-identical
+    * across engines; the final divide is one double op on two exact
+    * values. Ties (equal cosine to two centroids) go to the smallest
+    * cid, matching [[assignBuckets]]. */
+  def clusterProfile(df: DataFrame, idCol: String, vecCol: String,
+                     nCentroids: Int, nIter: Int = 5): DataFrame = {
+    val centroids = kmeansCentroids(df, idCol, vecCol, nCentroids, nIter)
+    val v = df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    v.crossJoin(broadcast(centroids))
+      .select(col("id"),
+        struct(round(cosine(col("v"), col("cv")), 6).as("sim"),
+          (-col("cid")).as("nc")).as("sc"))
+      .groupBy("id")
+      .agg(max(col("sc")).as("best"))
+      .select((-col("best.nc")).as("cid"), col("best.sim").as("sim"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("sim").cast("decimal(18,6)")).as("__sum"))
+      .select(col("cid"), col("n_members"),
+        round(col("__sum").cast("double") / col("n_members"), 6)
+          .as("mean_sim"))
+  }
+
   /** A reusable IVF index: the trained coarse centroids (tiny, driver
     * local) and the bucketed corpus, persisted so REPEATED query
     * batches probe the same materialized assignment instead of

@@ -828,6 +828,46 @@ object ExtQueries {
        |WHERE rank <= $IvfTopK ORDER BY qid, rank""".stripMargin
   }
 
+  // ---- k-means clustering as a first-class operator (topic/domain
+  //      clustering for data curation — the IVF quantizer promoted to
+  //      a user-facing partition of the corpus, profiled per cluster).
+  //      Same deterministic Lloyd trainer, so the oracle replays
+  //      training AND assignment; the mean cohesion is DECIMAL-summed
+  //      over 6dp-rounded sims, so it is partition-order independent
+  //      and engine-exact. ----
+  private val KmK = 8
+  private val KmIter = 5 // kmeansCentroids' default nIter cap
+  def qKmeans(s: SparkSession, dir: String): DataFrame =
+    Similarity.clusterProfile(emb(s, dir), "vec_id", "embedding",
+      nCentroids = KmK, nIter = KmIter)
+      .orderBy("cid")
+  val qKmeansSql: String = {
+    val dim = EmbedLshDim
+    val rounds = (1 to KmIter).map { r =>
+      val p = r - 1
+      s"""cn$r AS (SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cn FROM c$p),
+         |sc$r AS (SELECT id, u, cid, round(list_dot_product(u, cn), 9) AS sim FROM u, cn$r),
+         |best$r AS (SELECT id, u, cid FROM (SELECT id, u, cid,
+         |    row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid ASC) AS rn FROM sc$r) WHERE rn = 1),
+         |cell$r AS (SELECT cid, i, round_even(sum(u[i]) / count(*), 6) AS m
+         |  FROM best$r, generate_series(1, $dim) AS g(i) GROUP BY cid, i),
+         |nc$r AS (SELECT cid, list(m ORDER BY i) AS cv FROM cell$r GROUP BY cid),
+         |c$r AS (SELECT cn$r.cid, coalesce(nc$r.cv, cn$r.cn) AS cv FROM cn$r LEFT JOIN nc$r USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |u AS (SELECT id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u FROM e),
+       |c0 AS (SELECT cid, cv FROM (SELECT row_number() OVER (ORDER BY ${Hashing.hash60Sql("id::VARCHAR")}, id) - 1 AS cid, u AS cv FROM u) WHERE cid < $KmK),
+       |$rounds,
+       |asc_ AS (SELECT e.id, c.cid,
+       |    round(list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+       |  FROM e, c$KmIter c),
+       |assigned AS (SELECT id, cid, sim FROM (SELECT id, cid, sim,
+       |    row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid ASC) AS rn FROM asc_) WHERE rn = 1)
+       |SELECT cid, count(*) AS n_members,
+       |  round(CAST(sum(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_sim
+       |FROM assigned GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
   // ---- event sessionization (gaps-and-islands) ----
   def qSessionize(s: SparkSession, dir: String): DataFrame =
     Sessionize.sessionize(Tables.load(s, dir, "events"))
@@ -856,6 +896,22 @@ object ExtQueries {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
       |  count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- cohort retention (the product-analytics triangle: first
+  //      active day = cohort; cell = users active offset days later).
+  //      Day index from exact ms arithmetic, schema-adaptive ts ----
+  def qRetention(s: SparkSession, dir: String): DataFrame =
+    Retention.cohortRetention(
+      Tables.loadEventsMs(s, dir)
+        .withColumn("day", expr("ts_ms div 86400000")),
+      "user_id", "day")
+      .orderBy("cohort_day", "day_offset")
+  val qRetentionSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+      |c AS (SELECT user_id, day,
+      |  min(day) OVER (PARTITION BY user_id) AS cohort_day FROM ud)
+      |SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_users
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---- multimodal: binary column + batched feature extraction ----
   def qMultimodal(s: SparkSession, dir: String): DataFrame =
@@ -1370,8 +1426,10 @@ object ExtQueries {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
+    "q_kmeans" -> (qKmeans _),
     "q_sessionize" -> (qSessionize _),
     "q_event_daily" -> (qEventDaily _),
+    "q_retention" -> (qRetention _),
     "q_multimodal" -> (qMultimodal _),
     "q_audio_meta" -> (qAudioMeta _),
     "q_rolling_hash" -> (qRollingHash _),
@@ -1416,6 +1474,7 @@ object ExtQueries {
     "q_cms_counts" -> qCmsCountsSql,
     "q_sessionize" -> qSessionizeSql,
     "q_event_daily" -> qEventDailySql,
+    "q_retention" -> qRetentionSql,
     "q_multimodal" -> qMultimodalSql,
     "q_audio_meta" -> qAudioMetaSql,
     "q_rolling_hash" -> qRollingHashSql,
@@ -1438,5 +1497,6 @@ object ExtQueries {
     "q_ann_ivf" -> qAnnIvfSql,
     "q_ann_pq" -> qAnnPqSql,
     "q_ann_ivfpq" -> qAnnIvfPqSql,
+    "q_kmeans" -> qKmeansSql,
   )
 }

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RetentionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("cohort retention counts users by first-day cohort and offset") {
+    val s = spark
+    import s.implicits._
+    // user 1: days 10, 11, 13 (3 events on day 10 — must count once)
+    // user 2: days 10, 13
+    // user 3: day 11 only
+    val ev = Seq(
+      (1L, 10L), (1L, 10L), (1L, 10L), (1L, 11L), (1L, 13L),
+      (2L, 10L), (2L, 13L),
+      (3L, 11L)).toDF("user_id", "day")
+    val got = Retention.cohortRetention(ev, "user_id", "day")
+      .orderBy("cohort_day", "day_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (10L, 0L, 2L),  // users 1, 2 start on day 10
+      (10L, 1L, 1L),  // user 1 back on day 11
+      (10L, 3L, 2L),  // users 1, 2 back on day 13
+      (11L, 0L, 1L))) // user 3's cohort of one
+  }
+
+  test("maxOffset trims the triangle; offset 0 equals cohort size") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq((1L, 5L), (1L, 6L), (1L, 95L), (2L, 5L))
+      .toDF("user_id", "day")
+    val got = Retention.cohortRetention(ev, "user_id", "day", maxOffset = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((5L, 0L, 2L), (5L, 1L, 1L))) // day-95 cell trimmed
+  }
+
+  test("plan shape: two exchanges, no window sort") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq((1L, 10L), (2L, 11L)).toDF("user_id", "day")
+    val plan = Retention.cohortRetention(ev, "user_id", "day")
+      .queryExecution.executedPlan.toString
+    // one user-keyed exchange (collect_set fold) + one cell rollup;
+    // the window-based formulation would add a third exchange and a
+    // per-user sort
+    val exchanges = "(?i)exchange".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
+    assert(!plan.contains("Window"), s"no window expected:\n$plan")
+  }
+}
