@@ -488,6 +488,29 @@ object Dedup {
     } finally undirected.unpersist()
   }
 
+  /** Apply a near-duplicate pair set to the corpus: collapse every
+    * connected cluster of pairs to its canonical member (the minimum
+    * id — [[connectedComponents]]' cluster label IS that minimum) and
+    * return the corpus with the other members removed. This is the
+    * deliverable of the whole dedup pipeline — pair mining
+    * ([[ngramJaccardPairs]], [[minHashLshPairs]], [[simHashPairs]])
+    * answers "what is duplicated"; this answers "what do I train on".
+    *
+    * Scale shape: the component table is EDGE-sized (near-dup members
+    * only, a sliver of the corpus), the loser set (cluster members
+    * that are not the canonical min) is smaller still, and the corpus
+    * passes through one left-anti equi-join on the id — broadcast when
+    * the loser set fits, hash-partitioned otherwise; either way the
+    * corpus is never re-shuffled by anything but its own id key. Rows
+    * untouched by any pair stream through unexamined. */
+  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame,
+                    iCol: String = "i", jCol: String = "j"): DataFrame = {
+    val losers = connectedComponents(pairs, iCol, jCol)
+      .filter(col("cluster_id") =!= col("id"))
+      .select(col("id").as("__loser"))
+    df.join(losers, col(idCol) === col("__loser"), "left_anti")
+  }
+
   /** SimHash: `bits`-bit locality-sensitive content signature. Each
     * token (with multiplicity) votes ±1 per bit position of its 60-bit
     * hash; the signature sets bit j iff the vote sum is positive.

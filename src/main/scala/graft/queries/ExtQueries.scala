@@ -322,6 +322,35 @@ object ExtQueries {
        |SELECT id AS doc_id, min(lbl) AS cluster_id
        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- end-to-end near-dup removal: pair mining → connected
+  //      components → keep each cluster's canonical (min-id) member.
+  //      The dedup pipeline's actual deliverable — the corpus you
+  //      train on — not just the pair/cluster diagnostics ----
+  def qDedupApply(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") < 1000)
+    Dedup.keepCanonical(d, "doc_id",
+      Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        n = 1, threshold = 0.8, maxShingleDf = ShingleDfCap))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+  val qDedupApplySql: String =
+    s"""WITH RECURSIVE $CappedShinglesSql,
+       |pairs AS (
+       |  SELECT i, j FROM common
+       |  JOIN sz si ON si.id = i JOIN sz sj ON sj.id = j
+       |  WHERE c::DOUBLE / (si.sz + sj.sz - c) >= 0.8),
+       |edges AS (SELECT i AS src, j AS dst FROM pairs UNION SELECT j, i FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+       |losers AS (SELECT id FROM reach GROUP BY id HAVING min(lbl) <> id)
+       |SELECT doc_id, lang, source, n_chars FROM documents d
+       |WHERE doc_id < 1000
+       |  AND NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = d.doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ---- minhash-LSH near-dup pairs (candidate gen + exact verify);
   //      recall < 1 by construction → rows-only check ----
   def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
@@ -1415,6 +1444,7 @@ object ExtQueries {
     "q_minhash" -> (qMinhash _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_apply" -> (qDedupApply _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_simhash" -> (qSimhash _),
     "q_simhash_pairs" -> (qSimhashPairs _),
@@ -1466,6 +1496,7 @@ object ExtQueries {
     "q_minhash" -> qMinhashSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_dedup_clusters" -> qDedupClustersSql,
+    "q_dedup_apply" -> qDedupApplySql,
     "q_simhash" -> qSimhashSql,
     "q_simhash_pairs" -> qSimhashPairsSql,
     "q_embed_neardup" -> qEmbedNearDupSql,
