@@ -26,10 +26,19 @@ import org.apache.spark.storage.StorageLevel
   * once their path splits on the null attribute — the closest a
   * no-NPE engine gets to the reference, which crashes). Corpora with
   * no nulls take a byte-identical code path either way. */
+/** `routeJoinThreshold`: frontiers wider than this route rows through
+  * a broadcast rule-table join instead of one flat CASE WHEN. The two
+  * paths produce identical trees (spec-pinned); the trade is
+  * whole-stage-codegen compile time of an O(rules × depth) expression
+  * (grows every level, compiled fresh each level) against a join +
+  * routed-base persist (constant-size expression, one compiled shape
+  * reused). Measured at sf0.1: a 22-rule flat level costs ~2.3s vs
+  * ~1.4s join-routed while ≤12-rule levels favor flat — the crossover
+  * sits under 20 rules, hence 16. */
 case class C45Params(minDataRatio: Double = InfoStats.DefaultMinDataRatio,
                      maxDepth: Int = 30,
                      maxBins: Int = 256,
-                     routeJoinThreshold: Int = 64,
+                     routeJoinThreshold: Int = 16,
                      missingMode: String = "fractional") {
   require(missingMode == "fractional" || missingMode == "drop",
     s"missingMode must be fractional|drop: $missingMode")
@@ -947,8 +956,10 @@ object C45 {
       .withDefaultValue(0.0)
     var globalMajority: Option[String] = None
     var level = 0
-    // per-level wall-clock diagnostics, -Dgraft.fit.profile=1
-    val profile = sys.props.get("graft.fit.profile").contains("1")
+    // per-level wall-clock diagnostics: -Dgraft.fit.profile=1 (or env
+    // GRAFT_FIT_PROFILE=1 through a forked runner, as fitFolds accepts)
+    val profile = sys.props.get("graft.fit.profile").contains("1") ||
+      sys.env.get("GRAFT_FIT_PROFILE").contains("1")
     // deep-frontier routing state: the previous level's routed base,
     // the routes its decisions produced, and the persisted handle to
     // free once the next level has materialized on top of it

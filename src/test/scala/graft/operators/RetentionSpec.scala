@@ -37,6 +37,26 @@ class RetentionSpec extends AnyFunSuite {
     assert(got == Set((5L, 0L, 2L), (5L, 1L, 1L))) // day-95 cell trimmed
   }
 
+  test("collect_set fold equals the window-min formulation on real events") {
+    val s = spark
+    import s.implicits._
+    // real corpus slice: the sf0.001 events table, day = ms div 86400000
+    val ev = graft.sources.Tables.loadEventsMs(s, "/root/testdata/sf0.001")
+      .withColumn("day", expr("ts_ms div 86400000"))
+      .select("user_id", "day")
+    val got = Retention.cohortRetention(ev, "user_id", "day")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val expected = ev.select(col("user_id"), col("day").cast("long").as("day"))
+      .distinct()
+      .withColumn("cohort_day", min("day").over(w))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("plan shape: two exchanges, no window sort") {
     val s = spark
     import s.implicits._
