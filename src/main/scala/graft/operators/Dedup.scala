@@ -399,6 +399,162 @@ object Dedup {
       .select(col("i"), col("j"), col("jaccard"))
   }
 
+  /** The three LSH tables for a corpus: member → signature group
+    * (id, gk), banded distinct signatures (gk, band, bh), and sorted
+    * shingle sets for the exact verify (id, sh). `keep` (a one-column
+    * `s` table) optionally restricts the shingle stream to a frozen
+    * vocabulary — the [[LshIndex]] boilerplate cap. Docs whose every
+    * shingle is filtered away drop out of all three tables (they can
+    * collide with nothing). */
+  private def lshTables(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, rowsPerBand: Int, n: Int,
+                        keep: Option[DataFrame])
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(k % rowsPerBand == 0, "k must be a multiple of rowsPerBand")
+    val ex0 = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+    val ex = keep.fold(ex0)(kp => ex0.join(kp, "s"))
+    val mStr = (0 until k).map(i => col(s"m$i").cast("string"))
+    val sig = minHashFromExploded(ex, k)
+      .withColumn("gk", concat_ws("|", mStr: _*))
+    val groups = sig.groupBy("gk").agg(
+      min(col("m0")).as("m0"),
+      (1 until k).map(i => min(col(s"m$i")).as(s"m$i")): _*)
+    val nBands = k / rowsPerBand
+    val bands = groups.select(col("gk"),
+      explode(map((0 until nBands).flatMap { b =>
+        val bandCols = (0 until rowsPerBand)
+          .map(r => col(s"m${b * rowsPerBand + r}").cast("string"))
+        Seq(lit(b), Hashing.hash60(concat_ws("|", bandCols: _*), 1000 + b))
+      }: _*)).as(Seq("band", "bh")))
+    val sh = keep match {
+      case None => df.select(col(idCol).as("id"),
+        array_sort(shingles(col(textCol), n)).as("sh"))
+      case Some(_) => ex.groupBy("id")
+        .agg(array_sort(collect_set(col("s"))).as("sh"))
+    }
+    (sig.select(col("id"), col("gk")), bands, sh)
+  }
+
+  /** An append-maintained MinHash-LSH near-duplicate index — the
+    * incremental-ingest shape of [[minHashLshPairs]]: a crawl shard
+    * arriving daily is checked against the STANDING corpus at
+    * O(shard) cost instead of re-mining the full corpus (which is
+    * O(corpus) per day — at 100 TB, re-banding everything to admit a
+    * 0.1% increment is the difference between minutes and hours).
+    *
+    * State (persisted, caller-released): member → signature-group
+    * (corpus rows, two small columns), banded DISTINCT signatures
+    * (the same duplicate-mass collapse as the one-shot pipeline), and
+    * per-doc sorted shingle sets for the exact verify. [[pairsWith]]
+    * bands only the batch and probes the standing band table through
+    * a key-equality join — the index is never re-shuffled by anything
+    * except its own (band, bh) key — then verifies candidates with
+    * exact Jaccard, so the result equals the one-shot recompute over
+    * index ∪ batch restricted to batch-touching pairs (spec-pinned).
+    * [[append]] folds the batch in for the next day.
+    *
+    * The boilerplate cap (`maxShingleDf`) is FROZEN at build: the
+    * keep-vocabulary is decided by the standing corpus's document
+    * frequencies and every batch is filtered through that same set —
+    * the production shape (a stop-set recomputed only on index
+    * rebuild), and the only shape that keeps appends O(batch): a
+    * live cap would need corpus-wide df recounts per batch. Batch
+    * ids must be disjoint from index ids (same contract as any
+    * append sink). */
+  final case class LshIndex private[operators] (
+      k: Int, rowsPerBand: Int, n: Int,
+      sigG: DataFrame, bands: DataFrame, sh: DataFrame,
+      keep: Option[DataFrame]) {
+
+    def release(): Unit =
+      (Seq(sigG, bands, sh) ++ keep).foreach { t => t.unpersist(); () }
+
+    /** Near-dup pairs touching `batch`: batch × index plus batch ×
+      * batch, exact-Jaccard verified at `threshold`. */
+    def pairsWith(batch: DataFrame, idCol: String, textCol: String,
+                  threshold: Double,
+                  scope: CacheScope = CacheScope.unmanaged()): DataFrame = {
+      val (bSig0, bBands0, bSh) = lshTables(batch, idCol, textCol, k, rowsPerBand, n, keep)
+      // batch-sized tables feed two joins each — persist for the call
+      val bSig = scope.persist(bSig0)
+      val bBands = scope.persist(bBands0)
+      // batch group × index group band collisions (identical
+      // signatures collide in every band; distinct collapses them)
+      val crossGk = bBands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+        .select(col("a.gk").as("gn"), col("b.gk").as("gi")).distinct()
+      val cross = crossGk
+        .join(bSig.select(col("gk").as("gn"), col("id").as("ia")), "gn")
+        .join(sigG.select(col("gk").as("gi"), col("id").as("ib")), "gi")
+        .select(least(col("ia"), col("ib")).as("i"),
+          greatest(col("ia"), col("ib")).as("j"))
+      // batch-internal candidates, same discipline as the one-shot path
+      val innerGk = bBands.as("a").join(bBands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.gk") < col("b.gk"))
+        .select(col("a.gk").as("ga"), col("b.gk").as("gb")).distinct()
+      val inner = innerGk
+        .join(bSig.select(col("gk").as("ga"), col("id").as("ia")), "ga")
+        .join(bSig.select(col("gk").as("gb"), col("id").as("ib")), "gb")
+        .select(least(col("ia"), col("ib")).as("i"),
+          greatest(col("ia"), col("ib")).as("j"))
+      val intra = bSig.as("a").join(bSig.as("b"),
+          col("a.gk") === col("b.gk") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("i"), col("b.id").as("j"))
+      val allSh = bSh.unionByName(sh)
+      cross.unionByName(inner).unionByName(intra)
+        .join(allSh.select(col("id").as("i"), col("sh").as("sh_i")), "i")
+        .join(allSh.select(col("id").as("j"), col("sh").as("sh_j")), "j")
+        .withColumn("common", graft.functions.SortedIntersectCount
+          .sortedIntersectCount(col("sh_i"), col("sh_j")))
+        .withColumn("jaccard", col("common").cast("double") /
+          (size(col("sh_i")) + size(col("sh_j")) - col("common")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("i"), col("j"), col("jaccard"))
+    }
+
+    /** Fold a batch into the index: O(batch) signature/band/shingle
+      * work, union with the standing tables. The new index owns fresh
+      * persisted tables; this one is released (materialize-through-
+      * the-old-cache first, as [[Similarity.IvfIndex.append]] does). */
+    def append(batch: DataFrame, idCol: String, textCol: String): LshIndex = {
+      val (bSig, bBands, bSh) = lshTables(batch, idCol, textCol, k, rowsPerBand, n, keep)
+      val st = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // the union's band table must re-collapse signatures shared
+      // between index and batch to ONE banded row per (gk, band)
+      val nSig = sigG.unionByName(bSig).persist(st)
+      val nBands = bands.unionByName(bBands).distinct().persist(st)
+      val nSh = sh.unionByName(bSh).persist(st)
+      Seq(nSig, nBands, nSh).foreach(_.count()) // through the old cache
+      // the frozen keep-vocabulary carries over unchanged (don't
+      // release it with the superseded tables)
+      (Seq(sigG, bands, sh)).foreach { t => t.unpersist(); () }
+      LshIndex(k, rowsPerBand, n, nSig, nBands, nSh, keep)
+    }
+  }
+
+  /** Build an [[LshIndex]] over the standing corpus (one O(corpus)
+    * pass — the cost every subsequent day's shard avoids).
+    * `maxShingleDf > 0` freezes a boilerplate keep-vocabulary from
+    * THIS corpus's document frequencies (shingles with df above the
+    * cap are dropped from signatures and verify, here and for every
+    * future batch — see the [[LshIndex]] contract). */
+  def buildLshIndex(df: DataFrame, idCol: String, textCol: String,
+                    k: Int, rowsPerBand: Int, n: Int = 1,
+                    maxShingleDf: Long = 0L): LshIndex = {
+    val st = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val keep =
+      if (maxShingleDf <= 0) None
+      else Some(df
+        .select(explode(shingles(col(textCol), n)).as("s"))
+        .groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf).select("s")
+        .persist(st))
+    val (sigG, bands, sh) = lshTables(df, idCol, textCol, k, rowsPerBand, n, keep)
+    LshIndex(k, rowsPerBand, n,
+      sigG.persist(st), bands.persist(st), sh.persist(st), keep)
+  }
+
   /** Connected components over a near-duplicate pair list — the dedup
     * DELIVERABLE: every document labeled with its duplicate-cluster id
     * (the minimum doc id reachable through the similarity graph), so a

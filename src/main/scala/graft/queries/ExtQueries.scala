@@ -391,6 +391,66 @@ object ExtQueries {
        |ORDER BY i, j""".stripMargin
   }
 
+  // ---- incremental LSH: a NEW batch mined against the STANDING
+  //      banded index at O(batch) cost — the daily-crawl-increment
+  //      shape. Result == the one-shot recompute over index ∪ batch
+  //      under the index's FROZEN boilerplate vocabulary, restricted
+  //      to batch-touching pairs (spec-pinned); the oracle replays
+  //      that pipeline: keep-set from the index docs' dfs only ----
+  // index: doc_id < 450; batch: 450..999 (sf0.01 documents carry ids
+  // 0..499 only, so the batch is 50 docs at the gate tier and 550 at
+  // sf0.1). The boilerplate cap freezes on the INDEX corpus's dfs —
+  // proportional to the index size (40%, mirroring ShingleDfCap's
+  // 400-of-1000 selectivity; an absolute 400 over 450 docs would keep
+  // near-ubiquitous tokens and densify the candidate join ~250×).
+  private val LshIncrSplit = 450L
+  private val LshIncrCap = 180L
+  def qLshIncr(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val idx = Dedup.buildLshIndex(
+      d.filter(col("doc_id") < LshIncrSplit), "doc_id", "text",
+      k = 16, rowsPerBand = 2, maxShingleDf = LshIncrCap)
+    idx.pairsWith(
+        d.filter(col("doc_id") >= LshIncrSplit && col("doc_id") < 1000),
+        "doc_id", "text", threshold = 0.5)
+      .select(col("i"), col("j"), r6(col("jaccard")).as("jaccard"))
+      .orderBy("i", "j")
+  }
+  val qLshIncrSql: String = {
+    val p = Dedup.MinHashMod
+    val k = 16
+    val rows = 2
+    val mins = (0 until k).map(i => s"min((h0 + $i * h1) % $p) AS m$i")
+      .mkString(",\n  ")
+    val bandSel = (0 until k / rows).map { b =>
+      val bandExpr = (0 until rows)
+        .map(r => s"m${b * rows + r}::VARCHAR").mkString(" || '|' || ")
+      s"SELECT id, $b AS band, ${Hashing.hash60Sql(bandExpr, 1000 + b)} AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sh0 AS (SELECT doc_id AS id, unnest(list_distinct($SplitToksLowerSql)) AS tok
+       |  FROM documents WHERE doc_id < 1000),
+       |keep AS (SELECT tok FROM sh0 WHERE id < $LshIncrSplit
+       |  GROUP BY 1 HAVING count(*) <= $LshIncrCap),
+       |ex AS (SELECT id, tok FROM sh0 JOIN keep USING (tok)),
+       |sz AS (SELECT id, count(*) AS sz FROM ex GROUP BY 1),
+       |common AS (SELECT a.id AS i, b.id AS j, count(*) AS c
+       |  FROM ex a JOIN ex b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2),
+       |hh AS (SELECT id,
+       |    CAST(('0x' || substr(d, 1, 15)) AS BIGINT) % $p AS h0,
+       |    CAST(('0x' || substr(d, 16, 15)) AS BIGINT) % $p AS h1
+       |  FROM (SELECT id, md5(concat('0|', tok)) AS d FROM ex)),
+       |sig AS (SELECT id, $mins FROM hh GROUP BY 1),
+       |bands AS ($bandSel),
+       |cands AS (SELECT DISTINCT a.id AS i, b.id AS j FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bh = b.bh AND a.id < b.id)
+       |SELECT i, j, round(c::DOUBLE / (si.sz + sj.sz - c), 6) AS jaccard
+       |FROM cands JOIN common USING (i, j)
+       |JOIN sz si ON si.id = i JOIN sz sj ON sj.id = j
+       |WHERE c::DOUBLE / (si.sz + sj.sz - c) >= 0.5
+       |  AND (i >= $LshIncrSplit OR j >= $LshIncrSplit)
+       |ORDER BY i, j""".stripMargin
+  }
+
   /** Full SQL oracle for [[qEmbedLsh]]: the ±1 hyperplanes are
     * deterministic (md5-derived), embedded here as literal arrays, so
     * signature bits, band packing, the candidate self-join, and the
@@ -1446,6 +1506,7 @@ object ExtQueries {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_apply" -> (qDedupApply _),
     "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_lsh_incr" -> (qLshIncr _),
     "q_simhash" -> (qSimhash _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_embed_neardup" -> (qEmbedNearDup _),
@@ -1524,6 +1585,7 @@ object ExtQueries {
     "q_stream_enrich" -> qStreamEnrichSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_minhash_lsh" -> qMinhashLshSql,
+    "q_lsh_incr" -> qLshIncrSql,
     "q_embed_lsh" -> qEmbedLshSql,
     "q_ann_ivf" -> qAnnIvfSql,
     "q_ann_pq" -> qAnnPqSql,
