@@ -125,6 +125,48 @@ object TextAnalysis {
           .as("dup_ratio"))
   }
 
+  /** Gopher's n-gram repetition screens, the sequence-aware
+    * complement of [[repetitionStats]]'s unigram signals: per document
+    * and per n ∈ {2, 3}, the share of the most frequent CONSECUTIVE
+    * n-gram (`topN_ratio` — boilerplate headers repeat whole phrases
+    * that unigram stats miss) and the duplicate-n-gram fraction
+    * (`dupN_ratio` = 1 − distinct/total — machine-generated spin
+    * repeats many phrases a few times each). Token-count shares, the
+    * engine-portable simplification of the paper's character
+    * fractions; both n values ride ONE explode (~2 structs per token)
+    * into two partial-aggregated shuffles, then a per-doc conditional
+    * rollup — the [[repetitionStats]] scale shape exactly. Documents
+    * too short for an n-gram score 0 for that n (nothing repeats). */
+  def ngramRepetitionStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                           textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    def grams(n: Int) =
+      when(size(toks) >= n, transform(
+        sequence(lit(0), size(toks) - n),
+        i => struct(lit(n).as("n"),
+          concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)
+            .as("gram"))))
+      .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+    val perN = docs
+      .select(col(idCol).as("id"), explode(concat(grams(2), grams(3))).as("g"))
+      .select(col("id"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .groupBy("id", "n", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("id", "n").agg(sum(col("cnt")).as("total"),
+        count(lit(1)).as("dist"), max(col("cnt")).as("top"))
+      .groupBy("id").agg(
+        max(when(col("n") === 2, col("top").cast("double") / col("total")))
+          .as("top2_ratio"),
+        max(when(col("n") === 2,
+          lit(1.0) - col("dist").cast("double") / col("total"))).as("dup2_ratio"),
+        max(when(col("n") === 3, col("top").cast("double") / col("total")))
+          .as("top3_ratio"),
+        max(when(col("n") === 3,
+          lit(1.0) - col("dist").cast("double") / col("total"))).as("dup3_ratio"))
+    docs.select(col(idCol).as("id"))
+      .join(perN, Seq("id"), "left")
+      .na.fill(0.0, Seq("top2_ratio", "dup2_ratio", "top3_ratio", "dup3_ratio"))
+  }
+
   /** EXACT corpus-level heavy hitters: the k most frequent lowercase
     * tokens with counts and corpus share. Scale shape: explode →
     * partial-aggregated groupBy(term) → global top-k via orderBy+limit

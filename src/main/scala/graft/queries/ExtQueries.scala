@@ -1159,6 +1159,35 @@ object ExtQueries {
        |  ${r6xSql("1.0 - count(*)::DOUBLE / sum(n)")} AS dup_ratio
        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- Gopher n-gram repetition screens (sequence-aware: repeated
+  //      PHRASES, which the unigram q_repetition signals can't see) ----
+  def qNgramRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramRepetitionStats(docs(s, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"),
+        r6x(col("top2_ratio")).as("top2_ratio"),
+        r6x(col("dup2_ratio")).as("dup2_ratio"),
+        r6x(col("top3_ratio")).as("top3_ratio"),
+        r6x(col("dup3_ratio")).as("dup3_ratio"))
+      .orderBy("doc_id")
+  val qNgramRepetitionSql: String =
+    s"""WITH t AS (SELECT doc_id, $SplitToksLowerSql AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, 2 AS n, toks[i] || ' ' || toks[i+1] AS gram
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)
+       |  UNION ALL
+       |  SELECT doc_id, 3, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM t)),
+       |c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+       |a AS (SELECT doc_id, n, sum(cnt) AS total, count(*) AS dist, max(cnt) AS top
+       |  FROM c GROUP BY 1, 2)
+       |SELECT d.doc_id,
+       |  coalesce(max(CASE WHEN n = 2 THEN ${r6xSql("top::DOUBLE / total")} END), 0.0) AS top2_ratio,
+       |  coalesce(max(CASE WHEN n = 2 THEN ${r6xSql("1.0 - dist::DOUBLE / total")} END), 0.0) AS dup2_ratio,
+       |  coalesce(max(CASE WHEN n = 3 THEN ${r6xSql("top::DOUBLE / total")} END), 0.0) AS top3_ratio,
+       |  coalesce(max(CASE WHEN n = 3 THEN ${r6xSql("1.0 - dist::DOUBLE / total")} END), 0.0) AS dup3_ratio
+       |FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- deterministic stratified sampling (hash-Bernoulli per
   //      stratum: pure filter, reproducible, partition-independent) ----
   def qSampleStratified(s: SparkSession, dir: String): DataFrame =
@@ -1533,6 +1562,7 @@ object ExtQueries {
     "q_kmv_distinct" -> (qKmvDistinct _),
     "q_redact" -> (qRedact _),
     "q_repetition" -> (qRepetition _),
+    "q_ngram_repetition" -> (qNgramRepetition _),
     "q_stream_window_stats" -> (qStreamWindowStats _),
     "q_stream_window_daily" -> (qStreamWindowDaily _),
     "q_stream_dedup" -> (qStreamDedup _),
@@ -1579,6 +1609,7 @@ object ExtQueries {
     "q_kmv_distinct" -> qKmvDistinctSql,
     "q_redact" -> qRedactSql,
     "q_repetition" -> qRepetitionSql,
+    "q_ngram_repetition" -> qNgramRepetitionSql,
     "q_stream_window_stats" -> qStreamWindowStatsSql,
     "q_stream_window_daily" -> qStreamWindowDailySql,
     "q_stream_dedup" -> qStreamDedupSql,

@@ -921,6 +921,27 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got(2L)._2 == 6L && got(2L)._3 == 1.0 / 6 && got(2L)._4 == 0.0)
   }
 
+  test("ngramRepetitionStats: hand math for phrase repetition; short docs score 0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // "a b a b a": 2-grams = [a b, b a, a b, b a] -> total 4, dist 2,
+      // top 2; 3-grams = [a b a, b a b, a b a] -> total 3, dist 2, top 2
+      (1L, "a b a b a"),
+      (2L, "all these tokens differ pairwise"), // no repeated phrase
+      (3L, "solo"),                             // 1 token: no n-grams at all
+      (4L, "two tokens"))                       // one 2-gram, no 3-gram
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.ngramRepetitionStats(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("top2_ratio"), r.getAs[Double]("dup2_ratio"),
+          r.getAs[Double]("top3_ratio"), r.getAs[Double]("dup3_ratio"))).toMap
+    assert(got(1L) == ((0.5, 0.5, 2.0 / 3, 1.0 - 2.0 / 3)))
+    assert(got(2L) == ((0.25, 0.0, 1.0 / 3, 0.0)))
+    assert(got(3L) == ((0.0, 0.0, 0.0, 0.0))) // present with zeros, not absent
+    assert(got(4L) == ((1.0, 0.0, 0.0, 0.0)))
+  }
+
   test("langGuess picks the dominant stopword language deterministically") {
     val s = spark
     import s.implicits._
