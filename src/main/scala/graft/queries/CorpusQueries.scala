@@ -120,6 +120,50 @@ object CorpusQueries {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  // ---- end-to-end curation pass: PII redaction → exact dedup
+  //      (canonical = min doc_id per distinct redacted text) →
+  //      composite quality filter, composed as ONE lazy plan — the
+  //      "corpus you train on" deliverable stitched from the
+  //      already-oracled stages. Joins are all id-keyed (semi-join
+  //      against the agg-sized canonical set, inner against the
+  //      quality table), so the corpus is only ever shuffled by its
+  //      own key; the redaction regex is pure codegen'd Column. ----
+  def qCleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val red = docs(s, dir)
+      .withColumn("text", TextAnalysis.redactPii(col("text")))
+    val canon = graft.operators.Dedup.exact(red, "doc_id", "text")
+      .select(col("min_doc_id").as("doc_id"))
+    val qual = TextAnalysis.qualityFilter(red, "doc_id", "text",
+        QfMinTokens, QfMaxTokens, QfMinStop, QfMaxDup, QfMaxTop)
+      .filter(col("keep") === 1)
+      .select(col("id").as("doc_id"), col("n_tokens"))
+    red.join(canon, Seq("doc_id"), "left_semi")
+      .join(qual, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), md5(col("text")).as("clean_sig"))
+      .orderBy("doc_id")
+  }
+  val qCleanCorpusSql: String = {
+    val okLen = s"n_tokens BETWEEN $QfMinTokens AND $QfMaxTokens"
+    val okStop = s"stop_n::DOUBLE / n_tokens >= $QfMinStop"
+    val okDup = s"1.0 - n_distinct::DOUBLE / n_tokens <= $QfMaxDup"
+    val okTop = s"top_n::DOUBLE / n_tokens <= $QfMaxTop"
+    s"""WITH red AS (SELECT doc_id, regexp_replace(regexp_replace(text,
+       |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+       |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS text FROM documents),
+       |canon AS (SELECT min(doc_id) AS doc_id FROM red GROUP BY text),
+       |t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM red),
+       |c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY 1, 2),
+       |s AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |    count(*) AS n_distinct, max(n) AS top_n,
+       |    CAST(coalesce(sum(n) FILTER (WHERE list_contains(['the','a','of','and','to','is'], tok)), 0) AS BIGINT) AS stop_n
+       |  FROM c GROUP BY 1),
+       |q AS (SELECT doc_id, n_tokens FROM s
+       |  WHERE ($okLen) AND ($okStop) AND ($okDup) AND ($okTop))
+       |SELECT r.doc_id, q.n_tokens, md5(r.text) AS clean_sig
+       |FROM red r JOIN canon USING (doc_id) JOIN q USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- CDC snapshot merge: upsert docs with doc_id%10=0 (uppercased
   //      text), insert shifted copies of doc_id%17=3, delete
   //      doc_id%13=5 (minus keys already claimed by the upsert class —
@@ -312,6 +356,7 @@ object CorpusQueries {
     "q_pack_concat" -> (qPackConcat _),
     "q_pack_greedy" -> (qPackGreedy _),
     "q_quality_filter" -> (qQualityFilter _),
+    "q_clean_corpus" -> (qCleanCorpus _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_inverted_index" -> (qInvertedIndex _),
     "q_domain_cap" -> (qDomainCap _),
@@ -326,6 +371,7 @@ object CorpusQueries {
     "q_pack_concat" -> qPackConcatSql,
     "q_pack_greedy" -> qPackGreedySql,
     "q_quality_filter" -> qQualityFilterSql,
+    "q_clean_corpus" -> qCleanCorpusSql,
     "q_merge_upsert" -> qMergeUpsertSql,
     "q_inverted_index" -> qInvertedIndexSql,
     "q_domain_cap" -> qDomainCapSql,

@@ -350,6 +350,41 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(!plan.contains(bad), s"unexpected $bad in merge plan:\n$plan")
   }
 
+  // ---- end-to-end curation composition ----
+
+  test("clean-corpus composition: redaction runs BEFORE dedup, quality gate applies") {
+    val s = spark
+    import s.implicits._
+    // stopword-rich filler so the quality rules pass for the docs
+    // that should survive
+    // ≥ 20 tokens, stopword mass over 2%, and NO token above the
+    // 12.5% dominance cap (the first draft had "the" at 17%)
+    val filler = "the cat of a house and one dog by this barn is to " +
+      "be seen while some bird on that tree may fly over green fields " +
+      "and a small fish in our pond will swim under tall reeds near " +
+      "my bank today with calm air around"
+    val df = Seq(
+      (1L, s"contact alice@example.com now $filler"),
+      // same text except for the email: collapses with doc 1 only if
+      // redaction happens before dedup — keeps min id 1
+      (2L, s"contact bob@sample.org now $filler"),
+      (3L, s"unique quality content here $filler"),
+      (4L, "tiny"), // fails the min-token rule
+      (5L, "spam " * 60)) // fails the dup/top rules
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("clean_corpus_docs")
+    val red = df.withColumn("text", TextAnalysis.redactPii(col("text")))
+    val canon = Dedup.exact(red, "doc_id", "text")
+      .select(col("min_doc_id").as("doc_id"))
+    val qual = TextAnalysis.qualityFilter(red, "doc_id", "text",
+        20L, 90L, 0.02, 0.6, 0.125)
+      .filter(col("keep") === 1).select(col("id").as("doc_id"))
+    val kept = red.join(canon, Seq("doc_id"), "left_semi")
+      .join(qual, Seq("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+  }
+
   // ---- inverted index ----
 
   test("invertedIndex counts df/tf and caps sorted postings") {
