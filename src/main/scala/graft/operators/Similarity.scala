@@ -284,6 +284,40 @@ object Similarity {
           .as("mean_sim"))
   }
 
+  /** Per-vector int8 scalar quantization — the STORAGE-side companion
+    * to PQ's search-side compression: each embedding is rescaled to
+    * 256 levels over its own [min, max] range (4 bytes → 1 byte per
+    * component; an 8× smaller at-rest footprint than float64 staging,
+    * 4× vs float32), with the (min, scale) pair kept per vector for
+    * dequantization. Everything is a per-row `Column` pipeline — no
+    * shuffle, no UDF, scales with scan bandwidth — and every step is
+    * elementwise IEEE double arithmetic (no aggregation-order
+    * dependence), so codes are bit-identical across engines; the
+    * round-trip MSE is a left-to-right fold rounded to 6dp, the same
+    * discipline q_array_ops pins. Constant vectors (max == min) code
+    * to all-zeros with scale 0 and exact reconstruction. */
+  def scalarQuantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = toDoubleVec(col(vecCol))
+    val mn = array_min(v)
+    val mx = array_max(v)
+    val scale = (mx - mn) / lit(255.0)
+    val codes = transform(v, x =>
+      when(scale === 0, lit(0L)).otherwise(
+        least(lit(255L), greatest(lit(0L), floor((x - mn) / scale + lit(0.5)))))
+        .cast("int"))
+    df.select(col(idCol).as("id"), v.as("v"), mn.as("mn"), mx.as("mx"),
+        scale.as("scale"), codes.as("cs"))
+      .select(col("id"), size(col("v")).cast("long").as("n_dims"),
+        round(col("mn"), 6).as("mn"), round(col("mx"), 6).as("mx"),
+        md5(concat_ws(",", transform(col("cs"), c => c.cast("string"))))
+          .as("codes_sig"),
+        round(aggregate(
+          zip_with(col("v"), col("cs"), (x, c) => {
+            val err = x - (col("mn") + c.cast("double") * col("scale"))
+            err * err
+          }), lit(0.0), (acc, e) => acc + e) / size(col("v")), 6).as("mse"))
+  }
+
   /** A reusable IVF index: the trained coarse centroids (tiny, driver
     * local) and the bucketed corpus, persisted so REPEATED query
     * batches probe the same materialized assignment instead of

@@ -917,6 +917,31 @@ object ExtQueries {
        |WHERE rank <= $IvfTopK ORDER BY qid, rank""".stripMargin
   }
 
+  // ---- int8 scalar quantization of the embedding column (8x at-rest
+  //      compression vs float64 staging; per-vector (min, scale)
+  //      dequant params). Pure per-row Column pipeline; codes are
+  //      elementwise double arithmetic -> engine-exact, MSE folds
+  //      left-to-right under the q_array_ops discipline ----
+  def qEmbedQuantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.scalarQuantize(emb(s, dir), "vec_id", "embedding")
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+  val qEmbedQuantizeSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,
+      |    (list_max(v) - list_min(v)) / 255.0 AS scale FROM e),
+      |q AS (SELECT vec_id, v, mn, mx, scale,
+      |    list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+      |      ELSE CAST(least(255, greatest(0, floor((x - mn) / scale + 0.5))) AS INT)
+      |      END) AS cs
+      |  FROM m)
+      |SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims,
+      |  round(mn, 6) AS mn, round(mx, 6) AS mx,
+      |  md5(array_to_string(cs, ',')) AS codes_sig,
+      |  round(list_sum(list_transform(range(1, len(v) + 1),
+      |    i -> pow(v[i] - (mn + cs[i] * scale), 2))) / len(v), 6) AS mse
+      |FROM q ORDER BY vec_id""".stripMargin
+
   // ---- k-means clustering as a first-class operator (topic/domain
   //      clustering for data curation — the IVF quantizer promoted to
   //      a user-facing partition of the corpus, profiled per cluster).
@@ -1547,6 +1572,7 @@ object ExtQueries {
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_kmeans" -> (qKmeans _),
+    "q_embed_quantize" -> (qEmbedQuantize _),
     "q_sessionize" -> (qSessionize _),
     "q_event_daily" -> (qEventDaily _),
     "q_retention" -> (qRetention _),
@@ -1622,5 +1648,6 @@ object ExtQueries {
     "q_ann_pq" -> qAnnPqSql,
     "q_ann_ivfpq" -> qAnnIvfPqSql,
     "q_kmeans" -> qKmeansSql,
+    "q_embed_quantize" -> qEmbedQuantizeSql,
   )
 }

@@ -921,6 +921,27 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got(2L)._2 == 6L && got(2L)._3 == 1.0 / 6 && got(2L)._4 == 0.0)
   }
 
+  test("scalarQuantize: hand codes, constant-vector exactness, half-step error bound") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq(0.0f, 1.0f, 2.0f, 255.0f)), // scale 1: codes = values
+      (2L, Seq(3.5f, 3.5f, 3.5f)),         // constant: scale 0, exact
+      (3L, Seq(-1.0f, 0.0f, 1.0f)))        // negative range
+      .toDF("vec_id", "embedding")
+    val got = Similarity.scalarQuantize(df, "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("mn"), r.getAs[Double]("mx"),
+          r.getAs[Double]("mse"))).toMap
+    assert(got(1L) == ((0.0, 255.0, 0.0)))  // integers code exactly
+    assert(got(2L) == ((3.5, 3.5, 0.0)))    // constant reconstructs exactly
+    val (mn3, mx3, mse3) = got(3L)
+    assert(mn3 == -1.0 && mx3 == 1.0)
+    // worst per-component error is half a quantization step
+    val halfStep = (mx3 - mn3) / 255.0 / 2
+    assert(mse3 >= 0.0 && mse3 <= halfStep * halfStep + 1e-12)
+  }
+
   test("ngramRepetitionStats: hand math for phrase repetition; short docs score 0") {
     val s = spark
     import s.implicits._
