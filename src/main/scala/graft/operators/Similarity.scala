@@ -284,6 +284,58 @@ object Similarity {
           .as("mean_sim"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    * arXiv:2303.09540): cluster the embeddings with the deterministic
+    * spherical k-means trainer, then — WITHIN each cluster only — drop
+    * every vector that has a smaller-id cluster-mate with cosine ≥
+    * `simThreshold`. The clustering is what makes this tractable at
+    * corpus scale: candidate pairs are Σ over clusters of |c|² instead
+    * of n² (the same bucket-bounding argument as the banded LSH joins,
+    * with k-means as the bucketing function — semantically-close pairs
+    * land in the same cluster, so the within-cluster restriction loses
+    * only pairs that straddle a cluster boundary, the paper's stated
+    * trade).
+    *
+    * The keep rule is the greedy pair rule (drop b iff ∃ a < b in the
+    * same cluster with cos(a,b) ≥ τ), NOT transitive-closure
+    * clustering: a kept vector is the smallest id of its
+    * neighborhood, and chains collapse toward the smallest id without
+    * a connected-components fixpoint. The CC-based alternative (exact
+    * transitive clusters) is [[graft.operators.Dedup.keepCanonical]];
+    * this one is one join + one aggregation, the shape the paper runs
+    * at web scale. Deterministic: cosines are rounded to 6dp before
+    * the threshold compare and the rule depends only on the id order.
+    *
+    * Scale shape: one trained-centroid broadcast assignment pass
+    * (persisted — it feeds both self-join sides and the output), one
+    * cid-keyed equi-self-join bounded by cluster sizes, one distinct
+    * on the dropped ids, one left-anti-style id join back. Skewed
+    * clusters bound the join the way LSH buckets do — raise
+    * `nCentroids` to shrink them (the paper uses k ≈ √n · const).
+    *
+    * Output: (id, cid, keep) — the full corpus annotated, `keep =
+    * false` for dropped members. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    nCentroids: Int, nIter: Int = 5,
+                    simThreshold: Double = 0.3,
+                    scope: CacheScope = CacheScope.unmanaged()): DataFrame = {
+    val centroids = kmeansCentroids(df, idCol, vecCol, nCentroids, nIter)
+    val assigned = scope.persist(
+      assignBuckets(df, idCol, vecCol, centroids))
+    val a = assigned.select(col("cid"), col("id").as("__a_id"),
+      col("v").as("__a_v"))
+    val b = assigned.select(col("cid"), col("id").as("__b_id"),
+      col("v").as("__b_v"))
+    val dropped = a.join(b, "cid")
+      .filter(col("__a_id") < col("__b_id"))
+      .filter(round(cosine(col("__a_v"), col("__b_v")), 6) >= simThreshold)
+      .select(col("__b_id").as("id")).distinct()
+      .withColumn("__dropped", lit(true))
+    assigned.join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cid"),
+        not(coalesce(col("__dropped"), lit(false))).as("keep"))
+  }
+
   /** Per-vector int8 scalar quantization — the STORAGE-side companion
     * to PQ's search-side compression: each embedding is rescaled to
     * 256 levels over its own [min, max] range (4 bytes → 1 byte per

@@ -308,4 +308,85 @@ object TextAnalysis {
       .withColumn("tfidf", col("tf") * col("idf"))
       .select("doc_id", "term", "tf", "df", "tfidf")
   }
+
+  /** Multinomial Naive Bayes text classifier, trained AND scored
+    * relationally — the fastText-style classifier gate of a curation
+    * pipeline (train on labeled reference data, score the crawl,
+    * route/filter by predicted class), with Laplace(+1) smoothing.
+    *
+    * The score factors so that ABSENT (token, label) pairs cost
+    * nothing to enumerate: with c_lt the token's count under label l,
+    * C_l the label's total token count and V the training vocabulary,
+    *
+    *   score(d, l) = ln P(l) − len(d)·ln(C_l + V)
+    *                 + Σ_{t ∈ d, c_lt > 0} c_dt · ln(c_lt + 1)
+    *
+    * — the middle term depends only on the doc LENGTH (every token
+    * pays the 1/(C_l+V) smoothing floor), and the correction sum is
+    * zero for unseen pairs (ln(0+1) = 0), so the only corpus-sized
+    * join is docTokens ⋈ labelTokens on the token alone (inner,
+    * observed pairs only). No |labels| × corpus-tokens fan-out.
+    *
+    * Scale shape: training is two partial-agg shuffles over the
+    * exploded train corpus (label-token counts, then label totals);
+    * scoring is one explode + one token equi-join (AQE broadcasts the
+    * model when it is small) + one (id, label) partial-agg sum; the
+    * per-label prior/denominator table is O(labels) and broadcasts.
+    * Per-pair contributions round to integer MICROS before summation
+    * (the [[bigramLmScore]] discipline), so scores are exact longs —
+    * order-independent under any partitioning and engine-portable.
+    * The argmax is a `min` over (−score, label) structs: partial
+    * aggregation keeps one candidate per (id, partition) map-side,
+    * and ties break on the lexicographically smallest label.
+    *
+    * Output: (id, pred, score_micros) — one row per scored doc. */
+  def nbClassify(train: org.apache.spark.sql.DataFrame,
+                 scoreDocs: org.apache.spark.sql.DataFrame,
+                 idCol: String, textCol: String,
+                 labelCol: String): org.apache.spark.sql.DataFrame = {
+    val toksL = tokens(lower(col(textCol)))
+    // model: per-(label, token) counts, per-label totals + doc priors,
+    // train-vocabulary size
+    val labTok = train
+      .select(col(labelCol).as("lab"), explode(toksL).as("tok"))
+      .groupBy("lab", "tok").agg(count(lit(1)).as("c_lt"))
+    val labTotals = labTok.groupBy("lab").agg(sum(col("c_lt")).as("c_l"))
+    val labDocs = train.groupBy(col(labelCol).as("lab"))
+      .agg(count(lit(1)).as("n_l"))
+    val nDocs = train.agg(count(lit(1)).as("n_docs"))
+    val vocab = labTok.agg(countDistinct(col("tok")).as("v"))
+    // O(labels) side table: prior micros + the per-token smoothing
+    // denominator ln(C_l + V). A label with docs but an empty token
+    // table keeps C_l = 0 (left join), the smoothing floor still holds.
+    val labTable = labDocs
+      .join(labTotals, Seq("lab"), "left")
+      .crossJoin(nDocs).crossJoin(vocab)
+      .select(col("lab"),
+        floor(log(col("n_l").cast("double") / col("n_docs").cast("double")) *
+          lit(1e6) + lit(0.5)).cast("long").as("prior_m"),
+        log(coalesce(col("c_l"), lit(0L)).cast("double") + col("v"))
+          .as("denom_ln"))
+    // score side: per-(doc, token) counts join the observed model rows
+    val docTok = scoreDocs
+      .select(col(idCol).as("id"), explode(toksL).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("c"))
+    val s1 = docTok.join(labTok, "tok")
+      .groupBy("id", "lab")
+      .agg(sum(floor(col("c") * log(col("c_lt") + lit(1.0)) * lit(1e6) +
+        lit(0.5)).cast("long")).as("s1"))
+    val base = scoreDocs
+      .select(col(idCol).as("id"), size(toksL).cast("long").as("len"))
+      .crossJoin(broadcast(labTable))
+      .select(col("id"), col("lab"),
+        (col("prior_m") - floor(col("len") * col("denom_ln") * lit(1e6) +
+          lit(0.5)).cast("long")).as("b"))
+    base.join(s1, Seq("id", "lab"), "left")
+      .select(col("id"),
+        struct((-(col("b") + coalesce(col("s1"), lit(0L)))).as("ns"),
+          col("lab").as("lab")).as("sc"))
+      .groupBy("id")
+      .agg(min(col("sc")).as("best"))
+      .select(col("id"), col("best.lab").as("pred"),
+        (-col("best.ns")).as("score_micros"))
+  }
 }

@@ -325,6 +325,49 @@ object CorpusQueries {
        |  floor(CAST(sum(m) AS BIGINT) / CAST(sum(c) AS BIGINT) + 0.5) / 1000000 AS avg_logprob
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- trained Naive Bayes classifier (the fastText-style
+  //      classifier gate: train on labeled reference text, score the
+  //      corpus, route by predicted class). Self-trained on the
+  //      documents table's lang labels and scored in-sample — the
+  //      pin covers training (label-token counts, priors, vocabulary)
+  //      AND scoring (micros-exact log-likelihood argmax) end to end.
+  //      Scores are exact integer micros, so the hash pins every
+  //      doc's full posterior ranking decision, not just the label ----
+  def qNbClassify(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.nbClassify(d, d, "doc_id", "text", "lang")
+      .withColumnRenamed("id", "doc_id")
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("pred"), col("score_micros"))
+      .orderBy("doc_id")
+  }
+  val qNbClassifySql: String =
+    """WITH t AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+      |tok AS (SELECT doc_id, lang, unnest(tk) AS tok FROM t),
+      |lt AS (SELECT lang AS lab, tok, count(*) AS c_lt FROM tok GROUP BY 1, 2),
+      |ltot AS (SELECT lab, CAST(sum(c_lt) AS BIGINT) AS c_l FROM lt GROUP BY 1),
+      |nd AS (SELECT lang AS lab, count(*) AS n_l FROM documents GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |v AS (SELECT count(DISTINCT tok) AS v FROM lt),
+      |labt AS (SELECT nd.lab,
+      |    CAST(floor(ln(CAST(n_l AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS prior_m,
+      |    ln(CAST(coalesce(c_l, 0) AS DOUBLE) + v) AS denom_ln
+      |  FROM nd LEFT JOIN ltot USING (lab) CROSS JOIN n CROSS JOIN v),
+      |dt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+      |s1 AS (SELECT doc_id, lab,
+      |    CAST(sum(CAST(floor(c * ln(c_lt + 1.0) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s1
+      |  FROM dt JOIN lt USING (tok) GROUP BY 1, 2),
+      |base AS (SELECT doc_id, lab,
+      |    prior_m - CAST(floor(CAST(len(tk) AS BIGINT) * denom_ln * 1000000 + 0.5) AS BIGINT) AS b
+      |  FROM t CROSS JOIN labt),
+      |sc AS (SELECT doc_id, lab, b + coalesce(s1, 0) AS score
+      |  FROM base LEFT JOIN s1 USING (doc_id, lab)),
+      |best AS (SELECT doc_id, lab AS pred, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lab ASC) AS rn FROM sc)
+      |SELECT d.doc_id, d.lang, b.pred, b.score AS score_micros
+      |FROM documents d JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---- per-label embedding outliers (curation: the 10 vectors that
   //      least belong to their label's centroid) ----
   private val OutlierK = 10
@@ -363,6 +406,7 @@ object CorpusQueries {
     "q_scd2_history" -> (qScd2History _),
     "q_leakage_split" -> (qLeakageSplit _),
     "q_lm_score" -> (qLmScore _),
+    "q_nb_classify" -> (qNbClassify _),
     "q_embed_outliers" -> (qEmbedOutliers _),
   )
 
@@ -378,6 +422,7 @@ object CorpusQueries {
     "q_scd2_history" -> qScd2HistorySql,
     "q_leakage_split" -> qLeakageSplitSql,
     "q_lm_score" -> qLmScoreSql,
+    "q_nb_classify" -> qNbClassifySql,
     "q_embed_outliers" -> qEmbedOutliersSql,
   )
 }

@@ -955,9 +955,16 @@ object ExtQueries {
     Similarity.clusterProfile(emb(s, dir), "vec_id", "embedding",
       nCentroids = KmK, nIter = KmIter)
       .orderBy("cid")
-  val qKmeansSql: String = {
+  /** Shared Lloyd-training + assignment CTE chain: `e`, `u`, `c0`,
+    * the unrolled rounds ending at `c$iter`, then `asc_`/`assigned`
+    * (per-vector winning cluster, raw-vector cosine at 6dp — exactly
+    * [[Similarity.assignBuckets]]). Every oracle that trains the
+    * quantizer replays this verbatim so the training replay is
+    * written once. The caller appends its own final SELECT (and may
+    * join `assigned` back to `e` for the raw vectors). */
+  private def kmeansAssignedCtes(k: Int, iter: Int): String = {
     val dim = EmbedLshDim
-    val rounds = (1 to KmIter).map { r =>
+    val rounds = (1 to iter).map { r =>
       val p = r - 1
       s"""cn$r AS (SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cn FROM c$p),
          |sc$r AS (SELECT id, u, cid, round(list_dot_product(u, cn), 9) AS sim FROM u, cn$r),
@@ -968,19 +975,44 @@ object ExtQueries {
          |nc$r AS (SELECT cid, list(m ORDER BY i) AS cv FROM cell$r GROUP BY cid),
          |c$r AS (SELECT cn$r.cid, coalesce(nc$r.cv, cn$r.cn) AS cv FROM cn$r LEFT JOIN nc$r USING (cid))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        |u AS (SELECT id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u FROM e),
-       |c0 AS (SELECT cid, cv FROM (SELECT row_number() OVER (ORDER BY ${Hashing.hash60Sql("id::VARCHAR")}, id) - 1 AS cid, u AS cv FROM u) WHERE cid < $KmK),
+       |c0 AS (SELECT cid, cv FROM (SELECT row_number() OVER (ORDER BY ${Hashing.hash60Sql("id::VARCHAR")}, id) - 1 AS cid, u AS cv FROM u) WHERE cid < $k),
        |$rounds,
        |asc_ AS (SELECT e.id, c.cid,
        |    round(list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
-       |  FROM e, c$KmIter c),
+       |  FROM e, c$iter c),
        |assigned AS (SELECT id, cid, sim FROM (SELECT id, cid, sim,
-       |    row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid ASC) AS rn FROM asc_) WHERE rn = 1)
+       |    row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid ASC) AS rn FROM asc_) WHERE rn = 1)""".stripMargin
+  }
+  val qKmeansSql: String =
+    s"""WITH ${kmeansAssignedCtes(KmK, KmIter)}
        |SELECT cid, count(*) AS n_members,
        |  round(CAST(sum(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_sim
        |FROM assigned GROUP BY cid ORDER BY cid""".stripMargin
-  }
+
+  // ---- SemDeDup (Abbas et al. 2023): semantic dedup by k-means
+  //      clustering + within-cluster greedy cosine pair rule (drop b
+  //      iff a smaller-id cluster-mate has cos >= thr). Same trained
+  //      quantizer as q_kmeans (shared CTE chain); the within-cluster
+  //      restriction is what bounds candidates at corpus scale:
+  //      sum of cluster^2, not n^2 ----
+  private val SemThr = 0.3
+  def qSemdedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(emb(s, dir), "vec_id", "embedding",
+      nCentroids = KmK, nIter = KmIter, simThreshold = SemThr)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+  val qSemdedupSql: String =
+    s"""WITH ${kmeansAssignedCtes(KmK, KmIter)},
+       |av AS (SELECT a.id, a.cid, e.v FROM assigned a JOIN e ON a.id = e.id),
+       |drp AS (SELECT DISTINCT b.id FROM av a JOIN av b
+       |    ON a.cid = b.cid AND a.id < b.id
+       |  WHERE round(list_dot_product(a.v, b.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= $SemThr)
+       |SELECT av.id AS vec_id, av.cid, (d.id IS NULL) AS keep
+       |FROM av LEFT JOIN drp d ON av.id = d.id
+       |ORDER BY vec_id""".stripMargin
 
   // ---- event sessionization (gaps-and-islands) ----
   def qSessionize(s: SparkSession, dir: String): DataFrame =
@@ -1572,6 +1604,7 @@ object ExtQueries {
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_kmeans" -> (qKmeans _),
+    "q_semdedup" -> (qSemdedup _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_sessionize" -> (qSessionize _),
     "q_event_daily" -> (qEventDaily _),
@@ -1648,6 +1681,7 @@ object ExtQueries {
     "q_ann_pq" -> qAnnPqSql,
     "q_ann_ivfpq" -> qAnnIvfPqSql,
     "q_kmeans" -> qKmeansSql,
+    "q_semdedup" -> qSemdedupSql,
     "q_embed_quantize" -> qEmbedQuantizeSql,
   )
 }
