@@ -127,6 +127,73 @@ object Sampling {
       .drop("__ppm")
   }
 
+  /** DSIR-style importance resampling (Xie et al. 2023,
+    * arXiv:2302.03169): select raw-corpus documents whose hashed
+    * n-gram distribution looks like a TARGET corpus. Per document,
+    *
+    *   log w(d) = Σ_b c_db · [ ln((c_tb+1)/(C_t+B)) − ln((c_rb+1)/(C_r+B)) ]
+    *
+    * — the Laplace-smoothed log-likelihood ratio of the doc's hashed
+    * token buckets under the target vs the raw unigram model (B =
+    * `nBuckets` hash buckets; hashed features are what make the model
+    * table bounded at ANY vocabulary, the paper's trick). Selection is
+    * Gumbel top-k: score = log w + Gumbel noise, keep the `nKeep`
+    * best — equivalent to sampling without replacement proportionally
+    * to w, and fully deterministic here because the noise derives
+    * from the portable id hash (u = (hash60(id)+0.5)/2^60 ∈ (0,1),
+    * g = −ln(−ln u)).
+    *
+    * Scale shape: two partial-agg token→bucket count rollups (target
+    * and raw models — each ≤ B rows), a broadcast of the ≤ B-row
+    * model delta table onto the per-(doc, bucket) counts, one
+    * partial-agg per-doc sum, and a TakeOrdered global top-nKeep
+    * (per-partition heaps — no global sort; for a keep set too large
+    * to TakeOrdered, threshold on a score quantile instead). All
+    * per-pair contributions and the noise round to integer MICROS
+    * before summation/comparison, so the kept set is bit-stable under
+    * any partitioning and engine-portable.
+    *
+    * Output: every raw doc as (id, logw_micros, score_micros, keep).
+    * Ties at the boundary break toward the smaller id. */
+  def dsirResample(raw: DataFrame, target: DataFrame, idCol: String,
+                   textCol: String, nBuckets: Int, nKeep: Int,
+                   salt: Int = 11): DataFrame = {
+    require(nBuckets >= 2, "need at least 2 hash buckets")
+    require(nKeep >= 1, "nKeep must be positive")
+    def bucketed(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
+      .select(col("id"), pmod(Hashing.hash60(col("tok")), lit(nBuckets)).as("b"))
+    val tgtCnt = bucketed(target).groupBy("b").agg(count(lit(1)).as("c_t"))
+    val rawTok = bucketed(raw)
+    val rawCnt = rawTok.groupBy("b").agg(count(lit(1)).as("c_r"))
+    val totals = tgtCnt.agg(sum(col("c_t")).as("tot_t"))
+      .crossJoin(rawCnt.agg(sum(col("c_r")).as("tot_r")))
+    // ≤ B rows: per-bucket log-likelihood-ratio delta, broadcast back
+    val model = rawCnt.join(tgtCnt, Seq("b"), "full_outer")
+      .crossJoin(totals)
+      .select(col("b"),
+        (log((coalesce(col("c_t"), lit(0L)) + lit(1.0)) /
+          (col("tot_t") + lit(nBuckets))) -
+          log((coalesce(col("c_r"), lit(0L)) + lit(1.0)) /
+            (col("tot_r") + lit(nBuckets)))).as("delta_ln"))
+    val logw = rawTok.groupBy("id", "b").agg(count(lit(1)).as("c"))
+      .join(broadcast(model), "b")
+      .groupBy("id")
+      .agg(sum(floor(col("c") * col("delta_ln") * lit(1e6) + lit(0.5))
+        .cast("long")).as("logw_micros"))
+    val u = (Hashing.hash60(col("id").cast("string"), salt) + lit(0.5)) /
+      lit(1152921504606846976.0) // 2^60
+    val scored = logw.withColumn("score_micros",
+      col("logw_micros") +
+        floor(-log(-log(u)) * lit(1e6) + lit(0.5)).cast("long"))
+    val kept = scored.orderBy(col("score_micros").desc, col("id"))
+      .limit(nKeep).select(col("id"), lit(true).as("__keep"))
+    scored.join(broadcast(kept), Seq("id"), "left")
+      .select(col("id"), col("logw_micros"), col("score_micros"),
+        coalesce(col("__keep"), lit(false)).as("keep"))
+  }
+
   /** Greedy per-stratum token-budget cap (data-mixture construction:
     * "at most `budget` tokens per source"): within each stratum, rows
     * are taken in id order until the budget is exhausted — the kept

@@ -284,6 +284,49 @@ object Similarity {
           .as("mean_sim"))
   }
 
+  /** Triplet mining for metric learning (the FaceNet recipe, Schroff
+    * et al. 2015): for each ANCHOR vector, find its hardest positive
+    * (same label, LOWEST cosine — the farthest example the model must
+    * still pull in) and hardest negative (different label, HIGHEST
+    * cosine — the closest impostor it must push away), plus the margin
+    * violation `neg_cos − pos_cos` (> 0 ⟺ the triplet is active under
+    * a zero-margin loss; training pipelines keep the violators).
+    *
+    * One broadcast of the anchor set against the candidate corpus and
+    * ONE aggregation: both extremes are conditional min/max over
+    * (cosine, id) structs, so partial aggregation collapses the
+    * candidates map-side and the shuffle carries two structs per
+    * (anchor, partition) — never a per-candidate row. Deterministic:
+    * cosines round to 6dp, ties break toward the smallest candidate
+    * id on both sides. Self-pairs are excluded. Anchors with no
+    * same-label (or no different-label) candidate emit NULLs for that
+    * side. `anchors` must be small enough to broadcast (a probe/batch
+    * set — the per-batch shape of a corpus-wide miner; for all-corpus
+    * mining, drive batches through this or route candidates through
+    * [[ivfTopK]] cells first). */
+  def tripletMine(df: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, anchors: DataFrame, aidCol: String,
+                  avecCol: String, albCol: String): DataFrame = {
+    val cand = df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"),
+      col(labelCol).as("lbl"))
+    val a = anchors.select(col(aidCol).as("qid"),
+      toDoubleVec(col(avecCol)).as("qv"), col(albCol).as("qlbl"))
+    val cos = round(cosine(col("v"), col("qv")), 6)
+    cand.crossJoin(broadcast(a))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"),
+        when(col("lbl") === col("qlbl"),
+          struct(cos.as("c"), col("id").as("id"))).as("p"),
+        when(col("lbl") =!= col("qlbl"),
+          struct(cos.as("c"), (-col("id")).as("nid"))).as("n"))
+      .groupBy("qid")
+      .agg(min(col("p")).as("bp"), max(col("n")).as("bn"))
+      .select(col("qid"),
+        col("bp.id").as("pos_id"), col("bp.c").as("pos_cos"),
+        (-col("bn.nid")).as("neg_id"), col("bn.c").as("neg_cos"),
+        round(col("bn.c") - col("bp.c"), 6).as("violation"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al., 2023,
     * arXiv:2303.09540): cluster the embeddings with the deterministic
     * spherical k-means trainer, then — WITHIN each cluster only — drop

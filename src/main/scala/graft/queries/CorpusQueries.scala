@@ -325,6 +325,46 @@ object CorpusQueries {
        |  floor(CAST(sum(m) AS BIGINT) / CAST(sum(c) AS BIGINT) + 0.5) / 1000000 AS avg_logprob
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- DSIR importance resampling (hashed-n-gram likelihood-ratio
+  //      weights vs a target corpus + deterministic Gumbel top-k):
+  //      the data-selection op of LLM pretraining pipelines. Target =
+  //      the 'en' slice; every doc emits its exact micros weight,
+  //      noised score, and keep decision, so the hash pins model
+  //      training, scoring AND the sampled set ----
+  private val DsirBuckets = 1024
+  private val DsirKeep = 100
+  private val DsirSalt = 11
+  def qDsirResample(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Sampling.dsirResample(d, d.filter(col("lang") === "en"),
+        "doc_id", "text", DsirBuckets, DsirKeep, DsirSalt)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+  val qDsirResampleSql: String = {
+    val u = s"((${Hashing.hash60Sql("doc_id::VARCHAR", DsirSalt)} + 0.5) / 1152921504606846976.0)"
+    s"""WITH t AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents),
+       |tok AS (SELECT doc_id, lang, unnest(tk) AS tok FROM t),
+       |bk AS (SELECT doc_id, lang, ${Hashing.hash60Sql("tok")} % $DsirBuckets AS b FROM tok),
+       |tc AS (SELECT b, count(*) AS c_t FROM bk WHERE lang = 'en' GROUP BY 1),
+       |rc AS (SELECT b, count(*) AS c_r FROM bk GROUP BY 1),
+       |tot AS (SELECT (SELECT sum(c_t) FROM tc) AS tot_t, (SELECT sum(c_r) FROM rc) AS tot_r),
+       |model AS (SELECT coalesce(rc.b, tc.b) AS b,
+       |    ln((coalesce(c_t, 0) + 1.0) / (tot_t + $DsirBuckets)) -
+       |    ln((coalesce(c_r, 0) + 1.0) / (tot_r + $DsirBuckets)) AS delta_ln
+       |  FROM rc FULL OUTER JOIN tc ON rc.b = tc.b CROSS JOIN tot),
+       |db AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2),
+       |lw AS (SELECT doc_id,
+       |    CAST(sum(CAST(floor(c * delta_ln * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS logw_micros
+       |  FROM db JOIN model USING (b) GROUP BY 1),
+       |sc AS (SELECT doc_id, logw_micros, logw_micros +
+       |    CAST(floor(-ln(-ln($u)) * 1000000 + 0.5) AS BIGINT) AS score_micros FROM lw),
+       |k AS (SELECT doc_id FROM sc ORDER BY score_micros DESC, doc_id LIMIT $DsirKeep)
+       |SELECT sc.doc_id, sc.logw_micros, sc.score_micros, (k.doc_id IS NOT NULL) AS keep
+       |FROM sc LEFT JOIN k ON sc.doc_id = k.doc_id
+       |ORDER BY sc.doc_id""".stripMargin
+  }
+
   // ---- trained Naive Bayes classifier (the fastText-style
   //      classifier gate: train on labeled reference text, score the
   //      corpus, route by predicted class). Self-trained on the
@@ -407,6 +447,7 @@ object CorpusQueries {
     "q_leakage_split" -> (qLeakageSplit _),
     "q_lm_score" -> (qLmScore _),
     "q_nb_classify" -> (qNbClassify _),
+    "q_dsir_resample" -> (qDsirResample _),
     "q_embed_outliers" -> (qEmbedOutliers _),
   )
 
@@ -423,6 +464,7 @@ object CorpusQueries {
     "q_leakage_split" -> qLeakageSplitSql,
     "q_lm_score" -> qLmScoreSql,
     "q_nb_classify" -> qNbClassifySql,
+    "q_dsir_resample" -> qDsirResampleSql,
     "q_embed_outliers" -> qEmbedOutliersSql,
   )
 }

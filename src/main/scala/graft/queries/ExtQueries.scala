@@ -991,6 +991,34 @@ object ExtQueries {
        |  round(CAST(sum(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_sim
        |FROM assigned GROUP BY cid ORDER BY cid""".stripMargin
 
+  // ---- triplet mining (FaceNet recipe): per anchor, the hardest
+  //      positive (same label, lowest cosine) and hardest negative
+  //      (different label, highest cosine) + margin violation — the
+  //      metric-learning data-prep op. ONE aggregation over a
+  //      broadcast anchor set; ties break to the smallest id ----
+  def qTripletMine(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.tripletMine(e, "vec_id", "embedding", "label",
+      e.filter(col("vec_id") < 20), "vec_id", "embedding", "label")
+      .orderBy("qid")
+  }
+  val qTripletMineSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |a AS (SELECT vec_id AS qid, label AS qlbl, v AS qv FROM e WHERE vec_id < 20),
+      |sc AS (SELECT qid, qlbl, e.vec_id AS id, e.label AS lbl,
+      |    round(list_dot_product(e.v, qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv, qv))), 6) AS c
+      |  FROM a, e WHERE e.vec_id <> qid),
+      |p AS (SELECT qid, id AS pos_id, c AS pos_cos FROM (SELECT qid, id, c,
+      |    row_number() OVER (PARTITION BY qid ORDER BY c ASC, id ASC) AS rn
+      |  FROM sc WHERE lbl = qlbl) WHERE rn = 1),
+      |n AS (SELECT qid, id AS neg_id, c AS neg_cos FROM (SELECT qid, id, c,
+      |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, id ASC) AS rn
+      |  FROM sc WHERE lbl <> qlbl) WHERE rn = 1)
+      |SELECT a.qid, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+      |  round(n.neg_cos - p.pos_cos, 6) AS violation
+      |FROM a LEFT JOIN p ON a.qid = p.qid LEFT JOIN n ON a.qid = n.qid
+      |ORDER BY a.qid""".stripMargin
+
   // ---- SemDeDup (Abbas et al. 2023): semantic dedup by k-means
   //      clustering + within-cluster greedy cosine pair rule (drop b
   //      iff a smaller-id cluster-mate has cos >= thr). Same trained
@@ -1605,6 +1633,7 @@ object ExtQueries {
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_kmeans" -> (qKmeans _),
     "q_semdedup" -> (qSemdedup _),
+    "q_triplet_mine" -> (qTripletMine _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_sessionize" -> (qSessionize _),
     "q_event_daily" -> (qEventDaily _),
@@ -1682,6 +1711,7 @@ object ExtQueries {
     "q_ann_ivfpq" -> qAnnIvfPqSql,
     "q_kmeans" -> qKmeansSql,
     "q_semdedup" -> qSemdedupSql,
+    "q_triplet_mine" -> qTripletMineSql,
     "q_embed_quantize" -> qEmbedQuantizeSql,
   )
 }
