@@ -309,6 +309,94 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "tfidf")
   }
 
+  /** BPE tokenizer training (Sennrich et al. 2016) as an iterative
+    * relational job — the merge-table trainer of an LLM data
+    * pipeline, run where the data is instead of exporting corpus
+    * samples to a separate tool.
+    *
+    * The trick that makes this scale is the standard one: BPE trains
+    * on the WORD-FREQUENCY table, not the corpus. One corpus pass
+    * builds (word, freq) — vocabulary-sized from then on — and each
+    * merge round is one explode+partial-agg job over that small table
+    * plus a 1-row argmax collect. Words travel as their symbol
+    * sequence rendered ` s1  s2  …  sN ` (symbols joined by TWO
+    * spaces, one space of padding each side): applying the winning
+    * merge (L, R) is then ONE literal string replace of ` L  R ` with
+    * ` LR ` — both engines replace left-to-right without overlap,
+    * which IS BPE's greedy within-word application order (the shared
+    * boundary space between back-to-back matches is what a
+    * single-space rendering would get wrong), and the surrounding
+    * spaces keep a symbol from matching inside a longer symbol.
+    * Rounds persist eagerly and free their predecessor, the fit
+    * loop's discipline; ties in the pair argmax break on (freq desc,
+    * left, right) so the merge table is deterministic.
+    *
+    * Output: the trained merge table (merge_rank, lhs, rhs,
+    * pair_freq) — `nMerges` rows, fewer iff the corpus runs out of
+    * adjacent pairs. */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+               nMerges: Int): org.apache.spark.sql.DataFrame = {
+    require(nMerges >= 1, "nMerges must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words0 = docs
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), concat(lit(" "),
+        trim(regexp_replace(col("w"), "(.)", "$1  ")), lit(" ")).as("s"))
+    // every round's symbol table is persisted and ALL of them are
+    // freed together at the end: unpersisting round r-1 before round
+    // r's first job has materialized would silently recompute the
+    // whole replace chain from words0, and an extra count() job per
+    // round just to materialize eagerly doubles the round cost. The
+    // held set is nMerges × the vocabulary-sized table — bounded and
+    // spill-safe (MEMORY_AND_DISK), never corpus-sized.
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    def keep(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted += p
+      p
+    }
+    var cur = keep(words0)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      var r = 1
+      var dry = false
+      while (r <= nMerges && !dry) {
+        val arr = split(trim(col("s")), "  ")
+        val top = cur
+          .select(col("freq"), explode(zip_with(
+            slice(arr, lit(1), size(arr) - 1),
+            slice(arr, lit(2), size(arr) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("c"))
+          .orderBy(col("c").desc, col("l"), col("r")).limit(1)
+          .collect()
+        if (top.isEmpty) dry = true
+        else {
+          val l: String = top.head.getString(0)
+          val rr: String = top.head.getString(1)
+          val c: Long = top.head.getLong(2)
+          merges += ((r, l, rr, c))
+          // the merge pair rides as broadcast DATA, not plan literals
+          // (the Lloyd-trainer trick): every round's replace job then
+          // shares ONE compiled plan instead of recompiling codegen
+          // for each new literal pattern
+          val mDf = Seq((s" $l  $rr ", s" $l$rr ")).toDF("__pat", "__rep")
+          cur = keep(cur.crossJoin(broadcast(mDf))
+            .withColumn("s", replace(col("s"), col("__pat"), col("__rep")))
+            .drop("__pat", "__rep"))
+          r += 1
+        }
+      }
+      // the merge table is driver-materialized — every round cache is
+      // safe to free before returning
+      merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_freq")
+    } finally persisted.foreach(_.unpersist())
+  }
+
   /** Multinomial Naive Bayes text classifier, trained AND scored
     * relationally — the fastText-style classifier gate of a curation
     * pipeline (train on labeled reference data, score the crawl,

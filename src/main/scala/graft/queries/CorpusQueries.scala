@@ -325,6 +325,39 @@ object CorpusQueries {
        |  floor(CAST(sum(m) AS BIGINT) / CAST(sum(c) AS BIGINT) + 0.5) / 1000000 AS avg_logprob
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- BPE tokenizer training: 10 merge rounds over the corpus's
+  //      word-frequency table (vocabulary-sized after one corpus
+  //      pass), each round = one pair-count job + 1-row argmax. The
+  //      oracle unrolls every round as CTEs — pair counts, argmax,
+  //      literal double-space merge replace — so the hash pins the
+  //      exact trained merge table ----
+  private val BpeMerges = 10
+  def qBpeTrain(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTrain(docs(s, dir), "text", BpeMerges)
+      .orderBy("merge_rank")
+  val qBpeTrainSql: String = {
+    val rounds = (1 to BpeMerges).map { r =>
+      val p = r - 1
+      s"""p$r AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS c
+         |  FROM (SELECT freq, unnest(CASE WHEN len(tk) >= 2 THEN
+         |      list_transform(generate_series(1, len(tk)-1), i -> [tk[i], tk[i+1]])
+         |    ELSE []::VARCHAR[][] END) AS pr
+         |    FROM (SELECT freq, string_split(trim(s), '  ') AS tk FROM w$p))
+         |  GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT freq, CASE WHEN (SELECT count(*) FROM m$r) = 0 THEN s
+         |    ELSE replace(s, ' ' || (SELECT l FROM m$r) || '  ' || (SELECT r FROM m$r) || ' ',
+         |      ' ' || (SELECT l FROM m$r) || (SELECT r FROM m$r) || ' ') END AS s FROM w$p)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to BpeMerges).map(r =>
+      s"SELECT $r AS merge_rank, l AS lhs, r AS rhs, c AS pair_freq FROM m$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH wf AS MATERIALIZED (SELECT w, count(*) AS freq FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents) WHERE len(w) > 0 GROUP BY 1),
+       |w0 AS MATERIALIZED (SELECT freq, ' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS s FROM wf),
+       |$rounds
+       |SELECT merge_rank, lhs, rhs, pair_freq FROM ($unions) ORDER BY merge_rank""".stripMargin
+  }
+
   // ---- DSIR importance resampling (hashed-n-gram likelihood-ratio
   //      weights vs a target corpus + deterministic Gumbel top-k):
   //      the data-selection op of LLM pretraining pipelines. Target =
@@ -448,6 +481,7 @@ object CorpusQueries {
     "q_lm_score" -> (qLmScore _),
     "q_nb_classify" -> (qNbClassify _),
     "q_dsir_resample" -> (qDsirResample _),
+    "q_bpe_train" -> (qBpeTrain _),
     "q_embed_outliers" -> (qEmbedOutliers _),
   )
 
@@ -465,6 +499,7 @@ object CorpusQueries {
     "q_lm_score" -> qLmScoreSql,
     "q_nb_classify" -> qNbClassifySql,
     "q_dsir_resample" -> qDsirResampleSql,
+    "q_bpe_train" -> qBpeTrainSql,
     "q_embed_outliers" -> qEmbedOutliersSql,
   )
 }
