@@ -397,6 +397,34 @@ object TextAnalysis {
     } finally persisted.foreach(_.unpersist())
   }
 
+  /** Apply a trained BPE merge table ([[bpeTrain]]) to a corpus in
+    * ONE map-only pass: per doc, the token count under the real
+    * tokenizer (the number that drives packing budgets and mixture
+    * weights — whitespace counts under-count code/CJK and over-count
+    * prose) and an md5 of the full tokenized rendering, which pins
+    * every symbol boundary, not just the count.
+    *
+    * Rendering: each word's symbols join with TWO spaces (the
+    * [[bpeTrain]] contract), words join with THREE — a merge pattern
+    * ` L  R ` (double space) can therefore never match across a word
+    * boundary. The whole apply is one chained literal-replace Column
+    * (merge 1 innermost — merges apply in trained rank order, exactly
+    * like the trainer's rounds): codegen'd, zero shuffle, scales with
+    * scan bandwidth. */
+  def bpeApply(docs: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String,
+               merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val toks = filter(tokens(lower(col(textCol))), w => length(w) > 0)
+    val rendered = concat(lit(" "), array_join(transform(toks,
+      w => trim(regexp_replace(w, "(.)", "$1  "))), "   "), lit(" "))
+    val applied = merges.foldLeft(rendered) { case (s, (l, r)) =>
+      replace(s, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    docs.select(col(idCol).as("id"),
+      size(split(trim(applied), "\\s+")).cast("long").as("n_tokens"),
+      md5(applied).as("tok_sig"))
+  }
+
   /** Multinomial Naive Bayes text classifier, trained AND scored
     * relationally — the fastText-style classifier gate of a curation
     * pipeline (train on labeled reference data, score the crawl,

@@ -335,8 +335,13 @@ object CorpusQueries {
   def qBpeTrain(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeTrain(docs(s, dir), "text", BpeMerges)
       .orderBy("merge_rank")
-  val qBpeTrainSql: String = {
-    val rounds = (1 to BpeMerges).map { r =>
+  /** Shared BPE-training CTE chain (`wf`, `w0`, then per round
+    * `p$r`/`m$r`/`w$r`) ending at `m$n`/`w$n`. MATERIALIZED
+    * throughout: the default CTE inlining re-expands the round chain
+    * exponentially (each round is referenced by the next round AND
+    * the merge-table union) and exhausts file handles. */
+  private def bpeTrainCtes(n: Int): String = {
+    val rounds = (1 to n).map { r =>
       val p = r - 1
       s"""p$r AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS c
          |  FROM (SELECT freq, unnest(CASE WHEN len(tk) >= 2 THEN
@@ -349,13 +354,52 @@ object CorpusQueries {
          |    ELSE replace(s, ' ' || (SELECT l FROM m$r) || '  ' || (SELECT r FROM m$r) || ' ',
          |      ' ' || (SELECT l FROM m$r) || (SELECT r FROM m$r) || ' ') END AS s FROM w$p)""".stripMargin
     }.mkString(",\n")
+    s"""wf AS MATERIALIZED (SELECT w, count(*) AS freq FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents) WHERE len(w) > 0 GROUP BY 1),
+       |w0 AS MATERIALIZED (SELECT freq, ' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS s FROM wf),
+       |$rounds""".stripMargin
+  }
+  val qBpeTrainSql: String = {
     val unions = (1 to BpeMerges).map(r =>
       s"SELECT $r AS merge_rank, l AS lhs, r AS rhs, c AS pair_freq FROM m$r")
       .mkString("\n  UNION ALL ")
-    s"""WITH wf AS MATERIALIZED (SELECT w, count(*) AS freq FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents) WHERE len(w) > 0 GROUP BY 1),
-       |w0 AS MATERIALIZED (SELECT freq, ' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS s FROM wf),
-       |$rounds
+    s"""WITH ${bpeTrainCtes(BpeMerges)}
        |SELECT merge_rank, lhs, rhs, pair_freq FROM ($unions) ORDER BY merge_rank""".stripMargin
+  }
+
+  // ---- BPE encoding: apply the trained merge table to the corpus in
+  //      ONE map-only pass — per-doc token counts under a REAL
+  //      tokenizer (packing budgets, mixture weights) plus an md5 of
+  //      the full tokenization so the hash pins every symbol
+  //      boundary. Words join with THREE spaces so no merge can
+  //      cross a word boundary; the whole apply is one chained
+  //      replace Column — codegen'd, no shuffle, scan-bandwidth ----
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val merges = TextAnalysis.bpeTrain(d, "text", BpeMerges)
+      .orderBy("merge_rank")
+      .collect().map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+      .toSeq
+    TextAnalysis.bpeApply(d, "doc_id", "text", merges)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+  val qBpeEncodeSql: String = {
+    val render = "' ' || array_to_string(list_transform(list_filter(" +
+      "string_split_regex(trim(lower(text)), '\\s+'), w -> len(w) > 0), " +
+      "w -> trim(regexp_replace(w, '(.)', '\\1  ', 'g'))), '   ') || ' '"
+    // one CTE per merge step (a single folded expression would nest
+    // the accumulated text twice per level — 2^n growth)
+    val steps = (1 to BpeMerges).map { r =>
+      s"""e$r AS MATERIALIZED (SELECT doc_id, CASE WHEN (SELECT count(*) FROM m$r) = 0 THEN s
+         |    ELSE replace(s, ' ' || (SELECT l FROM m$r) || '  ' || (SELECT r FROM m$r) || ' ',
+         |      ' ' || (SELECT l FROM m$r) || (SELECT r FROM m$r) || ' ') END AS s FROM e${r - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeTrainCtes(BpeMerges)},
+       |e0 AS MATERIALIZED (SELECT doc_id, $render AS s FROM documents),
+       |$steps
+       |SELECT doc_id, CAST(len(string_split_regex(trim(s), '\\s+')) AS BIGINT) AS n_tokens,
+       |  md5(s) AS tok_sig
+       |FROM e$BpeMerges ORDER BY doc_id""".stripMargin
   }
 
   // ---- DSIR importance resampling (hashed-n-gram likelihood-ratio
@@ -482,6 +526,7 @@ object CorpusQueries {
     "q_nb_classify" -> (qNbClassify _),
     "q_dsir_resample" -> (qDsirResample _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_bpe_encode" -> (qBpeEncode _),
     "q_embed_outliers" -> (qEmbedOutliers _),
   )
 
@@ -500,6 +545,7 @@ object CorpusQueries {
     "q_nb_classify" -> qNbClassifySql,
     "q_dsir_resample" -> qDsirResampleSql,
     "q_bpe_train" -> qBpeTrainSql,
+    "q_bpe_encode" -> qBpeEncodeSql,
     "q_embed_outliers" -> qEmbedOutliersSql,
   )
 }

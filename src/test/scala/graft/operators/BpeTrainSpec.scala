@@ -50,6 +50,25 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(got2.length == 1 && got2.head == ((1, "a", "b", 2L)))
   }
 
+  test("bpeApply: token counts follow the merge table in rank order") {
+    val d = Seq((0L, "low lower")).toDF("id", "text")
+    // no merges: character tokens
+    val none = TextAnalysis.bpeApply(d, "id", "text", Nil).collect().head
+    assert(none.getAs[Long]("n_tokens") == 8) // l o w + l o w e r
+    // (l,o) then (lo,w): low -> [low]; lower -> [low, e, r]
+    val got = TextAnalysis.bpeApply(d, "id", "text",
+      Seq(("l", "o"), ("lo", "w"))).collect().head
+    assert(got.getAs[Long]("n_tokens") == 4)
+  }
+
+  test("bpeApply: merges never cross word boundaries") {
+    val d = Seq((0L, "aw la")).toDF("id", "text")
+    // pattern ' w  l ' must not bridge 'aw' and 'la' (3-space gap)
+    val got = TextAnalysis.bpeApply(d, "id", "text", Seq(("w", "l")))
+      .collect().head
+    assert(got.getAs[Long]("n_tokens") == 4)
+  }
+
   test("deterministic on the real corpus, and ranks are 1..n") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def run() = TextAnalysis.bpeTrain(docs, "text", 5)
