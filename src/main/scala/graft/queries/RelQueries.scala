@@ -524,6 +524,29 @@ object RelQueries {
       |SELECT nation_key, rnk, c_custkey, acctbal
       |FROM r WHERE rnk <= 3 ORDER BY nation_key, rnk""".stripMargin
 
+  // ---- ORC source/sink round trip: write a typed lineitem slice
+  //      (int64/int32/double/string/timestamp-µs) to ORC, read it
+  //      back, and emit the rows — the oracle is the PLAIN table
+  //      select, so a hash match proves the format preserves every
+  //      value bit-exactly. Timestamps emit as epoch-µs through the
+  //      schema-adaptive Tables.epochUs (UTC session contract) ----
+  def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val slice = Tables.load(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 200)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    graft.sources.Sinks.writeOrc(slice, tmp)
+    val back = s.read.orc(tmp)
+    back.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"), col("l_linestatus"),
+        Tables.epochUs(back, "l_shipdate").as("ship_us"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+  val qOrcRoundtripSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |  l_returnflag, l_linestatus, epoch_us(l_shipdate) AS ship_us
+      |FROM lineitem WHERE l_orderkey < 200
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_extract" -> (qJsonExtract _),
     "q_unpivot" -> (qUnpivot _),
@@ -543,6 +566,7 @@ object RelQueries {
     "q_funnel" -> (qFunnel _),
     "q_group_topk" -> (qGroupTopK _),
     "q_incr_agg" -> (qIncrAgg _),
+    "q_orc_roundtrip" -> (qOrcRoundtrip _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -564,5 +588,6 @@ object RelQueries {
     "q_funnel" -> qFunnelSql,
     "q_group_topk" -> qGroupTopKSql,
     "q_incr_agg" -> qIncrAggSql,
+    "q_orc_roundtrip" -> qOrcRoundtripSql,
   )
 }

@@ -31,4 +31,12 @@ object Sinks {
   def writeJson(df: DataFrame, path: String,
                 mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
+
+  /** ORC — the other columnar interchange format (built into Spark;
+    * same predicate-pushdown and column-pruning story as parquet).
+    * Exercised end-to-end by q_orc_roundtrip: typed values must
+    * survive write→read bit-exactly. */
+  def writeOrc(df: DataFrame, path: String,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
 }

@@ -39,6 +39,17 @@ class SinksSpec extends AnyFunSuite {
     assert(jsonBack.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
   }
 
+  test("orc round-trip preserves every typed value bit-exactly") {
+    val out = Files.createTempDirectory("graft_orc").toString + "/li"
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    Sinks.writeOrc(li, out)
+    val back = spark.read.orc(out)
+    assert(back.schema == li.schema)
+    val key = li.columns.toSeq
+    assert(back.orderBy(key.map(col): _*).collect().toSeq ==
+      li.orderBy(key.map(col): _*).collect().toSeq)
+  }
+
   test("FitMain CLI: reference UX end-to-end (TSV + attributes → printed rules)") {
     val dir = Files.createTempDirectory("graft_cli")
     Files.writeString(dir.resolve("attributes.txt"),
