@@ -1,8 +1,56 @@
 package graft.operators
 
 import graft.functions.Hashing
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+
+/** KMV sketch result: how many distinct hashes the buffer holds (≤ k)
+  * and the k-th smallest (0 when fewer than one). */
+case class KmvSketch(kActual: Int, kth: Long)
+
+/** Bottom-k-distinct-hashes buffer as a mergeable Aggregator — the
+  * KMV distinct-count sketch ([[Sampling.kmvDistinct]]'s math) in
+  * UDAF form, so it composes with ANY grouping, including streaming
+  * windows: state per group is capped at k longs no matter the
+  * cardinality, partial aggregation merges map-side, and the merge is
+  * a sorted distinct union — associative, commutative, deterministic.
+  * When fewer than k distinct hashes exist the sketch IS the exact
+  * count. */
+private[graft] class KmvAggregator(k: Int)
+  extends Aggregator[Long, List[Long], KmvSketch] {
+  require(k >= 2, s"k must be at least 2: $k")
+
+  override def zero: List[Long] = Nil
+
+  override def reduce(buf: List[Long], h: Long): List[Long] =
+    if (buf.lengthCompare(k) >= 0 && h >= buf.last) buf
+    else {
+      val (pre, post) = buf.span(_ < h)
+      if (post.headOption.contains(h)) buf // distinct: drop repeats
+      else (pre ::: h :: post).take(k)
+    }
+
+  override def merge(a: List[Long], b: List[Long]): List[Long] = {
+    val out = List.newBuilder[Long]
+    var (l, r, n) = (a, b, 0)
+    var last = Long.MinValue
+    var first = true
+    while (n < k && (l.nonEmpty || r.nonEmpty)) {
+      val next =
+        if (r.isEmpty || (l.nonEmpty && l.head <= r.head)) { val v = l.head; l = l.tail; v }
+        else { val v = r.head; r = r.tail; v }
+      if (first || next != last) { out += next; n += 1; last = next; first = false }
+    }
+    out.result()
+  }
+
+  override def finish(b: List[Long]): KmvSketch =
+    KmvSketch(b.length, if (b.isEmpty) 0L else b.last)
+
+  override def bufferEncoder: Encoder[List[Long]] = Encoders.kryo[List[Long]]
+  override def outputEncoder: Encoder[KmvSketch] = Encoders.product[KmvSketch]
+}
 
 /** Mergeable frequency sketch: count-min (Cormode & Muthukrishnan,
   * "An improved data stream summary: the count-min sketch and its

@@ -1491,6 +1491,41 @@ object ExtQueries {
        |WHERE w_start + $WDailyWindowMs <= mx - $WDailyDelayMs
        |ORDER BY w_start""".stripMargin
 
+  // ---- streaming per-window distinct cardinality via the mergeable
+  //      KMV sketch UDAF: state capped at k longs per window no
+  //      matter the key cardinality (exact streaming countDistinct
+  //      state is unbounded), merge-order independent, so the
+  //      streaming run hash-matches the batch replay; append-mode
+  //      emission rule mirrored as in the other window queries ----
+  private val SDistK = 64
+  def qStreamDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"graft_stream_sdist_${streamRuns.incrementAndGet()}"
+    withStatePartitions(s, StreamStatePartitions) {
+      val q = graft.streaming.StreamingDistinct.windowedDistinct(
+          graft.streaming.StreamingStats.readRawEventStream(s, dir),
+          "user_id", SDistK, windowLen = "1 day", watermark = "6 hours")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      awaitStreamOrFail(q)
+    }
+    s.table(name).orderBy("w_start")
+  }
+  val qStreamDistinctSql: String =
+    s"""WITH e AS (SELECT epoch_ms(ts) AS ms, ${Hashing.hash60Sql("user_id")} AS h FROM events),
+       |m AS (SELECT max(ms) AS mx FROM e),
+       |d AS (SELECT DISTINCT ms // $WDailyWindowMs * $WDailyWindowMs AS w_start, h FROM e),
+       |r AS (SELECT w_start, h, row_number() OVER (PARTITION BY w_start ORDER BY h) AS rn FROM d),
+       |a AS (SELECT w_start,
+       |    CAST(sum(CASE WHEN rn <= $SDistK THEN 1 ELSE 0 END) AS BIGINT) AS k_actual,
+       |    max(CASE WHEN rn <= $SDistK THEN h END) AS kth_hash
+       |  FROM r GROUP BY 1)
+       |SELECT w_start, k_actual, kth_hash,
+       |  floor((CASE WHEN k_actual < $SDistK THEN k_actual::DOUBLE
+       |    ELSE ${SDistK - 1}.0 * 1152921504606846976.0 / kth_hash END) * 1000000 + 0.5) / 1000000 AS est_distinct
+       |FROM a, m WHERE w_start + $WDailyWindowMs <= mx - $WDailyDelayMs
+       |ORDER BY w_start""".stripMargin
+
   // ---- streaming exact dedup at ingestion (dropDuplicates state).
   //      The SET of surviving content hashes is deterministic; WHICH
   //      duplicate doc_id survives is first-seen within a micro-batch
@@ -1653,6 +1688,7 @@ object ExtQueries {
     "q_ngram_repetition" -> (qNgramRepetition _),
     "q_stream_window_stats" -> (qStreamWindowStats _),
     "q_stream_window_daily" -> (qStreamWindowDaily _),
+    "q_stream_distinct" -> (qStreamDistinct _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_enrich" -> (qStreamEnrich _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -1700,6 +1736,7 @@ object ExtQueries {
     "q_ngram_repetition" -> qNgramRepetitionSql,
     "q_stream_window_stats" -> qStreamWindowStatsSql,
     "q_stream_window_daily" -> qStreamWindowDailySql,
+    "q_stream_distinct" -> qStreamDistinctSql,
     "q_stream_dedup" -> qStreamDedupSql,
     "q_stream_enrich" -> qStreamEnrichSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
