@@ -54,4 +54,32 @@ object Retention {
       .groupBy("cohort_day", "day_offset")
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Exponentially time-decayed activity score per key — the recency
+    * weight of freshness-aware sampling ("prefer data from active,
+    * recent sources") and of any leaderboard where yesterday matters
+    * more than last year. Each event contributes
+    * `value · 2^(−(T − ts_ms) / halfLifeMs)` where T is the corpus
+    * max event time (one broadcast agg row — the decay horizon must
+    * be DATA-derived, or the score depends on wall-clock run time).
+    *
+    * Per-event contributions round to integer MICROS before the
+    * per-key sum — the order-independence discipline every micros
+    * pipeline here uses — so the score is an exact long under any
+    * partitioning and replays bit-identically in SQL. One shuffle:
+    * the per-key partial-agg sum; the horizon row broadcasts.
+    * Output: (key, n_events, decay_micros). */
+  def decayedScore(events: DataFrame, keyCol: String, tsMsCol: String,
+                   valueCol: String, halfLifeMs: Long): DataFrame = {
+    require(halfLifeMs > 0, "halfLifeMs must be positive")
+    val horizon = events.agg(max(col(tsMsCol)).as("__t_max"))
+    val contrib = floor(col(valueCol) *
+      pow(lit(2.0), -(col("__t_max") - col(tsMsCol)).cast("double") /
+        lit(halfLifeMs.toDouble)) * lit(1e6) + lit(0.5)).cast("long")
+    events
+      .select(col(keyCol).as("key"), col(tsMsCol), col(valueCol))
+      .crossJoin(broadcast(horizon))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_events"), sum(contrib).as("decay_micros"))
+  }
 }

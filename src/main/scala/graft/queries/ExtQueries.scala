@@ -1087,6 +1087,25 @@ object ExtQueries {
       |SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_users
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- exponentially time-decayed activity (recency weighting for
+  //      freshness-aware sampling): per-user score where each event
+  //      contributes value · 2^(−age/halflife) against the DATA-
+  //      derived horizon (corpus max event time); per-event micros
+  //      rounding keeps the sum an exact long ----
+  private val DecayHalfLifeMs = 604800000L // 7 days
+  def qDecayScore(s: SparkSession, dir: String): DataFrame =
+    Retention.decayedScore(
+        Tables.loadEventsMs(s, dir), "user_id", "ts_ms", "value",
+        DecayHalfLifeMs)
+      .select(col("key").as("user_id"), col("n_events"), col("decay_micros"))
+      .orderBy("user_id")
+  val qDecayScoreSql: String =
+    s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events),
+       |t AS (SELECT max(ms) AS t_max FROM e)
+       |SELECT user_id, count(*) AS n_events,
+       |  CAST(sum(CAST(floor(value * pow(2.0, -(t_max - ms) / $DecayHalfLifeMs.0) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS decay_micros
+       |FROM e, t GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---- multimodal: binary column + batched feature extraction ----
   def qMultimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.featuresFromDocuments(s, docs(s, dir))
@@ -1673,6 +1692,7 @@ object ExtQueries {
     "q_sessionize" -> (qSessionize _),
     "q_event_daily" -> (qEventDaily _),
     "q_retention" -> (qRetention _),
+    "q_decay_score" -> (qDecayScore _),
     "q_multimodal" -> (qMultimodal _),
     "q_audio_meta" -> (qAudioMeta _),
     "q_rolling_hash" -> (qRollingHash _),
@@ -1721,6 +1741,7 @@ object ExtQueries {
     "q_sessionize" -> qSessionizeSql,
     "q_event_daily" -> qEventDailySql,
     "q_retention" -> qRetentionSql,
+    "q_decay_score" -> qDecayScoreSql,
     "q_multimodal" -> qMultimodalSql,
     "q_audio_meta" -> qAudioMetaSql,
     "q_rolling_hash" -> qRollingHashSql,

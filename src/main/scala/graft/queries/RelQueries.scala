@@ -547,6 +547,34 @@ object RelQueries {
       |FROM lineitem WHERE l_orderkey < 200
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // ---- schema evolution on read (mergeSchema): two parquet batches
+  //      with different widths — an early (doc_id, lang) snapshot and
+  //      a later one that added n_chars — read as ONE table with the
+  //      union schema, missing columns NULL. The 100 TB reality:
+  //      long-lived datasets widen over time, and the engine must
+  //      read across the boundary without rewriting history. The
+  //      oracle replays the union with typed NULLs, so the hash pins
+  //      exact null/value placement ----
+  def qSchemaMerge(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    graft.sources.Sinks.writeParquet(
+      d.filter(col("doc_id") % 2 === 0).select("doc_id", "lang"),
+      s"$tmp/batch=1")
+    graft.sources.Sinks.writeParquet(
+      d.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars"),
+      s"$tmp/batch=2")
+    s.read.option("mergeSchema", "true").parquet(tmp)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+  val qSchemaMergeSql: String =
+    """SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+      |FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_extract" -> (qJsonExtract _),
     "q_unpivot" -> (qUnpivot _),
@@ -567,6 +595,7 @@ object RelQueries {
     "q_group_topk" -> (qGroupTopK _),
     "q_incr_agg" -> (qIncrAgg _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
+    "q_schema_merge" -> (qSchemaMerge _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -589,5 +618,6 @@ object RelQueries {
     "q_group_topk" -> qGroupTopKSql,
     "q_incr_agg" -> qIncrAggSql,
     "q_orc_roundtrip" -> qOrcRoundtripSql,
+    "q_schema_merge" -> qSchemaMergeSql,
   )
 }

@@ -57,6 +57,38 @@ class RetentionSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("decayedScore: hand math at the horizon, half-life, and quarter-life") {
+    val s = spark
+    import s.implicits._
+    val hl = 1000L
+    val ev = Seq(
+      (1L, 5000L, 8.0),  // at the horizon: full weight 8.0
+      (1L, 4000L, 8.0),  // one half-life old: 4.0
+      (2L, 3000L, 8.0)   // two half-lives old: 2.0
+    ).toDF("user_id", "ts_ms", "value")
+    val got = Retention.decayedScore(ev, "user_id", "ts_ms", "value", hl)
+      .collect().map(r => r.getAs[Long]("key") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("decay_micros"))).toMap
+    assert(got(1L) == ((2L, 12000000L))) // 8.0 + 4.0 in micros
+    assert(got(2L) == ((1L, 2000000L)))
+    // horizon is data-derived: shifting all timestamps equally is a no-op
+    val shifted = ev.withColumn("ts_ms", col("ts_ms") + 123456L)
+    val got2 = Retention.decayedScore(shifted, "user_id", "ts_ms", "value", hl)
+      .collect().map(r => r.getAs[Long]("key") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("decay_micros"))).toMap
+    assert(got2 == got)
+  }
+
+  test("decayedScore is partition-independent (exact micros)") {
+    val events = graft.sources.Tables.loadEventsMs(
+      spark, "/root/testdata/sf0.001")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Retention.decayedScore(df, "user_id", "ts_ms", "value", 604800000L)
+        .collect().map(r => (r.getAs[Long]("key"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("decay_micros"))).sortBy(_._1).toSeq
+    assert(run(events) == run(events.repartition(11)))
+  }
+
   test("plan shape: two exchanges, no window sort") {
     val s = spark
     import s.implicits._
