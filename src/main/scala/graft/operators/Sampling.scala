@@ -127,6 +127,34 @@ object Sampling {
       .drop("__ppm")
   }
 
+  /** Weighted sampling WITHOUT replacement, k per stratum — the
+    * Efraimidis–Vitter reservoir (Efraimidis & Spirakis, IPL 2006)
+    * made deterministic and distributed: each row draws
+    * u = (hash60(id)+0.5)/2^60 from the portable hash and keeps key
+    * score = ln(u)/w (monotone with the paper's u^(1/w)); the k
+    * LARGEST scores per stratum are exactly a weight-proportional
+    * sample without replacement. Scores round half-up at 9dp so the
+    * selection is engine-exact; ties break toward the smaller id.
+    *
+    * Scale shape: a pure-Column score (no shuffle) feeding
+    * [[GroupTopK.topKByKey]]'s k-bounded partial-combining aggregate
+    * — map-side trims every partition to ≤ k rows per stratum, so a
+    * giant stratum never serializes into one task (the row_number
+    * window would). Rows with non-positive weight are excluded (zero
+    * weight ⇒ never sampled, the paper's convention).
+    *
+    * Output: (stratum, rank 1..k, id, score). */
+  def weightedSample(df: DataFrame, strataCol: String, idCol: String,
+                     weightCol: String, k: Int, salt: Int = 13): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val u = (Hashing.hash60(col(idCol).cast("string"), salt) + lit(0.5)) /
+      lit(1152921504606846976.0) // 2^60
+    val score = floor(log(u) / col(weightCol) * lit(1e9) + lit(0.5)) / lit(1e9)
+    GroupTopK.topKByKey(df.filter(col(weightCol) > 0),
+        col(strataCol), col(idCol), score, k)
+      .withColumnRenamed("key", "stratum")
+  }
+
   /** DSIR-style importance resampling (Xie et al. 2023,
     * arXiv:2302.03169): select raw-corpus documents whose hashed
     * n-gram distribution looks like a TARGET corpus. Per document,

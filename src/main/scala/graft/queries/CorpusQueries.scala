@@ -325,6 +325,31 @@ object CorpusQueries {
        |  floor(CAST(sum(m) AS BIGINT) / CAST(sum(c) AS BIGINT) + 0.5) / 1000000 AS avg_logprob
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- weighted sampling without replacement (Efraimidis–Vitter
+  //      reservoir, deterministic): 5 docs per language, probability
+  //      proportional to length — the "sample big docs more" step of
+  //      corpus inspection/eval-set construction. k-bounded
+  //      partial-combining top-k per stratum, no window ----
+  private val WsK = 5
+  private val WsSalt = 13
+  def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(docs(s, dir), "lang", "doc_id", "n_chars",
+        WsK, WsSalt)
+      .select(col("stratum").as("lang"), col("rank").cast("long").as("rnk"),
+        col("id").as("doc_id"), col("score"))
+      .orderBy("lang", "rnk")
+  val qWeightedSampleSql: String = {
+    val u = s"((${Hashing.hash60Sql("doc_id::VARCHAR", WsSalt)} + 0.5) / 1152921504606846976.0)"
+    s"""WITH sc AS (SELECT lang, doc_id,
+       |    floor(ln($u) / n_chars * 1000000000 + 0.5) / 1000000000 AS score
+       |  FROM documents WHERE n_chars > 0),
+       |r AS (SELECT lang, doc_id, score,
+       |    row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM sc)
+       |SELECT lang, rnk, doc_id, score FROM r WHERE rnk <= $WsK
+       |ORDER BY lang, rnk""".stripMargin
+  }
+
   // ---- BPE tokenizer training: 10 merge rounds over the corpus's
   //      word-frequency table (vocabulary-sized after one corpus
   //      pass), each round = one pair-count job + 1-row argmax. The
@@ -527,6 +552,7 @@ object CorpusQueries {
     "q_dsir_resample" -> (qDsirResample _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_encode" -> (qBpeEncode _),
+    "q_weighted_sample" -> (qWeightedSample _),
     "q_embed_outliers" -> (qEmbedOutliers _),
   )
 
@@ -546,6 +572,7 @@ object CorpusQueries {
     "q_dsir_resample" -> qDsirResampleSql,
     "q_bpe_train" -> qBpeTrainSql,
     "q_bpe_encode" -> qBpeEncodeSql,
+    "q_weighted_sample" -> qWeightedSampleSql,
     "q_embed_outliers" -> qEmbedOutliersSql,
   )
 }

@@ -134,4 +134,46 @@ class SamplingSpec extends AnyFunSuite {
     assert(scoreRare > 1.0 && scoreRare < scoreCommon,
       "tf dominates here (tf=2 vs 1) but rare idf > 1")
   }
+
+  test("weightedSample: k per stratum, heavy weights dominate, zero weights excluded") {
+    val s = spark
+    import s.implicits._
+    val d = ((1 to 50).map(i => (i.toLong, "x", 1.0)) ++
+      Seq((100L, "x", 1e9), (200L, "x", 0.0)) ++
+      (1 to 3).map(i => (300L + i, "y", 1.0)))
+      .toDF("id", "stratum", "w")
+    val got = Sampling.weightedSample(d, "stratum", "id", "w", k = 5)
+      .collect()
+    val x = got.filter(_.getAs[String]("stratum") == "x")
+    val y = got.filter(_.getAs[String]("stratum") == "y")
+    assert(x.length == 5 && y.length == 3, "k per stratum, capped by size")
+    assert(x.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    // weight 1e9 vs 1: score ln(u)/1e9 ~ 0 > any unit-weight score
+    assert(x.head.getAs[Long]("id") == 100L,
+      "the overwhelming weight must rank first")
+    assert(!got.exists(_.getAs[Long]("id") == 200L), "zero weight never sampled")
+  }
+
+  test("weightedSample equals the row_number formulation (window dual)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Sampling.weightedSample(docs, "lang", "doc_id", "n_chars", k = 5)
+      .collect()
+      .map(r => (r.getAs[String]("stratum"), r.getAs[Int]("rank").toLong,
+        r.getAs[Long]("id"), r.getAs[Double]("score"))).sortBy(t => (t._1, t._2))
+      .toSeq
+    val u = (graft.functions.Hashing.hash60(col("doc_id").cast("string"), 13) +
+      lit(0.5)) / lit(1152921504606846976.0)
+    val score = floor(log(u) / col("n_chars") * lit(1e9) + lit(0.5)) / lit(1e9)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("__s").desc, col("doc_id").asc)
+    val dual = docs.filter(col("n_chars") > 0)
+      .withColumn("__s", score)
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= 5)
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("__r").toLong,
+        r.getAs[Long]("doc_id"), r.getAs[Double]("__s"))).sortBy(t => (t._1, t._2))
+      .toSeq
+    assert(got == dual)
+  }
 }
