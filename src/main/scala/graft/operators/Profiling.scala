@@ -81,4 +81,39 @@ object Profiling {
           .otherwise((col("s") - col("sx") / col("n")) / sigma).as("z"))
       .filter(abs(col("z")) > zThreshold)
   }
+
+  /** Robust per-group outlier screen on median/MAD instead of
+    * mean/σ: a row is flagged when |value − median| > thr × MAD
+    * (MAD = median absolute deviation). Mean/σ screens
+    * ([[periodAnomalies]]) break down exactly when outliers are worst
+    * — the outliers inflate σ and hide themselves; the median and MAD
+    * have a 50% breakdown point, the standard robust alternative.
+    * MAD = 0 (at least half the group sits exactly at the median)
+    * degenerates the rule to "any deviation flags", the conventional
+    * reading of an infinite robust z.
+    *
+    * Both statistics are EXACT percentiles, so the flagged set is
+    * deterministic and engine-portable (`percentile` ≡ DuckDB
+    * `quantile_cont`, the q_quantiles-pinned pair). Scale shape: two
+    * per-key exact-percentile aggregations (each shuffles the group's
+    * values — at extreme group sizes swap in `approx_percentile` and
+    * accept sketch-dependent edges) with the #keys-sized stats tables
+    * joined back (AQE broadcasts them). Output: flagged rows only,
+    * (key, id, value, med, mad) with med/mad rounded to 6dp. */
+  def madOutliers(df: DataFrame, keyCol: String, idCol: String,
+                  valueCol: String, thr: Double = 6.0): DataFrame = {
+    require(thr > 0, "thr must be positive")
+    val base = df.select(col(keyCol).as("key"), col(idCol).as("id"),
+      col(valueCol).cast("double").as("v"))
+    val med = base.groupBy("key")
+      .agg(percentile(col("v"), lit(0.5)).as("__med"))
+    val dev = base.join(med, "key")
+      .withColumn("__dev", abs(col("v") - col("__med")))
+    val mad = dev.groupBy("key")
+      .agg(percentile(col("__dev"), lit(0.5)).as("__mad"))
+    dev.join(mad, "key")
+      .filter(col("__dev") > lit(thr) * col("__mad"))
+      .select(col("key"), col("id"), col("v").as("value"),
+        round(col("__med"), 6).as("med"), round(col("__mad"), 6).as("mad"))
+  }
 }

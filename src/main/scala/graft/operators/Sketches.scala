@@ -111,4 +111,37 @@ object Sketches {
       .groupBy(col(probeCol))
       .agg(min(coalesce(col("n"), lit(0L))).as("cms_est"))
   }
+
+  /** KMV estimator columns from an aggregated [[KmvSketch]] struct
+    * column: (k_actual, kth_hash, est_distinct) — `(k−1)·2^60 / h_(k)`
+    * above k, the exact count below it ([[Sampling.kmvDistinct]]'s
+    * math; shared by the batch per-group and streaming per-window
+    * paths so the estimator is written once). */
+  private[graft] def kmvColumns(kmv: Column, k: Int): Seq[Column] = {
+    val twoPow60 = 1152921504606846976.0 // 2^60, exact in double
+    Seq(kmv.getField("kActual").cast("long").as("k_actual"),
+      kmv.getField("kth").as("kth_hash"),
+      (floor(when(kmv.getField("kActual") < k,
+        kmv.getField("kActual").cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(twoPow60) /
+          kmv.getField("kth").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
+        .as("est_distinct"))
+  }
+
+  /** Per-group distinct-count estimates via the mergeable KMV sketch
+    * ([[KmvAggregator]]): one partial-aggregated shuffle carrying at
+    * most k longs per (group, partition) — the bounded-state answer
+    * to per-domain/per-day cardinality profiling where an exact
+    * `countDistinct` shuffles every distinct key. Exact below k.
+    * Output: (key, k_actual, kth_hash, est_distinct). */
+  def kmvPerGroup(df: DataFrame, keyCol: String, valueCol: String,
+                  k: Int): DataFrame = {
+    val agg = org.apache.spark.sql.functions.udaf(
+      new KmvAggregator(k), Encoders.scalaLong)
+    df.select(col(keyCol).as("key"),
+        Hashing.hash60(col(valueCol).cast("string")).as("__h"))
+      .groupBy("key")
+      .agg(agg(col("__h")).as("kmv"))
+      .select(col("key") +: kmvColumns(col("kmv"), k): _*)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Profiling, Sessionize, SkewTools, TemporalJoin}
+import graft.operators.{Profiling, Sessionize, Sketches, SkewTools, TemporalJoin}
 import graft.sources.{Layout, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -524,6 +524,46 @@ object RelQueries {
       |SELECT nation_key, rnk, c_custkey, acctbal
       |FROM r WHERE rnk <= 3 ORDER BY nation_key, rnk""".stripMargin
 
+  // ---- robust outlier screen: median/MAD instead of mean/sigma —
+  //      the screen that still works when outliers inflate sigma and
+  //      hide themselves. Exact percentiles both sides (the
+  //      q_quantiles-pinned percentile == quantile_cont pair), so the
+  //      flagged set hash-matches ----
+  private val MadThr = 6.0
+  def qMadOutliers(s: SparkSession, dir: String): DataFrame =
+    Profiling.madOutliers(Tables.load(s, dir, "events"),
+        "event_type", "event_id", "value", MadThr)
+      .orderBy("key", "id")
+  val qMadOutliersSql: String =
+    s"""WITH e AS (SELECT event_type AS key, event_id AS id, value AS v FROM events),
+       |m1 AS (SELECT key, quantile_cont(v, 0.5) AS med FROM e GROUP BY 1),
+       |d AS (SELECT e.key, id, v, med, abs(v - med) AS dev FROM e JOIN m1 USING (key)),
+       |m2 AS (SELECT key, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+       |SELECT d.key, id, v AS value, round(med, 6) AS med, round(mad, 6) AS mad
+       |FROM d JOIN m2 USING (key) WHERE dev > $MadThr * mad
+       |ORDER BY key, id""".stripMargin
+
+  // ---- per-group cardinality profiling via the mergeable KMV
+  //      sketch: distinct users per event type with state capped at
+  //      k longs per group (exact countDistinct shuffles every
+  //      distinct key); exact below k, deterministic estimator ----
+  private val KgK = 64
+  def qKmvGroups(s: SparkSession, dir: String): DataFrame =
+    Sketches.kmvPerGroup(Tables.load(s, dir, "events"),
+        "event_type", "user_id", KgK)
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type")
+  val qKmvGroupsSql: String =
+    s"""WITH d AS (SELECT DISTINCT event_type, ${graft.functions.Hashing.hash60Sql("user_id")} AS h FROM events),
+       |r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM d),
+       |a AS (SELECT event_type,
+       |    CAST(sum(CASE WHEN rn <= $KgK THEN 1 ELSE 0 END) AS BIGINT) AS k_actual,
+       |    max(CASE WHEN rn <= $KgK THEN h END) AS kth_hash FROM r GROUP BY 1)
+       |SELECT event_type, k_actual, kth_hash,
+       |  floor((CASE WHEN k_actual < $KgK THEN k_actual::DOUBLE
+       |    ELSE ${KgK - 1}.0 * 1152921504606846976.0 / kth_hash END) * 1000000 + 0.5) / 1000000 AS est_distinct
+       |FROM a ORDER BY event_type""".stripMargin
+
   // ---- ORC source/sink round trip: write a typed lineitem slice
   //      (int64/int32/double/string/timestamp-µs) to ORC, read it
   //      back, and emit the rows — the oracle is the PLAIN table
@@ -596,6 +636,8 @@ object RelQueries {
     "q_incr_agg" -> (qIncrAgg _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_schema_merge" -> (qSchemaMerge _),
+    "q_mad_outliers" -> (qMadOutliers _),
+    "q_kmv_groups" -> (qKmvGroups _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -619,5 +661,7 @@ object RelQueries {
     "q_incr_agg" -> qIncrAggSql,
     "q_orc_roundtrip" -> qOrcRoundtripSql,
     "q_schema_merge" -> qSchemaMergeSql,
+    "q_mad_outliers" -> qMadOutliersSql,
+    "q_kmv_groups" -> qKmvGroupsSql,
   )
 }

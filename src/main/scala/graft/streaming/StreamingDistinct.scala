@@ -41,16 +41,10 @@ object StreamingDistinct {
   private def windowedCore(e: DataFrame, keyCol: String, k: Int,
                            windowLen: String): DataFrame = {
     val agg = udaf(new KmvAggregator(k), Encoders.scalaLong)
-    val twoPow60 = 1152921504606846976.0 // 2^60, exact in double
     e.withColumn("__h", Hashing.hash60(col(keyCol).cast("string")))
       .groupBy(window(col("ts_time"), windowLen).as("w"))
       .agg(agg(col("__h")).as("kmv"))
-      .select(unix_millis(col("w.start")).as("w_start"),
-        col("kmv.kActual").cast("long").as("k_actual"),
-        col("kmv.kth").as("kth_hash"),
-        (floor(when(col("kmv.kActual") < k, col("kmv.kActual").cast("double"))
-          .otherwise(lit((k - 1).toDouble) * lit(twoPow60) /
-            col("kmv.kth").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
-          .as("est_distinct"))
+      .select(unix_millis(col("w.start")).as("w_start") +:
+        graft.operators.Sketches.kmvColumns(col("kmv"), k): _*)
   }
 }

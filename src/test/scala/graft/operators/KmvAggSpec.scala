@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTestSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** [[KmvAggregator]] — mergeable bottom-k-distinct sketch: dedup,
@@ -30,6 +31,22 @@ class KmvAggSpec extends AnyFunSuite {
     val a = new KmvAggregator(16)
     val buf = Seq(7L, 7L, 3L, 3L, 11L).foldLeft(a.zero)(a.reduce)
     assert(a.finish(buf) == KmvSketch(3, 11L))
+  }
+
+  test("kmvPerGroup: exact below k per group, matches global KMV on one group") {
+    val s = spark
+    import s.implicits._
+    val df = ((1 to 100).map(i => ("a", i % 7)) ++
+      (1 to 50).map(i => ("b", i))).toDF("k", "v")
+    val got = Sketches.kmvPerGroup(df, "k", "v", 64)
+      .collect().map(r => r.getAs[String]("key") ->
+        (r.getAs[Long]("k_actual"), r.getAs[Double]("est_distinct"))).toMap
+    assert(got("a") == ((7L, 7.0)), "7 distinct < k -> exact")
+    assert(got("b") == ((50L, 50.0)))
+    // one group == the global sketch (same hash family, same estimator)
+    val globalEst = Sampling.kmvDistinct(df.filter(col("k") === "a")
+      .select("v"), "v", 64).collect().head.getAs[Double]("est_distinct")
+    assert(got("a")._2 == globalEst)
   }
 
   test("batch windowed distinct: exact below k, within 25% above k on real events") {

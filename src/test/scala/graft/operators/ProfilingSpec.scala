@@ -69,4 +69,45 @@ class ProfilingSpec extends AnyFunSuite {
       .orderBy("rnk").collect().map(_.getLong(0))
     assert(got.head == 4L, s"the anti-aligned vector is the top outlier: ${got.toSeq}")
   }
+
+  test("madOutliers flags the planted spike and survives sigma inflation") {
+    val s = spark
+    import s.implicits._
+    // group a: tight cluster around 10 + one huge spike. The spike
+    // inflates sigma enough that a mean/sigma screen at z=6 would
+    // struggle; median=10, MAD=1 flags it trivially.
+    val a = (1 to 20).map(i => ("a", i.toLong, 10.0 + (i % 3) - 1)) :+
+      (("a", 99L, 100000.0))
+    // group b: all identical -> MAD 0 -> only true deviants flag
+    val b = (1 to 10).map(i => ("b", 100L + i, 5.0)) :+ (("b", 200L, 5.5))
+    val df = (a ++ b).toDF("k", "eid", "v")
+    val got = Profiling.madOutliers(df, "k", "eid", "v", thr = 6.0)
+      .collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("id")))
+    assert(got.contains(("a", 99L)), "the spike must flag")
+    assert(!got.exists { case (k, id) => k == "a" && id != 99L },
+      "tight-cluster members must not flag")
+    assert(got.contains(("b", 200L)), "MAD=0: any deviation flags")
+    assert(got.count(_._1 == "b") == 1)
+  }
+
+  test("madOutliers on real events matches a driver-side replay") {
+    val events = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val rows = events.select(col("event_type"), col("event_id"),
+        col("value").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (k, grp) =>
+      val med = medianOf(grp.map(_._3).toSeq)
+      val mad = medianOf(grp.map(x => math.abs(x._3 - med)).toSeq)
+      grp.filter(x => math.abs(x._3 - med) > 6.0 * mad).map(x => (k, x._2)).toSeq
+    }.toSet
+    val got = Profiling.madOutliers(events, "event_type", "event_id", "value")
+      .collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("id"))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "the synthetic events should contain MAD outliers")
+  }
 }
