@@ -1,6 +1,7 @@
 package graft.fit
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Model-quality operators (absent from the reference, which fits and
@@ -32,5 +33,42 @@ object Evaluation {
       sum(when(col(labelCol) === col(predCol), 1L).otherwise(0L)).as("hit"),
       count(lit(1)).as("n")).collect()(0)
     r.getLong(0).toDouble / r.getLong(1)
+  }
+
+  /** Exact ROC-AUC of a score against a boolean label — the
+    * Mann-Whitney U statistic, EXACT including ties (a tied
+    * positive/negative pair counts ½).
+    *
+    * The naive formulation is a global rank over every row (a
+    * single-partition window — the anti-pattern). Instead the
+    * statistic factors over the DISTINCT-SCORE table:
+    *
+    *   2·U = Σ_s  nPos(s) · ( 2·cumNeg(<s) + nNeg(s) )
+    *
+    * so the only ordered pass is a running sum over distinct scores —
+    * bounded by score cardinality, not row count (scores here are
+    * 6dp-quantized pipeline signals; a million distinct values is a
+    * small window input where the corpus is not). Everything else is
+    * one partial-agg groupBy of the corpus. 2·U stays an exact
+    * integer — no float rank arithmetic — and AUC = 2U / (2·nPos·nNeg)
+    * rounds once at 6dp for the cross-engine pin.
+    *
+    * Output: one row (n_pos, n_neg, u2, auc). Degenerate inputs (no
+    * positives or no negatives) yield u2 = 0 and auc = NULL. */
+  def binaryAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val perScore = df
+      .select(col(scoreCol).as("s"),
+        when(col(labelCol), 1L).otherwise(0L).as("p"))
+      .groupBy("s")
+      .agg(sum(col("p")).as("np"), sum(lit(1L) - col("p")).as("nn"))
+    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("cum_nn", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2L) * col("cum_nn") + col("nn"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("u2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
   }
 }

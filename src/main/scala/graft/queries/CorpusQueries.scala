@@ -325,6 +325,61 @@ object CorpusQueries {
        |  floor(CAST(sum(m) AS BIGINT) / CAST(sum(c) AS BIGINT) + 0.5) / 1000000 AS avg_logprob
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- exact ROC-AUC (Mann-Whitney U, ties = half): does the bigram
+  //      LM score discriminate quality-gate failures? The statistic
+  //      factors over the DISTINCT-SCORE table (2U = sum np*(2*cumNeg
+  //      + nn)), so the only ordered pass is bounded by score
+  //      cardinality, never row count; 2U stays an exact integer ----
+  def qAuc(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val lm = TextAnalysis.bigramLmScore(d, "doc_id", "text")
+    val qf = TextAnalysis.qualityFilter(d, "doc_id", "text",
+      QfMinTokens, QfMaxTokens, QfMinStop, QfMaxDup, QfMaxTop)
+    graft.fit.Evaluation.binaryAuc(
+      lm.join(qf.select(col("id"), (col("keep") === 1L).as("lab")), "id"),
+      "avg_logprob", "lab")
+  }
+  val qAucSql: String = {
+    val okLen = s"n_tokens BETWEEN $QfMinTokens AND $QfMaxTokens"
+    val okStop = s"stop_n::DOUBLE / n_tokens >= $QfMinStop"
+    val okDup = s"1.0 - n_distinct::DOUBLE / n_tokens <= $QfMaxDup"
+    val okTop = s"top_n::DOUBLE / n_tokens <= $QfMaxTop"
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents),
+       |tok AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+       |c AS (SELECT doc_id, tok, count(*) AS n FROM tok GROUP BY 1, 2),
+       |qs AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |    count(*) AS n_distinct, max(n) AS top_n,
+       |    CAST(coalesce(sum(n) FILTER (WHERE list_contains(['the','a','of','and','to','is'], tok)), 0) AS BIGINT) AS stop_n
+       |  FROM c GROUP BY 1),
+       |lab AS (SELECT doc_id, ($okLen) AND ($okStop) AND ($okDup) AND ($okTop) AS lab FROM qs),
+       |g AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2 THEN
+       |    list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])
+       |  ELSE []::VARCHAR[] END) AS bg FROM t),
+       |db AS (SELECT doc_id, bg, count(*) AS c FROM g GROUP BY 1, 2),
+       |bgc AS (SELECT bg, CAST(sum(c) AS BIGINT) AS c_bg FROM db GROUP BY 1),
+       |w1c AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c) AS BIGINT) AS c_w1 FROM db GROUP BY 1),
+       |v AS (SELECT count(DISTINCT tok) AS v FROM tok),
+       |jj AS (SELECT doc_id, c,
+       |    CAST(floor(c * ln((c_bg + 1.0) / (c_w1 + v)) * 1000000 + 0.5) AS BIGINT) AS m
+       |  FROM db JOIN bgc USING (bg)
+       |  JOIN w1c ON string_split(bg, ' ')[1] = w1 CROSS JOIN v),
+       |lm AS (SELECT doc_id,
+       |    floor(CAST(sum(m) AS BIGINT) / CAST(sum(c) AS BIGINT) + 0.5) / 1000000 AS s
+       |  FROM jj GROUP BY doc_id),
+       |j AS (SELECT s, lab FROM lm JOIN lab USING (doc_id)),
+       |ps AS (SELECT s, CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |    CAST(sum(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS nn
+       |  FROM j GROUP BY 1),
+       |cs AS (SELECT s, np, nn,
+       |    coalesce(CAST(sum(nn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_nn
+       |  FROM ps)
+       |SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+       |  CAST(sum(np * (2 * cum_nn + nn)) AS BIGINT) AS u2,
+       |  CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN
+       |    round(CAST(sum(np * (2 * cum_nn + nn)) AS DOUBLE) / (2.0 * sum(np) * sum(nn)), 6) END AS auc
+       |FROM cs""".stripMargin
+  }
+
   // ---- weighted sampling without replacement (Efraimidis–Vitter
   //      reservoir, deterministic): 5 docs per language, probability
   //      proportional to length — the "sample big docs more" step of
@@ -553,6 +608,7 @@ object CorpusQueries {
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_weighted_sample" -> (qWeightedSample _),
+    "q_auc" -> (qAuc _),
     "q_embed_outliers" -> (qEmbedOutliers _),
   )
 
@@ -573,6 +629,7 @@ object CorpusQueries {
     "q_bpe_train" -> qBpeTrainSql,
     "q_bpe_encode" -> qBpeEncodeSql,
     "q_weighted_sample" -> qWeightedSampleSql,
+    "q_auc" -> qAucSql,
     "q_embed_outliers" -> qEmbedOutliersSql,
   )
 }
