@@ -35,6 +35,41 @@ object Evaluation {
     r.getLong(0).toDouble / r.getLong(1)
   }
 
+  /** Calibration / reliability table of a score against a boolean
+    * label: rows bucket into `bins` score-quantile bins (edges =
+    * exact interior percentiles, so bucketing is deterministic and
+    * engine-portable), and each bin reports its size, positive count
+    * and positive rate plus the DECIMAL-summed mean score — is a
+    * higher score actually a higher keep rate, and where does the
+    * signal flatten? The companion to [[binaryAuc]]: AUC summarizes
+    * ranking in one number, the reliability table shows its shape.
+    *
+    * Scale shape: one percentile aggregation for the bin edges (an
+    * array in a 1-row broadcast), one codegen'd fold per row to
+    * bucket, one partial-agg rollup to `bins` rows. Mean scores sum
+    * as DECIMAL(18,6) so the result is partition-order independent.
+    * Output: (bin, n, n_pos, pos_rate, mean_score), bin 0 = lowest
+    * scores. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val probs = (1 until bins).map(_.toDouble / bins).toArray
+    val edges = df.agg(percentile(col(scoreCol),
+      typedLit(probs)).as("__edges"))
+    df.select(col(scoreCol).as("__s"),
+        when(col(labelCol), 1L).otherwise(0L).as("__p"))
+      .crossJoin(broadcast(edges))
+      .select(aggregate(col("__edges"), lit(0),
+          (acc, e) => acc + when(col("__s") > e, 1).otherwise(0)).as("bin"),
+        col("__s"), col("__p"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("__p")).as("n_pos"),
+        sum(col("__s").cast("decimal(18,6)")).as("__sum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"),
+        round(col("__sum").cast("double") / col("n"), 6).as("mean_score"))
+  }
+
   /** Exact ROC-AUC of a score against a boolean label — the
     * Mann-Whitney U statistic, EXACT including ties (a tied
     * positive/negative pair counts ½).

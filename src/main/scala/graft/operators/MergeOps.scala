@@ -114,4 +114,34 @@ object MergeOps {
         lit(null).cast("long").as("valid_to"): _*)
     history.unionByName(currentOut).unionByName(opened)
   }
+
+  /** Snapshot diff — table reconciliation between two keyed
+    * snapshots: every key classifies as `added` (only in next),
+    * `removed` (only in base) or `changed` (present in both, payload
+    * differs null-safely); unchanged keys are dropped, so the output
+    * is delta-sized. The audit dual of [[merge]]: merge APPLIES a
+    * changeset, diff RECOVERS one from two snapshots (what did the
+    * new crawl actually change?).
+    *
+    * One full-outer join on the key — shuffle both sides by key, or
+    * zero exchanges when both snapshots are bucketed on it
+    * ([[graft.sources.Bucketing]], the same plan q_bucket_join pins).
+    * Payloads compare as a single struct with null-safe equality, so
+    * NULL→value and value→NULL both read as changes. Output:
+    * (key, status). */
+  def snapshotDiff(base: DataFrame, next: DataFrame, keyCol: String,
+                   compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "need at least one compare column")
+    val b = base.select(col(keyCol).as("key"),
+      struct(compareCols.map(col): _*).as("__b"))
+    val n = next.select(col(keyCol).as("key"),
+      struct(compareCols.map(col): _*).as("__n"))
+    b.join(n, Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("__b").isNull, "added")
+          .when(col("__n").isNull, "removed")
+          .when(!(col("__b") <=> col("__n")), "changed")
+          .otherwise("unchanged").as("status"))
+      .filter(col("status") =!= "unchanged")
+  }
 }

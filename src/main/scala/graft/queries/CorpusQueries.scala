@@ -325,6 +325,40 @@ object CorpusQueries {
        |  floor(CAST(sum(m) AS BIGINT) / CAST(sum(c) AS BIGINT) + 0.5) / 1000000 AS avg_logprob
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- snapshot diff (what did the new crawl change?): added /
+  //      removed / changed keys between two snapshots, payloads
+  //      compared null-safely as one struct; the audit dual of
+  //      q_merge_upsert. Next snapshot is derived deterministically
+  //      (shifted key window + key-arithmetic price bump) ----
+  def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val base = o.filter(col("o_orderkey") < 2000)
+    val next = o.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 2500)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(7)) === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+    MergeOps.snapshotDiff(base, next, "o_orderkey",
+        Seq("o_totalprice", "o_orderstatus"))
+      .withColumnRenamed("key", "o_orderkey")
+      .orderBy("o_orderkey")
+  }
+  val qSnapshotDiffSql: String =
+    """WITH b AS (SELECT o_orderkey AS key, o_totalprice, o_orderstatus
+      |  FROM orders WHERE o_orderkey < 2000),
+      |n AS (SELECT o_orderkey AS key,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+      |    o_orderstatus
+      |  FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 2500),
+      |d AS (SELECT coalesce(b.key, n.key) AS o_orderkey,
+      |    CASE WHEN b.key IS NULL THEN 'added'
+      |         WHEN n.key IS NULL THEN 'removed'
+      |         WHEN (b.o_totalprice IS DISTINCT FROM n.o_totalprice)
+      |           OR (b.o_orderstatus IS DISTINCT FROM n.o_orderstatus) THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM b FULL OUTER JOIN n ON b.key = n.key)
+      |SELECT o_orderkey, status FROM d WHERE status <> 'unchanged'
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---- exact ROC-AUC (Mann-Whitney U, ties = half): does the bigram
   //      LM score discriminate quality-gate failures? The statistic
   //      factors over the DISTINCT-SCORE table (2U = sum np*(2*cumNeg
@@ -378,6 +412,59 @@ object CorpusQueries {
        |  CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN
        |    round(CAST(sum(np * (2 * cum_nn + nn)) AS DOUBLE) / (2.0 * sum(np) * sum(nn)), 6) END AS auc
        |FROM cs""".stripMargin
+  }
+
+  // ---- calibration / reliability table for the same signal pair:
+  //      LM-score deciles (exact percentile edges) × quality-gate
+  //      keep rate — AUC's one number, unrolled into its shape ----
+  private val CalBins = 10
+  def qCalibration(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val lm = TextAnalysis.bigramLmScore(d, "doc_id", "text")
+    val qf = TextAnalysis.qualityFilter(d, "doc_id", "text",
+      QfMinTokens, QfMaxTokens, QfMinStop, QfMaxDup, QfMaxTop)
+    graft.fit.Evaluation.calibrationBins(
+      lm.join(qf.select(col("id"), (col("keep") === 1L).as("lab")), "id"),
+      "avg_logprob", "lab", CalBins)
+      .orderBy("bin")
+  }
+  val qCalibrationSql: String = {
+    val okLen = s"n_tokens BETWEEN $QfMinTokens AND $QfMaxTokens"
+    val okStop = s"stop_n::DOUBLE / n_tokens >= $QfMinStop"
+    val okDup = s"1.0 - n_distinct::DOUBLE / n_tokens <= $QfMaxDup"
+    val okTop = s"top_n::DOUBLE / n_tokens <= $QfMaxTop"
+    val qlist = (1 until CalBins).map(i =>
+      s"quantile_cont(s, ${i.toDouble / CalBins})").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents),
+       |tok AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+       |c AS (SELECT doc_id, tok, count(*) AS n FROM tok GROUP BY 1, 2),
+       |qs AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |    count(*) AS n_distinct, max(n) AS top_n,
+       |    CAST(coalesce(sum(n) FILTER (WHERE list_contains(['the','a','of','and','to','is'], tok)), 0) AS BIGINT) AS stop_n
+       |  FROM c GROUP BY 1),
+       |lab AS (SELECT doc_id, ($okLen) AND ($okStop) AND ($okDup) AND ($okTop) AS lab FROM qs),
+       |g AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2 THEN
+       |    list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])
+       |  ELSE []::VARCHAR[] END) AS bg FROM t),
+       |db AS (SELECT doc_id, bg, count(*) AS c FROM g GROUP BY 1, 2),
+       |bgc AS (SELECT bg, CAST(sum(c) AS BIGINT) AS c_bg FROM db GROUP BY 1),
+       |w1c AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c) AS BIGINT) AS c_w1 FROM db GROUP BY 1),
+       |v AS (SELECT count(DISTINCT tok) AS v FROM tok),
+       |jj AS (SELECT doc_id, c,
+       |    CAST(floor(c * ln((c_bg + 1.0) / (c_w1 + v)) * 1000000 + 0.5) AS BIGINT) AS m
+       |  FROM db JOIN bgc USING (bg)
+       |  JOIN w1c ON string_split(bg, ' ')[1] = w1 CROSS JOIN v),
+       |lm AS (SELECT doc_id,
+       |    floor(CAST(sum(m) AS BIGINT) / CAST(sum(c) AS BIGINT) + 0.5) / 1000000 AS s
+       |  FROM jj GROUP BY doc_id),
+       |j AS (SELECT s, lab FROM lm JOIN lab USING (doc_id)),
+       |e AS (SELECT $qlist AS edges FROM j),
+       |b AS (SELECT CAST(len(list_filter((SELECT edges FROM e), x -> s > x)) AS INT) AS bin, s, lab FROM j)
+       |SELECT bin, count(*) AS n,
+       |  CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  round(CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pos_rate,
+       |  round(CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_score
+       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
   }
 
   // ---- weighted sampling without replacement (Efraimidis–Vitter
@@ -609,6 +696,8 @@ object CorpusQueries {
     "q_bpe_encode" -> (qBpeEncode _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_auc" -> (qAuc _),
+    "q_calibration" -> (qCalibration _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_embed_outliers" -> (qEmbedOutliers _),
   )
 
@@ -630,6 +719,8 @@ object CorpusQueries {
     "q_bpe_encode" -> qBpeEncodeSql,
     "q_weighted_sample" -> qWeightedSampleSql,
     "q_auc" -> qAucSql,
+    "q_calibration" -> qCalibrationSql,
+    "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_embed_outliers" -> qEmbedOutliersSql,
   )
 }

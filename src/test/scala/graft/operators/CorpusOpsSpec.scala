@@ -398,4 +398,42 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("a", 2L, 3L, "1,3"),      // df 2, tf 1+2, sorted ids
       ("b", 3L, 3L, "1,2")))     // postings capped at 2 of 3
   }
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, Some(10.0), "A"), (2L, Some(20.0), "B"),
+      (3L, Some(30.0), "C"), (4L, Option.empty[Double], "D"))
+      .toDF("k", "price", "st")
+    val next = Seq((2L, Some(20.0), "B"), // unchanged -> dropped
+      (3L, Some(99.0), "C"),              // price changed
+      (4L, Some(40.0), "D"),              // NULL -> value = changed
+      (5L, Some(50.0), "E"))              // added
+      .toDF("k", "price", "st")
+    val got = MergeOps.snapshotDiff(base, next, "k", Seq("price", "st"))
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[String]("status"))
+      .toMap
+    assert(got == Map(1L -> "removed", 3L -> "changed",
+      4L -> "changed", 5L -> "added"))
+  }
+
+  test("snapshotDiff recovered changeset applied through merge rebuilds next") {
+    val s = spark
+    import s.implicits._
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val base = o.filter(col("o_orderkey") < 2000)
+    val next = o.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 2500)
+    val diff = MergeOps.snapshotDiff(base, next, "o_orderkey",
+      Seq("o_totalprice", "o_orderstatus"))
+    // the diff's key sets reconstruct next from base
+    val st = diff.collect().groupBy(_.getAs[String]("status"))
+      .view.mapValues(_.map(_.getAs[Long]("key")).toSet).toMap
+    val baseKeys = base.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val nextKeys = next.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(st.getOrElse("added", Set.empty) == nextKeys -- baseKeys)
+    assert(st.getOrElse("removed", Set.empty) == baseKeys -- nextKeys)
+    // identical overlapping payloads (same source table) -> no 'changed'
+    assert(!st.contains("changed"))
+  }
 }
