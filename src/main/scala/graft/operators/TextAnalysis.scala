@@ -105,6 +105,29 @@ object TextAnalysis {
     regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"),
       PhoneRe, "<PHONE>")
 
+  /** PII spans as ROWS — the audit table behind [[redactPii]]'s
+    * counts: every email/phone match, tagged and indexed in document
+    * order, for review queues and leak accounting ("which docs leak
+    * what, and how often") rather than just redaction. Phone spans are
+    * extracted from the EMAIL-REDACTED text, mirroring [[redactPii]]'s
+    * precedence (a digit run inside an email address is part of the
+    * email, not a phone). One map-side explode per doc — no shuffle,
+    * regexes in the Java/RE2-shared syntax both engines run
+    * identically. Output: (id, kind, span_idx, span). */
+  def extractPiiSpans(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String): org.apache.spark.sql.DataFrame = {
+    val emails = regexp_extract_all(col(textCol), lit(EmailRe), lit(0))
+    val phones = regexp_extract_all(
+      regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+      lit(PhoneRe), lit(0))
+    def rows(kind: String, arr: Column) = docs
+      .select(col(idCol).as("id"),
+        posexplode(arr).as(Seq("span_idx", "span")))
+      .select(col("id"), lit(kind).as("kind"),
+        col("span_idx").cast("long").as("span_idx"), col("span"))
+    rows("email", emails).unionByName(rows("phone", phones))
+  }
+
   /** Gopher-style repetition signals per document: token count,
     * distinct-token count, the dominant token's share of all tokens,
     * and the duplicate-token fraction — the standard cheap screens for

@@ -325,6 +325,41 @@ object CorpusQueries {
        |  floor(CAST(sum(m) AS BIGINT) / CAST(sum(c) AS BIGINT) + 0.5) / 1000000 AS avg_logprob
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- PII spans as rows (the audit table behind q_redact's
+  //      counts): every email/phone match tagged and indexed in
+  //      document order; phones extracted from the email-redacted
+  //      text, mirroring redactPii's precedence ----
+  def qPiiSpans(s: SparkSession, dir: String): DataFrame = {
+    // the synthetic corpus is PII-free, so the extraction would pin an
+    // empty table; plant deterministic key-derived PII on a slice
+    // (identically in the oracle) so the span table is non-trivial
+    val planted = docs(s, dir).withColumn("text",
+      when(pmod(col("doc_id"), lit(10)) === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or +1 415-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(col("text")))
+    TextAnalysis.extractPiiSpans(planted, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "kind", "span_idx")
+  }
+  val qPiiSpansSql: String = {
+    val em = TextAnalysis.EmailRe
+    val pr = TextAnalysis.PhoneRe
+    s"""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN
+       |    text || ' contact user' || doc_id || '@example.com or +1 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |  ELSE text END AS text FROM documents),
+       |e0 AS (SELECT doc_id, regexp_extract_all(text, '$em') AS sp FROM d),
+       |p0 AS (SELECT doc_id, regexp_extract_all(regexp_replace(text, '$em', '<EMAIL>', 'g'), '$pr') AS sp FROM d),
+       |em AS (SELECT doc_id, 'email' AS kind, CAST(u.ix AS BIGINT) AS span_idx, u.s AS span
+       |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(sp)), i -> struct_pack(ix := i - 1, s := sp[i]))) AS u FROM e0)),
+       |ph AS (SELECT doc_id, 'phone' AS kind, CAST(u.ix AS BIGINT) AS span_idx, u.s AS span
+       |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(sp)), i -> struct_pack(ix := i - 1, s := sp[i]))) AS u FROM p0))
+       |SELECT doc_id, kind, span_idx, span FROM em
+       |UNION ALL SELECT doc_id, kind, span_idx, span FROM ph
+       |ORDER BY doc_id, kind, span_idx""".stripMargin
+  }
+
   // ---- snapshot diff (what did the new crawl change?): added /
   //      removed / changed keys between two snapshots, payloads
   //      compared null-safely as one struct; the audit dual of
@@ -698,6 +733,7 @@ object CorpusQueries {
     "q_auc" -> (qAuc _),
     "q_calibration" -> (qCalibration _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_pii_spans" -> (qPiiSpans _),
     "q_embed_outliers" -> (qEmbedOutliers _),
   )
 
@@ -721,6 +757,7 @@ object CorpusQueries {
     "q_auc" -> qAucSql,
     "q_calibration" -> qCalibrationSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,
+    "q_pii_spans" -> qPiiSpansSql,
     "q_embed_outliers" -> qEmbedOutliersSql,
   )
 }

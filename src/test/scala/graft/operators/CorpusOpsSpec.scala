@@ -399,6 +399,25 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("b", 3L, 3L, "1,2")))     // postings capped at 2 of 3
   }
 
+  test("extractPiiSpans: planted spans in order; email digits never double as phones") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "mail a.b@x.co or c@d.org, call +1 415-555-0123 now"),
+      (2L, "digits12345678@example.com only"), // email digits, no phone
+      (3L, "clean text, nothing here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.extractPiiSpans(d, "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("kind"),
+        r.getAs[Long]("span_idx"), r.getAs[String]("span"))).toSet
+    assert(got == Set(
+      (1L, "email", 0L, "a.b@x.co"),
+      (1L, "email", 1L, "c@d.org"),
+      (1L, "phone", 0L, "+1 415-555-0123"),
+      (2L, "email", 0L, "digits12345678@example.com")))
+  }
+
   test("snapshotDiff classifies added/removed/changed and drops unchanged") {
     val s = spark
     import s.implicits._

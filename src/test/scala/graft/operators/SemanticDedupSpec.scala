@@ -64,6 +64,20 @@ class SemanticDedupSpec extends AnyFunSuite {
       "corpus slice should contain at least one within-cluster near-dup at thr=0.3")
   }
 
+  test("candidate join is key-equality on cid — never a cartesian corpus join") {
+    val plan = Similarity
+      .semanticDedup(emb, "vec_id", "embedding", nCentroids = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    // AQE may plan the cid equi-join as SMJ, shuffled-hash or (small
+    // side) broadcast-hash — all key-equality; what must NEVER appear
+    // is the corpus self-join as a cartesian/nested-loop product
+    val cidJoin = Seq("SortMergeJoin [cid", "ShuffledHashJoin [cid",
+      "BroadcastHashJoin [cid").exists(plan.contains)
+    assert(cidJoin,
+      s"within-cluster candidates must equi-join on cid:\n$plan")
+  }
+
   test("raising the threshold only un-drops (monotone in simThreshold)") {
     def droppedAt(thr: Double): Set[Long] = Similarity
       .semanticDedup(emb, "vec_id", "embedding", nCentroids = 4,
