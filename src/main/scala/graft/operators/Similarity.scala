@@ -362,17 +362,42 @@ object Similarity {
                     nCentroids: Int, nIter: Int = 5,
                     simThreshold: Double = 0.3,
                     scope: CacheScope = CacheScope.unmanaged()): DataFrame = {
+    require(simThreshold <= 1.0,
+      "simThreshold > 1 keeps everything; the duplicate prefilter assumes <= 1")
     val centroids = kmeansCentroids(df, idCol, vecCol, nCentroids, nIter)
     val assigned = scope.persist(
       assignBuckets(df, idCol, vecCol, centroids))
-    val a = assigned.select(col("cid"), col("id").as("__a_id"),
+    // duplicate-mass guard (the banded-join discipline, simHashPairs'
+    // distinct-signature trick): the pair join sees only DISTINCT
+    // vectors per cluster — identical vectors collapse to their min-id
+    // representative first, so a degenerate corpus of n copies costs
+    // one partial-agg groupBy instead of an n² bucket. The output is
+    // provably unchanged: duplicates share every cosine, so whenever a
+    // non-canonical copy witnesses a drop, its (smaller-id) canonical
+    // does too, and the copies themselves drop by cosine 1 ≥ τ.
+    val sig = md5(concat_ws(",",
+      transform(col("v"), x => x.cast("string"))))
+    val reps = scope.persist(assigned
+      .withColumn("__sig", sig)
+      .groupBy("cid", "__sig")
+      .agg(min(col("id")).as("__rid"), first(col("v")).as("v"),
+        count(lit(1)).as("__copies")))
+    val a = reps.select(col("cid"), col("__rid").as("__a_id"),
       col("v").as("__a_v"))
-    val b = assigned.select(col("cid"), col("id").as("__b_id"),
+    val b = reps.select(col("cid"), col("__rid").as("__b_id"),
       col("v").as("__b_v"))
-    val dropped = a.join(b, "cid")
+    val droppedReps = a.join(b, "cid")
       .filter(col("__a_id") < col("__b_id"))
       .filter(round(cosine(col("__a_v"), col("__b_v")), 6) >= simThreshold)
       .select(col("__b_id").as("id")).distinct()
+    // non-canonical copies drop without ever entering the join
+    val droppedCopies = assigned
+      .withColumn("__sig", sig)
+      .join(reps.filter(col("__copies") > 1)
+        .select(col("cid"), col("__sig"), col("__rid")), Seq("cid", "__sig"))
+      .filter(col("id") =!= col("__rid"))
+      .select(col("id"))
+    val dropped = droppedReps.union(droppedCopies).distinct()
       .withColumn("__dropped", lit(true))
     assigned.join(dropped, Seq("id"), "left")
       .select(col("id"), col("cid"),

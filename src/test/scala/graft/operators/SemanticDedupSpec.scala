@@ -78,6 +78,23 @@ class SemanticDedupSpec extends AnyFunSuite {
       s"within-cluster candidates must equi-join on cid:\n$plan")
   }
 
+  test("degenerate duplicate-mass corpus: copies collapse before the join, output exact") {
+    // 400 identical vectors + 2 distinct: the pair join must see 3
+    // distinct vectors per cluster at most, and every non-min copy
+    // drops (cos = 1 >= any threshold <= 1)
+    val rows = ((1 to 400).map(i => (i.toLong, Seq(1.0f, 0.0f))) ++
+      Seq((900L, Seq(0.0f, 1.0f)), (901L, Seq(-1.0f, 0.1f))))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(rows, "vec_id", "embedding",
+        nCentroids = 2, simThreshold = 0.9)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("keep"))
+      .toMap
+    assert(got.size == 402)
+    assert(got(1L), "the min-id copy survives")
+    assert((2 to 400).forall(i => !got(i.toLong)), "every other copy drops")
+    assert(got(900L) && got(901L), "distinct vectors survive at thr 0.9")
+  }
+
   test("raising the threshold only un-drops (monotone in simThreshold)") {
     def droppedAt(thr: Double): Set[Long] = Similarity
       .semanticDedup(emb, "vec_id", "embedding", nCentroids = 4,
