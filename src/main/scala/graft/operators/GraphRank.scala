@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph centrality over a pair table — PageRank in
+  * DETERMINISTIC INTEGER semantics, for ranking documents inside the
+  * near-dup similarity graph (a centrality-weighted alternative to
+  * min-id canonical selection: the best-connected member of a dup
+  * neighborhood is usually the canonical-quality one) and as the
+  * engine's general iterative-graph shape beyond the connected-
+  * components fixpoint.
+  *
+  * Semantics (Page et al. 1999, simplified): undirected pairs become
+  * two directed edges; per round each node sends
+  * `((pr · damp) div 1000) div deg` to every neighbor (integer
+  * divisions — both engines compute them identically, so ranks are
+  * exact longs with no float drift) and every node restarts with
+  * `((1000 − damp) · U div 1000) div N`. Ranks carry in PICOS
+  * (U = 10^12): at web-corpus N the per-node mass still holds ~6
+  * significant digits, and every intermediate fits a long with >600×
+  * headroom. Dangling mass is NOT redistributed (isolated nodes decay
+  * to the restart base) — the variant is documented because the
+  * integer replay pins it exactly.
+  *
+  * Scale shape: edges + degrees persist once; each round is one
+  * edge⋈rank join (shuffle on the node key — co-partitioned round to
+  * round), one partial-agg contribution sum, one left join back onto
+  * the node set. Rank tables are node-sized and each round ends in
+  * an EAGER localCheckpoint — the connectedComponents discipline:
+  * without lineage truncation every round's plan embeds the previous
+  * one TWICE (once via the rank table, once via the shared edge
+  * table), so analysis cost doubles per round (measured 1.7s → 17s
+  * across five rounds on a 1k-node graph). Superseded rounds free
+  * their blocks immediately. */
+object GraphRank {
+
+  val U: Long = 1000000000000L // rank unit: picos
+
+  /** Ranks after `iters` rounds: (id, deg, pr_picos) for EVERY node
+    * (isolated nodes have deg 0 and the restart-base rank). */
+  def pagerank(pairs: DataFrame, nodes: DataFrame, idCol: String,
+               iters: Int = 5, dampPermille: Long = 850,
+               scope: CacheScope = CacheScope.unmanaged()): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    require(dampPermille >= 0 && dampPermille <= 1000,
+      "damping is per-mille in [0, 1000]")
+    // the pair table feeds BOTH union branches — persist it so an
+    // expensive upstream miner (LSH) runs once, not per direction
+    val p2 = scope.persist(pairs)
+    val edges = scope.persist(
+      p2.select(col("i").as("u"), col("j").as("v"))
+        .union(p2.select(col("j").as("u"), col("i").as("v"))))
+    val deg = scope.persist(edges.groupBy("u").agg(count(lit(1)).as("deg")))
+    val ns = scope.persist(nodes.select(col(idCol).as("id")))
+    val n = ns.count()
+    require(n > 0, "empty node set")
+    val base = (1000L - dampPermille) * U / 1000L / n
+    var pr = ns.select(col("id"), lit(U / n).as("pr")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(pr, edges("u") === pr("id")).drop("id")
+        .join(deg, "u")
+        .select(col("v").as("id"),
+          expr(s"((pr * $dampPermille) div 1000) div deg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s"))
+      val next = ns
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + coalesce(col("s"), lit(0L))).as("pr"))
+        .localCheckpoint() // eager: truncates lineage, materializes now
+      org.apache.spark.sql.graft.CheckpointBridge.freeLocalCheckpoint(pr)
+      pr = next
+    }
+    // the returned table reads the final round's checkpoint; its
+    // blocks are one node-sized table, reclaimed when the caller
+    // drops the Dataset
+    pr.join(deg, pr("id") === deg("u"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"),
+        col("pr").as("pr_picos"))
+  }
+}

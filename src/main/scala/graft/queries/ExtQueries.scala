@@ -364,7 +364,14 @@ object ExtQueries {
     * md5-derived arithmetic, so the WHOLE pipeline — capped shingles →
     * Carter-Wegman signatures → band hashes → candidate self-join →
     * exact-Jaccard verify — replays in DuckDB and hash-matches. */
-  val qMinhashLshSql: String = {
+  /** Shared CTE chain for the LSH near-dup PAIR GRAPH: capped
+    * shingles → Carter-Wegman signatures → band hashes → candidate
+    * self-join → exact-Jaccard verify, ending at
+    * `prs(i, j, jaccard)` at threshold 0.5. MATERIALIZED at `prs`:
+    * graph consumers (edge doubling, iterative ranks) reference it
+    * repeatedly and default CTE inlining would replay the whole LSH
+    * pipeline per reference. */
+  private def lshPairsCtes(): String = {
     val p = Dedup.MinHashMod
     val k = 16
     val rows = 2
@@ -375,7 +382,7 @@ object ExtQueries {
         .map(r => s"m${b * rows + r}::VARCHAR").mkString(" || '|' || ")
       s"SELECT id, $b AS band, ${Hashing.hash60Sql(bandExpr, 1000 + b)} AS bh FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH $CappedShinglesSql,
+    s"""$CappedShinglesSql,
        |hh AS (SELECT id,
        |    CAST(('0x' || substr(d, 1, 15)) AS BIGINT) % $p AS h0,
        |    CAST(('0x' || substr(d, 16, 15)) AS BIGINT) % $p AS h1
@@ -383,12 +390,58 @@ object ExtQueries {
        |sig AS (SELECT id, $mins FROM hh GROUP BY 1),
        |bands AS ($bandSel),
        |cands AS (SELECT DISTINCT a.id AS i, b.id AS j FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.bh = b.bh AND a.id < b.id)
-       |SELECT i, j, round(c::DOUBLE / (si.sz + sj.sz - c), 6) AS jaccard
-       |FROM cands JOIN common USING (i, j)
-       |JOIN sz si ON si.id = i JOIN sz sj ON sj.id = j
-       |WHERE c::DOUBLE / (si.sz + sj.sz - c) >= 0.5
-       |ORDER BY i, j""".stripMargin
+       |  ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+       |prs AS MATERIALIZED (SELECT i, j, round(c::DOUBLE / (si.sz + sj.sz - c), 6) AS jaccard
+       |  FROM cands JOIN common USING (i, j)
+       |  JOIN sz si ON si.id = i JOIN sz sj ON sj.id = j
+       |  WHERE c::DOUBLE / (si.sz + sj.sz - c) >= 0.5)""".stripMargin
+  }
+  val qMinhashLshSql: String =
+    s"""WITH ${lshPairsCtes()}
+       |SELECT i, j, jaccard FROM prs ORDER BY i, j""".stripMargin
+
+  // ---- PageRank over the LSH near-dup graph (deterministic integer
+  //      semantics): centrality-weighted ranking of the duplicate
+  //      neighborhoods — the general iterative-graph shape beyond the
+  //      CC fixpoint. Top-50 by rank; full pipeline (LSH pairs + 5
+  //      unrolled rounds) replays in the oracle ----
+  private val PrIters = 5
+  private val PrDamp = 850L
+  private val PrTopK = 50
+  def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") < 1000)
+    val pairs = Dedup.minHashLshPairs(d, "doc_id", "text",
+      k = 16, rowsPerBand = 2, threshold = 0.5, maxShingleDf = ShingleDfCap)
+    val pr = GraphRank.pagerank(pairs, d, "doc_id",
+      iters = PrIters, dampPermille = PrDamp)
+    pr.orderBy(col("pr_picos").desc, col("id")).limit(PrTopK)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("pr_picos").desc, col("id"))))
+      .select(col("id").as("doc_id"), col("deg"), col("pr_picos"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy("rnk")
+  }
+  val qPagerankSql: String = {
+    val rounds = (1 to PrIters).map { r =>
+      val p = r - 1
+      s"""c$r AS MATERIALIZED (SELECT ed.v AS id,
+         |    CAST(sum(((p.pr * $PrDamp) // 1000) // dg.deg) AS BIGINT) AS s
+         |  FROM ed JOIN pr$p p ON ed.u = p.id JOIN dg ON ed.u = dg.u GROUP BY 1),
+         |pr$r AS MATERIALIZED (SELECT nd.id,
+         |    ((((1000 - $PrDamp) * 1000000000000) // 1000) // (SELECT n FROM nn)) + coalesce(s, 0) AS pr
+         |  FROM nd LEFT JOIN c$r USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${lshPairsCtes()},
+       |ed AS MATERIALIZED (SELECT i AS u, j AS v FROM prs UNION ALL SELECT j AS u, i AS v FROM prs),
+       |dg AS MATERIALIZED (SELECT u, count(*) AS deg FROM ed GROUP BY 1),
+       |nd AS MATERIALIZED (SELECT doc_id AS id FROM documents WHERE doc_id < 1000),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM nd),
+       |pr0 AS MATERIALIZED (SELECT id, (1000000000000 // (SELECT n FROM nn)) AS pr FROM nd),
+       |$rounds
+       |SELECT r.id AS doc_id, coalesce(dg.deg, 0) AS deg, r.pr AS pr_picos, r.rnk
+       |FROM (SELECT id, pr, row_number() OVER (ORDER BY pr DESC, id) AS rnk FROM pr$PrIters) r
+       |LEFT JOIN dg ON r.id = dg.u
+       |WHERE r.rnk <= $PrTopK ORDER BY r.rnk""".stripMargin
   }
 
   // ---- incremental LSH: a NEW batch mined against the STANDING
@@ -1688,6 +1741,7 @@ object ExtQueries {
     "q_kmeans" -> (qKmeans _),
     "q_semdedup" -> (qSemdedup _),
     "q_triplet_mine" -> (qTripletMine _),
+    "q_pagerank" -> (qPagerank _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_sessionize" -> (qSessionize _),
     "q_event_daily" -> (qEventDaily _),
@@ -1770,6 +1824,7 @@ object ExtQueries {
     "q_kmeans" -> qKmeansSql,
     "q_semdedup" -> qSemdedupSql,
     "q_triplet_mine" -> qTripletMineSql,
+    "q_pagerank" -> qPagerankSql,
     "q_embed_quantize" -> qEmbedQuantizeSql,
   )
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[GraphRank.pagerank]] — deterministic integer PageRank: exact
+  * agreement with a driver-side replay of the integer semantics,
+  * isolated-node decay, and ranking sanity on a hub topology. */
+class GraphRankSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Driver-side replay of the documented integer semantics. */
+  private def replay(pairs: Seq[(Long, Long)], nodes: Seq[Long],
+                     iters: Int, damp: Long): Map[Long, Long] = {
+    val U = GraphRank.U
+    val edges = pairs.flatMap { case (i, j) => Seq((i, j), (j, i)) }
+    val deg = edges.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    val n = nodes.size.toLong
+    val base = (1000L - damp) * U / 1000L / n
+    var pr = nodes.map(_ -> U / n).toMap
+    for (_ <- 1 to iters) {
+      val contribs = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => ((pr(u) * damp) / 1000L) / deg(u) }.sum
+      }
+      pr = nodes.map(v => v -> (base + contribs.getOrElse(v, 0L))).toMap
+    }
+    pr
+  }
+
+  test("exact agreement with the driver-side integer replay (hub + chain + isolate)") {
+    // hub 1 touches 2,3,4; chain 4-5; node 9 isolated
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L))
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L)
+    val got = GraphRank.pagerank(
+        pairs.toDF("i", "j"), nodes.toDF("id"), "id", iters = 5)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("deg"), r.getAs[Long]("pr_picos"))).toMap
+    val exp = replay(pairs, nodes, iters = 5, damp = 850L)
+    assert(got.view.mapValues(_._2).toMap == exp)
+    assert(got(1L)._1 == 3L && got(9L)._1 == 0L)
+    // the hub outranks every leaf; the isolate decays to the base
+    assert(exp(1L) > exp(2L) && exp(1L) > exp(5L))
+    assert(got(9L)._2 == (1000L - 850L) * GraphRank.U / 1000L / nodes.size)
+  }
+
+  test("total rank mass is conserved up to integer-division loss") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L)) // 3-cycle: symmetric
+    val nodes = Seq(1L, 2L, 3L)
+    val got = GraphRank.pagerank(pairs.toDF("i", "j"), nodes.toDF("id"),
+        "id", iters = 5)
+      .collect().map(_.getAs[Long]("pr_picos"))
+    // symmetric graph: all ranks equal, and each stays near U/3
+    assert(got.distinct.length == 1)
+    assert(math.abs(got.head - GraphRank.U / 3) < 1000,
+      s"cycle rank ${got.head} should stay ~U/3")
+  }
+
+  test("deterministic under repartitioning") {
+    val pairs = (1L to 60L).map(i => (i, (i % 30) + 100L))
+    val nodes = ((1L to 60L) ++ (100L to 130L)).distinct
+    def run(parts: Int) = GraphRank.pagerank(
+        pairs.toDF("i", "j").repartition(parts), nodes.toDF("id"), "id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("pr_picos")))
+      .sortBy(_._1).toSeq
+    assert(run(2) == run(9))
+  }
+}
