@@ -404,6 +404,75 @@ object Similarity {
         not(coalesce(col("__dropped"), lit(false))).as("keep"))
   }
 
+  /** Relational DBSCAN (Ester et al., KDD 1996) over cosine
+    * similarity: density clustering with explicit NOISE — the
+    * curation shape k-means can't give you (k-means forces every
+    * outlier into some cluster; DBSCAN names them). A vector is CORE
+    * when its ε-neighborhood (cosine ≥ `epsCos`, self included)
+    * holds ≥ `minPts` vectors; clusters are the connected components
+    * of the core-core neighbor graph (exact min-label fixpoint —
+    * [[graft.operators.Dedup.connectedComponents]]); non-core vectors
+    * with a core neighbor join their minimum core-neighbor cluster as
+    * BORDER points (the deterministic resolution of DBSCAN's
+    * border-tie ambiguity); everything else is noise (cluster NULL).
+    *
+    * The ε-neighbor pair join here is the EXACT bounded baseline (the
+    * q_embed_neardup discipline — feed it a bounded slice); at corpus
+    * scale generate the pair table with the SRP-LSH bands
+    * ([[graft.operators.Dedup]] embedding LSH) or the SemDeDup
+    * k-means bucketing and pass the same downstream. Every label
+    * decision is a min over ids/labels — deterministic under any
+    * partitioning and engine-replayable.
+    *
+    * Output: (id, role ∈ core|border|noise, cluster — NULL for
+    * noise). */
+  def dbscan(df: DataFrame, idCol: String, vecCol: String,
+             epsCos: Double, minPts: Int,
+             scope: CacheScope = CacheScope.unmanaged()): DataFrame = {
+    require(minPts >= 1, "minPts must be positive")
+    val v = scope.persist(df
+      .select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v"))))
+    val nbrs = scope.persist(
+      v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("i"), col("b.id").as("j"),
+          (dot(col("a.v"), col("b.v")) /
+            (col("a.nrm") * col("b.nrm"))).as("cos"))
+        .filter(col("cos") >= epsCos)
+        .select("i", "j"))
+    val deg = nbrs.select(col("i").as("id"))
+      .union(nbrs.select(col("j").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("nc"))
+    val nodes = scope.persist(v.select("id")
+      .join(deg, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("nc"), lit(0L)) + 1 >= minPts).as("is_core")))
+    val coreIds = nodes.filter(col("is_core"))
+    val coreEdges = nbrs
+      .join(coreIds.select(col("id").as("i")), "i")
+      .join(coreIds.select(col("id").as("j")), "j")
+      .select("i", "j")
+    val cc = Dedup.connectedComponents(coreEdges) // (id, cluster_id)
+    // isolated cores (no core neighbor) are singleton clusters
+    val coreCl = scope.persist(coreIds
+      .join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster")))
+    val adj = nbrs.select(col("i").as("x"), col("j").as("y"))
+      .union(nbrs.select(col("j").as("x"), col("i").as("y")))
+    val borderCl = adj
+      .join(coreCl.withColumnRenamed("id", "x"), "x")
+      .join(nodes.filter(!col("is_core")).select(col("id").as("y")), "y")
+      .groupBy(col("y").as("id")).agg(min(col("cluster")).as("bcl"))
+    nodes
+      .join(coreCl.withColumnRenamed("cluster", "ccl"), Seq("id"), "left")
+      .join(borderCl, Seq("id"), "left")
+      .select(col("id"),
+        when(col("is_core"), "core")
+          .when(col("bcl").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        when(col("is_core"), col("ccl")).otherwise(col("bcl")).as("cluster"))
+  }
+
   /** Per-vector int8 scalar quantization — the STORAGE-side companion
     * to PQ's search-side compression: each embedding is rescaled to
     * 256 levels over its own [min, max] range (4 bytes → 1 byte per

@@ -1072,6 +1072,50 @@ object ExtQueries {
       |FROM a LEFT JOIN p ON a.qid = p.qid LEFT JOIN n ON a.qid = n.qid
       |ORDER BY a.qid""".stripMargin
 
+  // ---- DBSCAN (density clustering with explicit noise): core /
+  //      border / noise roles + exact CC cluster labels over the
+  //      ε-cosine neighbor graph, on the same bounded slice as the
+  //      exact near-dup baseline. The oracle replays pair join,
+  //      density gate, recursive-CTE components, and the min-label
+  //      border attachment ----
+  private val DbEps = 0.35
+  private val DbMinPts = 4
+  def qDbscan(s: SparkSession, dir: String): DataFrame =
+    Similarity.dbscan(emb(s, dir).filter(col("vec_id") < 1000),
+        "vec_id", "embedding", DbEps, DbMinPts)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+  val qDbscanSql: String =
+    s"""WITH RECURSIVE e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE vec_id < 1000),
+       |nb AS MATERIALIZED (SELECT a.id AS i, b.id AS j FROM e a JOIN e b ON a.id < b.id
+       |  WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= $DbEps),
+       |dg AS MATERIALIZED (SELECT id, count(*) AS nc FROM
+       |  (SELECT i AS id FROM nb UNION ALL SELECT j AS id FROM nb) GROUP BY 1),
+       |nd AS MATERIALIZED (SELECT e.id, coalesce(nc, 0) + 1 >= $DbMinPts AS is_core
+       |  FROM e LEFT JOIN dg USING (id)),
+       |ce AS MATERIALIZED (SELECT nb.i, nb.j FROM nb
+       |  JOIN nd a ON nb.i = a.id AND a.is_core
+       |  JOIN nd b ON nb.j = b.id AND b.is_core),
+       |edges AS (SELECT i AS src, j AS dst FROM ce UNION SELECT j, i FROM ce),
+       |reach(id, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT ed.src, r.lbl FROM edges ed JOIN reach r ON ed.dst = r.id),
+       |ccl AS MATERIALIZED (SELECT id, min(lbl) AS cl FROM reach GROUP BY 1),
+       |corecl AS MATERIALIZED (SELECT nd.id, coalesce(ccl.cl, nd.id) AS cluster
+       |  FROM nd LEFT JOIN ccl USING (id) WHERE nd.is_core),
+       |adj AS (SELECT i AS x, j AS y FROM nb UNION ALL SELECT j AS x, i AS y FROM nb),
+       |bcl AS MATERIALIZED (SELECT adj.y AS id, min(corecl.cluster) AS bcl
+       |  FROM adj JOIN corecl ON adj.x = corecl.id
+       |  JOIN nd ON adj.y = nd.id AND NOT nd.is_core GROUP BY 1)
+       |SELECT nd.id AS vec_id,
+       |  CASE WHEN nd.is_core THEN 'core' WHEN bcl.id IS NOT NULL THEN 'border'
+       |    ELSE 'noise' END AS role,
+       |  CASE WHEN nd.is_core THEN corecl.cluster ELSE bcl.bcl END AS cluster
+       |FROM nd LEFT JOIN corecl USING (id) LEFT JOIN bcl USING (id)
+       |ORDER BY vec_id""".stripMargin
+
   // ---- SemDeDup (Abbas et al. 2023): semantic dedup by k-means
   //      clustering + within-cluster greedy cosine pair rule (drop b
   //      iff a smaller-id cluster-mate has cos >= thr). Same trained
@@ -1740,6 +1784,7 @@ object ExtQueries {
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_kmeans" -> (qKmeans _),
     "q_semdedup" -> (qSemdedup _),
+    "q_dbscan" -> (qDbscan _),
     "q_triplet_mine" -> (qTripletMine _),
     "q_pagerank" -> (qPagerank _),
     "q_embed_quantize" -> (qEmbedQuantize _),
@@ -1823,6 +1868,7 @@ object ExtQueries {
     "q_ann_ivfpq" -> qAnnIvfPqSql,
     "q_kmeans" -> qKmeansSql,
     "q_semdedup" -> qSemdedupSql,
+    "q_dbscan" -> qDbscanSql,
     "q_triplet_mine" -> qTripletMineSql,
     "q_pagerank" -> qPagerankSql,
     "q_embed_quantize" -> qEmbedQuantizeSql,
