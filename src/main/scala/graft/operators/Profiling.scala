@@ -92,25 +92,38 @@ object Profiling {
     * degenerates the rule to "any deviation flags", the conventional
     * reading of an infinite robust z.
     *
-    * Both statistics are EXACT percentiles, so the flagged set is
+    * With `approx = false` (the default, and the oracle path) both
+    * statistics are EXACT percentiles, so the flagged set is
     * deterministic and engine-portable (`percentile` ≡ DuckDB
-    * `quantile_cont`, the q_quantiles-pinned pair). Scale shape: two
-    * per-key exact-percentile aggregations (each shuffles the group's
-    * values — at extreme group sizes swap in `approx_percentile` and
-    * accept sketch-dependent edges) with the #keys-sized stats tables
-    * joined back (AQE broadcasts them). Output: flagged rows only,
-    * (key, id, value, med, mad) with med/mad rounded to 6dp. */
+    * `quantile_cont`, the q_quantiles-pinned pair) — but each exact
+    * percentile is an ORDERED aggregation per group, and at 100× a
+    * hot key serializes its group's sort on one task. `approx = true`
+    * swaps both medians for `approx_percentile` (KLL-style mergeable
+    * sketch, partial-aggregating, no per-group sort): the scale path
+    * for extreme group sizes, at the cost of sketch-dependent edges —
+    * values within ±(sketch error) of the true median/MAD cutoff may
+    * flag differently, which is why the oracle pins only the exact
+    * path while ProfilingSpec pins exact/approx agreement on the
+    * planted-spike fixture (outliers far from the cutoff flag
+    * identically under either estimator). Scale shape otherwise
+    * unchanged: two per-key aggregations with the #keys-sized stats
+    * tables joined back (AQE broadcasts them). Output: flagged rows
+    * only, (key, id, value, med, mad) with med/mad rounded to 6dp. */
   def madOutliers(df: DataFrame, keyCol: String, idCol: String,
-                  valueCol: String, thr: Double = 6.0): DataFrame = {
+                  valueCol: String, thr: Double = 6.0,
+                  approx: Boolean = false): DataFrame = {
     require(thr > 0, "thr must be positive")
+    def median(c: Column): Column =
+      if (approx) approx_percentile(c, lit(0.5), lit(10000))
+      else percentile(c, lit(0.5))
     val base = df.select(col(keyCol).as("key"), col(idCol).as("id"),
       col(valueCol).cast("double").as("v"))
     val med = base.groupBy("key")
-      .agg(percentile(col("v"), lit(0.5)).as("__med"))
+      .agg(median(col("v")).as("__med"))
     val dev = base.join(med, "key")
       .withColumn("__dev", abs(col("v") - col("__med")))
     val mad = dev.groupBy("key")
-      .agg(percentile(col("__dev"), lit(0.5)).as("__mad"))
+      .agg(median(col("__dev")).as("__mad"))
     dev.join(mad, "key")
       .filter(col("__dev") > lit(thr) * col("__mad"))
       .select(col("key"), col("id"), col("v").as("value"),

@@ -390,10 +390,14 @@ object Similarity {
       .filter(col("__a_id") < col("__b_id"))
       .filter(round(cosine(col("__a_v"), col("__b_v")), 6) >= simThreshold)
       .select(col("__b_id").as("id")).distinct()
-    // non-canonical copies drop without ever entering the join
+    // non-canonical copies drop without ever entering the join —
+    // EXCEPT zero-norm duplicates: their pairwise cosine is NULL
+    // (0/0), so the pair rule (and the all-pairs oracle) keeps them;
+    // the shortcut must not be more aggressive than the rule it
+    // shortcuts.
     val droppedCopies = assigned
       .withColumn("__sig", sig)
-      .join(reps.filter(col("__copies") > 1)
+      .join(reps.filter(col("__copies") > 1 && norm(col("v")) > 0)
         .select(col("cid"), col("__sig"), col("__rid")), Seq("cid", "__sig"))
       .filter(col("id") =!= col("__rid"))
       .select(col("id"))
@@ -418,36 +422,69 @@ object Similarity {
     *
     * The ε-neighbor pair join here is the EXACT bounded baseline (the
     * q_embed_neardup discipline — feed it a bounded slice); at corpus
-    * scale generate the pair table with the SRP-LSH bands
-    * ([[graft.operators.Dedup]] embedding LSH) or the SemDeDup
-    * k-means bucketing and pass the same downstream. Every label
-    * decision is a min over ids/labels — deterministic under any
-    * partitioning and engine-replayable.
+    * scale use [[dbscanBucketed]] (SemDeDup k-means candidate
+    * buckets) or build the pair table yourself with the SRP-LSH bands
+    * ([[graft.operators.Dedup]] embedding LSH) and feed it through
+    * [[dbscanFromPairs]]. Every label decision is a min over
+    * ids/labels — deterministic under any partitioning and
+    * engine-replayable.
     *
     * Output: (id, role ∈ core|border|noise, cluster — NULL for
     * noise). */
   def dbscan(df: DataFrame, idCol: String, vecCol: String,
              epsCos: Double, minPts: Int,
              scope: CacheScope = CacheScope.unmanaged()): DataFrame = {
-    require(minPts >= 1, "minPts must be positive")
     val v = scope.persist(df
       .select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v"))))
-    val nbrs = scope.persist(
+    val pairs =
       v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
         .select(col("a.id").as("i"), col("b.id").as("j"),
           (dot(col("a.v"), col("b.v")) /
             (col("a.nrm") * col("b.nrm"))).as("cos"))
         .filter(col("cos") >= epsCos)
-        .select("i", "j"))
+        .select("i", "j")
+    dbscanFromPairs(v.select("id"), pairs, minPts, scope)
+  }
+
+  /** DBSCAN density labeling from an EXTERNALLY-SUPPLIED ε-neighbor
+    * pair table — the corpus-scale entry point (the
+    * [[graft.operators.GraphRank.pagerank]] signature discipline:
+    * the quadratic candidate step is the caller's to bound, the
+    * density/component machinery is ours). `nodes` must carry every
+    * vector id in an `id` column (isolated ids have no pair and must
+    * still surface as noise); `pairs` is any table of ε-neighbor
+    * witnesses in columns `i`, `j` — unordered, duplicated (LSH bands
+    * emit a pair once per colliding band), or self-paired input is
+    * fine: pairs are normalized to distinct `i < j` edges before the
+    * degree rollup, so duplicate witnesses never inflate density.
+    *
+    * Downstream of the pair table everything is linear in edges:
+    * one degree rollup gates cores (neighborhood = neighbor count +
+    * self ≥ minPts), clusters are the exact min-label fixpoint over
+    * core-core edges ([[graft.operators.Dedup.connectedComponents]]
+    * — its eager-checkpoint discipline included), and border points
+    * attach to their MINIMUM core-neighbor cluster (one join + min).
+    * With an approximate candidate generator the result is DBSCAN
+    * over the generator's recall: a missed true pair can demote a
+    * core to border/noise or split a bridge — identical to how every
+    * LSH-banded dedup in this engine trades recall for the n² term. */
+  def dbscanFromPairs(nodes: DataFrame, pairs: DataFrame, minPts: Int,
+                      scope: CacheScope = CacheScope.unmanaged()): DataFrame = {
+    require(minPts >= 1, "minPts must be positive")
+    val nbrs = scope.persist(pairs
+      .filter(col("i") =!= col("j"))
+      .select(least(col("i"), col("j")).as("i"),
+        greatest(col("i"), col("j")).as("j"))
+      .distinct())
     val deg = nbrs.select(col("i").as("id"))
       .union(nbrs.select(col("j").as("id")))
       .groupBy("id").agg(count(lit(1)).as("nc"))
-    val nodes = scope.persist(v.select("id")
+    val nd = scope.persist(nodes.select("id")
       .join(deg, Seq("id"), "left")
       .select(col("id"),
         (coalesce(col("nc"), lit(0L)) + 1 >= minPts).as("is_core")))
-    val coreIds = nodes.filter(col("is_core"))
+    val coreIds = nd.filter(col("is_core"))
     val coreEdges = nbrs
       .join(coreIds.select(col("id").as("i")), "i")
       .join(coreIds.select(col("id").as("j")), "j")
@@ -461,9 +498,9 @@ object Similarity {
       .union(nbrs.select(col("j").as("x"), col("i").as("y")))
     val borderCl = adj
       .join(coreCl.withColumnRenamed("id", "x"), "x")
-      .join(nodes.filter(!col("is_core")).select(col("id").as("y")), "y")
+      .join(nd.filter(!col("is_core")).select(col("id").as("y")), "y")
       .groupBy(col("y").as("id")).agg(min(col("cluster")).as("bcl"))
-    nodes
+    nd
       .join(coreCl.withColumnRenamed("cluster", "ccl"), Seq("id"), "left")
       .join(borderCl, Seq("id"), "left")
       .select(col("id"),
@@ -471,6 +508,38 @@ object Similarity {
           .when(col("bcl").isNotNull, "border")
           .otherwise("noise").as("role"),
         when(col("is_core"), col("ccl")).otherwise(col("bcl")).as("cluster"))
+  }
+
+  /** Corpus-scale DBSCAN: candidate ε-neighbor pairs from the
+    * SemDeDup k-means bucketing ([[kmeansCentroids]] +
+    * [[assignBuckets]]) fed through [[dbscanFromPairs]]. Only
+    * same-bucket pairs are scored, so the quadratic term is bounded
+    * at Σ clusterᵢ² instead of n² — the exact trade
+    * [[semanticDedup]] makes, with the same failure mode: a true
+    * ε-pair that straddles a centroid boundary is missed, which can
+    * demote density or split a cluster (recall loss, never false
+    * pairs — every emitted pair is exactly verified by cosine).
+    * With well-separated geometry (cluster diameter ≪ centroid
+    * separation, the regime DBSCAN is used for) the bucketed result
+    * matches the exact [[dbscan]] — DbscanSpec pins that agreement
+    * on planted geometry. */
+  def dbscanBucketed(df: DataFrame, idCol: String, vecCol: String,
+                     epsCos: Double, minPts: Int, nCentroids: Int,
+                     nIter: Int = 5,
+                     scope: CacheScope = CacheScope.unmanaged()): DataFrame = {
+    val centroids = kmeansCentroids(df, idCol, vecCol, nCentroids, nIter)
+    val assigned = scope.persist(
+      assignBuckets(df, idCol, vecCol, centroids)
+        .withColumn("nrm", norm(col("v"))))
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        (dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= epsCos)
+      .select("i", "j")
+    dbscanFromPairs(assigned.select("id"), pairs, minPts, scope)
   }
 
   /** Per-vector int8 scalar quantization — the STORAGE-side companion

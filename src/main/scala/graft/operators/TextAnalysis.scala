@@ -332,6 +332,53 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "tfidf")
   }
 
+  /** Okapi BM25 retrieval scoring (Robertson et al., TREC-3) of a
+    * fixed query-term set against the corpus — the ranked-retrieval
+    * companion to [[tfIdf]], and the scorer behind quality-weighted
+    * example selection ("find the documents most about X") in a
+    * curation pipeline. Per document d and query term t:
+    *
+    *   idf(t)   = ln(1 + (N − df_t + 0.5) / (df_t + 0.5))
+    *   w(t, d)  = idf(t) · tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * summed over the query terms present in d (the Lucene-style
+    * non-negative idf). Per-term contributions round to integer
+    * MICROS before summing (the q_lm_score discipline), so the score
+    * is partition-order independent and engine-exact; avgdl is one
+    * double division of two exact longs.
+    *
+    * Scale shape: one explode pass feeds two partial-agg shuffles
+    * (per-doc length, per-(doc, term) tf over the query terms only —
+    * the `isin` prunes map-side, so the tf table is hit-sized, not
+    * corpus-sized); df re-aggregates the tf table to |terms| rows;
+    * the 1-row corpus stats broadcast; the tf⋈dl join is
+    * hit-docs-sized (AQE broadcasts it when small). Output: one row
+    * per document with ≥1 hit — (id, n_terms_hit, score_micros). */
+  def bm25(docs: org.apache.spark.sql.DataFrame, idCol: String,
+           textCol: String, terms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val toks = docs.select(col(idCol).as("id"),
+      explode(filter(tokens(lower(col(textCol))),
+        w => length(w) > 0)).as("term"))
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val w = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    tf.join(dfreq, "term")
+      .join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("__m", floor(w * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("__m")).as("score_micros"))
+  }
+
   /** BPE tokenizer training (Sennrich et al. 2016) as an iterative
     * relational job — the merge-table trainer of an LLM data
     * pipeline, run where the data is instead of exporting corpus
@@ -443,8 +490,13 @@ object TextAnalysis {
     val applied = merges.foldLeft(rendered) { case (s, (l, r)) =>
       replace(s, lit(s" $l  $r "), lit(s" $l$r "))
     }
+    // split(trim(''), "\\s+") yields [""] — size 1 — so empty /
+    // whitespace-only docs must short-circuit to 0, or they'd each
+    // claim one phantom token against packing budgets.
     docs.select(col(idCol).as("id"),
-      size(split(trim(applied), "\\s+")).cast("long").as("n_tokens"),
+      when(length(trim(applied)) === 0, lit(0L))
+        .otherwise(size(split(trim(applied), "\\s+")).cast("long"))
+        .as("n_tokens"),
       md5(applied).as("tok_sig"))
   }
 

@@ -599,7 +599,8 @@ object CorpusQueries {
     s"""WITH ${bpeTrainCtes(BpeMerges)},
        |e0 AS MATERIALIZED (SELECT doc_id, $render AS s FROM documents),
        |$steps
-       |SELECT doc_id, CAST(len(string_split_regex(trim(s), '\\s+')) AS BIGINT) AS n_tokens,
+       |SELECT doc_id, CAST(CASE WHEN len(trim(s)) = 0 THEN 0
+       |    ELSE len(string_split_regex(trim(s), '\\s+')) END AS BIGINT) AS n_tokens,
        |  md5(s) AS tok_sig
        |FROM e$BpeMerges ORDER BY doc_id""".stripMargin
   }

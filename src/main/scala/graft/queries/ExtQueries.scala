@@ -404,7 +404,13 @@ object ExtQueries {
   //      semantics): centrality-weighted ranking of the duplicate
   //      neighborhoods — the general iterative-graph shape beyond the
   //      CC fixpoint. Top-50 by rank; full pipeline (LSH pairs + 5
-  //      unrolled rounds) replays in the oracle ----
+  //      unrolled rounds) replays in the oracle. VARIANT NOTE: like
+  //      GraphRank.pagerank, dangling/isolated mass is NOT
+  //      redistributed — nodes without out-edges decay toward the
+  //      restart base instead of donating their rank to everyone, so
+  //      ranks here run slightly below a textbook
+  //      dangling-redistributing PageRank (the trade buys the exact
+  //      integer replay both engines pin) ----
   private val PrIters = 5
   private val PrDamp = 850L
   private val PrTopK = 50
@@ -1077,7 +1083,15 @@ object ExtQueries {
   //      ε-cosine neighbor graph, on the same bounded slice as the
   //      exact near-dup baseline. The oracle replays pair join,
   //      density gate, recursive-CTE components, and the min-label
-  //      border attachment ----
+  //      border attachment. Like q_embed_neardup, this gate query is
+  //      the EXACT all-pairs BASELINE on an explicitly BOUNDED input
+  //      (vec_id < 1000): bench readers should treat its cost as
+  //      O(n²) by construction, and most of its wall time is the CC
+  //      fixpoint's fixed per-round job cost, not the pair join. The
+  //      corpus-scale paths are Similarity.dbscanBucketed (SemDeDup
+  //      k-means candidate buckets) and dbscanFromPairs fed SRP-LSH
+  //      band pairs — DbscanSpec pins bucketed ≡ exact on planted
+  //      geometry ----
   private val DbEps = 0.35
   private val DbMinPts = 4
   def qDbscan(s: SparkSession, dir: String): DataFrame =

@@ -570,10 +570,29 @@ object RelQueries {
   //      select, so a hash match proves the format preserves every
   //      value bit-exactly. Timestamps emit as epoch-µs through the
   //      schema-adaptive Tables.epochUs (UTC session contract) ----
+  /** Deterministic scratch dir for write-then-read-back queries. The
+    * result DataFrame reads the path LAZILY (the harness materializes
+    * it after this function returns), so the dir can't be deleted
+    * here — instead the path is fixed per query name and any previous
+    * invocation's output is wiped before writing, so repeated
+    * sweeps/benches (median-of-3, 3 tiers) never accumulate orphaned
+    * dirs: disk is bounded at one copy per query. */
+  private def scratchDir(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_scratch", name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(p.toFile)
+    java.nio.file.Files.createDirectories(p.getParent)
+    p.toString
+  }
+
   def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val slice = Tables.load(s, dir, "lineitem")
       .filter(col("l_orderkey") < 200)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val tmp = scratchDir("orc_roundtrip")
     graft.sources.Sinks.writeOrc(slice, tmp)
     val back = s.read.orc(tmp)
     back.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
@@ -597,7 +616,7 @@ object RelQueries {
   //      exact null/value placement ----
   def qSchemaMerge(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    val tmp = scratchDir("schema_merge")
     graft.sources.Sinks.writeParquet(
       d.filter(col("doc_id") % 2 === 0).select("doc_id", "lang"),
       s"$tmp/batch=1")

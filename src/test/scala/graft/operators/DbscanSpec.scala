@@ -76,4 +76,75 @@ class DbscanSpec extends AnyFunSuite {
     val coreIds = a.filter(_._2 == "core").map(_._1).toSet
     assert(a.filter(_._3 != -1L).forall(t => coreIds.contains(t._3)))
   }
+
+  private def labeled(df: org.apache.spark.sql.DataFrame) = df
+    .collect()
+    .map(r => r.getAs[Long]("id") -> (r.getAs[String]("role"),
+      if (r.isNullAt(r.fieldIndex("cluster"))) -1L
+      else r.getAs[Long]("cluster"))).toMap
+
+  test("dbscanFromPairs normalizes unordered / duplicated / self pairs") {
+    val s = spark
+    import s.implicits._
+    // hand neighbor graph: 1-2-3-4 clique-ish chain where every node
+    // has >= 3 neighbors -> all core at minPts=4; 5 touches 4 only
+    // -> border; 6 is isolated (appears in nodes, never in pairs)
+    // -> noise. The pair table deliberately arrives messy — both
+    // orientations, duplicate witnesses (an LSH band emitting the
+    // same pair twice), and a self-pair — and must behave exactly
+    // like the clean i<j distinct edge set (duplicates MUST NOT
+    // inflate density: 4's count stays 4, not 5+).
+    val nodes = (1L to 6L).toDF("id")
+    val clean = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L))
+    val messy = clean.map { case (i, j) => (j, i) } ++
+      clean ++ Seq((2L, 1L), (4L, 5L), (3L, 3L))
+    val got = labeled(Similarity.dbscanFromPairs(
+      nodes, messy.toDF("i", "j"), minPts = 4))
+    val want = labeled(Similarity.dbscanFromPairs(
+      nodes, clean.toDF("i", "j"), minPts = 4))
+    assert(got == want, s"messy $got vs clean $want")
+    (1L to 4L).foreach(i => assert(got(i) == (("core", 1L)), s"id $i"))
+    assert(got(5L) == (("border", 1L)))
+    assert(got(6L) == (("noise", -1L)))
+  }
+
+  test("dbscan == dbscanFromPairs fed the exact pair table (real corpus)") {
+    val v = emb.select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val pairs = v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        (Similarity.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= 0.3).select("i", "j")
+    val viaPairs = labeled(
+      Similarity.dbscanFromPairs(v.select("id"), pairs, minPts = 5))
+    val direct = labeled(
+      Similarity.dbscan(emb, "vec_id", "embedding", epsCos = 0.3, minPts = 5))
+    assert(viaPairs == direct)
+  }
+
+  test("dbscanBucketed agrees with exact dbscan on well-separated planted geometry") {
+    val s = spark
+    import s.implicits._
+    // two tight antipodal blobs (the regime the k-means candidate
+    // generator is built for: cluster diameter << centroid
+    // separation) + two lone off-axis noise points. eps 0.95 keeps
+    // neighbors within ~18°, so each 5-blob is a core cluster and
+    // the 45°/135° singletons have no neighbor at all.
+    val d = ((1L to 5L).map(i => (i, ray(i.toDouble))) ++
+      (11L to 15L).map(i => (i, ray(180.0 + i))) ++
+      Seq((30L, ray(90)), (31L, ray(270))))
+      .toDF("vec_id", "embedding")
+    val exact = labeled(
+      Similarity.dbscan(d, "vec_id", "embedding", epsCos = 0.95, minPts = 4))
+    val bucketed = labeled(Similarity.dbscanBucketed(
+      d, "vec_id", "embedding", epsCos = 0.95, minPts = 4,
+      nCentroids = 2, nIter = 10))
+    assert(bucketed == exact, s"bucketed $bucketed vs exact $exact")
+    assert(exact(1L)._1 == "core" && exact(11L)._1 == "core")
+    assert(exact(1L)._2 != exact(11L)._2, "the blobs are distinct clusters")
+    assert(exact(30L) == (("noise", -1L)) && exact(31L) == (("noise", -1L)))
+  }
 }

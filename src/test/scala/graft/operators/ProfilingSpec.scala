@@ -90,6 +90,22 @@ class ProfilingSpec extends AnyFunSuite {
     assert(got.count(_._1 == "b") == 1)
   }
 
+  test("madOutliers approx=true agrees with the exact path on the planted spike") {
+    val s = spark
+    import s.implicits._
+    // same fixture as above: the outliers sit far from the median/MAD
+    // cutoff, so the sketch's edge error cannot flip any flag — the
+    // scale path must reproduce the exact flagged set here.
+    val a = (1 to 20).map(i => ("a", i.toLong, 10.0 + (i % 3) - 1)) :+
+      (("a", 99L, 100000.0))
+    val b = (1 to 10).map(i => ("b", 100L + i, 5.0)) :+ (("b", 200L, 5.5))
+    val df = (a ++ b).toDF("k", "eid", "v")
+    def flags(approx: Boolean) =
+      Profiling.madOutliers(df, "k", "eid", "v", thr = 6.0, approx = approx)
+        .collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("id"))).toSet
+    assert(flags(approx = true) == flags(approx = false))
+  }
+
   test("madOutliers on real events matches a driver-side replay") {
     val events = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
     val rows = events.select(col("event_type"), col("event_id"),
