@@ -1257,6 +1257,8 @@ object C45 {
     val catAttrs = schema.categoricalAttrs
     val numAttrs = schema.numericAttrs
     val fits = 0 until k
+    val profile = sys.props.get("graft.fit.profile").contains("1") ||
+      sys.env.get("GRAFT_FIT_PROFILE").contains("1")
 
     // per-fit class-label sets: declared, else discovered in ONE job
     // (label → set of folds containing it; fit f trains on folds != f)
@@ -1275,6 +1277,7 @@ object C45 {
     // so the when()-filtered agg equals the sequential filtered scan),
     // then per-fit approxQuantile through the SAME API the sequential
     // fit uses — identical edges, identical snapping
+    val tBins0 = System.nanoTime()
     val binEdgesByFit: Map[Int, Map[Int, Array[Double]]] =
       if (params.maxBins <= 0 || numAttrs.isEmpty)
         fits.map(_ -> Map.empty[Int, Array[Double]]).toMap
@@ -1304,6 +1307,10 @@ object C45 {
           f -> edges
         }.toMap
       }
+    if (profile && params.maxBins > 0 && numAttrs.nonEmpty)
+      println(f"[fitFolds] binning (gate + per-fit approxQuantile): " +
+        f"${(System.nanoTime() - tBins0) / 1e9}%.2fs")
+
     def numValColF(f: Int)(a: graft.meta.AttrMeta): Column = {
       val raw = col(a.name).cast("double")
       binEdgesByFit(f).get(schema.attrIndex(a.name))
@@ -1319,8 +1326,6 @@ object C45 {
       var globalMajority: Option[String] = None
     }
     val state = Array.fill(k)(new FState)
-    val profile = sys.props.get("graft.fit.profile").contains("1") ||
-      sys.env.get("GRAFT_FIT_PROFILE").contains("1")
     var level = 0
     while (state.exists(_.open.nonEmpty) && level <= params.maxDepth) {
       val tLevel0 = System.nanoTime()

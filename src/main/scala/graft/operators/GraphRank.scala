@@ -79,4 +79,55 @@ object GraphRank {
       .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"),
         col("pr").as("pr_picos"))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) over a
+    * pair table — community detection for duplicate/topic
+    * neighborhoods, the MODE-based sibling of connected components
+    * (CC merges anything reachable; LPA keeps weakly-bridged regions
+    * apart because a bridge node adopts whichever side out-VOTES the
+    * other). Deterministic variant: every node starts labeled with
+    * its own id; each round every node with ≥ 1 neighbor adopts its
+    * neighbors' most frequent label, ties broken toward the SMALLEST
+    * label (the standard random tie-break replaced by min — engine-
+    * replayable); isolated nodes keep their label. Synchronous
+    * updates (all nodes flip together per round) — `iters` caps the
+    * rounds; LPA is a heuristic whose fixpoint may oscillate, so the
+    * round count is part of the contract, exactly like [[pagerank]].
+    *
+    * Scale shape is [[pagerank]]'s: pairs persist once, become both
+    * edge orientations; per round one edge⋈label join (shuffle on
+    * the node key), one (node, label) partial-agg count, one
+    * struct-argmax collapse, one left join back to the node set; the
+    * label table is node-sized and each round ends in an eager
+    * `localCheckpoint` with the superseded round freed (the
+    * iterative-loop lineage discipline). */
+  def labelPropagation(pairs: DataFrame, nodes: DataFrame, idCol: String,
+                       iters: Int = 5,
+                       scope: CacheScope = CacheScope.unmanaged()): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val p2 = scope.persist(pairs)
+    val edges = scope.persist(
+      p2.select(col("i").as("u"), col("j").as("v"))
+        .union(p2.select(col("j").as("u"), col("i").as("v"))))
+    val ns = scope.persist(nodes.select(col(idCol).as("id")))
+    var lbl = ns.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      // per-neighbor label votes → (node, label) counts → argmax by
+      // (count desc, label asc) via one partial-aggregating struct max
+      val votes = edges
+        .join(lbl, edges("u") === lbl("id")).drop("id")
+        .groupBy(col("v").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("id")
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("b"))
+        .select(col("id"), (-col("b.nl")).as("newLbl"))
+      val next = lbl
+        .join(votes, Seq("id"), "left")
+        .select(col("id"), coalesce(col("newLbl"), col("lbl")).as("lbl"))
+        .localCheckpoint() // eager: truncates lineage, materializes now
+      org.apache.spark.sql.graft.CheckpointBridge.freeLocalCheckpoint(lbl)
+      lbl = next
+    }
+    lbl.select(col("id"), col("lbl").as("community"))
+  }
 }

@@ -82,6 +82,52 @@ object Profiling {
       .filter(abs(col("z")) > zThreshold)
   }
 
+  /** Exact-quantile binning (histogram equalization / the
+    * QuantileDiscretizer of feature engineering): cut a numeric
+    * column into `nBins` equal-mass buckets at its own quantile
+    * edges, then profile each bucket — the binning step behind
+    * bucketed features, stratified length sampling, and the fit's
+    * own maxBins gate, promoted to a user-facing operator.
+    *
+    * Edges are the `(1..nBins-1)/nBins` quantiles in ONE aggregation
+    * (a single array-percentile agg, not nBins separate jobs); the
+    * bucket id of a value is COUNT(edges < value) — ties land in the
+    * LOWER bucket, both engines compare against identical edge
+    * doubles (`percentile` ≡ DuckDB `quantile_cont`, the
+    * q_quantiles-pinned pair), so assignment is deterministic and
+    * engine-portable. Duplicate-heavy columns can yield duplicate
+    * edges; the affected buckets are then empty and absent from the
+    * output (count 0), never mis-assigned.
+    *
+    * `approx = false` (default, oracle path) is an exact percentile —
+    * an ordered aggregation whose sort serializes on one task at
+    * extreme n; `approx = true` swaps in `approx_percentile`
+    * (mergeable sketch, partial-aggregating) — the corpus-scale path,
+    * with sketch-dependent edges (the madOutliers trade, spec-pinned
+    * on agreement away from edges). The collected edge array is
+    * nBins-1 doubles — model-sized, not data-sized.
+    *
+    * Output: (bin, n, lo, hi) — per non-empty bucket, its row count
+    * and observed [min, max] rounded to 6dp. */
+  def quantileBin(df: DataFrame, valueCol: String, nBins: Int,
+                  approx: Boolean = false): DataFrame = {
+    require(nBins >= 2, "need at least 2 bins")
+    val v = df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val probs = (1 until nBins).map(_.toDouble / nBins)
+    val probsCol = typedLit(probs)
+    val edgeAgg =
+      if (approx) approx_percentile(col("v"), probsCol, lit(10000))
+      else percentile(col("v"), probsCol)
+    val edges: Seq[Double] =
+      v.agg(edgeAgg.as("e")).head().getSeq[Double](0)
+    v.withColumn("bin",
+        size(filter(typedLit(edges), e => col("v") > e)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("v")), 6).as("lo"), round(max(col("v")), 6).as("hi"))
+  }
+
   /** Robust per-group outlier screen on median/MAD instead of
     * mean/σ: a row is flagged when |value − median| > thr × MAD
     * (MAD = median absolute deviation). Mean/σ screens

@@ -284,6 +284,64 @@ object Similarity {
           .as("mean_sim"))
   }
 
+  /** Simplified (centroid-based) silhouette score per cluster — the
+    * clustering-quality gauge that answers "did k-means actually find
+    * structure, and which clusters are grab-bags?" before a pipeline
+    * trusts cluster-derived curation decisions (SemDeDup buckets,
+    * topic mixtures, IVF cells). Full silhouette (Rousseeuw 1987)
+    * needs all pairwise distances — O(n²); the standard large-data
+    * variant scores each point against CENTROIDS instead: with
+    * cosine distance d(x, c) = 1 − cos(x, c),
+    *
+    *   a(x) = d(x, own centroid),  b(x) = min over other centroids,
+    *   s(x) = (b − a) / max(a, b)   (0 when both are 0)
+    *
+    * so s ∈ [−1, 1], ~1 = firmly inside its cluster, ~0 = on a
+    * boundary, < 0 = assigned to the wrong centroid (possible after
+    * Lloyd stops early). O(n·k) instead of O(n²).
+    *
+    * Scale shape: two broadcast cross joins against the tiny centroid
+    * table, each collapsed by a partial-aggregating per-id max (the
+    * [[assignBuckets]] struct-argmax discipline — the shuffle carries
+    * one row per vector, never k); per-point silhouettes round to 6dp
+    * and sum as micros longs, so the per-cluster mean is
+    * partition-order independent and engine-exact. Assignment ties
+    * break to the smallest cid, matching [[assignBuckets]].
+    *
+    * Output: (cid, n_members, mean_sil) — one row per non-empty
+    * cluster; mean_sil = floor(Σ micros / n + 0.5) / 1e6. Requires
+    * ≥ 2 centroids (silhouette is undefined at k = 1: there is no
+    * "other centroid", and the inner join yields no rows). */
+  def silhouette(df: DataFrame, idCol: String, vecCol: String,
+                 centroids: DataFrame): DataFrame = {
+    val v = df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    val best = v.crossJoin(broadcast(centroids))
+      .select(col("id"), col("v"),
+        struct(round(cosine(col("v"), col("cv")), 6).as("sim"),
+          (-col("cid")).as("nc")).as("sc"))
+      .groupBy("id")
+      .agg(max(col("sc")).as("best"), first(col("v")).as("v"))
+      .select(col("id"), col("v"), (-col("best.nc")).as("cid"),
+        col("best.sim").as("a_sim"))
+    val second = best
+      .crossJoin(broadcast(centroids.withColumnRenamed("cid", "ocid")))
+      .filter(col("ocid") =!= col("cid"))
+      .groupBy("id")
+      .agg(max(round(cosine(col("v"), col("cv")), 6)).as("b_sim"))
+    val a = lit(1.0) - col("a_sim")
+    val b = lit(1.0) - col("b_sim")
+    val sRaw = when(greatest(a, b) === 0.0, lit(0.0))
+      .otherwise((b - a) / greatest(a, b))
+    best.join(second, "id")
+      .select(col("cid"),
+        floor(sRaw * lit(1e6) + lit(0.5)).cast("long").as("__m"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"), sum(col("__m")).as("__sum"))
+      .select(col("cid"), col("n_members"),
+        (floor(col("__sum") / col("n_members") + lit(0.5)) / lit(1e6))
+          .as("mean_sil"))
+  }
+
   /** Triplet mining for metric learning (the FaceNet recipe, Schroff
     * et al. 2015): for each ANCHOR vector, find its hardest positive
     * (same label, LOWEST cosine — the farthest example the model must

@@ -415,25 +415,34 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("freq"), concat(lit(" "),
         trim(regexp_replace(col("w"), "(.)", "$1  ")), lit(" ")).as("s"))
-    // every round's symbol table is persisted and ALL of them are
-    // freed together at the end: unpersisting round r-1 before round
-    // r's first job has materialized would silently recompute the
-    // whole replace chain from words0, and an extra count() job per
-    // round just to materialize eagerly doubles the round cost. The
-    // held set is nMerges × the vocabulary-sized table — bounded and
-    // spill-safe (MEMORY_AND_DISK), never corpus-sized.
-    val persisted = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
-    def keep(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      persisted += p
-      p
-    }
+    // every round's symbol table is an EAGER localCheckpoint and the
+    // superseded round frees immediately — NOT a persist chain: the
+    // rounds are execution-eager either way (the argmax collects),
+    // but persist does not truncate LINEAGE, so round r's logical
+    // plan would chain all r crossJoin+replace steps and per-round
+    // analysis cost grows linearly — O(n²) total. At the gate query's
+    // 10 merges that is invisible; at a tokenizer-realistic 500 it is
+    // fatal (measured: the 100-merge plan's EXPLAIN STRING alone
+    // OOMed a 4 GiB driver before round 50). localCheckpoint resets
+    // each round to a constant-size LogicalRDD plan — the
+    // PageRank/CC iterative discipline (GraphRank.scala) — and the
+    // live state is one vocabulary-sized block set at a time.
+    def keep(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.localCheckpoint() // eager: materializes now, truncates lineage
     var cur = keep(words0)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    val profile = sys.props.get("graft.fit.profile").contains("1") ||
+      sys.env.get("GRAFT_FIT_PROFILE").contains("1")
+    var tWindow = System.nanoTime()
     try {
       var r = 1
       var dry = false
       while (r <= nMerges && !dry) {
+        if (profile && r % 50 == 1 && r > 1) {
+          println(f"[bpe] rounds ${r - 50}%d..${r - 1}%d: " +
+            f"${(System.nanoTime() - tWindow) / 1e9}%.1fs")
+          tWindow = System.nanoTime()
+        }
         val arr = split(trim(col("s")), "  ")
         val top = cur
           .select(col("freq"), explode(zip_with(
@@ -455,16 +464,18 @@ object TextAnalysis {
           // shares ONE compiled plan instead of recompiling codegen
           // for each new literal pattern
           val mDf = Seq((s" $l  $rr ", s" $l$rr ")).toDF("__pat", "__rep")
-          cur = keep(cur.crossJoin(broadcast(mDf))
+          val next = keep(cur.crossJoin(broadcast(mDf))
             .withColumn("s", replace(col("s"), col("__pat"), col("__rep")))
             .drop("__pat", "__rep"))
+          org.apache.spark.sql.graft.CheckpointBridge.freeLocalCheckpoint(cur)
+          cur = next
           r += 1
         }
       }
-      // the merge table is driver-materialized — every round cache is
-      // safe to free before returning
+      // the merge table is driver-materialized — nothing references
+      // the final round's checkpoint after this point
       merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_freq")
-    } finally persisted.foreach(_.unpersist())
+    } finally org.apache.spark.sql.graft.CheckpointBridge.freeLocalCheckpoint(cur)
   }
 
   /** Apply a trained BPE merge table ([[bpeTrain]]) to a corpus in

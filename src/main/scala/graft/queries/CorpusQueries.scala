@@ -605,6 +605,40 @@ object CorpusQueries {
        |FROM e$BpeMerges ORDER BY doc_id""".stripMargin
   }
 
+  // ---- Okapi BM25 retrieval scoring of a fixed query-term set over
+  //      the corpus (the ranked-retrieval companion to q_tfidf and
+  //      the "most about X" selector of quality-weighted curation).
+  //      One query term is deliberately rare ('dup', df ~5% — high
+  //      idf) and two are common, so the score exercises the idf
+  //      spread and the dl/avgdl length normalization. Per-term
+  //      contributions floor to micros before summing (q_lm_score
+  //      discipline) — partition-order independent, engine-exact ----
+  private val Bm25Terms = Seq("dup", "join", "vector")
+  def qBm25(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25(docs(s, dir), "doc_id", "text", Bm25Terms)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("score_micros").desc, col("doc_id"))
+  val qBm25Sql: String = {
+    val termsList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, w AS term FROM (SELECT doc_id,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents)
+       |  WHERE len(w) > 0),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+       |  WHERE term IN ($termsList) GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |c AS (SELECT tf.doc_id,
+       |    CAST(floor(ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+       |      * (tf * 2.2::DOUBLE)
+       |      / (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / (sum_dl::DOUBLE / n_docs)))
+       |      * 1000000 + 0.5) AS BIGINT) AS m
+       |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), st)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+       |  CAST(sum(m) AS BIGINT) AS score_micros
+       |FROM c GROUP BY 1 ORDER BY score_micros DESC, doc_id""".stripMargin
+  }
+
   // ---- DSIR importance resampling (hashed-n-gram likelihood-ratio
   //      weights vs a target corpus + deterministic Gumbel top-k):
   //      the data-selection op of LLM pretraining pipelines. Target =
@@ -726,6 +760,7 @@ object CorpusQueries {
     "q_scd2_history" -> (qScd2History _),
     "q_leakage_split" -> (qLeakageSplit _),
     "q_lm_score" -> (qLmScore _),
+    "q_bm25" -> (qBm25 _),
     "q_nb_classify" -> (qNbClassify _),
     "q_dsir_resample" -> (qDsirResample _),
     "q_bpe_train" -> (qBpeTrain _),
@@ -750,6 +785,7 @@ object CorpusQueries {
     "q_scd2_history" -> qScd2HistorySql,
     "q_leakage_split" -> qLeakageSplitSql,
     "q_lm_score" -> qLmScoreSql,
+    "q_bm25" -> qBm25Sql,
     "q_nb_classify" -> qNbClassifySql,
     "q_dsir_resample" -> qDsirResampleSql,
     "q_bpe_train" -> qBpeTrainSql,

@@ -396,6 +396,53 @@ object ExtQueries {
        |  JOIN sz si ON si.id = i JOIN sz sj ON sj.id = j
        |  WHERE c::DOUBLE / (si.sz + sj.sz - c) >= 0.5)""".stripMargin
   }
+  // ---- dedup-pipeline QA: measured RECALL of the MinHash-LSH
+  //      candidate generator against the exact Jaccard truth set at
+  //      the same threshold, same df-capped shingle sets, same
+  //      bounded slice — the number a pipeline owner needs before
+  //      trusting banded dedup at corpus scale (the 1-(1-J^r)^b
+  //      curve is theory; this is the corpus's actual figure).
+  //      Precision is 1 by construction (every candidate is exactly
+  //      verified), so the table reports the misses: pair counts,
+  //      recall in micros, and the worst (most-similar) missed pair's
+  //      Jaccard — the damning one. One-row output ----
+  def qDedupEval(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") < 1000)
+    val truth = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        n = 1, threshold = 0.5, maxShingleDf = ShingleDfCap)
+      .select(col("i"), col("j"), r6(col("jaccard")).as("jaccard"))
+    val got = Dedup.minHashLshPairs(d, "doc_id", "text",
+        k = 16, rowsPerBand = 2, threshold = 0.5, maxShingleDf = ShingleDfCap)
+      .select(col("i"), col("j"), lit(1L).as("__hit"))
+    truth.join(got, Seq("i", "j"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        max(when(col("__hit").isNull, col("jaccard")))
+          .as("worst_miss_jaccard"))
+      .select(col("n_true"), col("n_hit"),
+        when(col("n_true") === 0, lit(1000000L))
+          .otherwise(floor(col("n_hit").cast("double") / col("n_true")
+            * lit(1000000) + lit(0.5)).cast("long")).as("recall_micros"),
+        col("worst_miss_jaccard"))
+  }
+  val qDedupEvalSql: String =
+    s"""WITH ${lshPairsCtes()},
+       |truth AS (SELECT i, j, round(c::DOUBLE / (si.sz + sj.sz - c), 6) AS jaccard
+       |  FROM common JOIN sz si ON si.id = i JOIN sz sj ON sj.id = j
+       |  WHERE c::DOUBLE / (si.sz + sj.sz - c) >= 0.5),
+       |jj AS (SELECT t.jaccard, p.i IS NOT NULL AS hit
+       |  FROM truth t LEFT JOIN prs p ON t.i = p.i AND t.j = p.j),
+       |a AS (SELECT count(*) AS n_true,
+       |    sum(CASE WHEN hit THEN 1 ELSE 0 END) AS n_hit,
+       |    max(CASE WHEN NOT hit THEN jaccard END) AS worst_miss_jaccard
+       |  FROM jj)
+       |SELECT CAST(n_true AS BIGINT) AS n_true, CAST(n_hit AS BIGINT) AS n_hit,
+       |  CASE WHEN n_true = 0 THEN CAST(1000000 AS BIGINT)
+       |    ELSE CAST(floor(n_hit::DOUBLE / n_true * 1000000 + 0.5) AS BIGINT)
+       |  END AS recall_micros,
+       |  worst_miss_jaccard
+       |FROM a""".stripMargin
+
   val qMinhashLshSql: String =
     s"""WITH ${lshPairsCtes()}
        |SELECT i, j, jaccard FROM prs ORDER BY i, j""".stripMargin
@@ -1049,6 +1096,36 @@ object ExtQueries {
        |SELECT cid, count(*) AS n_members,
        |  round(CAST(sum(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_sim
        |FROM assigned GROUP BY cid ORDER BY cid""".stripMargin
+
+  // ---- simplified (centroid-based) silhouette per cluster: the
+  //      clustering-quality gauge over the SAME trained quantizer as
+  //      q_kmeans (shared CTE chain) — a(x) = cosine distance to own
+  //      centroid, b(x) = min over others, s = (b-a)/max(a,b);
+  //      O(n·k), never the O(n²) full silhouette. Per-point values
+  //      floor to micros before the per-cluster mean, so the result
+  //      is partition-order independent and engine-exact ----
+  def qSilhouette(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val centroids = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+      nCentroids = KmK, nIter = KmIter)
+    Similarity.silhouette(e, "vec_id", "embedding", centroids)
+      .orderBy("cid")
+  }
+  val qSilhouetteSql: String =
+    s"""WITH ${kmeansAssignedCtes(KmK, KmIter)},
+       |sec AS (SELECT a.id, max(round(list_dot_product(e.v, c.cv) /
+       |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6)) AS b_sim
+       |  FROM assigned a JOIN e ON e.id = a.id
+       |  JOIN c$KmIter c ON c.cid <> a.cid GROUP BY a.id),
+       |sm AS (SELECT a.cid, CAST(floor((CASE
+       |      WHEN greatest(1.0::DOUBLE - a.sim, 1.0::DOUBLE - s.b_sim) = 0 THEN 0.0::DOUBLE
+       |      ELSE ((1.0::DOUBLE - s.b_sim) - (1.0::DOUBLE - a.sim))
+       |        / greatest(1.0::DOUBLE - a.sim, 1.0::DOUBLE - s.b_sim) END)
+       |    * 1000000 + 0.5) AS BIGINT) AS m
+       |  FROM assigned a JOIN sec s USING (id))
+       |SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+       |  floor(CAST(sum(m) AS BIGINT) / count(*) + 0.5) / 1000000 AS mean_sil
+       |FROM sm GROUP BY cid ORDER BY cid""".stripMargin
 
   // ---- triplet mining (FaceNet recipe): per anchor, the hardest
   //      positive (same label, lowest cosine) and hardest negative
@@ -1785,6 +1862,7 @@ object ExtQueries {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_apply" -> (qDedupApply _),
     "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_dedup_eval" -> (qDedupEval _),
     "q_lsh_incr" -> (qLshIncr _),
     "q_simhash" -> (qSimhash _),
     "q_simhash_pairs" -> (qSimhashPairs _),
@@ -1797,6 +1875,7 @@ object ExtQueries {
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_kmeans" -> (qKmeans _),
+    "q_silhouette" -> (qSilhouette _),
     "q_semdedup" -> (qSemdedup _),
     "q_dbscan" -> (qDbscan _),
     "q_triplet_mine" -> (qTripletMine _),
@@ -1875,12 +1954,14 @@ object ExtQueries {
     "q_stream_enrich" -> qStreamEnrichSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_minhash_lsh" -> qMinhashLshSql,
+    "q_dedup_eval" -> qDedupEvalSql,
     "q_lsh_incr" -> qLshIncrSql,
     "q_embed_lsh" -> qEmbedLshSql,
     "q_ann_ivf" -> qAnnIvfSql,
     "q_ann_pq" -> qAnnPqSql,
     "q_ann_ivfpq" -> qAnnIvfPqSql,
     "q_kmeans" -> qKmeansSql,
+    "q_silhouette" -> qSilhouetteSql,
     "q_semdedup" -> qSemdedupSql,
     "q_dbscan" -> qDbscanSql,
     "q_triplet_mine" -> qTripletMineSql,

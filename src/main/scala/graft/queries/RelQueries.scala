@@ -524,6 +524,30 @@ object RelQueries {
       |SELECT nation_key, rnk, c_custkey, acctbal
       |FROM r WHERE rnk <= 3 ORDER BY nation_key, rnk""".stripMargin
 
+  // ---- exact-quantile binning (QuantileDiscretizer): 8 equal-mass
+  //      buckets of l_extendedprice at its own quantile edges, each
+  //      profiled (count, observed [min, max]). nBins = 8 keeps every
+  //      probability k/8 exactly representable, so the edge
+  //      probabilities parse to identical doubles in both engines;
+  //      the edges themselves ride the q_quantiles-pinned
+  //      percentile == quantile_cont pair ----
+  private val QbBins = 8
+  def qQuantileBin(s: SparkSession, dir: String): DataFrame =
+    Profiling.quantileBin(Tables.load(s, dir, "lineitem"),
+        "l_extendedprice", QbBins)
+      .orderBy("bin")
+  val qQuantileBinSql: String = {
+    val probs = (1 until QbBins).map(_.toDouble / QbBins).mkString(", ")
+    s"""WITH v AS (SELECT l_extendedprice::DOUBLE AS v FROM lineitem
+       |  WHERE l_extendedprice IS NOT NULL),
+       |e AS (SELECT quantile_cont(v, [$probs]) AS edges FROM v),
+       |b AS (SELECT v, CAST(len(list_filter(edges, x -> v > x)) AS BIGINT) AS bin
+       |  FROM v, e)
+       |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |  round(min(v), 6) AS lo, round(max(v), 6) AS hi
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ---- robust outlier screen: median/MAD instead of mean/sigma —
   //      the screen that still works when outliers inflate sigma and
   //      hide themselves. Exact percentiles both sides (the
@@ -656,6 +680,7 @@ object RelQueries {
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_schema_merge" -> (qSchemaMerge _),
     "q_mad_outliers" -> (qMadOutliers _),
+    "q_quantile_bin" -> (qQuantileBin _),
     "q_kmv_groups" -> (qKmvGroups _),
   )
 
@@ -681,6 +706,7 @@ object RelQueries {
     "q_orc_roundtrip" -> qOrcRoundtripSql,
     "q_schema_merge" -> qSchemaMergeSql,
     "q_mad_outliers" -> qMadOutliersSql,
+    "q_quantile_bin" -> qQuantileBinSql,
     "q_kmv_groups" -> qKmvGroupsSql,
   )
 }
