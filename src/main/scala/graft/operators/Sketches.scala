@@ -9,6 +9,111 @@ import org.apache.spark.sql.functions._
   * and the k-th smallest (0 when fewer than one). */
 case class KmvSketch(kActual: Int, kth: Long)
 
+/** HLL sketch result: occupied-register count and the cardinality
+  * estimate (see [[Hll.estimate]]). */
+case class HllSketch(nBucketsSet: Long, estDistinct: Long)
+
+/** HyperLogLog register math (Flajolet et al. 2007), pinned to the
+  * engine-portable form BOTH Spark and DuckDB replay bit-exactly:
+  *
+  *  - hash  = the salted-md5 60-bit family ([[graft.functions.Hashing]])
+  *  - bucket = hash mod 256, w = hash div 256 (a 52-bit remainder)
+  *  - rho    = leading-zero rank of w in 52 bits, i.e. 53 − bitlen(w)
+  *             (SQL: `53 - length(bin(w))` — `bin` prints without
+  *             leading zeros in both engines; w = 0 → 53)
+  *  - register r_j = max rho per bucket; empty buckets hold 0
+  *  - S = Σ_j 2^(53 − r_j) — an EXACT long (≤ 256·2^53 = 2^61), the
+  *    harmonic-mean denominator scaled by 2^53 so no per-bucket float
+  *    division happens: Z = S / 2^53 and E_raw = α·m² / Z =
+  *    [[AlphaM2TwoPow53]] / S — ONE double division of exact inputs
+  *  - small-range branch (E_raw ≤ 2.5m and V > 0 empty buckets):
+  *    linear counting m·ln(m/V). ln is libm territory (engines may
+  *    disagree in the last ulp), so the 256 possible values are
+  *    PRECOMPUTED into [[LinearCount]] and both engines read the same
+  *    table — the replay path contains no transcendental call.
+  *
+  * Where KMV ([[KmvAggregator]]) keeps k·8 bytes and is exact below
+  * k, HLL keeps a flat 256 bytes per group at ~6.5% standard error —
+  * the cheaper sketch when profiling millions of groups. */
+object Hll {
+  val M = 256
+  val MaxRho = 53
+
+  /** α_m·m²·2^53 for m = 256 — the raw-estimate numerator. The value
+    * is a plain double constant; its shortest decimal repr round-trips
+    * identically into DuckDB's DOUBLE parser. */
+  val AlphaM2TwoPow53: Double =
+    0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+
+  /** Linear-counting table: index V (empty buckets, 1..256) →
+    * floor(m·ln(m/V) + 0.5). Index 0 unused. */
+  val LinearCount: Array[Long] = (0 to M).map {
+    case 0 => 0L
+    case v => math.floor(M.toDouble * math.log(M.toDouble / v) + 0.5).toLong
+  }.toArray
+
+  /** rho of the 52-bit remainder (w = hash div 256). */
+  def rho(w: Long): Int =
+    if (w == 0L) MaxRho else java.lang.Long.numberOfLeadingZeros(w) - 11
+
+  /** Cardinality estimate from the exact scaled harmonic sum S and
+    * the empty-bucket count V. */
+  def estimate(s: Long, v: Int): Long = {
+    val raw = AlphaM2TwoPow53 / s.toDouble
+    if (raw <= 2.5 * M && v > 0) LinearCount(v)
+    else math.floor(raw + 0.5).toLong
+  }
+
+  /** (S, V) from a 256-byte register array. */
+  def harmonics(regs: Array[Byte]): (Long, Int) = {
+    var s = 0L
+    var v = 0
+    var j = 0
+    while (j < M) {
+      val r = regs(j).toInt
+      s += 1L << (MaxRho - r)
+      if (r == 0) v += 1
+      j += 1
+    }
+    (s, v)
+  }
+}
+
+/** 256-register HLL as a mergeable Aggregator over [[Hashing.hash60]]
+  * values: state is a flat 256-byte array per group no matter the
+  * cardinality, partial aggregation merges map-side, and the merge is
+  * an elementwise register max — associative, commutative,
+  * deterministic. */
+private[graft] class HllAggregator
+  extends Aggregator[Long, Array[Byte], HllSketch] {
+
+  override def zero: Array[Byte] = new Array[Byte](Hll.M)
+
+  override def reduce(buf: Array[Byte], h: Long): Array[Byte] = {
+    val bucket = (h % Hll.M).toInt // hash60 is non-negative
+    val r = Hll.rho(h / Hll.M)
+    if (r > buf(bucket)) buf(bucket) = r.toByte
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var j = 0
+    while (j < Hll.M) {
+      if (b(j) > a(j)) a(j) = b(j)
+      j += 1
+    }
+    a
+  }
+
+  override def finish(regs: Array[Byte]): HllSketch = {
+    val (s, v) = Hll.harmonics(regs)
+    HllSketch(Hll.M.toLong - v, Hll.estimate(s, v))
+  }
+
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[HllSketch] = Encoders.product[HllSketch]
+}
+
 /** Bottom-k-distinct-hashes buffer as a mergeable Aggregator — the
   * KMV distinct-count sketch ([[Sampling.kmvDistinct]]'s math) in
   * UDAF form, so it composes with ANY grouping, including streaming
@@ -143,5 +248,24 @@ object Sketches {
       .groupBy("key")
       .agg(agg(col("__h")).as("kmv"))
       .select(col("key") +: kmvColumns(col("kmv"), k): _*)
+  }
+
+  /** Per-group distinct-count estimates via the mergeable 256-register
+    * HLL sketch ([[HllAggregator]]): one partial-aggregated shuffle
+    * carrying a flat 256 bytes per (group, partition) — constant where
+    * KMV's k longs are already bounded, and the better fit when the
+    * group count itself is huge (per-domain cardinality over millions
+    * of domains). Output: (key, n_buckets_set, est_distinct). */
+  def hllPerGroup(df: DataFrame, keyCol: String,
+                  valueCol: String): DataFrame = {
+    val agg = org.apache.spark.sql.functions.udaf(
+      new HllAggregator, Encoders.scalaLong)
+    df.select(col(keyCol).as("key"),
+        Hashing.hash60(col(valueCol).cast("string")).as("__h"))
+      .groupBy("key")
+      .agg(agg(col("__h")).as("hll"))
+      .select(col("key"),
+        col("hll.nBucketsSet").as("n_buckets_set"),
+        col("hll.estDistinct").as("est_distinct"))
   }
 }

@@ -497,6 +497,49 @@ object ExtQueries {
        |WHERE r.rnk <= $PrTopK ORDER BY r.rnk""".stripMargin
   }
 
+  // ---- label propagation (Raghavan et al. 2007) over the SAME LSH
+  //      near-dup graph as q_pagerank: community detection with the
+  //      deterministic min-tie-break variant — the mode-voting
+  //      sibling of connected components (a weak bridge between two
+  //      dense dup neighborhoods does NOT merge them, because the
+  //      bridge node adopts whichever side out-votes the other).
+  //      Synchronous rounds, fixed count (part of the contract, like
+  //      q_pagerank); every node reports its final community plus the
+  //      community's size. Isolated docs are singleton communities ----
+  private val LpaIters = 5
+  def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") < 1000)
+    val pairs = Dedup.minHashLshPairs(d, "doc_id", "text",
+      k = 16, rowsPerBand = 2, threshold = 0.5, maxShingleDf = ShingleDfCap)
+    val lp = GraphRank.labelPropagation(pairs, d, "doc_id",
+      iters = LpaIters)
+    val sizes = lp.groupBy("community").agg(count(lit(1)).as("csize"))
+    lp.join(sizes, "community")
+      .select(col("id").as("doc_id"), col("community"), col("csize"))
+      .orderBy("doc_id")
+  }
+  val qLabelPropSql: String = {
+    val rounds = (1 to LpaIters).map { r =>
+      val p = r - 1
+      s"""c$r AS (SELECT ed.v AS id, l.lbl, count(*) AS c
+         |  FROM ed JOIN l$p l ON ed.u = l.id GROUP BY 1, 2),
+         |w$r AS (SELECT id, lbl FROM (SELECT id, lbl,
+         |    row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn
+         |  FROM c$r) WHERE rn = 1),
+         |l$r AS MATERIALIZED (SELECT n.id, coalesce(w.lbl, n.lbl) AS lbl
+         |  FROM l$p n LEFT JOIN w$r w USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${lshPairsCtes()},
+       |ed AS MATERIALIZED (SELECT i AS u, j AS v FROM prs UNION ALL SELECT j AS u, i AS v FROM prs),
+       |nd AS MATERIALIZED (SELECT doc_id AS id FROM documents WHERE doc_id < 1000),
+       |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM nd),
+       |$rounds,
+       |csz AS (SELECT lbl AS community, count(*) AS csize FROM l$LpaIters GROUP BY 1)
+       |SELECT l.id AS doc_id, l.lbl AS community, csz.csize
+       |FROM l$LpaIters l JOIN csz ON l.lbl = csz.community
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- incremental LSH: a NEW batch mined against the STANDING
   //      banded index at O(batch) cost — the daily-crawl-increment
   //      shape. Result == the one-shot recompute over index ∪ batch
@@ -1533,8 +1576,8 @@ object ExtQueries {
        |      ORDER BY ${Hashing.hash60Sql("event_id")}, event_id) AS rn
        |  FROM events) WHERE rn <= 20 ORDER BY event_id""".stripMargin
 
-  // ---- KMV distinct-count sketch (deterministic, engine-portable —
-  //      unlike HLL it hash-matches a SQL oracle exactly) ----
+  // ---- KMV distinct-count sketch (deterministic, engine-portable;
+  //      exact below k — see q_hll_distinct for the HLL sibling) ----
   private val KmvK = 64
   def qKmvDistinct(s: SparkSession, dir: String): DataFrame =
     Sampling.kmvDistinct(Tables.load(s, dir, "events"), "user_id", KmvK)
@@ -1545,6 +1588,81 @@ object ExtQueries {
        |SELECT k_actual, kth_hash,
        |  ${r6xSql(s"CASE WHEN k_actual < $KmvK THEN k_actual::DOUBLE ELSE ${KmvK - 1}.0 * 1152921504606846976.0 / kth_hash END")} AS est_distinct
        |FROM a""".stripMargin
+
+  // ---- HyperLogLog distinct-count sketch. KMV's comment above used
+  //      to read "unlike HLL it hash-matches a SQL oracle exactly" —
+  //      no longer true: pinning rho to `53 - length(bin(w))` (bin
+  //      prints unpadded in BOTH engines), keeping the harmonic sum
+  //      as an exact scaled long, and precomputing the 256 linear-
+  //      counting values into a shared table removes every libm call
+  //      from the replay path, so the industry-default sketch now
+  //      hash-matches too. Two metrics on purpose: event_id (~10k
+  //      distinct at sf0.01) exercises the raw harmonic-mean branch,
+  //      user_id (~150) the linear-counting branch — and user_id
+  //      crosses INTO the raw branch as the tiers scale up ----
+  /** Shared estimator replay: takes a `vals(key, v)` CTE body, emits
+    * registers → exact scaled harmonic sum → branch → est vs exact.
+    * `keyAlias` names the key column in the final output. */
+  private def hllEstSql(valsCte: String, keyAlias: String): String = {
+    val lc = Hll.LinearCount.drop(1).mkString(", ")
+    val a = Hll.AlphaM2TwoPow53
+    s"""WITH vals AS ($valsCte),
+       |hh AS (SELECT key, ${Hashing.hash60Sql("v")} AS h FROM vals),
+       |rh AS (SELECT key, h % 256 AS bucket,
+       |    CASE WHEN h // 256 = 0 THEN 53 ELSE 53 - length(bin(h // 256)) END AS rho
+       |  FROM hh),
+       |regs AS (SELECT key, bucket, max(rho) AS r FROM rh GROUP BY 1, 2),
+       |ag AS (SELECT key, CAST(sum(1::BIGINT << (53 - r)) AS BIGINT) AS sp,
+       |    count(*) AS p FROM regs GROUP BY 1),
+       |hs AS (SELECT key, sp + (256 - p) * 9007199254740992 AS s, 256 - p AS nv FROM ag),
+       |est AS (SELECT key, CAST(256 - nv AS BIGINT) AS n_buckets_set,
+       |    CASE WHEN ($a / s::DOUBLE) <= 640.0 AND nv > 0
+       |      THEN list_extract([$lc], nv)
+       |      ELSE CAST(floor($a / s::DOUBLE + 0.5) AS BIGINT) END AS est_distinct
+       |  FROM hs),
+       |ex AS (SELECT key, count(DISTINCT v) AS exact_distinct FROM vals GROUP BY 1)
+       |SELECT est.key AS $keyAlias, n_buckets_set, est_distinct, exact_distinct,
+       |  CAST(floor(abs(est_distinct - exact_distinct)::DOUBLE
+       |    / exact_distinct::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS err_micros
+       |FROM est JOIN ex USING (key) ORDER BY $keyAlias""".stripMargin
+  }
+
+  /** est/exact/err columns shared by both HLL queries. */
+  private def hllReport(est: DataFrame, exact: DataFrame,
+                        keyAlias: String): DataFrame =
+    est.join(exact, "key")
+      .select(col("key").as(keyAlias), col("n_buckets_set"),
+        col("est_distinct"), col("exact_distinct"),
+        floor(abs(col("est_distinct") - col("exact_distinct")).cast("double")
+          / col("exact_distinct").cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("long").as("err_micros"))
+      .orderBy(keyAlias)
+
+  def qHllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val vals = ev.select(lit("event_id").as("key"),
+        col("event_id").cast("string").as("v"))
+      .unionAll(ev.select(lit("user_id").as("key"),
+        col("user_id").cast("string").as("v")))
+    val exact = vals.groupBy("key")
+      .agg(countDistinct(col("v")).as("exact_distinct"))
+    hllReport(Sketches.hllPerGroup(vals, "key", "v"), exact, "metric")
+  }
+  val qHllDistinctSql: String = hllEstSql(
+    """SELECT 'event_id' AS key, event_id::VARCHAR AS v FROM events
+      |  UNION ALL SELECT 'user_id' AS key, user_id::VARCHAR AS v FROM events""".stripMargin,
+    "metric")
+
+  def qHllGroups(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val exact = ev.groupBy(col("event_type").as("key"))
+      .agg(countDistinct(col("user_id").cast("string")).as("exact_distinct"))
+    hllReport(Sketches.hllPerGroup(ev, "event_type", "user_id"), exact,
+      "event_type")
+  }
+  val qHllGroupsSql: String = hllEstSql(
+    "SELECT event_type AS key, user_id::VARCHAR AS v FROM events",
+    "event_type")
 
   // ---- streaming sessionization, driven synchronously (AvailableNow →
   //      memory sink): the streaming engine's answer must match the
@@ -1880,6 +1998,7 @@ object ExtQueries {
     "q_dbscan" -> (qDbscan _),
     "q_triplet_mine" -> (qTripletMine _),
     "q_pagerank" -> (qPagerank _),
+    "q_label_prop" -> (qLabelProp _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_sessionize" -> (qSessionize _),
     "q_event_daily" -> (qEventDaily _),
@@ -1895,6 +2014,8 @@ object ExtQueries {
     "q_mixture_sample" -> (qMixtureSample _),
     "q_sample_fixed" -> (qSampleFixed _),
     "q_kmv_distinct" -> (qKmvDistinct _),
+    "q_hll_distinct" -> (qHllDistinct _),
+    "q_hll_groups" -> (qHllGroups _),
     "q_redact" -> (qRedact _),
     "q_repetition" -> (qRepetition _),
     "q_ngram_repetition" -> (qNgramRepetition _),
@@ -1944,6 +2065,8 @@ object ExtQueries {
     "q_mixture_sample" -> qMixtureSampleSql,
     "q_sample_fixed" -> qSampleFixedSql,
     "q_kmv_distinct" -> qKmvDistinctSql,
+    "q_hll_distinct" -> qHllDistinctSql,
+    "q_hll_groups" -> qHllGroupsSql,
     "q_redact" -> qRedactSql,
     "q_repetition" -> qRepetitionSql,
     "q_ngram_repetition" -> qNgramRepetitionSql,
@@ -1966,6 +2089,7 @@ object ExtQueries {
     "q_dbscan" -> qDbscanSql,
     "q_triplet_mine" -> qTripletMineSql,
     "q_pagerank" -> qPagerankSql,
+    "q_label_prop" -> qLabelPropSql,
     "q_embed_quantize" -> qEmbedQuantizeSql,
   )
 }

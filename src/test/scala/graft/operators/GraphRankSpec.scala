@@ -66,4 +66,71 @@ class GraphRankSpec extends AnyFunSuite {
       .sortBy(_._1).toSeq
     assert(run(2) == run(9))
   }
+
+  // ------------------------- labelPropagation -------------------------
+
+  /** Driver-side replay of the documented LPA semantics: synchronous
+    * rounds, mode of neighbor labels, ties to the smallest label,
+    * isolated nodes keep their own. */
+  private def replayLpa(pairs: Seq[(Long, Long)], nodes: Seq[Long],
+                        iters: Int): Map[Long, Long] = {
+    val edges = pairs.flatMap { case (i, j) => Seq((i, j), (j, i)) }
+    var lbl = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to iters) {
+      val votes = edges.groupBy(_._2).map { case (v, es) =>
+        val counts = es.groupBy { case (u, _) => lbl(u) }
+          .view.mapValues(_.size).toMap
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+      lbl = nodes.map(v => v -> votes.getOrElse(v, lbl(v))).toMap
+    }
+    lbl
+  }
+
+  private def runLpa(pairs: Seq[(Long, Long)], nodes: Seq[Long],
+                     iters: Int = 5): Map[Long, Long] =
+    GraphRank.labelPropagation(
+        pairs.toDF("i", "j"), nodes.toDF("id"), "id", iters = iters)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("community")).toMap
+
+  test("lpa: exact agreement with the driver-side replay") {
+    // two triangles joined by ONE bridge edge + an isolate
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L)
+    assert(runLpa(pairs, nodes) == replayLpa(pairs, nodes, 5))
+  }
+
+  test("lpa: a weak bridge does NOT merge two dense communities") {
+    // two 4-cliques with a single bridge edge: CC would report one
+    // component; LPA keeps two (the bridge node is out-voted 3:1)
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val pairs = clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(20L, 21L, 22L, 23L)) ++ Seq((4L, 20L))
+    val nodes = (1L to 4L) ++ (20L to 23L)
+    val got = runLpa(pairs, nodes)
+    assert(Set(1L, 2L, 3L, 4L).map(got) == Set(1L))
+    assert(Set(20L, 21L, 22L, 23L).map(got) == Set(20L))
+  }
+
+  test("lpa: isolated nodes stay singleton communities; triangle converges") {
+    // (a lone EDGE would oscillate under synchronous updates — the
+    // documented caveat — so the connected part here is a triangle,
+    // which settles on its min label)
+    val got = runLpa(Seq((1L, 2L), (2L, 3L), (1L, 3L)), Seq(1L, 2L, 3L, 7L, 8L))
+    assert(got(7L) == 7L && got(8L) == 8L)
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+  }
+
+  test("lpa: deterministic under repartitioning") {
+    val pairs = (1L to 60L).map(i => (i, (i % 20) + 100L))
+    val nodes = ((1L to 60L) ++ (100L to 120L)).distinct
+    def run(parts: Int) = GraphRank.labelPropagation(
+        pairs.toDF("i", "j").repartition(parts), nodes.toDF("id"), "id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("community")))
+      .sortBy(_._1).toSeq
+    assert(run(2) == run(9))
+  }
 }
