@@ -1091,6 +1091,76 @@ object ExtQueries {
       |    i -> pow(v[i] - (mn + cs[i] * scale), 2))) / len(v), 6) AS mse
       |FROM q ORDER BY vec_id""".stripMargin
 
+  // ---- PCA of the embedding table in deterministic integer
+  //      arithmetic (Pca.scala): millis quantization → exact-long
+  //      centered covariance (normalized by n so magnitudes are
+  //      n-independent) → 8 power-iteration rounds per component
+  //      with Gram-Schmidt re-orthogonalization — every
+  //      accumulation an order-free long sum, every normalization
+  //      one double expression of exact inputs, so the WHOLE fit
+  //      (training included) replays in the oracle, like q_kmeans.
+  //      Output: per-vector scores on the top-2 components ----
+  private val PcaIters = 8
+  def qEmbedPca(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val model = Pca.fit(e, "embedding", nComponents = 2, iters = PcaIters)
+    Pca.project(e, "vec_id", "embedding", model).orderBy("vec_id")
+  }
+  val qEmbedPcaSql: String = {
+    val dim = EmbedLshDim
+    // component 1: plain power iteration (renorm to VScale each round)
+    val comp1 = (1 to PcaIters).map { r =>
+      val p = r - 1
+      s"""pw$r AS MATERIALIZED (SELECT cov.i, CAST(sum(cn * v.v) AS BIGINT) AS w
+         |  FROM cov JOIN p$p v ON cov.j = v.i GROUP BY 1),
+         |p$r AS MATERIALIZED (SELECT i, CAST(floor(w::DOUBLE * 1000000.0 /
+         |    (SELECT max(abs(w))::DOUBLE FROM pw$r)) AS BIGINT) AS v FROM pw$r)""".stripMargin
+    }.mkString(",\n")
+    // component 2: matvec -> renorm to OrthScale -> subtract the
+    // projection onto component 1 (exact-long cross terms) -> renorm
+    // to OrthScale -> renorm to VScale (the driver does the same two
+    // floors, so the oracle replays both)
+    val comp2 = (1 to PcaIters).map { r =>
+      val p = r - 1
+      s"""qw$r AS MATERIALIZED (SELECT cov.i, CAST(sum(cn * v.v) AS BIGINT) AS w
+         |  FROM cov JOIN q$p v ON cov.j = v.i GROUP BY 1),
+         |qh$r AS MATERIALIZED (SELECT i, CAST(floor(w::DOUBLE * 10000.0 /
+         |    (SELECT max(abs(w))::DOUBLE FROM qw$r)) AS BIGINT) AS v FROM qw$r),
+         |qn$r AS MATERIALIZED (SELECT CAST(sum(u.v * a.v) AS BIGINT) AS pn
+         |  FROM qh$r u JOIN p$PcaIters a USING (i)),
+         |qo$r AS MATERIALIZED (SELECT u.i,
+         |    u.v * (SELECT pd FROM ppd) - a.v * (SELECT pn FROM qn$r) AS o
+         |  FROM qh$r u JOIN p$PcaIters a USING (i)),
+         |qp$r AS MATERIALIZED (SELECT i, CAST(floor(o::DOUBLE * 10000.0 /
+         |    (SELECT max(abs(o))::DOUBLE FROM qo$r)) AS BIGINT) AS v FROM qo$r),
+         |q$r AS MATERIALIZED (SELECT i, CAST(floor(v::DOUBLE * 1000000.0 /
+         |    (SELECT max(abs(v))::DOUBLE FROM qp$r)) AS BIGINT) AS v FROM qp$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |x AS (SELECT id, i, CAST(floor(v[i] * 1000.0 + 0.5) AS BIGINT) AS m
+       |  FROM e, generate_series(1, $dim) AS g(i)),
+       |nn AS (SELECT count(*) AS n FROM e),
+       |mu AS (SELECT i, CAST(floor(sum(m)::DOUBLE / count(*)::DOUBLE + 0.5) AS BIGINT) AS mu
+       |  FROM x GROUP BY 1),
+       |cx AS MATERIALIZED (SELECT id, x.i, m - mu AS c FROM x JOIN mu USING (i)),
+       |cov AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+       |    CAST(floor(CAST(sum(a.c * b.c) AS BIGINT)::DOUBLE
+       |      / (SELECT n FROM nn)::DOUBLE + 0.5) AS BIGINT) AS cn
+       |  FROM cx a JOIN cx b USING (id) GROUP BY 1, 2),
+       |p0 AS (SELECT i, 1000000::BIGINT AS v FROM generate_series(1, $dim) AS g(i)),
+       |$comp1,
+       |ppd AS MATERIALIZED (SELECT CAST(sum(v * v) AS BIGINT) AS pd FROM p$PcaIters),
+       |q0 AS (SELECT i, CASE WHEN (i - 1) % 2 = 0 THEN 1000000::BIGINT
+       |    ELSE -1000000::BIGINT END AS v
+       |  FROM generate_series(1, $dim) AS g(i)),
+       |$comp2
+       |SELECT cx.id AS vec_id,
+       |  CAST(sum(cx.c * a.v) AS BIGINT) AS pc1_raw,
+       |  CAST(sum(cx.c * b.v) AS BIGINT) AS pc2_raw
+       |FROM cx JOIN p$PcaIters a ON cx.i = a.i JOIN q$PcaIters b ON cx.i = b.i
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ---- k-means clustering as a first-class operator (topic/domain
   //      clustering for data curation — the IVF quantizer promoted to
   //      a user-facing partition of the corpus, profiled per cluster).
@@ -2000,6 +2070,7 @@ object ExtQueries {
     "q_pagerank" -> (qPagerank _),
     "q_label_prop" -> (qLabelProp _),
     "q_embed_quantize" -> (qEmbedQuantize _),
+    "q_embed_pca" -> (qEmbedPca _),
     "q_sessionize" -> (qSessionize _),
     "q_event_daily" -> (qEventDaily _),
     "q_retention" -> (qRetention _),
@@ -2091,5 +2162,6 @@ object ExtQueries {
     "q_pagerank" -> qPagerankSql,
     "q_label_prop" -> qLabelPropSql,
     "q_embed_quantize" -> qEmbedQuantizeSql,
+    "q_embed_pca" -> qEmbedPcaSql,
   )
 }
