@@ -854,7 +854,10 @@ object ExtQueries {
     * half-to-even `rint` the Spark side uses; empty clusters keep the
     * previous normalized centroid). Then bucket assignment, probe
     * ranking, and per-query top-k replay the probe path verbatim. */
-  val qAnnIvfSql: String = {
+  /** The full IVF replay as a reusable CTE list ending at
+    * `scored(qid, id, cosine)` — shared by [[qAnnIvfSql]] and the
+    * recall eval ([[qAnnEvalSql]]). */
+  private def ivfScoredCtes(): String = {
     val dim = EmbedLshDim
     val rounds = (1 to IvfIter).map { r =>
       val p = r - 1
@@ -867,7 +870,7 @@ object ExtQueries {
          |nc$r AS (SELECT cid, list(m ORDER BY i) AS cv FROM cell$r GROUP BY cid),
          |c$r AS (SELECT cn$r.cid, coalesce(nc$r.cv, cn$r.cn) AS cv FROM cn$r LEFT JOIN nc$r USING (cid))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        |u AS (SELECT id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u FROM e),
        |c0 AS (SELECT cid, cv FROM (SELECT row_number() OVER (ORDER BY ${Hashing.hash60Sql("id::VARCHAR")}, id) - 1 AS cid, u AS cv FROM u) WHERE cid < $IvfCentroids),
        |$rounds,
@@ -884,11 +887,58 @@ object ExtQueries {
        |    row_number() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, cid ASC) AS rn FROM psc) WHERE rn <= $IvfProbe),
        |scored AS (SELECT p.qid, b.id,
        |    round(list_dot_product(b.v, p.qv) / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cosine
-       |  FROM bucketed b JOIN probes p USING (cid))
+       |  FROM bucketed b JOIN probes p USING (cid))""".stripMargin
+  }
+  val qAnnIvfSql: String =
+    s"""WITH ${ivfScoredCtes()}
        |SELECT qid, id, cosine, rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank FROM scored)
        |WHERE rank <= $IvfTopK ORDER BY qid, rank""".stripMargin
+
+  // ---- ANN-pipeline QA: measured RECALL@k of the IVF probe path
+  //      against the exact brute-force truth set — same queries, same
+  //      k, same tie-breaks as q_knn_brute / q_ann_ivf (the oracle
+  //      reuses the IVF CTE chain verbatim and derives the truth from
+  //      the same `q × e` tables). The recall a pipeline owner needs
+  //      before trusting nProbe-bounded search at corpus scale; the
+  //      companion of q_dedup_eval on the similarity side ----
+  def qAnnEval(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val queries = e.filter(col("vec_id") < 3)
+    val truth = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = IvfTopK)
+      .select(col("qid"), col("id"))
+    val got = Similarity.ivfTopK(e, "vec_id", "embedding",
+        queries, "vec_id", "embedding",
+        k = IvfTopK, nCentroids = IvfCentroids, nProbe = IvfProbe)
+      .select(col("qid"), col("id"), lit(1L).as("__hit"))
+    truth.join(got, Seq("qid", "id"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("qid"), col("n_true"), col("n_hit"),
+        floor(col("n_hit").cast("double") / col("n_true").cast("double")
+          * lit(1000000.0) + lit(0.5)).cast("long").as("recall_micros"))
+      .orderBy("qid")
   }
+  val qAnnEvalSql: String =
+    s"""WITH ${ivfScoredCtes()},
+       |ivfk AS (SELECT qid, id FROM (
+       |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank FROM scored)
+       |  WHERE rank <= $IvfTopK),
+       |tsc AS (SELECT qid, e.id,
+       |    round(list_dot_product(e.v, qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+       |  FROM q, e),
+       |truth AS (SELECT qid, id FROM (
+       |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank FROM tsc)
+       |  WHERE rank <= $IvfTopK),
+       |jj AS (SELECT t.qid, i.id IS NOT NULL AS hit
+       |  FROM truth t LEFT JOIN ivfk i ON t.qid = i.qid AND t.id = i.id)
+       |SELECT qid, CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST(floor(sum(CASE WHEN hit THEN 1 ELSE 0 END)::DOUBLE
+       |    / count(*)::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS recall_micros
+       |FROM jj GROUP BY 1 ORDER BY qid""".stripMargin
 
   // ---- ANN via product quantization (the memory-side scale path:
   //      nSub codes replace dim doubles per stored vector; asymmetric
@@ -2060,6 +2110,7 @@ object ExtQueries {
     "q_array_ops" -> (qArrayOps _),
     "q_cms_counts" -> (qCmsCounts _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_eval" -> (qAnnEval _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_kmeans" -> (qKmeans _),
@@ -2152,6 +2203,7 @@ object ExtQueries {
     "q_lsh_incr" -> qLshIncrSql,
     "q_embed_lsh" -> qEmbedLshSql,
     "q_ann_ivf" -> qAnnIvfSql,
+    "q_ann_eval" -> qAnnEvalSql,
     "q_ann_pq" -> qAnnPqSql,
     "q_ann_ivfpq" -> qAnnIvfPqSql,
     "q_kmeans" -> qKmeansSql,
