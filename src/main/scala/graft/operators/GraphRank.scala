@@ -130,4 +130,62 @@ object GraphRank {
     }
     lbl.select(col("id"), col("lbl").as("community"))
   }
+
+  /** Per-node triangle counts + local clustering coefficient over a
+    * pair table — the density gauge of the near-dup graph (a dup
+    * CLUSTER is a near-clique, cc ≈ 1; a hub stitching unrelated
+    * docs has many wedges but few closures, cc ≈ 0 — exactly the
+    * false-positive shape LSH banding produces).
+    *
+    * Algorithm: Suri & Vassilvitskii's degree-oriented wedge join
+    * ("Counting triangles and the curse of the last reducer", WWW
+    * 2011). Every edge orients from the (deg, id)-SMALLER endpoint
+    * to the larger; each triangle then has exactly ONE node with two
+    * out-edges, so wedges (x→y, x→z with k(y) < k(z)) joined against
+    * the oriented edge (y→z) count each triangle once. The
+    * orientation is the scale story: out-degrees are bounded by
+    * O(√|E|) on any graph, so a celebrity hub generates wedges
+    * proportional to its SQUARE ROOT neighborhood, not deg² — the
+    * skew fix a naive adjacency self-join lacks.
+    *
+    * Two shuffles: the wedge self-join keys on the apex, the closure
+    * join on the (y, z) pair — both partial-agg-friendly equi-joins.
+    * Output: (id, deg, n_tri, cc_micros) for every node in ≥ 1
+    * triangle, cc = 2T/(deg·(deg−1)) floored to micros (one double
+    * expression of exact longs — engine-portable). */
+  def triangleCounts(pairs: DataFrame,
+                     scope: CacheScope = CacheScope.unmanaged()): DataFrame = {
+    // normalize: distinct undirected edges, self-loops dropped
+    val und = scope.persist(pairs
+      .select(least(col("i"), col("j")).as("i"),
+        greatest(col("i"), col("j")).as("j"))
+      .where(col("i") =!= col("j")).distinct())
+    val edges = und.select(col("i").as("u"), col("j").as("v"))
+      .union(und.select(col("j").as("u"), col("i").as("v")))
+    val deg = scope.persist(edges.groupBy("u").agg(count(lit(1)).as("deg")))
+    // orient u -> v iff (deg(u), u) < (deg(v), v); carry v's key for
+    // the wedge-side comparison
+    val eo = scope.persist(edges
+      .join(deg.select(col("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("u").as("v"), col("deg").as("dv")), "v")
+      .where(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("u"), col("v"), col("dv")))
+    val a = eo.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val b = eo.select(col("u"), col("v").as("z"), col("dv").as("dz"))
+    val wedges = a.join(b, Seq("u"))
+      .where(col("dy") < col("dz") ||
+        (col("dy") === col("dz") && col("y") < col("z")))
+      .select(col("u").as("x"), col("y"), col("z"))
+    val tri = wedges
+      .join(eo.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"))
+      .select(col("x"), col("y"), col("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+      .join(deg.select(col("u").as("id"), col("deg")), "id")
+      .select(col("id"), col("deg"), col("n_tri"),
+        floor(col("n_tri").cast("double") * lit(2000000.0)
+          / (col("deg") * (col("deg") - lit(1L))).cast("double") + lit(0.5))
+          .cast("long").as("cc_micros"))
+  }
 }

@@ -540,6 +540,43 @@ object ExtQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- triangle counting / local clustering coefficient over the
+  //      LSH near-dup graph (Suri & Vassilvitskii degree-oriented
+  //      wedge join — out-degrees bounded O(√E), so hubs generate
+  //      √-neighborhood wedges, not deg²): dup clusters are
+  //      near-cliques (cc → 1), LSH false-positive hubs are open
+  //      stars (cc → 0) — the density gauge that separates them ----
+  def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") < 1000)
+    val pairs = Dedup.minHashLshPairs(d, "doc_id", "text",
+      k = 16, rowsPerBand = 2, threshold = 0.5, maxShingleDf = ShingleDfCap)
+    GraphRank.triangleCounts(pairs)
+      .select(col("id").as("doc_id"), col("deg"), col("n_tri"),
+        col("cc_micros"))
+      .orderBy("doc_id")
+  }
+  val qTrianglesSql: String =
+    s"""WITH ${lshPairsCtes()},
+       |und AS (SELECT least(i, j) AS i, greatest(i, j) AS j FROM prs
+       |  WHERE i <> j GROUP BY 1, 2),
+       |ed AS (SELECT i AS u, j AS v FROM und UNION ALL SELECT j AS u, i AS v FROM und),
+       |dg AS MATERIALIZED (SELECT u, count(*) AS deg FROM ed GROUP BY 1),
+       |eo AS MATERIALIZED (SELECT e.u, e.v, dv.deg AS dv
+       |  FROM ed e JOIN dg du ON e.u = du.u JOIN dg dv ON e.v = dv.u
+       |  WHERE du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)),
+       |wg AS (SELECT a.u AS x, a.v AS y, b.v AS z
+       |  FROM eo a JOIN eo b ON a.u = b.u
+       |  WHERE a.dv < b.dv OR (a.dv = b.dv AND a.v < b.v)),
+       |tri AS MATERIALIZED (SELECT x, y, z
+       |  FROM wg JOIN eo ON wg.y = eo.u AND wg.z = eo.v),
+       |pn AS (SELECT id, count(*) AS n_tri FROM (
+       |  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+       |  UNION ALL SELECT z FROM tri) GROUP BY 1)
+       |SELECT pn.id AS doc_id, dg.deg, pn.n_tri,
+       |  CAST(floor(pn.n_tri::DOUBLE * 2000000.0
+       |    / (dg.deg * (dg.deg - 1))::DOUBLE + 0.5) AS BIGINT) AS cc_micros
+       |FROM pn JOIN dg ON pn.id = dg.u ORDER BY doc_id""".stripMargin
+
   // ---- incremental LSH: a NEW batch mined against the STANDING
   //      banded index at O(batch) cost — the daily-crawl-increment
   //      shape. Result == the one-shot recompute over index ∪ batch
@@ -2120,6 +2157,7 @@ object ExtQueries {
     "q_triplet_mine" -> (qTripletMine _),
     "q_pagerank" -> (qPagerank _),
     "q_label_prop" -> (qLabelProp _),
+    "q_triangles" -> (qTriangles _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_embed_pca" -> (qEmbedPca _),
     "q_sessionize" -> (qSessionize _),
@@ -2213,6 +2251,7 @@ object ExtQueries {
     "q_triplet_mine" -> qTripletMineSql,
     "q_pagerank" -> qPagerankSql,
     "q_label_prop" -> qLabelPropSql,
+    "q_triangles" -> qTrianglesSql,
     "q_embed_quantize" -> qEmbedQuantizeSql,
     "q_embed_pca" -> qEmbedPcaSql,
   )

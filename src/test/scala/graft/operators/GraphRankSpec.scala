@@ -133,4 +133,56 @@ class GraphRankSpec extends AnyFunSuite {
       .sortBy(_._1).toSeq
     assert(run(2) == run(9))
   }
+
+  // ------------------------- triangleCounts -------------------------
+
+  private def runTri(pairs: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
+    GraphRank.triangleCounts(pairs.toDF("i", "j"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("n_tri"),
+          r.getAs[Long]("cc_micros")))).toMap
+
+  test("triangles: K4 gives every node 3 triangles at cc = 1") {
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val got = runTri(k4)
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    got.values.foreach { case (deg, t, cc) =>
+      assert(deg == 3L && t == 3L && cc == 1000000L)
+    }
+  }
+
+  test("triangles: open structures count zero (absent from output)") {
+    // a 4-cycle (no chord) + a star have wedges but no closures
+    val got = runTri(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (10L, 11L), (10L, 12L), (10L, 13L)))
+    assert(got.isEmpty)
+  }
+
+  test("triangles: bowtie attributes each triangle to its 3 nodes") {
+    // two triangles sharing node 5: 5 has 2 triangles, deg 4, cc 2/6
+    val got = runTri(Seq((1L, 2L), (1L, 5L), (2L, 5L),
+      (8L, 9L), (8L, 5L), (9L, 5L)))
+    assert(got(5L) == ((4L, 2L, 333333L))) // floor(2*2e6/12 + .5)
+    assert(got(1L) == ((2L, 1L, 1000000L)))
+    assert(got(9L) == ((2L, 1L, 1000000L)))
+  }
+
+  test("triangles: duplicate / reversed / self pairs do not inflate counts") {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 3L))
+    val got = runTri(messy)
+    assert(got(1L) == ((2L, 1L, 1000000L)))
+    assert(got(2L) == ((2L, 1L, 1000000L)))
+    assert(got(3L) == ((2L, 1L, 1000000L)))
+  }
+
+  test("triangles: deterministic under repartitioning") {
+    val pairs = (for (a <- 1L to 25L; b <- 1L to 25L
+                      if a < b && (a + b) % 3 != 0) yield (a, b)).toSeq
+    def run(parts: Int) = GraphRank.triangleCounts(
+        pairs.toDF("i", "j").repartition(parts))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_tri")))
+      .sortBy(_._1).toSeq
+    assert(run(2) == run(9))
+  }
 }
