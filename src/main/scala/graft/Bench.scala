@@ -20,8 +20,10 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
       SparkEntry.queries.foreach { case (name, fn) =>
-        if (only.forall(_.contains(name)))
+        if (only.forall(_.contains(name))) {
           try fn(spark, sfDir).count() catch { case _: Throwable => () }
+          spark.catalog.clearCache()
+        }
       }
     }
     // median of SPARK_GRAFT_REPS (default 3) timed passes per query,
@@ -34,12 +36,22 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.contains(n)))
+    // clearCache between timed queries, exactly as Verify.scala does:
+    // queries are self-contained and persist pipeline intermediates via
+    // unmanaged CacheScope, which live until session end. Without the
+    // clear, 147 queries x 4 passes of band tables / edge tables / IVF
+    // assignments coexist in one block manager; BENCH_r13 showed 2-3x
+    // "regressions" on byte-identical code (q_pagerank 4.9s->13.4s) from
+    // exactly this cache churn. The clear is OUTSIDE the timed window:
+    // we measure the query, not the teardown.
     val samples = (1 to reps).flatMap { _ =>
       names.map { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        name -> dt
       }
     }
     val results = names.map { name =>

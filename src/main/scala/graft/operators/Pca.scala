@@ -35,11 +35,14 @@ import org.apache.spark.sql.functions._
   * start vector converges to (both engines replay it identically).
   *
   * Scale shape: the fit is two aggregation jobs — a d-sized mean and
-  * a d²-bounded covariance (per-row outer products explode MAP-SIDE
-  * and partially aggregate before the shuffle, so only
-  * d²·partitions rows move) — plus an O(d²) driver loop; projection
-  * is one map-only pass with the components riding as literals.
-  * d = 64 here; the driver state is 32 KB however large the corpus. */
+  * a d²-bounded covariance (each partition accumulates its rows'
+  * outer products into ONE flat long[d²] inside mapPartitions, so a
+  * row costs d² fused multiply-adds with ZERO per-row allocation and
+  * only d²·partitions longs ever move) — plus an O(d²) driver loop;
+  * projection is one map-only pass with the components riding as
+  * literals. d = 64 here; the driver state is 32 KB however large
+  * the corpus, and the per-row cost stays arithmetic-bound at
+  * realistic dims (768-dim = 590k madds/row, no allocations). */
 object Pca {
 
   /** Quantization scale for embedding values (millis). */
@@ -89,34 +92,70 @@ object Pca {
           iters: Int = 8): Model = {
     require(nComponents >= 1, "need at least one component")
     val m = df.select(quantize(col(vecCol)).as("m"))
-    // per-dimension sums + row count -> quantized mean (driver math
+    // per-dimension sums + row count + max|m| -> quantized mean, and
+    // the scale-ladder guard in the SAME aggregation job (driver math
     // mirrors the oracle: floor(sum / n + 0.5) in doubles)
     val sums = m.select(posexplode(col("m")).as(Seq("i", "v")))
-      .groupBy("i").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .groupBy("i").agg(sum("v").as("s"), count(lit(1)).as("n"),
+        max(abs(col("v"))).as("mx"))
       .collect().map(r => (r.getAs[Int]("i"),
-        r.getAs[Long]("s"), r.getAs[Long]("n")))
+        r.getAs[Long]("s"), r.getAs[Long]("n"), r.getAs[Long]("mx")))
     val dim = sums.length
     val n = sums.head._3
+    // the long-headroom ladder (scaladoc) needs |m| ≲ 10^4: larger
+    // magnitudes silently overflow the covariance/matvec longs in BOTH
+    // engines — garbage that still hash-matches, which the oracle gate
+    // cannot catch. Fail loudly instead.
+    val maxAbs = sums.map(_._4).max
+    require(maxAbs <= 10000L,
+      s"quantized embedding magnitude $maxAbs exceeds the long-headroom " +
+        "bound 10^4 (|x| <= 10 pre-quantization); rescale before Pca.fit " +
+        "or results overflow undetectably")
     val mu = new Array[Long](dim)
-    sums.foreach { case (i, s, nn) =>
+    sums.foreach { case (i, s, nn, _) =>
       mu(i) = math.floor(s.toDouble / nn.toDouble + 0.5).toLong
     }
-    // centered outer products explode map-side; the groupBy partial-
-    // aggregates them before the shuffle, so only d² rows per
-    // partition move. Entries then normalize by n (exact-long sum ->
-    // one double division) so matvec magnitudes are n-independent.
+    // covariance: each partition folds its rows' centered outer
+    // products into one flat long[d²] (mapPartitions — the one spot
+    // where the imperative form beats the Column formulation: the
+    // per-row transform×transform explode materialized d² structs per
+    // row, ~590k allocations/row at 768-dim; here a row is d² fused
+    // multiply-adds into a preallocated array). Long addition is
+    // order-free, so the partial arrays reduce to EXACTLY the sums
+    // the explode+groupBy produced — hash-identical model. Shuffle
+    // volume is unchanged: d²·partitions longs.
     val muLit = array(mu.map(lit(_)): _*)
-    val cRows = m.select(zip_with(col("m"), muLit, (a, b) => a - b).as("c"))
-      .select(explode(flatten(transform(col("c"), (a, i) =>
-        transform(col("c"), (b, j) =>
-          struct(i.as("i"), j.as("j"), (a * b).as("p")))))).as("e"))
-      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-      .agg(sum(col("e.p")).as("s"))
-      .collect()
+    import df.sparkSession.implicits._
+    val dimB = dim
+    val sumsFlat = m
+      .select(zip_with(col("m"), muLit, (a, b) => a - b).as("c"))
+      .select(col("c")).as[Seq[Long]]
+      .mapPartitions { it =>
+        val a = new Array[Long](dimB * dimB)
+        it.foreach { cs =>
+          val c = cs.toArray
+          var i = 0
+          while (i < dimB) {
+            val ci = c(i); val off = i * dimB; var j = 0
+            while (j < dimB) { a(off + j) += ci * c(j); j += 1 }
+            i += 1
+          }
+        }
+        Iterator.single(a)
+      }
+      .reduce { (x, y) =>
+        var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x
+      }
     val cn = Array.ofDim[Long](dim, dim)
-    cRows.foreach { r =>
-      cn(r.getAs[Int]("i"))(r.getAs[Int]("j")) =
-        math.floor(r.getAs[Long]("s").toDouble / n.toDouble + 0.5).toLong
+    var ii = 0
+    while (ii < dim) {
+      var jj = 0
+      while (jj < dim) {
+        cn(ii)(jj) = math.floor(
+          sumsFlat(ii * dim + jj).toDouble / n.toDouble + 0.5).toLong
+        jj += 1
+      }
+      ii += 1
     }
     // power iteration with per-round Gram-Schmidt re-orthogonalization
     val comps = Array.newBuilder[Array[Long]]

@@ -243,7 +243,11 @@ object Sketches {
                   k: Int): DataFrame = {
     val agg = org.apache.spark.sql.functions.udaf(
       new KmvAggregator(k), Encoders.scalaLong)
-    df.select(col(keyCol).as("key"),
+    // NULL values hash to NULL, which the primitive-Long UDAF input
+    // can't represent; drop them up front — matching count(DISTINCT v)
+    // semantics, which also ignores NULLs
+    df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"),
         Hashing.hash60(col(valueCol).cast("string")).as("__h"))
       .groupBy("key")
       .agg(agg(col("__h")).as("kmv"))
@@ -260,7 +264,12 @@ object Sketches {
                   valueCol: String): DataFrame = {
     val agg = org.apache.spark.sql.functions.udaf(
       new HllAggregator, Encoders.scalaLong)
-    df.select(col(keyCol).as("key"),
+    // NULL values hash to NULL, which the primitive-Long UDAF input
+    // can't represent (and the oracle's register CTE would count a
+    // NULL-bucket row); drop them up front — count(DISTINCT v)
+    // semantics, mirrored by `WHERE v IS NOT NULL` in hllEstSql
+    df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"),
         Hashing.hash60(col(valueCol).cast("string")).as("__h"))
       .groupBy("key")
       .agg(agg(col("__h")).as("hll"))

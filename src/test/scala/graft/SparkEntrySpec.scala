@@ -19,6 +19,18 @@ class SparkEntrySpec extends AnyFunSuite {
     }
   }
 
+  test("README's stated query count matches the registry (keeps docs honest)") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val n = SparkEntry.queries.size
+    assert(readme.contains(s"$n named queries"),
+      s"README.md must say '$n named queries' (registry has $n; " +
+        "update the graft/queries bullet)")
+    assert(SparkEntry.oracleSql.size == n,
+      s"every query needs an oracle: ${n} queries vs " +
+        s"${SparkEntry.oracleSql.size} oracles")
+  }
+
   test("all queries run at sf0.001 and return rows") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, "/root/testdata/sf0.001").count()

@@ -75,6 +75,20 @@ class HllAggSpec extends AnyFunSuite {
     assert(run(2) == run(13))
   }
 
+  test("NULL values are ignored, matching count(DISTINCT v) semantics") {
+    val s = spark
+    import s.implicits._
+    val withNulls = Seq(("g", Option("a")), ("g", None), ("g", Option("b")),
+      ("g", None), ("g", Option("a"))).toDF("g", "v")
+    val clean = Seq(("g", "a"), ("g", "b"), ("g", "a")).toDF("g", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllPerGroup(df, "g", "v").collect()
+        .map(r => (r.getAs[Long]("n_buckets_set"),
+          r.getAs[Long]("est_distinct"))).toSeq
+    assert(run(withNulls) == run(clean))
+    assert(run(clean).head._2 == 2L) // exact via linear counting
+  }
+
   test("accuracy: linear-counting branch near-exact, raw branch within 10%") {
     val s = spark
     import s.implicits._

@@ -79,4 +79,16 @@ class PcaSpec extends AnyFunSuite {
         .comps.map(_.toSeq).toSeq
     assert(run(2) == run(13))
   }
+
+  test("fit fails loudly on magnitudes beyond the long-headroom ladder") {
+    // |x| > 10 overflows the covariance/matvec longs in BOTH engines —
+    // garbage that would still hash-match, so the fit must refuse it
+    val s = spark
+    import s.implicits._
+    val bad = Seq((1L, Array(10.5f, 0.0f)), (2L, Array(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Pca.fit(bad, "embedding", nComponents = 1, iters = 2))
+    assert(e.getMessage.contains("headroom"))
+  }
 }
