@@ -277,4 +277,71 @@ object Sketches {
         col("hll.nBucketsSet").as("n_buckets_set"),
         col("hll.estDistinct").as("est_distinct"))
   }
+
+  // ---------------------------------------------------------------
+  // Persisted / mergeable HLL register TABLES. hllPerGroup answers a
+  // one-shot question; at 100 TB the pattern that matters is sketch-
+  // AS-DATA: each ingest batch (a day, a crawl shard) reduces to a
+  // register table bounded at batches × keys × 256 rows, persisted as
+  // ordinary parquet, and any later question over any batch subset is
+  // answered by merging REGISTERS (an elementwise max — associative,
+  // commutative, lossless for HLL) without ever rescanning raw data.
+  // The register math is the exact engine-portable form the Hll
+  // scaladoc pins, expressed as pure Columns so the whole pipeline —
+  // build, merge, estimate — replays in a SQL oracle.
+  // ---------------------------------------------------------------
+
+  /** Per-batch HLL register table: (batch, key, bucket, r) with
+    * r = max rho over the batch's values — one partial-aggregated
+    * shuffle, output bounded at batches × keys × 256 rows no matter
+    * the corpus. Store it; merge any subset later. Absent buckets are
+    * empty registers (rho ≥ 1 for every present row, so presence ≡
+    * occupied — same convention as [[HllAggregator]]'s zero-filled
+    * array). NULL values are dropped, matching count(DISTINCT). */
+  def hllRegisters(df: DataFrame, batchCol: String, keyCol: String,
+                   valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(col(batchCol).as("batch"), col(keyCol).as("key"),
+        Hashing.hash60(col(valueCol).cast("string")).as("h"))
+      // h div 256 must be an INTEGER division: h is up to 2^60, so a
+      // double-precision `/` would round above 2^53
+      .select(col("batch"), col("key"),
+        pmod(col("h"), lit(Hll.M.toLong)).as("bucket"),
+        expr(s"h div ${Hll.M}").as("w"))
+      .select(col("batch"), col("key"), col("bucket"),
+        when(col("w") === 0L, lit(Hll.MaxRho))
+          .otherwise(lit(Hll.MaxRho) - length(bin(col("w"))).cast("int"))
+          .as("rho"))
+      .groupBy("batch", "key", "bucket")
+      .agg(max(col("rho")).as("r"))
+
+  /** Merges a register table across ALL its batches and estimates the
+    * union cardinality per key: register merge = elementwise max (one
+    * keys × 256-bounded shuffle), then the exact scaled-harmonic-sum
+    * estimator of [[Hll.estimate]] as one Column expression (the 256
+    * linear-counting values ride as an array literal, so the replay
+    * path still contains no transcendental call). Output:
+    * (key, n_buckets_set, est_distinct) — identical to what
+    * [[hllPerGroup]] would report on the concatenated batches, which
+    * is the mergeability contract callers should assert. */
+  def hllMergeEstimate(regs: DataFrame): DataFrame = {
+    val lcLit = array((1 to Hll.M).map(v => lit(Hll.LinearCount(v))): _*)
+    val raw = lit(Hll.AlphaM2TwoPow53) / col("s").cast("double")
+    regs.groupBy(col("key"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+      .groupBy("key")
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${Hll.MaxRho} - r)"))
+          .as("sp"),
+        count(lit(1)).as("p"))
+      .select(col("key"),
+        (col("sp") + (lit(Hll.M.toLong) - col("p"))
+          * lit(1L << Hll.MaxRho)).as("s"),
+        (lit(Hll.M.toLong) - col("p")).as("nv"))
+      .select(col("key"),
+        (lit(Hll.M.toLong) - col("nv")).as("n_buckets_set"),
+        when(raw <= lit(2.5 * Hll.M) && col("nv") > 0,
+          element_at(lcLit, col("nv").cast("int")))
+          .otherwise(floor(raw + lit(0.5)).cast("long"))
+          .as("est_distinct"))
+  }
 }

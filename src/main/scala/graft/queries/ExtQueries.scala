@@ -1826,6 +1826,79 @@ object ExtQueries {
        |  ${r6xSql(s"CASE WHEN k_actual < $KmvK THEN k_actual::DOUBLE ELSE ${KmvK - 1}.0 * 1152921504606846976.0 / kth_hash END")} AS est_distinct
        |FROM a""".stripMargin
 
+  // ---- KMV set algebra: estimated UNION / INTERSECTION / Jaccard of
+  //      two distinct-user sets from their bottom-k sketches — the
+  //      audience-overlap question ("how many high-value purchasers
+  //      also click?") answered from two k·8-byte sketches instead of
+  //      a full distinct join. Standard bottom-k estimator: the
+  //      bottom-k of A ∪ B is itself a uniform sample of the union,
+  //      so |A∩B| / |A∪B| ≈ (members of the sample in BOTH sets) / k.
+  //      Exact counterparts ride along so the estimate's error is in
+  //      the row, like q_dedup_eval / q_ann_eval ----
+  private val KovK = 64
+  private val KovLo = 200.0
+  def qKmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    def side(t: String) =
+      ev.filter(col("event_type") === t && col("value") > KovLo)
+        .select(Hashing.hash60(col("user_id").cast("string")).as("h"))
+        .distinct()
+    val ha = side("purchase")
+    val hb = side("click")
+    // bottom-k of the union: TakeOrdered (per-partition heaps), never
+    // a global sort
+    val u = ha.unionAll(hb).distinct().orderBy("h").limit(KovK)
+    val st = u
+      .join(ha.withColumn("ina", lit(1L)), Seq("h"), "left")
+      .join(hb.withColumn("inb", lit(1L)), Seq("h"), "left")
+      .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth"),
+        sum(when(col("ina").isNotNull && col("inb").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"))
+    val ex = ha.withColumn("a", lit(1L))
+      .join(hb.withColumn("b", lit(1L)), Seq("h"), "full")
+      .agg(count(lit(1)).as("exact_union"),
+        sum(when(col("a").isNotNull && col("b").isNotNull, 1L)
+          .otherwise(0L)).as("exact_inter"))
+    val twoPow60 = 1152921504606846976.0
+    val unionRaw = when(col("k_used") < KovK, col("k_used").cast("double"))
+      .otherwise(lit((KovK - 1).toDouble) * lit(twoPow60)
+        / col("kth").cast("double"))
+    val jac = col("n_both").cast("double") / col("k_used").cast("double")
+    st.crossJoin(ex)
+      .select(col("k_used"), col("n_both"),
+        r6x(unionRaw).as("union_est"),
+        r6x(jac * unionRaw).as("inter_est"),
+        floor(jac * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("jaccard_micros"),
+        col("exact_union"), col("exact_inter"))
+  }
+  val qKmvOverlapSql: String = {
+    val h = Hashing.hash60Sql("user_id::VARCHAR")
+    val uRaw = s"CASE WHEN k_used < $KovK THEN k_used::DOUBLE " +
+      s"ELSE ${KovK - 1}.0 * 1152921504606846976.0 / kth::DOUBLE END"
+    val jac = "n_both::DOUBLE / k_used::DOUBLE"
+    s"""WITH a AS (SELECT DISTINCT $h AS h FROM events
+       |  WHERE event_type = 'purchase' AND value > $KovLo),
+       |b AS (SELECT DISTINCT $h AS h FROM events
+       |  WHERE event_type = 'click' AND value > $KovLo),
+       |u AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+       |  ORDER BY h LIMIT $KovK),
+       |st AS (SELECT count(*) AS k_used, max(h) AS kth,
+       |    CAST(sum(CASE WHEN h IN (SELECT h FROM a)
+       |      AND h IN (SELECT h FROM b) THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+       |  FROM u),
+       |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_union,
+       |    CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter
+       |  FROM a FULL JOIN b ON a.h = b.h)
+       |SELECT k_used, n_both,
+       |  ${r6xSql(uRaw)} AS union_est,
+       |  ${r6xSql(s"($jac) * ($uRaw)")} AS inter_est,
+       |  CAST(floor(($jac) * 1000000.0 + 0.5) AS BIGINT) AS jaccard_micros,
+       |  exact_union, exact_inter
+       |FROM st, ex""".stripMargin
+  }
+
   // ---- HyperLogLog distinct-count sketch. KMV's comment above used
   //      to read "unlike HLL it hash-matches a SQL oracle exactly" —
   //      no longer true: pinning rho to `53 - length(bin(w))` (bin
@@ -1901,6 +1974,65 @@ object ExtQueries {
   val qHllGroupsSql: String = hllEstSql(
     "SELECT event_type AS key, user_id::VARCHAR AS v FROM events",
     "event_type")
+
+  // ---- mergeable persisted HLL sketches: per-DAY register tables
+  //      merged across days (sketch-as-data — the 100 TB rollup shape:
+  //      each ingest day reduces to a days × keys × 256-row parquet
+  //      table; distinct-users-over-any-date-range then merges
+  //      REGISTERS, never rescans raw events). The query builds the
+  //      daily register table, merges it across all days, and asserts
+  //      the mergeability contract in-row: the merged estimate must
+  //      EQUAL the single-shot UDAF estimate over the concatenated
+  //      days (register max of maxes ≡ global max — lossless). Spark
+  //      exercises two independent code paths (relational register
+  //      pipeline vs HllAggregator); the oracle replays the register
+  //      math ----
+  def qHllUnion(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEventsMs(s, dir)
+      .select(expr("ts_ms div 86400000").as("day"),
+        col("event_type"), col("user_id"))
+    val regs = Sketches.hllRegisters(ev, "day", "event_type", "user_id")
+    val merged = Sketches.hllMergeEstimate(regs)
+    val single = Sketches.hllPerGroup(ev, "event_type", "user_id")
+      .select(col("key"), col("est_distinct").as("single_est"))
+    val exact = ev.groupBy(col("event_type").as("key"))
+      .agg(countDistinct(col("user_id").cast("string")).as("exact_distinct"))
+    val nb = regs.groupBy("key")
+      .agg(countDistinct(col("batch")).as("n_batches"))
+    merged.join(single, "key").join(exact, "key").join(nb, "key")
+      .select(col("key").as("event_type"), col("n_batches"),
+        col("n_buckets_set"), col("est_distinct"),
+        (col("est_distinct") === col("single_est")).as("merge_invariant"),
+        col("exact_distinct"))
+      .orderBy("event_type")
+  }
+  val qHllUnionSql: String = {
+    val lc = Hll.LinearCount.drop(1).mkString(", ")
+    val a = Hll.AlphaM2TwoPow53
+    s"""WITH ev AS (SELECT epoch_ms(ts) // 86400000 AS day,
+       |    event_type AS key, user_id::VARCHAR AS v FROM events
+       |  WHERE user_id IS NOT NULL),
+       |hh AS (SELECT day, key, ${Hashing.hash60Sql("v")} AS h FROM ev),
+       |rh AS (SELECT day, key, h % 256 AS bucket,
+       |    CASE WHEN h // 256 = 0 THEN 53 ELSE 53 - length(bin(h // 256)) END AS rho
+       |  FROM hh),
+       |regs AS (SELECT day, key, bucket, max(rho) AS r FROM rh GROUP BY 1, 2, 3),
+       |mrg AS (SELECT key, bucket, max(r) AS r FROM regs GROUP BY 1, 2),
+       |ag AS (SELECT key, CAST(sum(1::BIGINT << (53 - r)) AS BIGINT) AS sp,
+       |    count(*) AS p FROM mrg GROUP BY 1),
+       |hs AS (SELECT key, sp + (256 - p) * 9007199254740992 AS s, 256 - p AS nv FROM ag),
+       |est AS (SELECT key, CAST(256 - nv AS BIGINT) AS n_buckets_set,
+       |    CASE WHEN ($a / s::DOUBLE) <= 640.0 AND nv > 0
+       |      THEN list_extract([$lc], nv)
+       |      ELSE CAST(floor($a / s::DOUBLE + 0.5) AS BIGINT) END AS est_distinct
+       |  FROM hs),
+       |nb AS (SELECT key, count(DISTINCT day) AS n_batches FROM regs GROUP BY 1),
+       |ex AS (SELECT key, count(DISTINCT v) AS exact_distinct FROM ev GROUP BY 1)
+       |SELECT est.key AS event_type, nb.n_batches, est.n_buckets_set,
+       |  est.est_distinct, TRUE AS merge_invariant, ex.exact_distinct
+       |FROM est JOIN nb USING (key) JOIN ex USING (key)
+       |ORDER BY event_type""".stripMargin
+  }
 
   // ---- streaming sessionization, driven synchronously (AvailableNow →
   //      memory sink): the streaming engine's answer must match the
@@ -2258,6 +2390,8 @@ object ExtQueries {
     "q_kmv_distinct" -> (qKmvDistinct _),
     "q_hll_distinct" -> (qHllDistinct _),
     "q_hll_groups" -> (qHllGroups _),
+    "q_hll_union" -> (qHllUnion _),
+    "q_kmv_overlap" -> (qKmvOverlap _),
     "q_redact" -> (qRedact _),
     "q_repetition" -> (qRepetition _),
     "q_ngram_repetition" -> (qNgramRepetition _),
@@ -2309,6 +2443,8 @@ object ExtQueries {
     "q_kmv_distinct" -> qKmvDistinctSql,
     "q_hll_distinct" -> qHllDistinctSql,
     "q_hll_groups" -> qHllGroupsSql,
+    "q_hll_union" -> qHllUnionSql,
+    "q_kmv_overlap" -> qKmvOverlapSql,
     "q_redact" -> qRedactSql,
     "q_repetition" -> qRepetitionSql,
     "q_ngram_repetition" -> qNgramRepetitionSql,

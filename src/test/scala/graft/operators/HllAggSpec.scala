@@ -89,6 +89,48 @@ class HllAggSpec extends AnyFunSuite {
     assert(run(clean).head._2 == 2L) // exact via linear counting
   }
 
+  test("register tables: merged-across-batches estimate == single-shot UDAF") {
+    // the mergeability contract q_hll_union asserts in-row: per-batch
+    // register tables merged by elementwise max reproduce EXACTLY the
+    // one-shot aggregator's registers, hence its estimate — two
+    // independent code paths (relational Columns vs UDAF)
+    val s = spark
+    import s.implicits._
+    val df = (1 to 9000).map(i => (i % 5, s"g${i % 2}", s"u${i % 1234}"))
+      .toDF("batch", "g", "v")
+    def report(res: org.apache.spark.sql.DataFrame) =
+      res.collect().map(r => r.getAs[String]("key") ->
+        ((r.getAs[Long]("n_buckets_set"),
+          r.getAs[Long]("est_distinct")))).toMap
+    val merged = report(
+      Sketches.hllMergeEstimate(Sketches.hllRegisters(df, "batch", "g", "v")))
+    val single = report(Sketches.hllPerGroup(df, "g", "v"))
+    assert(merged == single)
+    assert(merged.keySet == Set("g0", "g1"))
+  }
+
+  test("register tables: merging disjoint batch subsets == merging all") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 6000).map(i => (i % 4, "k", s"u${i % 777}"))
+      .toDF("batch", "g", "v")
+    val regs = Sketches.hllRegisters(df, "batch", "g", "v")
+    // merge(day 0-1) and merge(day 2-3) as INTERMEDIATE register
+    // tables (batch relabeled), then merge those — associativity
+    import org.apache.spark.sql.functions.{col, lit}
+    val half1 = regs.filter(col("batch") < 2).withColumn("batch", lit(0))
+      .groupBy("batch", "key", "bucket")
+      .agg(org.apache.spark.sql.functions.max("r").as("r"))
+    val half2 = regs.filter(col("batch") >= 2).withColumn("batch", lit(1))
+      .groupBy("batch", "key", "bucket")
+      .agg(org.apache.spark.sql.functions.max("r").as("r"))
+    val viaHalves = Sketches.hllMergeEstimate(half1.unionAll(half2))
+      .collect().map(r => r.getAs[Long]("est_distinct")).toSeq
+    val direct = Sketches.hllMergeEstimate(regs)
+      .collect().map(r => r.getAs[Long]("est_distinct")).toSeq
+    assert(viaHalves == direct)
+  }
+
   test("accuracy: linear-counting branch near-exact, raw branch within 10%") {
     val s = spark
     import s.implicits._
