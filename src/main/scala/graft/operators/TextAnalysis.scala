@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Hashing
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: tokenization,
@@ -590,5 +590,54 @@ object TextAnalysis {
       .agg(min(col("sc")).as("best"))
       .select(col("id"), col("best.lab").as("pred"),
         (-col("best.ns")).as("score_micros"))
+  }
+
+  /** Contamination ATTRIBUTION: [[Dedup.testSetOverlap]] is the
+    * decontamination screen (per-doc overlap ratio against the whole
+    * benchmark set); this answers the follow-up a benchmark owner
+    * asks once the screen fires — by WHICH benchmark item is each
+    * corpus document contaminated, and how badly.
+    *
+    * Per contaminated document: the number of distinct benchmark
+    * n-grams it contains (`n_hits`), its own distinct-n-gram count
+    * (`total_grams`), the contaminated fraction in micros, and the
+    * single benchmark item it overlaps MOST (`worst_bench_id`, ties
+    * to the smallest id, with `worst_overlap` shared n-grams) — the
+    * item a reviewer inspects first. Clean documents are absent.
+    *
+    * Scale shape: the benchmark n-gram table is benchmark-sized and
+    * BROADCASTS (the production screen: a few MB of eval n-grams
+    * against a 100 TB corpus — map-side hash probe, no shuffle of
+    * corpus grams except the per-doc partial-agg rollups); the corpus
+    * side is one explode pass over [[Dedup.shingles]] (distinct
+    * n-grams per doc by construction). The per-(doc, bench) argmax is
+    * the partial-aggregating struct-max, never a window sort. */
+  def ngramContamination(corpus: DataFrame, corpusId: String,
+                         corpusText: String, bench: DataFrame,
+                         benchId: String, benchText: String,
+                         n: Int): DataFrame = {
+    require(n >= 1, "n-gram order must be positive")
+    val bg = bench.select(col(benchId).as("bid"),
+      explode(Dedup.shingles(col(benchText), n)).as("gram"))
+    val cg = corpus.select(col(corpusId).as("id"),
+      explode(Dedup.shingles(col(corpusText), n)).as("gram"))
+    val sizes = cg.groupBy("id").agg(count(lit(1)).as("total_grams"))
+    // a gram shared with SEVERAL bench docs appears once per bid here;
+    // n_hits counts distinct grams, the per-pair rollup keeps the bid
+    val hits = cg.join(broadcast(bg), "gram")
+    val perDoc = hits.groupBy("id")
+      .agg(countDistinct(col("gram")).as("n_hits"))
+    val worst = hits.groupBy("id", "bid")
+      .agg(countDistinct(col("gram")).as("c"))
+      .groupBy("id")
+      .agg(max(struct(col("c"), (-col("bid")).as("nb"))).as("b"))
+      .select(col("id"), (-col("b.nb")).as("worst_bench_id"),
+        col("b.c").as("worst_overlap"))
+    perDoc.join(worst, "id").join(sizes, "id")
+      .select(col("id"), col("n_hits"), col("total_grams"),
+        floor(col("n_hits").cast("double") / col("total_grams").cast("double")
+          * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("contamination_micros"),
+        col("worst_bench_id"), col("worst_overlap"))
   }
 }
