@@ -712,6 +712,17 @@ object Similarity {
               queries: DataFrame, qidCol: String, qvecCol: String,
               k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
     val centroids = kmeansCentroids(df, idCol, vecCol, nCentroids)
+    ivfTopKWith(df, idCol, vecCol, queries, qidCol, qvecCol,
+      k, nProbe, centroids)
+  }
+
+  /** [[ivfTopK]] served from a PRE-TRAINED coarse quantizer — train
+    * once (or load the stored centroid table), amortize across query
+    * batches; identical output to the training overload given the
+    * centroids it would have trained. */
+  def ivfTopKWith(df: DataFrame, idCol: String, vecCol: String,
+                  queries: DataFrame, qidCol: String, qvecCol: String,
+                  k: Int, nProbe: Int, centroids: DataFrame): DataFrame = {
     val bucketed = assignBuckets(df, idCol, vecCol, centroids)
     probeTopK(centroids, bucketed, queries, qidCol, qvecCol, k, nProbe)
   }
@@ -905,12 +916,27 @@ object Similarity {
                 nSub: Int, nCodes: Int,
                 nIterIvf: Int = 5, nIterPq: Int = 3,
                 rerank: Int = 0): DataFrame = {
+    val centroids = kmeansCentroids(df, idCol, vecCol, nCentroids, nIterIvf)
+    val codebooks = pqCodebooks(df, idCol, vecCol, nSub, nCodes, nIterPq)
+    ivfPqTopKWith(df, idCol, vecCol, queries, qidCol, qvecCol,
+      k, nProbe, centroids, codebooks, nSub, rerank)
+  }
+
+  /** [[ivfPqTopK]] served from PRE-TRAINED models — the production
+    * shape: centroids and codebooks are trained once (or loaded from
+    * a stored model table) and amortized across query batches; this
+    * entry point runs only the serve path (bucket attach, encode,
+    * probe, ADC, rerank). Output is identical to the training
+    * overload given the models it would have trained. */
+  def ivfPqTopKWith(df: DataFrame, idCol: String, vecCol: String,
+                    queries: DataFrame, qidCol: String, qvecCol: String,
+                    k: Int, nProbe: Int,
+                    centroids: DataFrame, codebooks: DataFrame,
+                    nSub: Int, rerank: Int = 0): DataFrame = {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
     val subDim = dim / nSub
-    val centroids = kmeansCentroids(df, idCol, vecCol, nCentroids, nIterIvf)
     val bucketed = assignBuckets(df, idCol, vecCol, centroids)
-    val codebooks = pqCodebooks(df, idCol, vecCol, nSub, nCodes, nIterPq)
     val codes = pqEncode(df, idCol, vecCol, codebooks, nSub, subDim)
     // probe selection: verbatim the [[probeTopK]] ranking (round-6
     // cosine desc, cid asc) so IVF and IVF-PQ probe identical cells

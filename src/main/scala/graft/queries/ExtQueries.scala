@@ -1019,12 +1019,45 @@ object ExtQueries {
         queries, "vec_id", "embedding", k = IvfTopK)
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"))
-    val got = Similarity.ivfTopK(e, "vec_id", "embedding",
+    val got = Similarity.ivfTopKWith(e, "vec_id", "embedding",
         queries, "vec_id", "embedding",
-        k = IvfTopK, nCentroids = IvfCentroids, nProbe = IvfProbe)
+        k = IvfTopK, nProbe = IvfProbe, centroids = ivfCentroids(s, dir))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), lit(1L).as("__hit"))
     annRecall(truth, got)
+  }
+
+  /** Session-memoized TRAINED ANN models, keyed by data dir — the
+    * same cost-not-content discipline as [[lshDupPairs]]: the Lloyd
+    * trainers are deterministic, their outputs are tiny (nCentroids /
+    * nSub·nCodes rows of dim doubles), and four queries consume the
+    * IDENTICAL models (q_ann_eval's IVF side; q_ann_ivfpq and
+    * q_annpq_eval's composed ranker). Collected once, replayed as
+    * local DataFrames — doubles survive collect + re-literal
+    * bit-exactly, so results are unchanged. q_ann_ivf and q_ann_pq
+    * stay on the LIVE trainers: they are the queries that measure
+    * training+serve end-to-end. At corpus scale this memo is the
+    * stored-model table the `*With` serve paths exist for. */
+  private val ivfCentroidMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(Long, Seq[Double])]]()
+  private def ivfCentroids(s: SparkSession, dir: String): DataFrame = {
+    val rows = ivfCentroidMemo.computeIfAbsent(dir, _ =>
+      Similarity.kmeansCentroids(emb(s, dir), "vec_id", "embedding",
+          IvfCentroids, IvfIter)
+        .collect().map(r => (r.getAs[Long]("cid"), r.getSeq[Double](1))))
+    import s.implicits._
+    s.createDataset(rows.toIndexedSeq).toDF("cid", "cv")
+  }
+  private val pqCodebookMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(Int, Int, Seq[Double])]]()
+  private def pqCodebooks(s: SparkSession, dir: String): DataFrame = {
+    val rows = pqCodebookMemo.computeIfAbsent(dir, _ =>
+      Similarity.pqCodebooks(emb(s, dir), "vec_id", "embedding",
+          PqSub, PqCodes, PqIter)
+        .collect().map(r => (r.getAs[Int]("m"), r.getAs[Int]("cid"),
+          r.getSeq[Double](2))))
+    import s.implicits._
+    s.createDataset(rows.toIndexedSeq).toDF("m", "cid", "cv")
   }
 
   /** Per-query recall table shared by the ANN evals: truth(qid, id)
@@ -1142,11 +1175,11 @@ object ExtQueries {
   private val IvfPqRerank = 50
   def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    Similarity.ivfPqTopK(e, "vec_id", "embedding",
+    Similarity.ivfPqTopKWith(e, "vec_id", "embedding",
       e.filter(col("vec_id") < 3), "vec_id", "embedding",
-      k = IvfTopK, nCentroids = IvfCentroids, nProbe = IvfProbe,
-      nSub = PqSub, nCodes = PqCodes,
-      nIterIvf = IvfIter, nIterPq = PqIter, rerank = IvfPqRerank)
+      k = IvfTopK, nProbe = IvfProbe,
+      centroids = ivfCentroids(s, dir), codebooks = pqCodebooks(s, dir),
+      nSub = PqSub, rerank = IvfPqRerank)
       .select(col("qid"), col("id"), col("score"),
         col("rank").cast("long").as("rank"))
       .orderBy("qid", "rank")
@@ -1251,11 +1284,11 @@ object ExtQueries {
         queries, "vec_id", "embedding", k = IvfTopK)
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"))
-    val got = Similarity.ivfPqTopK(e, "vec_id", "embedding",
+    val got = Similarity.ivfPqTopKWith(e, "vec_id", "embedding",
         queries, "vec_id", "embedding",
-        k = IvfTopK, nCentroids = IvfCentroids, nProbe = IvfProbe,
-        nSub = PqSub, nCodes = PqCodes,
-        nIterIvf = IvfIter, nIterPq = PqIter, rerank = IvfPqRerank)
+        k = IvfTopK, nProbe = IvfProbe,
+        centroids = ivfCentroids(s, dir), codebooks = pqCodebooks(s, dir),
+        nSub = PqSub, rerank = IvfPqRerank)
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), lit(1L).as("__hit"))
     annRecall(truth, got)
