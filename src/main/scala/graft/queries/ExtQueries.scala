@@ -1091,6 +1091,29 @@ object ExtQueries {
        |    / count(*)::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS recall_micros
        |FROM jj GROUP BY 1 ORDER BY qid""".stripMargin
 
+  // ---- stored-model serving: the trained IVF coarse quantizer
+  //      round-trips through PARQUET (train → store → load → serve) and
+  //      the served ranking must be IDENTICAL to the live-trained
+  //      q_ann_ivf — the model-registry link that makes the *With
+  //      serve paths real: at corpus scale the quantizer is trained
+  //      once, stored as an ordinary table, and every query batch
+  //      loads it. Lossless because parquet preserves doubles
+  //      bit-exactly; the oracle is q_ann_ivf's full replay ----
+  def qAnnStored(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val tmp = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_scratch", "ivf_model").toString
+    ivfCentroids(s, dir).coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val stored = s.read.parquet(tmp)
+    Similarity.ivfTopKWith(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = IvfTopK, nProbe = IvfProbe, centroids = stored)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("qid", "rank")
+  }
+  val qAnnStoredSql: String = qAnnIvfSql
+
   // ---- ANN via product quantization (the memory-side scale path:
   //      nSub codes replace dim doubles per stored vector; asymmetric
   //      distance scores exact query slices against the codebooks).
@@ -2443,6 +2466,7 @@ object ExtQueries {
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_annpq_eval" -> (qAnnPqEval _),
+    "q_ann_stored" -> (qAnnStored _),
     "q_kmeans" -> (qKmeans _),
     "q_silhouette" -> (qSilhouette _),
     "q_semdedup" -> (qSemdedup _),
@@ -2544,6 +2568,7 @@ object ExtQueries {
     "q_ann_pq" -> qAnnPqSql,
     "q_ann_ivfpq" -> qAnnIvfPqSql,
     "q_annpq_eval" -> qAnnPqEvalSql,
+    "q_ann_stored" -> qAnnStoredSql,
     "q_kmeans" -> qKmeansSql,
     "q_silhouette" -> qSilhouetteSql,
     "q_semdedup" -> qSemdedupSql,
