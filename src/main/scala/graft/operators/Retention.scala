@@ -82,4 +82,46 @@ object Retention {
       .groupBy("key")
       .agg(count(lit(1)).as("n_events"), sum(contrib).as("decay_micros"))
   }
+
+  /** Trailing-window per-key daily features — the feature-store shape:
+    * for every (key, active day), the day's own activity plus the
+    * trailing `windowDays`-day rolling totals and the gap since the
+    * key's previous active day. The inputs feed recency-aware
+    * sampling, churn features, and activity-based curation weights.
+    *
+    * Determinism: values are floored to integer MICROS at the DAY
+    * rollup, so every rolling sum is an exact long — range-frame sums
+    * of doubles would be partition-order-sensitive, longs are not.
+    *
+    * Scale shape: the corpus-sized work is ONE partial-aggregated
+    * shuffle down to (key, day) rows; the window functions then run
+    * over per-key DAY SERIES, which are calendar-bounded (≤ days in
+    * the retention horizon per key, thousands of rows at most) — the
+    * sort inside each window partition never sees raw events. Output:
+    * (key, day, n_events, v_micros, n_win, v_win_micros,
+    * days_since_prev — NULL on the key's first active day). */
+  def rollingDailyFeatures(events: DataFrame, keyCol: String,
+                           tsMsCol: String, valueCol: String,
+                           windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    import org.apache.spark.sql.expressions.Window
+    // exact integer day: subtract the remainder first so the double
+    // division is of an exact multiple (correctly-rounded → exact int)
+    val tsL = col(tsMsCol).cast("long")
+    val dayCol = ((tsL - pmod(tsL, lit(86400000L))) / lit(86400000L))
+      .cast("long")
+    val daily = events
+      .select(col(keyCol).as("key"), dayCol.as("day"),
+        floor(col(valueCol).cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("long").as("vm"))
+      .groupBy("key", "day")
+      .agg(count(lit(1)).as("n_events"), sum(col("vm")).as("v_micros"))
+    val wRange = Window.partitionBy("key").orderBy("day")
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    val wLag = Window.partitionBy("key").orderBy("day")
+    daily.select(col("key"), col("day"), col("n_events"), col("v_micros"),
+      sum(col("n_events")).over(wRange).as("n_win"),
+      sum(col("v_micros")).over(wRange).as("v_win_micros"),
+      (col("day") - lag(col("day"), 1).over(wLag)).as("days_since_prev"))
+  }
 }

@@ -1676,6 +1676,36 @@ object ExtQueries {
        |  CAST(sum(CAST(floor(value * pow(2.0, -(t_max - ms) / $DecayHalfLifeMs.0) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS decay_micros
        |FROM e, t GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---- trailing-window daily features (the feature-store shape):
+  //      per (user, active day) the day's activity plus 7-day rolling
+  //      totals and the gap since the previous active day. Corpus work
+  //      is ONE partial-agg rollup to (user, day); the window sorts
+  //      then run over calendar-bounded per-user day series, never raw
+  //      events. Day-level micros rounding makes rolling sums exact
+  //      longs (double range-frame sums would be order-sensitive) ----
+  private val RollWinDays = 7
+  def qRollingFeatures(s: SparkSession, dir: String): DataFrame =
+    Retention.rollingDailyFeatures(
+        Tables.loadEventsMs(s, dir), "user_id", "ts_ms", "value",
+        RollWinDays)
+      .select(col("key").as("user_id"), col("day"), col("n_events"),
+        col("v_micros"), col("n_win"), col("v_win_micros"),
+        col("days_since_prev"))
+      .orderBy("user_id", "day")
+  val qRollingFeaturesSql: String =
+    s"""WITH daily AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+       |    count(*) AS n_events,
+       |    CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS v_micros
+       |  FROM events GROUP BY 1, 2)
+       |SELECT user_id, day, n_events, v_micros,
+       |  CAST(sum(n_events) OVER w AS BIGINT) AS n_win,
+       |  CAST(sum(v_micros) OVER w AS BIGINT) AS v_win_micros,
+       |  day - lag(day, 1) OVER (PARTITION BY user_id ORDER BY day) AS days_since_prev
+       |FROM daily
+       |WINDOW w AS (PARTITION BY user_id ORDER BY day
+       |  RANGE BETWEEN ${RollWinDays - 1} PRECEDING AND CURRENT ROW)
+       |ORDER BY user_id, day""".stripMargin
+
   // ---- multimodal: binary column + batched feature extraction ----
   def qMultimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.featuresFromDocuments(s, docs(s, dir))
@@ -2481,6 +2511,7 @@ object ExtQueries {
     "q_event_daily" -> (qEventDaily _),
     "q_retention" -> (qRetention _),
     "q_decay_score" -> (qDecayScore _),
+    "q_rolling_features" -> (qRollingFeatures _),
     "q_multimodal" -> (qMultimodal _),
     "q_audio_meta" -> (qAudioMeta _),
     "q_rolling_hash" -> (qRollingHash _),
@@ -2535,6 +2566,7 @@ object ExtQueries {
     "q_event_daily" -> qEventDailySql,
     "q_retention" -> qRetentionSql,
     "q_decay_score" -> qDecayScoreSql,
+    "q_rolling_features" -> qRollingFeaturesSql,
     "q_multimodal" -> qMultimodalSql,
     "q_audio_meta" -> qAudioMetaSql,
     "q_rolling_hash" -> qRollingHashSql,

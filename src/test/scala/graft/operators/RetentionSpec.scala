@@ -89,6 +89,49 @@ class RetentionSpec extends AnyFunSuite {
     assert(run(events) == run(events.repartition(11)))
   }
 
+  test("rollingDailyFeatures: hand-math trailing window, gap, and edges") {
+    val s = spark
+    import s.implicits._
+    val day = 86400000L
+    // user 1: days 0, 1, 3, 10; user 2: one day only
+    val events = Seq(
+      (1L, 0L * day, 1.0), (1L, 0L * day + 5, 2.0), // day 0: n=2, v=3.0
+      (1L, 1L * day, 10.0),                          // day 1
+      (1L, 3L * day, 100.0),                         // day 3
+      (1L, 10L * day, 0.5),                          // day 10 (window slides off)
+      (2L, 4L * day, 7.25)
+    ).toDF("user_id", "ts_ms", "value")
+    val got = Retention.rollingDailyFeatures(events, "user_id", "ts_ms",
+        "value", windowDays = 7)
+      .collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("day")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("v_micros"),
+          r.getAs[Long]("n_win"), r.getAs[Long]("v_win_micros"),
+          Option(r.getAs[Any]("days_since_prev")).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(got((1L, 0L)) == ((2L, 3000000L, 2L, 3000000L, None)))
+    assert(got((1L, 1L)) == ((1L, 10000000L, 3L, 13000000L, Some(1L))))
+    // day 3: window [−3, 3] covers days 0, 1, 3 → n 4, v 113
+    assert(got((1L, 3L)) == ((1L, 100000000L, 4L, 113000000L, Some(2L))))
+    // day 10: 7-day window [4, 10] covers only day 10
+    assert(got((1L, 10L)) == ((1L, 500000L, 1L, 500000L, Some(7L))))
+    assert(got((2L, 4L)) == ((1L, 7250000L, 1L, 7250000L, None)))
+  }
+
+  test("rollingDailyFeatures: deterministic under repartitioning") {
+    val s = spark
+    import s.implicits._
+    val events = (1 to 4000).map(i =>
+      (i % 13L, (i % 29).toLong * 86400000L + i, (i % 7) * 1.25))
+      .toDF("user_id", "ts_ms", "value")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Retention.rollingDailyFeatures(df, "user_id", "ts_ms", "value")
+        .collect().map(r => (r.getAs[Long]("key"), r.getAs[Long]("day"),
+          r.getAs[Long]("n_win"), r.getAs[Long]("v_win_micros")))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(run(events) == run(events.repartition(11)))
+  }
+
   test("plan shape: two exchanges, no window sort") {
     val s = spark
     import s.implicits._
