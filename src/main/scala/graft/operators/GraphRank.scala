@@ -188,4 +188,60 @@ object GraphRank {
           / (col("deg") * (col("deg") - lit(1L))).cast("double") + lit(0.5))
           .cast("long").as("cc_micros"))
   }
+
+  /** Common-neighbor link prediction over a pair table: for every
+    * NON-edge (u, w) sharing ≥ `minCommon` neighbors, the shared-
+    * neighbor count and neighborhood Jaccard — the classic
+    * missing-link score (Liben-Nowell & Kleinberg, CIKM 2003) used
+    * here to surface near-dup pairs the banded miner missed: two docs
+    * tied to the same dup neighborhood but never co-bucketed are
+    * exactly the LSH false negatives worth re-verifying.
+    *
+    * Shape: wedges (u—v—w) enumerate via the adjacency self-join on
+    * the CENTER v, so work is Σ deg(v)² over centers. Unlike triangle
+    * counting there is no orientation escape — a wedge is only seen
+    * from its center — so hubs are handled the standard way:
+    * `maxCenterDegree` drops centers above the cap (a celebrity node
+    * shared by everyone carries no link signal; the cap is part of
+    * the contract and both engines apply it identically). Remaining
+    * work is two node-keyed equi-joins + one partial-agg count; the
+    * existing-edge exclusion is a broadcast-size anti-join on the
+    * normalized edge set.
+    *
+    * Determinism: counts/degrees are exact longs;
+    * `jaccard_micros = cn·10^6 div (deg_u + deg_w − cn)` is one
+    * BIGINT division. Degrees count the FULL graph (pre-cap) so the
+    * score is about the nodes, not the pruning. Output:
+    * (i, j, cn, deg_i, deg_j, jaccard_micros), i < j, non-edges
+    * only. */
+  def commonNeighborScores(pairs: DataFrame, maxCenterDegree: Long,
+                           minCommon: Long,
+                           scope: CacheScope = CacheScope.unmanaged()): DataFrame = {
+    require(maxCenterDegree >= 2, "a wedge center needs degree >= 2")
+    require(minCommon >= 1, "minCommon must be positive")
+    val und = scope.persist(pairs
+      .select(least(col("i"), col("j")).as("i"),
+        greatest(col("i"), col("j")).as("j"))
+      .where(col("i") =!= col("j")).distinct())
+    val edges = und.select(col("i").as("u"), col("j").as("v"))
+      .union(und.select(col("j").as("u"), col("i").as("v")))
+    val deg = scope.persist(edges.groupBy("u").agg(count(lit(1)).as("deg")))
+    // wedge centers under the hub cap; endpoints ordered to count each
+    // unordered candidate pair once
+    val centers = edges.join(
+      deg.where(col("deg") <= maxCenterDegree).select(col("u")), "u")
+    val cand = centers.select(col("u"), col("v").as("x"))
+      .join(centers.select(col("u"), col("v").as("y")), "u")
+      .where(col("x") < col("y"))
+      .groupBy(col("x").as("i"), col("y").as("j"))
+      .agg(count(lit(1)).as("cn"))
+      .where(col("cn") >= minCommon)
+      .join(und, Seq("i", "j"), "left_anti") // predictions, not edges
+    cand
+      .join(deg.select(col("u").as("i"), col("deg").as("deg_i")), "i")
+      .join(deg.select(col("u").as("j"), col("deg").as("deg_j")), "j")
+      .select(col("i"), col("j"), col("cn"), col("deg_i"), col("deg_j"),
+        expr("(cn * 1000000L) div (deg_i + deg_j - cn)")
+          .as("jaccard_micros"))
+  }
 }

@@ -640,4 +640,40 @@ object TextAnalysis {
           .as("contamination_micros"),
         col("worst_bench_id"), col("worst_overlap"))
   }
+
+  /** Token-distribution drift between two corpus slices (crawl
+    * snapshots, sources, time windows): per token, its occurrence
+    * count on each side and the add-one-smoothed ODDS RATIO of
+    * drawing it from side A vs side B — the monitoring signal that
+    * catches a changed crawler, a new spam source, or a boilerplate
+    * regression BEFORE the mixture shifts downstream training data.
+    * or_micros > 10^6 means over-represented in A; ranking by it is
+    * ranking by log-odds (Monroe et al. 2008's "fightin' words"
+    * statistic) with no float log in either engine.
+    *
+    * Shape: one explode → (side, token) partial-agg count → one
+    * vocabulary-sized pivot (sum of side-gated counts); totals ride a
+    * broadcast scalar join. Output is vocabulary-sized; nothing else
+    * leaves the executors.
+    *
+    * Determinism: with a = count(tok, A), b = count(tok, B), and tA/tB
+    * the side totals, `or_micros = (a+1)·(tB−b+1)·10^6 div
+    * ((b+1)·(tA−a+1))` — exact BIGINT arithmetic; headroom holds for
+    * side totals ≤ ~3·10^6 tokens per run unit (shard larger runs).
+    * `sideA` must partition docs two ways deterministically. */
+  def tokenDrift(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                 sideA: Column, minCount: Long): org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(sideA.cast("boolean").as("in_a"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val counts = tok.groupBy("term").agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("in_a"), 0L).otherwise(1L)).as("n_b"))
+    val totals = counts.agg(sum(col("n_a")).as("t_a"),
+      sum(col("n_b")).as("t_b"))
+    counts.where(col("n_a") + col("n_b") >= minCount)
+      .crossJoin(broadcast(totals))
+      .select(col("term"), col("n_a"), col("n_b"),
+        expr("((n_a + 1L) * (t_b - n_b + 1L) * 1000000L) div ((n_b + 1L) * (t_a - n_a + 1L))")
+          .as("or_micros"))
+  }
 }

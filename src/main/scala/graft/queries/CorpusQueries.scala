@@ -748,6 +748,64 @@ object CorpusQueries {
        |SELECT vec_id, label, cosine, rnk FROM rk
        |WHERE rnk <= $OutlierK ORDER BY label, rnk""".stripMargin
 
+  // ---- presence-based token co-occurrence with exact integer lift
+  //      (ranking by lift IS ranking by PMI — lift = exp(PMI) — with
+  //      no float log in either engine). Same size-2 A-priori operator
+  //      as q_basket_pairs, pointed at (doc, token) memberships: which
+  //      words co-locate in documents beyond what their document
+  //      frequencies predict — collocation mining / topic-seed
+  //      discovery over the corpus ----
+  private val CoMinDf = 10L
+  private val CoMinPair = 20L
+  def qCooccur(s: SparkSession, dir: String): DataFrame = {
+    val m = docs(s, dir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .distinct()
+    graft.operators.Assoc.pairLift(m, "doc_id", "tok", CoMinDf, CoMinPair)
+      .orderBy("item1", "item2")
+  }
+  val qCooccurSql: String =
+    s"""WITH m AS (SELECT DISTINCT b, it FROM (SELECT doc_id AS b,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS it
+       |  FROM documents)),
+       |nb AS (SELECT count(DISTINCT b) AS n FROM m),
+       |sup AS (SELECT it, count(*) AS n_it FROM m GROUP BY 1
+       |  HAVING count(*) >= $CoMinDf AND count(*) >= $CoMinPair),
+       |k AS (SELECT m.b, m.it, sup.n_it FROM m JOIN sup USING (it)),
+       |p AS (SELECT a.it AS item1, c.it AS item2, a.n_it AS n_a, c.n_it AS n_b,
+       |    count(*) AS n_ab
+       |  FROM k a JOIN k c ON a.b = c.b AND a.it < c.it
+       |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= $CoMinPair)
+       |SELECT item1, item2, n_ab, n_a, n_b,
+       |  (n_ab * (SELECT n FROM nb) * 1000000) // (n_a * n_b) AS lift_micros
+       |FROM p ORDER BY item1, item2""".stripMargin
+
+  // ---- token-distribution drift between two source cohorts (even vs
+  //      odd crawl source id): add-one-smoothed odds ratio per token,
+  //      exact BIGINT micros — the snapshot-monitoring signal that
+  //      catches a changed crawler or new spam source before the
+  //      training mixture shifts ----
+  private val DriftMinCount = 10L
+  private val DriftSideA = "CAST(substring(source, 4) AS INT) % 2 = 0"
+  def qCorpusDrift(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenDrift(docs(s, dir), "text",
+        expr(DriftSideA), DriftMinCount)
+      .orderBy("term")
+  val qCorpusDriftSql: String =
+    s"""WITH t AS (SELECT CAST(substr(source, 4) AS INT) % 2 = 0 AS in_a,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |c AS (SELECT term,
+       |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+       |  FROM t GROUP BY 1),
+       |tt AS (SELECT CAST(sum(n_a) AS BIGINT) AS t_a,
+       |    CAST(sum(n_b) AS BIGINT) AS t_b FROM c)
+       |SELECT term, n_a, n_b,
+       |  ((n_a + 1) * (t_b - n_b + 1) * 1000000) // ((n_b + 1) * (t_a - n_a + 1)) AS or_micros
+       |FROM c, tt WHERE n_a + n_b >= $DriftMinCount ORDER BY term""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_concat" -> (qPackConcat _),
@@ -771,6 +829,8 @@ object CorpusQueries {
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_pii_spans" -> (qPiiSpans _),
     "q_embed_outliers" -> (qEmbedOutliers _),
+    "q_cooccur" -> (qCooccur _),
+    "q_corpus_drift" -> (qCorpusDrift _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -796,5 +856,7 @@ object CorpusQueries {
     "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_pii_spans" -> qPiiSpansSql,
     "q_embed_outliers" -> qEmbedOutliersSql,
+    "q_cooccur" -> qCooccurSql,
+    "q_corpus_drift" -> qCorpusDriftSql,
   )
 }

@@ -646,6 +646,39 @@ object ExtQueries {
        |    / (dg.deg * (dg.deg - 1))::DOUBLE + 0.5) AS BIGINT) AS cc_micros
        |FROM pn JOIN dg ON pn.id = dg.u ORDER BY doc_id""".stripMargin
 
+  // ---- common-neighbor link prediction over the SAME LSH near-dup
+  //      graph: for every NON-edge sharing ≥ 2 neighbors, the shared
+  //      count + neighborhood Jaccard (exact micros) — the classic
+  //      missing-link score pointed at the miner's own blind spots
+  //      (two docs tied to one dup neighborhood but never co-bucketed
+  //      are LSH false negatives worth re-verifying). Wedge centers
+  //      above the hub cap are dropped (no orientation escape exists
+  //      for wedge ENUMERATION; the cap is the standard mitigation
+  //      and part of the contract) ----
+  private val LpredMaxCenterDeg = 50L
+  private val LpredMinCommon = 2L
+  def qLinkPred(s: SparkSession, dir: String): DataFrame =
+    GraphRank.commonNeighborScores(lshDupPairs(s, dir),
+        LpredMaxCenterDeg, LpredMinCommon)
+      .orderBy("i", "j")
+  val qLinkPredSql: String =
+    s"""WITH ${lshPairsCtes()},
+       |und AS MATERIALIZED (SELECT least(i, j) AS i, greatest(i, j) AS j FROM prs
+       |  WHERE i <> j GROUP BY 1, 2),
+       |ed AS (SELECT i AS u, j AS v FROM und UNION ALL SELECT j AS u, i AS v FROM und),
+       |dg AS MATERIALIZED (SELECT u, count(*) AS deg FROM ed GROUP BY 1),
+       |ctr AS (SELECT e.u, e.v FROM ed e JOIN dg ON e.u = dg.u
+       |  WHERE dg.deg <= $LpredMaxCenterDeg),
+       |cand AS (SELECT a.v AS i, b.v AS j, count(*) AS cn
+       |  FROM ctr a JOIN ctr b ON a.u = b.u AND a.v < b.v
+       |  GROUP BY 1, 2 HAVING count(*) >= $LpredMinCommon),
+       |ne AS (SELECT c.i, c.j, c.cn FROM cand c
+       |  LEFT JOIN und e ON c.i = e.i AND c.j = e.j WHERE e.i IS NULL)
+       |SELECT ne.i, ne.j, ne.cn, di.deg AS deg_i, dj.deg AS deg_j,
+       |  (ne.cn * 1000000) // (di.deg + dj.deg - ne.cn) AS jaccard_micros
+       |FROM ne JOIN dg di ON ne.i = di.u JOIN dg dj ON ne.j = dj.u
+       |ORDER BY i, j""".stripMargin
+
   // ---- incremental LSH: a NEW batch mined against the STANDING
   //      banded index at O(batch) cost — the daily-crawl-increment
   //      shape. Result == the one-shot recompute over index ∪ batch
@@ -2505,6 +2538,7 @@ object ExtQueries {
     "q_pagerank" -> (qPagerank _),
     "q_label_prop" -> (qLabelProp _),
     "q_triangles" -> (qTriangles _),
+    "q_link_pred" -> (qLinkPred _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_embed_pca" -> (qEmbedPca _),
     "q_sessionize" -> (qSessionize _),
@@ -2609,6 +2643,7 @@ object ExtQueries {
     "q_pagerank" -> qPagerankSql,
     "q_label_prop" -> qLabelPropSql,
     "q_triangles" -> qTrianglesSql,
+    "q_link_pred" -> qLinkPredSql,
     "q_embed_quantize" -> qEmbedQuantizeSql,
     "q_embed_pca" -> qEmbedPcaSql,
   )

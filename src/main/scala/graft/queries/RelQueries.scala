@@ -658,6 +658,56 @@ object RelQueries {
       |SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1
       |ORDER BY doc_id""".stripMargin
 
+  // ---- frequent part pairs with exact integer lift (size-2 A-priori
+  //      over order baskets): which parts sell TOGETHER more than
+  //      their popularities predict. The item-support prune runs
+  //      before the within-basket self-join — the pass that keeps the
+  //      quadratic explode bounded at catalog scale ----
+  private val BpMinItemSup = 5L
+  private val BpMinPairSup = 2L
+  def qBasketPairs(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("b"), col("l_partkey").as("it"))
+      .distinct()
+    graft.operators.Assoc.pairLift(m, "b", "it", BpMinItemSup, BpMinPairSup)
+      .orderBy("item1", "item2")
+  }
+  val qBasketPairsSql: String =
+    s"""WITH m AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS it FROM lineitem),
+       |nb AS (SELECT count(DISTINCT b) AS n FROM m),
+       |sup AS (SELECT it, count(*) AS n_it FROM m GROUP BY 1
+       |  HAVING count(*) >= $BpMinPairSup AND count(*) >= $BpMinItemSup),
+       |k AS (SELECT m.b, m.it, sup.n_it FROM m JOIN sup USING (it)),
+       |p AS (SELECT a.it AS item1, c.it AS item2, a.n_it AS n_a, c.n_it AS n_b,
+       |    count(*) AS n_ab
+       |  FROM k a JOIN k c ON a.b = c.b AND a.it < c.it
+       |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= $BpMinPairSup)
+       |SELECT item1, item2, n_ab, n_a, n_b,
+       |  (n_ab * (SELECT n FROM nb) * 1000000) // (n_a * n_b) AS lift_micros
+       |FROM p ORDER BY item1, item2""".stripMargin
+
+  // ---- first-order Markov transition matrix over per-user event
+  //      sequences: step counts + exact row-normalized probabilities
+  //      (micros). The output is event-vocabulary², independent of
+  //      corpus rows; the only corpus-sized stage is one window
+  //      shuffle by user ----
+  def qEventTransitions(s: SparkSession, dir: String): DataFrame =
+    Sessionize.transitionMatrix(Tables.load(s, dir, "events"))
+      .orderBy("from_type", "to_type")
+  val qEventTransitionsSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
+      |st AS (SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS to_type
+      |  FROM e),
+      |m AS (SELECT from_type, to_type, count(*) AS n FROM st
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |w AS (SELECT from_type, to_type, n,
+      |    CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from
+      |  FROM m)
+      |SELECT from_type, to_type, n, n_from,
+      |  (n * 1000000) // n_from AS p_micros
+      |FROM w ORDER BY from_type, to_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_extract" -> (qJsonExtract _),
     "q_unpivot" -> (qUnpivot _),
@@ -682,6 +732,8 @@ object RelQueries {
     "q_mad_outliers" -> (qMadOutliers _),
     "q_quantile_bin" -> (qQuantileBin _),
     "q_kmv_groups" -> (qKmvGroups _),
+    "q_basket_pairs" -> (qBasketPairs _),
+    "q_event_transitions" -> (qEventTransitions _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -708,5 +760,7 @@ object RelQueries {
     "q_mad_outliers" -> qMadOutliersSql,
     "q_quantile_bin" -> qQuantileBinSql,
     "q_kmv_groups" -> qKmvGroupsSql,
+    "q_basket_pairs" -> qBasketPairsSql,
+    "q_event_transitions" -> qEventTransitionsSql,
   )
 }

@@ -207,4 +207,76 @@ class GraphRankSpec extends AnyFunSuite {
       .sortBy(_._1).toSeq
     assert(run(2) == run(9))
   }
+
+  // --------------------- commonNeighborScores ---------------------
+
+  private def runCn(pairs: Seq[(Long, Long)], maxDeg: Long = 50L,
+                    minCommon: Long = 2L): Map[(Long, Long), (Long, Long, Long, Long)] =
+    GraphRank.commonNeighborScores(pairs.toDF("i", "j"), maxDeg, minCommon)
+      .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) ->
+        ((r.getAs[Long]("cn"), r.getAs[Long]("deg_i"),
+          r.getAs[Long]("deg_j"), r.getAs[Long]("jaccard_micros")))).toMap
+
+  test("linkpred: 4-cycle predicts both diagonals at jaccard 1") {
+    // 1-2-3-4-1: non-edges (1,3) and (2,4) each share BOTH neighbors
+    val got = runCn(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    assert(got.keySet == Set((1L, 3L), (2L, 4L)))
+    assert(got((1L, 3L)) == ((2L, 2L, 2L, 1000000L)))
+    assert(got((2L, 4L)) == ((2L, 2L, 2L, 1000000L)))
+  }
+
+  test("linkpred: existing edges are excluded (K4 predicts nothing)") {
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    assert(runCn(k4).isEmpty)
+  }
+
+  test("linkpred: hand-math jaccard with asymmetric degrees") {
+    // 2 and 4 both flank the 1..3 paths; extra edge (1,5) lifts deg(1)
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 4L), (4L, 3L), (1L, 5L))
+    val got = runCn(pairs)
+    // (1,3): common {2,4}, deg 3 and 2 -> 2e6 div 3
+    assert(got((1L, 3L)) == ((2L, 3L, 2L, 666666L)))
+    // (2,4): common {1,3}, deg 2 and 2 -> exactly 1
+    assert(got((2L, 4L)) == ((2L, 2L, 2L, 1000000L)))
+  }
+
+  test("linkpred: hub cap drops wedge centers above maxCenterDegree") {
+    // star center 10 over 5 leaves: every leaf pair shares center 10
+    val star = (1L to 5L).map(l => (10L, l))
+    assert(runCn(star, maxDeg = 50L, minCommon = 1L).size == 10)
+    // capping at 4 < 5 removes the only wedge center -> nothing
+    assert(runCn(star, maxDeg = 4L, minCommon = 1L).isEmpty)
+  }
+
+  test("linkpred: degrees report the FULL graph even when centers are capped") {
+    // center 10 capped out, but center 20 (deg 2) still yields (1,2);
+    // deg_i/deg_j must count the capped star edges too
+    val pairs = (1L to 5L).map(l => (10L, l)) ++ Seq((20L, 1L), (20L, 2L))
+    val got = runCn(pairs, maxDeg = 2L, minCommon = 1L)
+    // leaves 1 and 2 (centers themselves) also see (10, 20) as a
+    // candidate — the capped hub still APPEARS as an endpoint, it
+    // just can't act as a wedge center
+    assert(got.keySet == Set((1L, 2L), (10L, 20L)))
+    assert(got((1L, 2L)) == ((1L, 2L, 2L, 333333L))) // 1e6 div 3
+    assert(got((10L, 20L)) == ((2L, 5L, 2L, 400000L))) // 2e6 div 5
+  }
+
+  test("linkpred: messy pairs (dupes, reversed, self) normalize first") {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L),
+      (2L, 2L))
+    val got = runCn(messy, minCommon = 1L)
+    assert(got.keySet == Set((1L, 3L)))
+    assert(got((1L, 3L)) == ((1L, 1L, 1L, 1000000L)))
+  }
+
+  test("linkpred: deterministic under repartitioning") {
+    val pairs = (for (a <- 1L to 30L; b <- 1L to 30L
+                      if a < b && (a * b) % 4 == 0) yield (a, b)).toSeq
+    def run(parts: Int) = GraphRank.commonNeighborScores(
+        pairs.toDF("i", "j").repartition(parts), 50L, 2L)
+      .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"),
+        r.getAs[Long]("cn"), r.getAs[Long]("jaccard_micros")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(run(2) == run(9))
+  }
 }
