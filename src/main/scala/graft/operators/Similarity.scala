@@ -1009,4 +1009,99 @@ object Similarity {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998) of per-query candidate lists: greedily selects k
+    * results maximizing `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)` — the
+    * diversity-aware final stage of retrieval, where a plain top-k
+    * over a deduplicated-but-still-clustered corpus returns k copies
+    * of one neighborhood and MMR returns the neighborhoods.
+    *
+    * `cands` is any (qid, id, cosine) candidate table — brute-force
+    * or IVF top-N output plugs in directly. Scale shape: candidates
+    * are already N-bounded per query, so every one of the k unrolled
+    * rounds is (a) one qid-keyed struct-argmax partial agg to pick
+    * each query's next selection and (b) one qid-keyed join to update
+    * the running max-similarity — work per round is O(queries × N)
+    * rows regardless of corpus size, and ALL queries advance in the
+    * same round (the driver loop is k iterations, not queries × k).
+    * Candidate vectors ride the pool rows so no round re-joins the
+    * corpus table.
+    *
+    * Variant note: the redundancy penalty is CLAMPED at zero
+    * (maxsim starts at 0 and only grows), i.e. `max(0, max_{s∈S}
+    * sim)` — anti-correlation with an already-selected result is
+    * "unrelated", not a relevance bonus. Round 1 therefore selects
+    * pure argmax-relevance, the conventional MMR start.
+    *
+    * Determinism: rel and pairwise sims are round(cosine, 6) lifted
+    * to exact micros longs; the selection score
+    * `score = λµ·rel_µ − (10^6 − λµ)·maxsim_µ` stays a raw long
+    * product-sum (NO division — Spark `div` truncates toward zero
+    * while DuckDB `//` floors, and scores go negative, so the replay
+    * avoids the one operator the engines disagree on); ties break on
+    * smaller id via struct-max over (score, −id).
+    *
+    * Lineage discipline: every round's pool references the previous
+    * pool TWICE (through the round's selection and through the
+    * update join), so without truncation the logical plan — and the
+    * candidate-generation subtree inside it — doubles per round
+    * (2^k copies of a brute-force scan by round k: measured as a
+    * driver OOM at the 10× tier). Each round therefore ends in an
+    * EAGER localCheckpoint with the superseded pool freed — the
+    * pagerank/BPE discipline; checkpointed state is queries × N
+    * rows, reclaimed as rounds supersede.
+    *
+    * Output: (qid, rank, id, rel_micros, maxsim_micros, score) with
+    * rank 1..k in selection order. */
+  def mmrRerank(cands: DataFrame, vecs: DataFrame, idCol: String,
+                vecCol: String, k: Int, lambdaMicros: Long): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(lambdaMicros > 0L && lambdaMicros <= 1000000L,
+      s"lambdaMicros out of (0, 10^6]: $lambdaMicros")
+    val lm = lit(lambdaMicros)
+    val om = lit(1000000L - lambdaMicros)
+    val v = vecs.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    var pool = cands
+      .select(col("qid"), col("id"),
+        floor(col("cosine") * lit(1e6) + lit(0.5)).cast("long").as("rel"))
+      .join(v, "id")
+      .select(col("qid"), col("id"), col("rel"), col("v"),
+        lit(0L).as("maxsim"))
+      .localCheckpoint() // eager: cuts the candidate-gen lineage now
+    var selected: DataFrame = null
+    var t = 1
+    while (t <= k) {
+      // struct-max on (score, -id) = highest score, smallest id on tie
+      val sel = pool
+        .select(col("qid"), struct(
+          (lm * col("rel") - om * col("maxsim")).as("score"),
+          (-col("id")).as("nid"), col("rel").as("rel"),
+          col("maxsim").as("maxsim"), col("v").as("v")).as("c"))
+        .groupBy("qid").agg(max(col("c")).as("c"))
+        .select(col("qid"), lit(t.toLong).as("rank"),
+          (-col("c.nid")).as("id"), col("c.rel").as("rel_micros"),
+          col("c.maxsim").as("maxsim_micros"), col("c.score").as("score"),
+          col("c.v").as("sv"))
+        .localCheckpoint() // tiny (one row per qid); read again below
+      val out = sel.drop("sv")
+      selected = if (selected == null) out else selected.unionAll(out)
+      if (t < k) {
+        val next = pool
+          .join(sel.select(col("qid"), col("id").as("__sid"), col("sv")), "qid")
+          .where(col("id") =!= col("__sid"))
+          .select(col("qid"), col("id"), col("rel"), col("v"),
+            greatest(col("maxsim"),
+              floor(round(cosine(col("v"), col("sv")), 6) * lit(1e6)
+                + lit(0.5)).cast("long")).as("maxsim"))
+          .localCheckpoint()
+        org.apache.spark.sql.graft.CheckpointBridge.freeLocalCheckpoint(pool)
+        pool = next
+      } else {
+        org.apache.spark.sql.graft.CheckpointBridge.freeLocalCheckpoint(pool)
+      }
+      t += 1
+    }
+    selected
+  }
 }

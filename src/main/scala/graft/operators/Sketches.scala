@@ -344,4 +344,63 @@ object Sketches {
           .otherwise(floor(raw + lit(0.5)).cast("long"))
           .as("est_distinct"))
   }
+
+  /** Builds a Bloom filter over the DISTINCT build-side keys as a
+    * sparse word table `(word_idx, word)` — the runtime-filter
+    * primitive behind semi-join reduction: at 100 TB the probe side
+    * (fact rows) never shuffles to discover that most of it joins
+    * nothing; a kilobyte-sized filter rides a broadcast and prunes
+    * map-side. Stored as data (like [[hllRegisters]]) the filter is
+    * also MERGEABLE: filters of two key batches over the same
+    * (mBits, k, salt) geometry union by elementwise `bit_or` —
+    * build once per ingest batch, merge cheaply forever.
+    *
+    * Geometry: `mBits` bits in 32-bit words (bit b of word w is bit
+    * `pos = 32·w + b` where `pos = hash60(key, salt+i) mod mBits`,
+    * i < k). Only 32 of each word's 64 bits are used so the
+    * `1 << bit` never touches the BIGINT sign bit — both engines
+    * agree without two's-complement edge cases. Absent words are
+    * all-zero (the table is sparse).
+    *
+    * The classic contract holds by construction: NO false negatives
+    * ever; the false-positive rate is ~(1 − e^(−k·n/m))^k and
+    * saturates as n grows past m/k — size `mBits` to the build-side
+    * cardinality, and measure (as `q_bloom_semi` does) rather than
+    * trust the formula. */
+  def bloomWords(keys: DataFrame, keyCol: String, mBits: Int, k: Int,
+                 salt: Int = 0): DataFrame = {
+    require(mBits >= 64 && mBits % 32 == 0, s"mBits must be a positive multiple of 32, got $mBits")
+    require(k >= 1 && k <= 16, s"k hashes out of range: $k")
+    val ks = keys.select(col(keyCol).cast("string").as("__k"))
+      .where(col("__k").isNotNull).distinct()
+    val pos = (0 until k).map(i =>
+      pmod(Hashing.hash60(col("__k"), salt = salt + i), lit(mBits.toLong)))
+    ks.select(explode(array(pos: _*)).as("pos"))
+      .groupBy(shiftright(col("pos"), 5).as("word_idx"))
+      .agg(bit_or(call_function("shiftleft", lit(1L),
+        col("pos").bitwiseAND(lit(31L)).cast("int"))).as("word"))
+  }
+
+  /** Map-side membership test against a built filter: collects the
+    * word table into a literal array (mBits/32 longs — a model-sized
+    * collect, same discipline as centroid/codebook broadcasts) and
+    * returns a boolean Column that probes all k bit positions with
+    * ZERO joins and zero shuffles — exactly how an engine applies a
+    * runtime filter under a scan. True = "might be in the build set"
+    * (possible false positive), false = definitely absent. */
+  def bloomMightContain(words: DataFrame, keyExpr: Column, mBits: Int,
+                        k: Int, salt: Int = 0): Column = {
+    val arr = new Array[Long](mBits / 32)
+    words.collect().foreach { r =>
+      arr(r.getAs[Long]("word_idx").toInt) = r.getAs[Long]("word")
+    }
+    val lits = array(arr.map(lit(_)): _*)
+    (0 until k).map { i =>
+      val pos = pmod(Hashing.hash60(keyExpr.cast("string"), salt = salt + i),
+        lit(mBits.toLong))
+      (element_at(lits, shiftright(pos, 5).cast("int") + lit(1))
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          pos.bitwiseAND(lit(31L)).cast("int"))) =!= lit(0L))
+    }.reduce(_ && _)
+  }
 }

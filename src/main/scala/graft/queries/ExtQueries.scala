@@ -895,6 +895,64 @@ object ExtQueries {
       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
       |  FROM scored) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  // ---- MMR diversity re-ranking (Carbonell & Goldstein 1998) of the
+  //      brute-force top-20: greedy λ·rel − (1−λ)·maxsim selection,
+  //      k unrolled rounds of qid-keyed argmax + running-max update —
+  //      the retrieval final stage that returns NEIGHBORHOODS instead
+  //      of k copies of the nearest one. Exact micros arithmetic, no
+  //      division (score stays a raw long), ties on smaller id ----
+  private val MmrN = 20
+  private val MmrK = 8
+  private val MmrLambda = 700000L
+  def qMmr(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cands = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 3), "vec_id", "embedding", k = MmrN)
+      .select(col("qid"), col("id"), col("cosine"))
+    Similarity.mmrRerank(cands, e, "vec_id", "embedding", MmrK, MmrLambda)
+      .orderBy("qid", "rank")
+  }
+  val qMmrSql: String = {
+    val lam = MmrLambda
+    val omm = 1000000L - MmrLambda
+    val cosPS = "round(list_dot_product(p.v, s.v) / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(s.v, s.v))), 6)"
+    val rounds = (1 to MmrK).map { t =>
+      val p = t - 1
+      val sel =
+        s"""sel$t AS (SELECT qid, CAST($t AS BIGINT) AS rank, id, rel, maxsim,
+           |    $lam * rel - $omm * maxsim AS score, v
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+           |      ORDER BY $lam * rel - $omm * maxsim DESC, id ASC) AS rn FROM p$p)
+           |  WHERE rn = 1)""".stripMargin
+      val upd =
+        if (t == MmrK) ""
+        else
+          s""",
+             |p$t AS (SELECT p.qid, p.id, p.rel, p.v,
+             |    greatest(p.maxsim, CAST(floor($cosPS * 1e6 + 0.5) AS BIGINT)) AS maxsim
+             |  FROM p$p p JOIN sel$t s ON p.qid = s.qid AND p.id <> s.id)""".stripMargin
+      sel + upd
+    }.mkString(",\n")
+    val unions = (1 to MmrK)
+      .map(t => s"SELECT qid, rank, id, rel, maxsim, score FROM sel$t")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT id AS qid, v AS qv FROM e WHERE id < 3),
+       |sc AS (SELECT qid, e.id,
+       |    round(list_dot_product(e.v, qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+       |  FROM q, e),
+       |cand AS (SELECT qid, id, cosine FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rn
+       |  FROM sc) WHERE rn <= $MmrN),
+       |p0 AS (SELECT c.qid, c.id,
+       |    CAST(floor(cosine * 1e6 + 0.5) AS BIGINT) AS rel, e.v,
+       |    CAST(0 AS BIGINT) AS maxsim
+       |  FROM cand c JOIN e ON c.id = e.id),
+       |$rounds
+       |SELECT qid, rank, id, rel AS rel_micros, maxsim AS maxsim_micros, score
+       |FROM ($unions) ORDER BY qid, rank""".stripMargin
+  }
+
   // ---- count-min sketch: bounded-state frequency estimation (the
   //      mergeable-sketch companion to exact q_heavy_hitters). The
   //      query builds the 4×512 corpus sketch, then point-estimates
@@ -2539,6 +2597,7 @@ object ExtQueries {
     "q_label_prop" -> (qLabelProp _),
     "q_triangles" -> (qTriangles _),
     "q_link_pred" -> (qLinkPred _),
+    "q_mmr" -> (qMmr _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_embed_pca" -> (qEmbedPca _),
     "q_sessionize" -> (qSessionize _),
@@ -2644,6 +2703,7 @@ object ExtQueries {
     "q_label_prop" -> qLabelPropSql,
     "q_triangles" -> qTrianglesSql,
     "q_link_pred" -> qLinkPredSql,
+    "q_mmr" -> qMmrSql,
     "q_embed_quantize" -> qEmbedQuantizeSql,
     "q_embed_pca" -> qEmbedPcaSql,
   )

@@ -658,6 +658,76 @@ object RelQueries {
       |SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1
       |ORDER BY doc_id""".stripMargin
 
+  // ---- Bloom-filter semi-join reduction with MEASURED false-positive
+  //      rate: a kilobyte filter built from the dimension-side keys
+  //      (BUILDING customers) prunes the fact side (orders) MAP-SIDE —
+  //      zero joins, zero shuffles at probe time, the runtime-filter
+  //      shape that keeps a 100 TB probe from shuffling rows that join
+  //      nothing. The exact semi-join runs alongside so the output
+  //      reports, per order priority, how many rows the filter passed,
+  //      how many truly matched, and the realized FPR in micros —
+  //      no false negatives is part of the contract (asserted by spec;
+  //      visible here as n_pass >= n_match in every row) ----
+  private val BloomM = 4096
+  private val BloomK = 4
+  private val BloomSalt = 77
+  def qBloomSemi(s: SparkSession, dir: String): DataFrame = {
+    val bkeys = Tables.load(s, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val words = Sketches.bloomWords(bkeys, "c_custkey", BloomM, BloomK, BloomSalt)
+    val pass = Sketches.bloomMightContain(words, col("o_custkey"),
+      BloomM, BloomK, BloomSalt)
+    val truth = bkeys.distinct()
+      .select(col("c_custkey").as("o_custkey"), lit(1L).as("__m"))
+    Tables.load(s, dir, "orders")
+      .withColumn("bloom_pass", pass)
+      .join(broadcast(truth), Seq("o_custkey"), "left")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(coalesce(col("__m"), lit(0L))).as("n_match"))
+      .select(col("priority"), col("n_rows"), col("n_pass"), col("n_match"),
+        (col("n_pass") - col("n_match")).as("n_false_pos"),
+        when(col("n_rows") === col("n_match"), lit(0L))
+          .otherwise(expr("((n_pass - n_match) * 1000000L) div (n_rows - n_match)"))
+          .as("fpr_micros"))
+      .orderBy("priority")
+  }
+  val qBloomSemiSql: String = {
+    def h(expr: String, saltExpr: String): String =
+      s"CAST(('0x' || substr(md5(concat($saltExpr, '|', $expr)), 1, 15)) AS BIGINT)"
+    val salted = h("kk", s"CAST($BloomSalt + s.i AS VARCHAR)")
+    val saltedP = h("CAST(pk.o_custkey AS VARCHAR)", s"CAST($BloomSalt + s.i AS VARCHAR)")
+    s"""WITH bk AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS kk
+       |  FROM customer WHERE c_mktsegment = 'BUILDING'),
+       |hs AS (SELECT $salted % $BloomM AS pos
+       |  FROM bk CROSS JOIN (VALUES (0), (1), (2), (3)) s(i)),
+       |wd AS (SELECT pos // 32 AS word_idx,
+       |    bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+       |  FROM hs GROUP BY 1),
+       |pk AS (SELECT DISTINCT o_custkey FROM orders),
+       |pp AS (SELECT pk.o_custkey, $saltedP % $BloomM AS pos
+       |  FROM pk CROSS JOIN (VALUES (0), (1), (2), (3)) s(i)),
+       |pv AS (SELECT o_custkey,
+       |    bool_and((coalesce(wd.word, 0) & (1::BIGINT << CAST(pos % 32 AS INT))) <> 0) AS pass
+       |  FROM pp LEFT JOIN wd ON pp.pos // 32 = wd.word_idx GROUP BY 1),
+       |tv AS (SELECT DISTINCT c_custkey FROM customer
+       |  WHERE c_mktsegment = 'BUILDING'),
+       |ag AS (SELECT o.o_orderpriority AS priority,
+       |    CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(sum(CASE WHEN pv.pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |    CAST(sum(CASE WHEN tv.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+       |  FROM orders o JOIN pv ON o.o_custkey = pv.o_custkey
+       |  LEFT JOIN tv ON o.o_custkey = tv.c_custkey
+       |  GROUP BY 1)
+       |SELECT priority, n_rows, n_pass, n_match,
+       |  n_pass - n_match AS n_false_pos,
+       |  CASE WHEN n_rows = n_match THEN 0
+       |    ELSE ((n_pass - n_match) * 1000000) // (n_rows - n_match) END AS fpr_micros
+       |FROM ag ORDER BY priority""".stripMargin
+  }
+
   // ---- frequent part pairs with exact integer lift (size-2 A-priori
   //      over order baskets): which parts sell TOGETHER more than
   //      their popularities predict. The item-support prune runs
@@ -734,6 +804,7 @@ object RelQueries {
     "q_kmv_groups" -> (qKmvGroups _),
     "q_basket_pairs" -> (qBasketPairs _),
     "q_event_transitions" -> (qEventTransitions _),
+    "q_bloom_semi" -> (qBloomSemi _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -762,5 +833,6 @@ object RelQueries {
     "q_kmv_groups" -> qKmvGroupsSql,
     "q_basket_pairs" -> qBasketPairsSql,
     "q_event_transitions" -> qEventTransitionsSql,
+    "q_bloom_semi" -> qBloomSemiSql,
   )
 }
