@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.Hashing
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: tokenization,
@@ -675,5 +676,46 @@ object TextAnalysis {
       .select(col("term"), col("n_a"), col("n_b"),
         expr("((n_a + 1L) * (t_b - n_b + 1L) * 1000000L) div ((n_b + 1L) * (t_a - n_a + 1L))")
           .as("or_micros"))
+  }
+
+  /** Top distinctive terms per document group (cluster topic
+    * labeling — the c-TF-IDF idea with exact integer LIFT instead of
+    * a float idf): per (group, term), occurrence counts and
+    * `lift_micros = n_tc·N·10^6 div (n_c·n_t)` — how over-represented
+    * the term is in the group's token stream vs the corpus — then the
+    * top `topK` terms per group by lift. [[tokenDrift]]'s two-cohort
+    * monitoring signal, generalized to arbitrary groupings; pointed
+    * at k-means cluster assignments it reads out what each embedding
+    * cluster is ABOUT.
+    *
+    * Shape: one token explode → three partial-agg count tables
+    * ((group, term), term, group) joined on the (groups × vocabulary)
+    * result — the ranking window runs on that bounded table, never on
+    * corpus rows; the global total rides a broadcast scalar.
+    *
+    * Determinism: counts are exact longs, lift one BIGINT division,
+    * ties break lexicographically. Headroom: n_tc·N·10^6 must fit a
+    * long — shard or sample past ~10^8 corpus tokens. Output:
+    * (grp, rnk, term, n_tc, n_t, lift_micros). */
+  def groupTermLift(docsWithGroup: DataFrame, groupCol: String,
+                    textCol: String, minTermCount: Long,
+                    topK: Int): DataFrame = {
+    require(minTermCount >= 1, "minTermCount must be positive")
+    require(topK >= 1, "topK must be positive")
+    val tok = docsWithGroup.select(col(groupCol).as("grp"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val tc = tok.groupBy("grp", "term").agg(count(lit(1)).as("n_tc"))
+    val tt = tok.groupBy("term").agg(count(lit(1)).as("n_t"))
+    val cc = tok.groupBy("grp").agg(count(lit(1)).as("n_c"))
+    val nn = tok.agg(count(lit(1)).as("n_total"))
+    val w = Window.partitionBy("grp")
+      .orderBy(col("lift_micros").desc, col("term").asc)
+    tc.where(col("n_tc") >= minTermCount)
+      .join(tt, "term").join(cc, "grp").crossJoin(broadcast(nn))
+      .select(col("grp"), col("term"), col("n_tc"), col("n_t"),
+        expr("(n_tc * n_total * 1000000L) div (n_c * n_t)").as("lift_micros"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= topK)
+      .select("grp", "rnk", "term", "n_tc", "n_t", "lift_micros")
   }
 }

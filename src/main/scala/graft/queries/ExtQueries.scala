@@ -1600,6 +1600,50 @@ object ExtQueries {
        |  floor(CAST(sum(m) AS BIGINT) / count(*) + 0.5) / 1000000 AS mean_sil
        |FROM sm GROUP BY cid ORDER BY cid""".stripMargin
 
+  // ---- distinctive terms per embedding cluster (cluster topic
+  //      labeling — the c-TF-IDF idea with exact integer LIFT instead
+  //      of a float idf): which tokens are over-represented in each
+  //      trained cluster's documents relative to the corpus. This is
+  //      what a curator reads to decide whether a cluster is
+  //      boilerplate, spam, or a topic worth keeping — the human face
+  //      of q_kmeans. Same trained quantizer as q_kmeans (shared CTE
+  //      chain), 1:1 vec_id = doc_id join; the corpus-sized work is
+  //      one token explode + partial-agg counts; ranking happens on
+  //      the (clusters × vocabulary)-bounded lift table. Headroom:
+  //      n_tc · n_total · 10^6 needs n_total ≲ 10^9/n_tc — shard or
+  //      sample beyond ~10^8 corpus tokens ----
+  private val CtMinTc = 5L
+  private val CtTopK = 5
+  def qClusterTerms(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val centroids = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+      nCentroids = KmK, nIter = KmIter)
+    val assigned = Similarity.assignBuckets(e, "vec_id", "embedding", centroids)
+      .select(col("id").as("doc_id"), col("cid"))
+    TextAnalysis.groupTermLift(
+        docs(s, dir).join(assigned, "doc_id"), "cid", "text",
+        CtMinTc, CtTopK)
+      .withColumnRenamed("grp", "cid")
+      .orderBy("cid", "rnk")
+  }
+  val qClusterTermsSql: String =
+    s"""WITH ${kmeansAssignedCtes(KmK, KmIter)},
+       |tok AS (SELECT a.cid, t.term FROM (SELECT doc_id,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents) t JOIN assigned a ON t.doc_id = a.id),
+       |tc AS (SELECT cid, term, CAST(count(*) AS BIGINT) AS n_tc
+       |  FROM tok GROUP BY 1, 2 HAVING count(*) >= $CtMinTc),
+       |tt AS (SELECT term, CAST(count(*) AS BIGINT) AS n_t FROM tok GROUP BY 1),
+       |cg AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_c FROM tok GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok),
+       |lft AS (SELECT tc.cid, tc.term, tc.n_tc, tt.n_t,
+       |    (tc.n_tc * nn.n_total * 1000000) // (cg.n_c * tt.n_t) AS lift_micros
+       |  FROM tc JOIN tt USING (term) JOIN cg USING (cid), nn)
+       |SELECT cid, rnk, term, n_tc, n_t, lift_micros FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY cid
+       |      ORDER BY lift_micros DESC, term ASC) AS BIGINT) AS rnk FROM lft)
+       |WHERE rnk <= $CtTopK ORDER BY cid, rnk""".stripMargin
+
   // ---- triplet mining (FaceNet recipe): per anchor, the hardest
   //      positive (same label, lowest cosine) and hardest negative
   //      (different label, highest cosine) + margin violation — the
@@ -2589,6 +2633,7 @@ object ExtQueries {
     "q_annpq_eval" -> (qAnnPqEval _),
     "q_ann_stored" -> (qAnnStored _),
     "q_kmeans" -> (qKmeans _),
+    "q_cluster_terms" -> (qClusterTerms _),
     "q_silhouette" -> (qSilhouette _),
     "q_semdedup" -> (qSemdedup _),
     "q_dbscan" -> (qDbscan _),
@@ -2695,6 +2740,7 @@ object ExtQueries {
     "q_annpq_eval" -> qAnnPqEvalSql,
     "q_ann_stored" -> qAnnStoredSql,
     "q_kmeans" -> qKmeansSql,
+    "q_cluster_terms" -> qClusterTermsSql,
     "q_silhouette" -> qSilhouetteSql,
     "q_semdedup" -> qSemdedupSql,
     "q_dbscan" -> qDbscanSql,
