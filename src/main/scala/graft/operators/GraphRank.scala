@@ -189,6 +189,51 @@ object GraphRank {
           .cast("long").as("cc_micros"))
   }
 
+  /** k-core decomposition of a pair table by iterative peeling: each
+    * round drops every node whose CURRENT degree is below `k` (and
+    * the edges it carried), until the survivors all have in-core
+    * degree ≥ k (Seidman 1983). On the near-dup graph the k-core is
+    * where duplication is DENSE — template farms and mirror clusters
+    * sit in high cores while one-off near-dups peel away in round 1,
+    * so core membership is a cheap prioritization signal for which
+    * dup neighborhoods deserve exact verification first.
+    *
+    * `rounds` is part of the contract (both engines unroll the same
+    * peels); callers must pick it to reach the fixpoint — peeling
+    * converges in at most |V| rounds and in practice a handful
+    * (spec-asserted stable on the gate graph; assert round-R ≡
+    * round-R+1 when adopting new data). Each round is one partial-agg
+    * degree count + two node-keyed semi-joins; the edge table shrinks
+    * monotonically and every round ends in an eager localCheckpoint
+    * with the superseded round freed (the iterative-loop lineage
+    * discipline — each round references its predecessor THREE times).
+    *
+    * Output: (id, deg) for surviving core members — in-core degree,
+    * exact longs. Empty when no k-core exists. */
+  def kcore(pairs: DataFrame, k: Long, rounds: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(rounds >= 1, "rounds must be positive")
+    val und = pairs
+      .select(least(col("i"), col("j")).as("i"),
+        greatest(col("i"), col("j")).as("j"))
+      .where(col("i") =!= col("j")).distinct()
+    var edges = und.select(col("i").as("u"), col("j").as("v"))
+      .union(und.select(col("j").as("u"), col("i").as("v")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("u"))
+      val next = edges
+        .join(keep, "u")
+        .join(keep.select(col("u").as("v")), "v")
+        .select("u", "v")
+        .localCheckpoint() // eager: truncates lineage, materializes now
+      org.apache.spark.sql.graft.CheckpointBridge.freeLocalCheckpoint(edges)
+      edges = next
+    }
+    edges.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Common-neighbor link prediction over a pair table: for every
     * NON-edge (u, w) sharing ≥ `minCommon` neighbors, the shared-
     * neighbor count and neighborhood Jaccard — the classic

@@ -392,7 +392,11 @@ object Sketches {
                         k: Int, salt: Int = 0): Column = {
     val arr = new Array[Long](mBits / 32)
     words.collect().foreach { r =>
-      arr(r.getAs[Long]("word_idx").toInt) = r.getAs[Long]("word")
+      val i = r.getAs[Long]("word_idx")
+      require(i >= 0 && i < arr.length,
+        s"word_idx $i outside the $mBits-bit geometry — filter built " +
+          "with different mBits?")
+      arr(i.toInt) = r.getAs[Long]("word")
     }
     val lits = array(arr.map(lit(_)): _*)
     (0 until k).map { i =>

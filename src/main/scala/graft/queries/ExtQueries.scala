@@ -646,6 +646,36 @@ object ExtQueries {
        |    / (dg.deg * (dg.deg - 1))::DOUBLE + 0.5) AS BIGINT) AS cc_micros
        |FROM pn JOIN dg ON pn.id = dg.u ORDER BY doc_id""".stripMargin
 
+  // ---- k-core of the near-dup graph (iterative peel, Seidman 1983):
+  //      survivors all keep in-core degree >= K after the unrolled
+  //      rounds — the DENSE duplication (template farms, mirror
+  //      clusters) that deserves exact verification first; one-off
+  //      near-dups peel away in round 1. Round count is part of the
+  //      contract; the spec asserts the gate graph reaches its
+  //      fixpoint within it ----
+  private val KcoreK = 3L
+  private val KcoreRounds = 5
+  def qKcore(s: SparkSession, dir: String): DataFrame =
+    GraphRank.kcore(lshDupPairs(s, dir), KcoreK, KcoreRounds)
+      .select(col("id").as("doc_id"), col("deg"))
+      .orderBy("doc_id")
+  val qKcoreSql: String = {
+    val rounds = (1 to KcoreRounds).map { r =>
+      val p = r - 1
+      s"""k$r AS (SELECT u FROM (SELECT u, count(*) AS deg FROM e$p GROUP BY 1)
+         |  WHERE deg >= $KcoreK),
+         |e$r AS (SELECT e.u, e.v FROM e$p e
+         |  JOIN k$r a ON e.u = a.u JOIN k$r b ON e.v = b.u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${lshPairsCtes()},
+       |und AS (SELECT least(i, j) AS i, greatest(i, j) AS j FROM prs
+       |  WHERE i <> j GROUP BY 1, 2),
+       |e0 AS (SELECT i AS u, j AS v FROM und UNION ALL SELECT j AS u, i AS v FROM und),
+       |$rounds
+       |SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS deg
+       |FROM e$KcoreRounds GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
   // ---- common-neighbor link prediction over the SAME LSH near-dup
   //      graph: for every NON-edge sharing ≥ 2 neighbors, the shared
   //      count + neighborhood Jaccard (exact micros) — the classic
@@ -2642,6 +2672,7 @@ object ExtQueries {
     "q_label_prop" -> (qLabelProp _),
     "q_triangles" -> (qTriangles _),
     "q_link_pred" -> (qLinkPred _),
+    "q_kcore" -> (qKcore _),
     "q_mmr" -> (qMmr _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_embed_pca" -> (qEmbedPca _),
@@ -2749,6 +2780,7 @@ object ExtQueries {
     "q_label_prop" -> qLabelPropSql,
     "q_triangles" -> qTrianglesSql,
     "q_link_pred" -> qLinkPredSql,
+    "q_kcore" -> qKcoreSql,
     "q_mmr" -> qMmrSql,
     "q_embed_quantize" -> qEmbedQuantizeSql,
     "q_embed_pca" -> qEmbedPcaSql,

@@ -279,4 +279,59 @@ class GraphRankSpec extends AnyFunSuite {
       .sortBy(t => (t._1, t._2)).toSeq
     assert(run(2) == run(9))
   }
+
+  private def kcoreMap(pairs: Seq[(Long, Long)], k: Long, rounds: Int) =
+    GraphRank.kcore(pairs.toDF("i", "j"), k, rounds)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("deg")).toMap
+
+  test("kcore: pendant peels, triangle survives as the 2-core") {
+    // triangle 1-2-3 plus pendant 3-4
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L)
+    val got = kcoreMap(pairs, k = 2L, rounds = 3)
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kcore: a chain has no 2-core (cascading peel to empty)") {
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    assert(kcoreMap(pairs, k = 2L, rounds = 4).isEmpty)
+  }
+
+  test("kcore: K4 is its own 3-core with full degrees") {
+    val pairs = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    assert(kcoreMap(pairs.toSeq, k = 3L, rounds = 2) ===
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kcore: messy pairs (dupes, reversed, self-loops) normalize") {
+    val pairs = Seq(1L -> 2L, 2L -> 1L, 1L -> 2L, 2L -> 3L, 1L -> 3L,
+      3L -> 3L)
+    assert(kcoreMap(pairs, k = 2L, rounds = 2) ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kcore: gate contract rounds reach the fixpoint (R == R+1)") {
+    // cascade-prone topology: a clique with a long tail
+    val clique = for (a <- 1L to 5L; b <- 1L to 5L if a < b) yield (a, b)
+    val tail = Seq(5L -> 10L, 10L -> 11L, 11L -> 12L, 12L -> 13L)
+    val pairs = clique.toSeq ++ tail
+    assert(kcoreMap(pairs, 2L, 5) === kcoreMap(pairs, 2L, 6))
+  }
+
+  test("kcore: round 5 is the fixpoint on the gate-tier dup graph") {
+    // hardens q_kcore's contracted round count the same way the LPA
+    // convergence test does: on the ACTUAL gate-tier LSH graph (same
+    // miner parameters as the query), peeling at k=3 is stable by
+    // round 5 — the cap sits past the fixpoint, not mid-cascade.
+    val d = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.01", "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 1000)
+    val pairs = Dedup.minHashLshPairs(d, "doc_id", "text",
+        k = 16, rowsPerBand = 2, threshold = 0.5, maxShingleDf = 400L)
+      .select("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.nonEmpty)
+    assert(kcoreMap(pairs, 3L, 5) === kcoreMap(pairs, 3L, 6),
+      "core changed between rounds 5 and 6 — the contract cap is " +
+        "mid-cascade; raise KcoreRounds")
+  }
 }
