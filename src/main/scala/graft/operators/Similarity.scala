@@ -1010,6 +1010,49 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Per-vector label agreement with its k nearest neighbors INSIDE
+    * its coarse cluster — the mislabeled-sample detector (the kNN
+    * noise filter of Wilson 1972, bucketed): a vector whose
+    * neighborhood votes against its own label is a labeling error,
+    * an ambiguous example, or a contaminated class — exactly what a
+    * curator pulls before training on weak labels.
+    *
+    * Bucketing makes it scale-shaped: the pair join is within-cluster
+    * only (Σ cluster² work, the [[dbscanBucketed]] bound — never the
+    * corpus all-pairs), neighbors rank by round(cosine, 6) with id
+    * tie-break, and everything after the top-k prune is exact longs:
+    * `agree_micros = n_agree·10^6 div k_actual` where `k_actual =
+    * min(k, |cluster|−1)`. Cluster singletons have no neighbors and
+    * are DROPPED (no row — a 0-vote "disagreement" would slander
+    * them); callers needing them back can left-join the source.
+    *
+    * Output: (id, label, cid, k_actual, n_agree, agree_micros). */
+  def labelAgreement(df: DataFrame, idCol: String, vecCol: String,
+                     labelCol: String, centroids: DataFrame,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val assigned = assignBuckets(df, idCol, vecCol, centroids)
+      .join(df.select(col(idCol).as("id"), col(labelCol).as("label")), "id")
+    val a = assigned.select(col("cid"), col("id"), col("v"), col("label"))
+    val b = assigned.select(col("cid"), col("id").as("nid"),
+      col("v").as("nv"), col("label").as("nlabel"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("c").desc, col("nid").asc)
+    a.join(b, "cid")
+      .where(col("id") =!= col("nid"))
+      .select(col("id"), col("label"), col("cid"), col("nid"),
+        col("nlabel"), round(cosine(col("v"), col("nv")), 6).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .groupBy("id", "label", "cid")
+      .agg(count(lit(1)).as("k_actual"),
+        sum(when(col("nlabel") === col("label"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .select(col("id"), col("label"), col("cid"), col("k_actual"),
+        col("n_agree"),
+        expr("(n_agree * 1000000L) div k_actual").as("agree_micros"))
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
     * SIGIR 1998) of per-query candidate lists: greedily selects k
     * results maximizing `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)` — the

@@ -1674,6 +1674,51 @@ object ExtQueries {
        |      ORDER BY lift_micros DESC, term ASC) AS BIGINT) AS rnk FROM lft)
        |WHERE rnk <= $CtTopK ORDER BY cid, rnk""".stripMargin
 
+  // ---- label-noise screen (Wilson 1972's kNN noise filter,
+  //      bucketed): per label, how well each vector's k nearest
+  //      in-cluster neighbors agree with its own label, and how many
+  //      vectors a majority votes AGAINST (agree < 0.5) — the
+  //      mislabeled-sample / contaminated-class detector run before
+  //      training on weak labels. Same trained quantizer as q_kmeans;
+  //      the pair join is within-cluster (Σ cluster² bound), never
+  //      corpus all-pairs ----
+  private val LnK = 5
+  def qLabelNoise(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val centroids = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+      nCentroids = KmK, nIter = KmIter)
+    Similarity.labelAgreement(e, "vec_id", "embedding", "label",
+        centroids, LnK)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("agree_micros")).as("sa"),
+        sum(when(col("agree_micros") < 500000L, 1L).otherwise(0L))
+          .as("n_suspect"))
+      .select(col("label"), col("n_vecs"),
+        expr("sa div n_vecs").as("mean_agree_micros"), col("n_suspect"))
+      .orderBy("label")
+  }
+  val qLabelNoiseSql: String =
+    s"""WITH ${kmeansAssignedCtes(KmK, KmIter)},
+       |lbl AS (SELECT vec_id AS id, label FROM embeddings),
+       |av AS (SELECT a.id, a.cid, e.v, l.label
+       |  FROM assigned a JOIN e ON e.id = a.id JOIN lbl l ON l.id = a.id),
+       |pw AS (SELECT x.id, x.label, y.label AS nlabel, y.id AS nid,
+       |    round(list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS c
+       |  FROM av x JOIN av y ON x.cid = y.cid AND x.id <> y.id),
+       |nb AS (SELECT id, label, nlabel FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY id ORDER BY c DESC, nid ASC) AS rn
+       |  FROM pw) WHERE rn <= $LnK),
+       |ag AS (SELECT id, label, CAST(count(*) AS BIGINT) AS k_actual,
+       |    CAST(sum(CASE WHEN nlabel = label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+       |  FROM nb GROUP BY 1, 2),
+       |am AS (SELECT id, label,
+       |    (n_agree * 1000000) // k_actual AS agree_micros FROM ag)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(agree_micros) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_agree_micros,
+       |  CAST(sum(CASE WHEN agree_micros < 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect
+       |FROM am GROUP BY 1 ORDER BY label""".stripMargin
+
   // ---- triplet mining (FaceNet recipe): per anchor, the hardest
   //      positive (same label, lowest cosine) and hardest negative
   //      (different label, highest cosine) + margin violation — the
@@ -2664,6 +2709,7 @@ object ExtQueries {
     "q_ann_stored" -> (qAnnStored _),
     "q_kmeans" -> (qKmeans _),
     "q_cluster_terms" -> (qClusterTerms _),
+    "q_label_noise" -> (qLabelNoise _),
     "q_silhouette" -> (qSilhouette _),
     "q_semdedup" -> (qSemdedup _),
     "q_dbscan" -> (qDbscan _),
@@ -2772,6 +2818,7 @@ object ExtQueries {
     "q_ann_stored" -> qAnnStoredSql,
     "q_kmeans" -> qKmeansSql,
     "q_cluster_terms" -> qClusterTermsSql,
+    "q_label_noise" -> qLabelNoiseSql,
     "q_silhouette" -> qSilhouetteSql,
     "q_semdedup" -> qSemdedupSql,
     "q_dbscan" -> qDbscanSql,
