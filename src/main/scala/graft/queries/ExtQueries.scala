@@ -2620,6 +2620,59 @@ object ExtQueries {
       |WHERE user_id % 5 = 0
       |ORDER BY event_id""".stripMargin
 
+  // ---- streaming Bloom prune: the SAME runtime-filter Column
+  //      q_bloom_semi builds (customer dimension → kilobyte filter)
+  //      applied INSIDE a streaming scan — ingestion-time semi-join
+  //      reduction: events that cannot join the dimension are dropped
+  //      map-side at arrival, with zero streaming state (no watermark,
+  //      no join state — the filter is pure arithmetic on a literal
+  //      array), so at 100 TB/day the stream never shuffles rows that
+  //      join nothing. Filter sized 64 KBit so the gate tiers sit on
+  //      the sharp part of the FPR curve; survivors = true members ∪
+  //      false positives, replayed exactly by the oracle ----
+  private val SbM = 65536
+  private val SbK = 4
+  private val SbSalt = 91
+  def qStreamBloom(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"graft_stream_bloom_${streamRuns.incrementAndGet()}"
+    val bkeys = Tables.load(s, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val words = Sketches.bloomWords(bkeys, "c_custkey", SbM, SbK, SbSalt)
+    val pass = Sketches.bloomMightContain(words, col("user_id"),
+      SbM, SbK, SbSalt)
+    val q = graft.streaming.StreamingStats.readRawEventStream(s, dir)
+      .filter(pass)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    awaitStreamOrFail(q)
+    s.table(name).select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy("event_id")
+  }
+  val qStreamBloomSql: String = {
+    def h(expr: String, saltExpr: String): String =
+      s"CAST(('0x' || substr(md5(concat($saltExpr, '|', $expr)), 1, 15)) AS BIGINT)"
+    val salted = h("kk", s"CAST($SbSalt + s.i AS VARCHAR)")
+    val saltedP = h("CAST(pk.user_id AS VARCHAR)", s"CAST($SbSalt + s.i AS VARCHAR)")
+    s"""WITH bk AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS kk
+       |  FROM customer WHERE c_mktsegment = 'BUILDING'),
+       |hs AS (SELECT $salted % $SbM AS pos
+       |  FROM bk CROSS JOIN (VALUES (0), (1), (2), (3)) s(i)),
+       |wd AS (SELECT pos // 32 AS word_idx,
+       |    bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+       |  FROM hs GROUP BY 1),
+       |pk AS (SELECT DISTINCT user_id FROM events),
+       |pp AS (SELECT pk.user_id, $saltedP % $SbM AS pos
+       |  FROM pk CROSS JOIN (VALUES (0), (1), (2), (3)) s(i)),
+       |pv AS (SELECT user_id,
+       |    bool_and((coalesce(wd.word, 0) & (1::BIGINT << CAST(pos % 32 AS INT))) <> 0) AS pass
+       |  FROM pp LEFT JOIN wd ON pp.pos // 32 = wd.word_idx GROUP BY 1)
+       |SELECT e.event_id, e.user_id, e.event_type
+       |FROM events e JOIN pv ON e.user_id = pv.user_id
+       |WHERE pv.pass ORDER BY e.event_id""".stripMargin
+  }
+
   // ---- stream-stream interval join: clicks matched to the same
   //      user's purchases within the following hour — watermarked on
   //      BOTH sides so join state stays bounded by the horizon, never
@@ -2750,6 +2803,7 @@ object ExtQueries {
     "q_stream_distinct" -> (qStreamDistinct _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_enrich" -> (qStreamEnrich _),
+    "q_stream_bloom" -> (qStreamBloom _),
     "q_heavy_hitters" -> (qHeavyHitters _),
   )
 
@@ -2805,6 +2859,7 @@ object ExtQueries {
     "q_stream_distinct" -> qStreamDistinctSql,
     "q_stream_dedup" -> qStreamDedupSql,
     "q_stream_enrich" -> qStreamEnrichSql,
+    "q_stream_bloom" -> qStreamBloomSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_minhash_lsh" -> qMinhashLshSql,
     "q_dedup_eval" -> qDedupEvalSql,

@@ -132,6 +132,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming bloom prune equals the batch filter, zero state") {
+    // the runtime-filter Column is pure arithmetic over a literal
+    // word array, so it drops non-joining events map-side at arrival
+    // with no watermark and no streaming state
+    val customers = spark.read.parquet(s"$sf/customer.parquet")
+    val bkeys = customers
+      .where(org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING")
+      .select(org.apache.spark.sql.functions.col("c_custkey"))
+    val words = graft.operators.Sketches.bloomWords(
+      bkeys, "c_custkey", 65536, 4, salt = 91)
+    val pass = graft.operators.Sketches.bloomMightContain(
+      words, org.apache.spark.sql.functions.col("user_id"), 65536, 4,
+      salt = 91)
+    val stream = spark.readStream
+      .schema(StreamingSessionize.eventSchema(spark, sf))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sf)
+    val q = stream.filter(pass)
+      .writeStream.format("memory").queryName("bloom_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("bloom_out")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val batch = spark.read.parquet(s"$sf/events.parquet")
+      .filter(pass).select("event_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // no false negatives at the stream boundary: every event whose
+    // user IS a building customer survived
+    val trueIds = spark.read.parquet(s"$sf/events.parquet")
+      .join(bkeys.withColumnRenamed("c_custkey", "user_id"), "user_id")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(trueIds.subsetOf(streamed))
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val ev = spark.readStream
       .schema(StreamingSessionize.eventSchema(spark, sf))
