@@ -175,4 +175,50 @@ object Profiling {
       .select(col("key"), col("id"), col("v").as("value"),
         round(col("__med"), 6).as("med"), round(col("__mad"), 6).as("mad"))
   }
+
+  /** Per-group winsorization profile: the [pLow, pHigh] percentile
+    * clipping bounds, how many values each side clips, and the exact
+    * micros mean BEFORE and AFTER clipping — the standard
+    * heavy-tail-taming step of feature cleaning (a handful of price
+    * outliers can own a mean; winsorizing caps their leverage
+    * without dropping rows), reported as a bounded per-group summary
+    * so the curator sees exactly what the clip would do before
+    * applying it.
+    *
+    * Exact path (default, the oracle path): `percentile` per group —
+    * the q_quantiles-pinned `percentile` ≡ `quantile_cont` pair —
+    * which is an ORDERED aggregation per group; at extreme group
+    * sizes a hot key serializes its sort on one task, so
+    * `approx = true` swaps in mergeable `approx_percentile` (the
+    * [[madOutliers]] escape, same trade documented there). Means are
+    * exact: values floor to micros longs BEFORE summing, one BIGINT
+    * division each — partition-order independent in both engines.
+    *
+    * Output: (key, n, lo, hi, n_clip_low, n_clip_high,
+    * mean_raw_micros, mean_wins_micros); lo/hi rounded to 6dp. */
+  def winsorizeProfile(df: DataFrame, keyCol: String, valueCol: String,
+                       pLow: Double, pHigh: Double,
+                       approx: Boolean = false): DataFrame = {
+    require(0.0 < pLow && pLow < pHigh && pHigh < 1.0,
+      s"need 0 < pLow < pHigh < 1, got ($pLow, $pHigh)")
+    val v = df.select(col(keyCol).as("key"), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    def pct(p: Double): Column =
+      if (approx) approx_percentile(col("v"), lit(p), lit(10000))
+      else percentile(col("v"), lit(p))
+    val pc = v.groupBy("key").agg(pct(pLow).as("lo"), pct(pHigh).as("hi"))
+    val w = least(greatest(col("v"), col("lo")), col("hi"))
+    v.join(pc, "key")
+      .select(col("key"), col("v"), col("lo"), col("hi"), w.as("w"))
+      .groupBy("key", "lo", "hi")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clip_low"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clip_high"),
+        sum(floor(col("v") * lit(1e6) + lit(0.5)).cast("long")).as("sr"),
+        sum(floor(col("w") * lit(1e6) + lit(0.5)).cast("long")).as("sw"))
+      .select(col("key"), col("n"), round(col("lo"), 6).as("lo"),
+        round(col("hi"), 6).as("hi"), col("n_clip_low"), col("n_clip_high"),
+        expr("sr div n").as("mean_raw_micros"),
+        expr("sw div n").as("mean_wins_micros"))
+  }
 }

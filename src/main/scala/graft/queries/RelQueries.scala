@@ -658,6 +658,34 @@ object RelQueries {
       |SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1
       |ORDER BY doc_id""".stripMargin
 
+  // ---- winsorization profile (heavy-tail taming for feature
+  //      cleaning): per return flag, the p05/p95 clipping bounds for
+  //      extended price, counts clipped each side, and the exact
+  //      micros mean before/after — what the clip WOULD do, reported
+  //      before anyone applies it. Exact percentiles (the pinned
+  //      percentile == quantile_cont pair); means are micros-floored
+  //      integer sums, partition-order independent ----
+  private val WinsPLow = 0.05
+  private val WinsPHigh = 0.95
+  def qWinsorize(s: SparkSession, dir: String): DataFrame =
+    Profiling.winsorizeProfile(Tables.load(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice", WinsPLow, WinsPHigh)
+      .orderBy("key")
+  val qWinsorizeSql: String =
+    s"""WITH v AS (SELECT l_returnflag AS key,
+       |    CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+       |pc AS (SELECT key, quantile_cont(v, $WinsPLow) AS lo,
+       |    quantile_cont(v, $WinsPHigh) AS hi FROM v GROUP BY 1),
+       |j AS (SELECT v.key, v.v, pc.lo, pc.hi,
+       |    least(greatest(v.v, pc.lo), pc.hi) AS w FROM v JOIN pc USING (key))
+       |SELECT key, CAST(count(*) AS BIGINT) AS n,
+       |  round(lo, 6) AS lo, round(hi, 6) AS hi,
+       |  CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+       |  CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+       |  CAST(sum(CAST(floor(v * 1e6 + 0.5) AS BIGINT)) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_raw_micros,
+       |  CAST(sum(CAST(floor(w * 1e6 + 0.5) AS BIGINT)) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_wins_micros
+       |FROM j GROUP BY key, lo, hi ORDER BY key""".stripMargin
+
   // ---- Bloom-filter semi-join reduction with MEASURED false-positive
   //      rate: a kilobyte filter built from the dimension-side keys
   //      (BUILDING customers) prunes the fact side (orders) MAP-SIDE —
@@ -805,6 +833,7 @@ object RelQueries {
     "q_basket_pairs" -> (qBasketPairs _),
     "q_event_transitions" -> (qEventTransitions _),
     "q_bloom_semi" -> (qBloomSemi _),
+    "q_winsorize" -> (qWinsorize _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -834,5 +863,6 @@ object RelQueries {
     "q_basket_pairs" -> qBasketPairsSql,
     "q_event_transitions" -> qEventTransitionsSql,
     "q_bloom_semi" -> qBloomSemiSql,
+    "q_winsorize" -> qWinsorizeSql,
   )
 }

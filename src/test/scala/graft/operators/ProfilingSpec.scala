@@ -126,4 +126,45 @@ class ProfilingSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.nonEmpty, "the synthetic events should contain MAD outliers")
   }
+
+  private def winsRow(vals: Seq[Double], pLow: Double, pHigh: Double) = {
+    import spark.implicits._
+    val r = Profiling.winsorizeProfile(
+        vals.map(("g", _)).toDF("k", "v"), "k", "v", pLow, pHigh)
+      .collect().head
+    (r.getAs[Long]("n"), r.getAs[Double]("lo"), r.getAs[Double]("hi"),
+      r.getAs[Long]("n_clip_low"), r.getAs[Long]("n_clip_high"),
+      r.getAs[Long]("mean_raw_micros"), r.getAs[Long]("mean_wins_micros"))
+  }
+
+  test("winsorize: hand math on an asymmetric tail") {
+    // 0..9 plus a 100 outlier: p05 = 0.5, p95 interpolates between 9
+    // and 100 -> 54.5; clip pulls the mean from 13.181818 to 9.090909
+    val got = winsRow((0 to 9).map(_.toDouble) :+ 100.0, 0.05, 0.95)
+    assert(got === ((11L, 0.5, 54.5, 1L, 1L, 13181818L, 9090909L)))
+  }
+
+  test("winsorize: symmetric clip leaves the mean unchanged") {
+    val got = winsRow((0 to 10).map(_.toDouble), 0.05, 0.95)
+    assert(got._2 === 0.5 && got._3 === 9.5)
+    assert(got._4 === 1L && got._5 === 1L)
+    assert(got._6 === got._7) // 0->0.5 and 10->9.5 cancel exactly
+  }
+
+  test("winsorize: groups profile independently") {
+    import spark.implicits._
+    val df = ((1 to 20).map(i => ("a", i.toDouble)) ++
+      (1 to 20).map(i => ("b", i * 100.0))).toDF("k", "v")
+    val got = Profiling.winsorizeProfile(df, "k", "v", 0.1, 0.9)
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[Double]("hi")).toMap
+    assert(got("a") === 18.1 && got("b") === 1810.0)
+  }
+
+  test("winsorize: probability guard fails loudly") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Profiling.winsorizeProfile(Seq(("a", 1.0)).toDF("k", "v"),
+        "k", "v", 0.9, 0.1)
+    }
+  }
 }
