@@ -658,6 +658,57 @@ object RelQueries {
       |SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1
       |ORDER BY doc_id""".stripMargin
 
+  // ---- rendezvous shard routing (highest-random-weight, Thaler &
+  //      Ravishankar 1998) with the stability property MEASURED: the
+  //      customer keyspace assigned to 8 shards and to the same ring
+  //      with shard 7 removed. Only the removed shard's keys move
+  //      (each to its runner-up shard; n_moved_in sums to exactly
+  //      shard 7's n_before, spec-asserted as the HRW property) — vs
+  //      `hash mod n`, where losing a shard remaps (n-1)/n of ALL
+  //      keys. Pure map-side Column arithmetic, no boundary table ----
+  private val RdvShards = 8
+  private val RdvSalt = 400
+  def qRendezvous(s: SparkSession, dir: String): DataFrame = {
+    val assigned = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("k")).distinct()
+      .select(col("k"),
+        graft.operators.Sharding.rendezvousShard(col("k"), RdvShards, RdvSalt).as("b"),
+        graft.operators.Sharding.rendezvousShard(col("k"), RdvShards - 1, RdvSalt).as("a"))
+    val before = assigned.groupBy(col("b").as("shard"))
+      .agg(count(lit(1)).as("n_before"))
+    val after = assigned.groupBy(col("a").as("shard"))
+      .agg(count(lit(1)).as("n_after"),
+        sum(when(col("b") =!= col("a"), 1L).otherwise(0L)).as("n_moved_in"))
+    before.join(after, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("n_moved_in"), lit(0L)).as("n_moved_in"))
+      .orderBy("shard")
+  }
+  val qRendezvousSql: String = {
+    val h = s"CAST(('0x' || substr(md5(concat(CAST($RdvSalt + s.i AS VARCHAR), '|', kk)), 1, 15)) AS BIGINT)"
+    s"""WITH k AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS kk FROM customer),
+       |h AS (SELECT kk, s.i AS s, $h AS h
+       |  FROM k CROSS JOIN generate_series(0, ${RdvShards - 1}) s(i)),
+       |b AS (SELECT kk, s AS b FROM (SELECT kk, s,
+       |    row_number() OVER (PARTITION BY kk ORDER BY h DESC, s ASC) AS rn
+       |  FROM h) WHERE rn = 1),
+       |a AS (SELECT kk, s AS a FROM (SELECT kk, s,
+       |    row_number() OVER (PARTITION BY kk ORDER BY h DESC, s ASC) AS rn
+       |  FROM h WHERE s < ${RdvShards - 1}) WHERE rn = 1),
+       |j AS (SELECT b.kk, b.b, a.a FROM b JOIN a USING (kk)),
+       |nb AS (SELECT b AS shard, CAST(count(*) AS BIGINT) AS n_before
+       |  FROM j GROUP BY 1),
+       |na AS (SELECT a AS shard, CAST(count(*) AS BIGINT) AS n_after,
+       |    CAST(sum(CASE WHEN b <> a THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in
+       |  FROM j GROUP BY 1)
+       |SELECT coalesce(nb.shard, na.shard) AS shard,
+       |  coalesce(n_before, 0) AS n_before, coalesce(n_after, 0) AS n_after,
+       |  coalesce(n_moved_in, 0) AS n_moved_in
+       |FROM nb FULL JOIN na ON nb.shard = na.shard ORDER BY shard""".stripMargin
+  }
+
   // ---- winsorization profile (heavy-tail taming for feature
   //      cleaning): per return flag, the p05/p95 clipping bounds for
   //      extended price, counts clipped each side, and the exact
@@ -834,6 +885,7 @@ object RelQueries {
     "q_event_transitions" -> (qEventTransitions _),
     "q_bloom_semi" -> (qBloomSemi _),
     "q_winsorize" -> (qWinsorize _),
+    "q_rendezvous" -> (qRendezvous _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -864,5 +916,6 @@ object RelQueries {
     "q_event_transitions" -> qEventTransitionsSql,
     "q_bloom_semi" -> qBloomSemiSql,
     "q_winsorize" -> qWinsorizeSql,
+    "q_rendezvous" -> qRendezvousSql,
   )
 }
