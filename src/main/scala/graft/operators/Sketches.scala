@@ -381,6 +381,65 @@ object Sketches {
         col("pos").bitwiseAND(lit(31L)).cast("int"))).as("word"))
   }
 
+  /** Bottom-k uniform row sample per (batch, key) as DATA — the
+    * distribution sketch that completes the mergeable family (HLL =
+    * distinct, KMV = distinct/overlap, CMS = frequency, Bloom =
+    * membership, this = quantiles): hashing each row's unique id and
+    * keeping the k smallest hashes yields a uniform k-sample of the
+    * rows that MERGES exactly — bottom-k of a union is the bottom-k
+    * of the concatenated bottom-k tables — so per-ingest-batch sample
+    * tables can be stored and quantile-estimated across any batch
+    * subset without rescanning raw data.
+    *
+    * `idCol` must be row-unique (the contract that makes the sample
+    * uniform and the merge deterministic; (hash, value) ordering
+    * breaks the astronomically-unlikely hash tie). Values floor to
+    * micros longs at sketch time, so everything downstream is exact
+    * integer arithmetic. One window shuffle keyed by (batch, key);
+    * output ≤ k rows per (batch, key): (batch, key, h, vm). */
+  def sampleBottomK(df: DataFrame, batchCol: String, keyCol: String,
+                    idCol: String, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("batch", "key").orderBy(col("h"), col("vm"))
+    df.filter(col(valueCol).isNotNull)
+      .select(col(batchCol).as("batch"), col(keyCol).as("key"),
+        Hashing.hash60(col(idCol).cast("string")).as("h"),
+        floor(col(valueCol).cast("double") * lit(1e6) + lit(0.5))
+          .cast("long").as("vm"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k).drop("rn")
+  }
+
+  /** Merges bottom-k sample tables across ALL their batches and
+    * estimates per-key quantiles: re-prune to the global bottom-k by
+    * hash (THE merge — identical to one-shot sampling of the
+    * concatenated batches, the mergeability contract callers assert),
+    * then read the ceil(p·n)-th smallest sampled value (1-based,
+    * clamped ≥ 1) for each probability. The collect_list is k-bounded
+    * per key — nothing unbounded ever aggregates. Output: (key,
+    * n_sample, est_p<label>_micros per probability). */
+  def sampleMergeQuantiles(samples: DataFrame, k: Int,
+                           probs: Seq[(String, Double)]): DataFrame = {
+    require(k >= 1 && probs.nonEmpty, "need k >= 1 and probabilities")
+    probs.foreach { case (_, p) =>
+      require(p > 0.0 && p <= 1.0, s"probability out of (0, 1]: $p") }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("h"), col("vm"))
+    val merged = samples
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+    val sorted = merged.groupBy("key")
+      .agg(sort_array(collect_list(col("vm"))).as("vs"),
+        count(lit(1)).as("n_sample"))
+    val ests = probs.map { case (label, p) =>
+      element_at(col("vs"),
+        greatest(ceil(lit(p) * col("n_sample")), lit(1L)).cast("int"))
+        .as(s"est_p${label}_micros")
+    }
+    sorted.select(col("key") +: col("n_sample") +: ests: _*)
+  }
+
   /** Map-side membership test against a built filter: collects the
     * word table into a literal array (mBits/32 longs — a model-sized
     * collect, same discipline as centroid/codebook broadcasts) and

@@ -658,6 +658,62 @@ object RelQueries {
       |SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1
       |ORDER BY doc_id""".stripMargin
 
+  // ---- mergeable sample-quantile sketch: per-day bottom-64 uniform
+  //      row samples of event values (sketch-as-data, the
+  //      distribution member of the HLL/KMV/CMS/Bloom family) merged
+  //      across all days into per-type p50/p90 estimates, reported
+  //      NEXT TO the exact percentiles so the estimator's error is
+  //      visible in-row — the same QA convention as q_hll_union /
+  //      q_dedup_eval. Merge = re-prune to the global bottom-k by
+  //      hash, provably identical to one-shot sampling ----
+  private val SqK = 64
+  def qSampleQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val base = eventsMs(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value"),
+        expr("ts_ms div 86400000").as("day"))
+    val sk = Sketches.sampleBottomK(base, "day", "event_type",
+      "event_id", "value", SqK)
+    val est = Sketches.sampleMergeQuantiles(sk, SqK,
+      Seq("50" -> 0.5, "90" -> 0.9))
+    val exact = base.groupBy(col("event_type").as("key"))
+      .agg(count(lit(1)).as("n_total"),
+        floor(percentile(col("value").cast("double"), lit(0.5)) * lit(1e6)
+          + lit(0.5)).cast("long").as("exact_p50_micros"),
+        floor(percentile(col("value").cast("double"), lit(0.9)) * lit(1e6)
+          + lit(0.5)).cast("long").as("exact_p90_micros"))
+    est.join(exact, "key")
+      .select(col("key"), col("n_total"), col("n_sample"),
+        col("est_p50_micros"), col("est_p90_micros"),
+        col("exact_p50_micros"), col("exact_p90_micros"))
+      .orderBy("key")
+  }
+  val qSampleQuantilesSql: String = {
+    val h = graft.functions.Hashing.hash60Sql("CAST(event_id AS VARCHAR)")
+    s"""WITH e AS (SELECT event_type AS key, event_id,
+       |    CAST(value AS DOUBLE) AS v, epoch_ms(ts) // 86400000 AS day
+       |  FROM events WHERE value IS NOT NULL),
+       |hh AS (SELECT day, key, $h AS h,
+       |    CAST(floor(v * 1e6 + 0.5) AS BIGINT) AS vm FROM e),
+       |sk AS (SELECT day, key, h, vm FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY day, key ORDER BY h, vm) AS rn
+       |  FROM hh) WHERE rn <= $SqK),
+       |mg AS (SELECT key, h, vm FROM (SELECT key, h, vm,
+       |    row_number() OVER (PARTITION BY key ORDER BY h, vm) AS rn
+       |  FROM sk) WHERE rn <= $SqK),
+       |srt AS (SELECT key, list(vm ORDER BY vm) AS vs,
+       |    CAST(count(*) AS BIGINT) AS n_sample FROM mg GROUP BY 1),
+       |ex AS (SELECT key, CAST(count(*) AS BIGINT) AS n_total,
+       |    CAST(floor(quantile_cont(v, 0.5) * 1e6 + 0.5) AS BIGINT) AS exact_p50_micros,
+       |    CAST(floor(quantile_cont(v, 0.9) * 1e6 + 0.5) AS BIGINT) AS exact_p90_micros
+       |  FROM e GROUP BY 1)
+       |SELECT srt.key, ex.n_total, srt.n_sample,
+       |  vs[CAST(greatest(ceil(0.5 * n_sample), 1) AS INT)] AS est_p50_micros,
+       |  vs[CAST(greatest(ceil(0.9 * n_sample), 1) AS INT)] AS est_p90_micros,
+       |  ex.exact_p50_micros, ex.exact_p90_micros
+       |FROM srt JOIN ex USING (key) ORDER BY key""".stripMargin
+  }
+
   // ---- rendezvous shard routing (highest-random-weight, Thaler &
   //      Ravishankar 1998) with the stability property MEASURED: the
   //      customer keyspace assigned to 8 shards and to the same ring
@@ -886,6 +942,7 @@ object RelQueries {
     "q_bloom_semi" -> (qBloomSemi _),
     "q_winsorize" -> (qWinsorize _),
     "q_rendezvous" -> (qRendezvous _),
+    "q_sample_quantiles" -> (qSampleQuantiles _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -917,5 +974,6 @@ object RelQueries {
     "q_bloom_semi" -> qBloomSemiSql,
     "q_winsorize" -> qWinsorizeSql,
     "q_rendezvous" -> qRendezvousSql,
+    "q_sample_quantiles" -> qSampleQuantilesSql,
   )
 }
