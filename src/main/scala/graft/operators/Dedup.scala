@@ -236,6 +236,53 @@ object Dedup {
       .select(col("i"), col("j"), col("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT pairs: all (i < j) whose shared
+    * df-capped shingle count covers at least `contMicrosThreshold`
+    * of the SMALLER document's set — `c(A,B) = |A∩B| / min(|A|,|B|)`.
+    * This is the duplication symmetric Jaccard is blind to: a wire
+    * story pasted into a 10× longer article has Jaccard ≈ |A|/|B| ≈
+    * 0.1 (invisible at any sane threshold) but containment ≈ 1.0 —
+    * quote-inclusion, boilerplate wrapping, and doc-inside-doc
+    * copying all live here, and they matter for training data
+    * because the EMBEDDED copy still duplicates its content.
+    *
+    * Scale shape: the inverted-index self-join on shingles is
+    * bounded by the df cap exactly like [[ngramJaccardPairs]]'s
+    * verify stage and the decontamination gram join (a shingle with
+    * df ≤ cap contributes ≤ cap²/2 pairs); `minShared` prunes the
+    * pair table before sizes join back. Sizes are POST-CAP set
+    * sizes — part of the contract, shared with the oracle.
+    * Everything downstream of the counts is exact BIGINT arithmetic.
+    *
+    * Output: (i, j, n_shared, sz_i, sz_j, cont_micros). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, minShared: Long,
+                       contMicrosThreshold: Long,
+                       maxShingleDf: Long = 0L,
+                       scope: CacheScope = CacheScope.unmanaged()): DataFrame = {
+    require(minShared >= 1, "minShared must be positive")
+    require(contMicrosThreshold > 0L && contMicrosThreshold <= 1000000L,
+      s"containment threshold out of (0, 10^6]: $contMicrosThreshold")
+    val ex0 = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("s"))
+    val dfreq = ex0.groupBy("s").agg(count(lit(1)).as("df"))
+    val capped = if (maxShingleDf > 0) dfreq.filter(col("df") <= maxShingleDf)
+      else dfreq
+    val ex = scope.persist(ex0.join(capped.select("s"), "s"))
+    val sz = ex.groupBy("id").agg(count(lit(1)).as("sz"))
+    ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .join(sz.select(col("id").as("i"), col("sz").as("sz_i")), "i")
+      .join(sz.select(col("id").as("j"), col("sz").as("sz_j")), "j")
+      .withColumn("cont_micros",
+        expr("(n_shared * 1000000L) div least(sz_i, sz_j)"))
+      .filter(col("cont_micros") >= contMicrosThreshold)
+      .select("i", "j", "n_shared", "sz_i", "sz_j", "cont_micros")
+  }
+
   /** Test-set decontamination: score every training document's word
     * n-gram overlap against a held-out set — the LLM-corpus hygiene
     * stage that strips benchmark/eval material from training data

@@ -299,6 +299,43 @@ object ExtQueries {
        |WHERE c::DOUBLE / (si.sz + sj.sz - c) >= 0.8
        |ORDER BY i, j""".stripMargin
 
+  // ---- asymmetric CONTAINMENT pairs — the duplication symmetric
+  //      Jaccard is blind to: a short doc pasted inside a 10x longer
+  //      one has Jaccard ~0.1 but containment ~1.0 (quote inclusion,
+  //      boilerplate wrapping, doc-inside-doc copying). Word
+  //      3-gram sets (phrase-level sharing, not vocabulary overlap),
+  //      df-capped like every shingle pipeline, same bounded slice
+  //      as q_ngram_jaccard; sizes are post-cap by contract ----
+  private val ContN = 3
+  private val ContMinShared = 5L
+  private val ContThreshold = 800000L
+  def qContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(
+        docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text",
+        n = ContN, minShared = ContMinShared,
+        contMicrosThreshold = ContThreshold, maxShingleDf = ShingleDfCap)
+      .orderBy("i", "j")
+  val qContainmentSql: String = {
+    val gram = "tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]"
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents WHERE doc_id < 1000),
+       |g AS (SELECT doc_id AS id, CASE WHEN len(tk) >= $ContN THEN
+       |    list_distinct(list_transform(generate_series(1, len(tk) - ${ContN - 1}), i -> $gram))
+       |  ELSE []::VARCHAR[] END AS gs FROM t),
+       |sg AS (SELECT id, unnest(gs) AS s FROM g),
+       |kp AS (SELECT s FROM sg GROUP BY 1 HAVING count(*) <= $ShingleDfCap),
+       |ec AS (SELECT id, s FROM sg JOIN kp USING (s)),
+       |zc AS (SELECT id, count(*) AS sz FROM ec GROUP BY 1),
+       |cm AS (SELECT a.id AS i, b.id AS j, count(*) AS c
+       |  FROM ec a JOIN ec b ON a.s = b.s AND a.id < b.id
+       |  GROUP BY 1, 2 HAVING count(*) >= $ContMinShared)
+       |SELECT i, j, c AS n_shared, si.sz AS sz_i, sj.sz AS sz_j,
+       |  (c * 1000000) // least(si.sz, sj.sz) AS cont_micros
+       |FROM cm JOIN zc si ON si.id = i JOIN zc sj ON sj.id = j
+       |WHERE (c * 1000000) // least(si.sz, sj.sz) >= $ContThreshold
+       |ORDER BY i, j""".stripMargin
+  }
+
   // ---- near-dup clustering: connected components over the exact
   //      Jaccard similarity graph (min-reachable-id labels) ----
   def qDedupClusters(s: SparkSession, dir: String): DataFrame =
@@ -2742,6 +2779,7 @@ object ExtQueries {
     "q_normalize" -> (qNormalize _),
     "q_minhash" -> (qMinhash _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_containment" -> (qContainment _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_apply" -> (qDedupApply _),
     "q_minhash_lsh" -> (qMinhashLsh _),
@@ -2823,6 +2861,7 @@ object ExtQueries {
     "q_normalize" -> qNormalizeSql,
     "q_minhash" -> qMinhashSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_containment" -> qContainmentSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_dedup_apply" -> qDedupApplySql,
     "q_simhash" -> qSimhashSql,
