@@ -234,6 +234,118 @@ object GraphRank {
     edges.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
   }
 
+  /** Multi-source BFS hop distance over a pair table: the minimum
+    * number of edges from any node in `sources` to every reachable
+    * node, capped at `maxHops` — the transitive-contamination radius
+    * of the near-dup graph (a doc two hops from a known-bad seed is
+    * a dup-of-a-dup: likely tainted even though no miner paired it
+    * with the seed directly).
+    *
+    * Classic distributed frontier BFS: per round, one edge⋈frontier
+    * join (shuffle on the node key) expands hop r−1 survivors, one
+    * node-keyed anti-join against the visited set keeps first
+    * arrivals only (BFS invariant: first arrival IS the minimum hop
+    * count, so no min-aggregation re-visit is ever needed). The
+    * visited table is node-bounded and each round ends in an eager
+    * localCheckpoint with the superseded round freed (the
+    * iterative-loop lineage discipline). Unreached nodes are simply
+    * absent — callers left-join if they want ∞ rows.
+    *
+    * Output: (id, hops) for every node within `maxHops` of a source;
+    * sources themselves report hop 0. Exact longs — both engines
+    * replay the rounds identically. */
+  def bfsHops(pairs: DataFrame, sources: DataFrame, idCol: String,
+              maxHops: Int,
+              scope: CacheScope = CacheScope.unmanaged()): DataFrame = {
+    require(maxHops >= 1, "maxHops must be positive")
+    val p2 = scope.persist(pairs
+      .select(col("i"), col("j")).where(col("i") =!= col("j")))
+    val edges = scope.persist(
+      p2.select(col("i").as("u"), col("j").as("v"))
+        .union(p2.select(col("j").as("u"), col("i").as("v"))))
+    var dist = sources.select(col(idCol).as("id")).distinct()
+      .select(col("id"), lit(0L).as("hops")).localCheckpoint()
+    for (r <- 1 to maxHops) {
+      val frontier = dist.where(col("hops") === lit(r - 1L))
+      val next = edges
+        .join(frontier, edges("u") === frontier("id"))
+        .select(col("v").as("id")).distinct()
+        .join(dist.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), lit(r.toLong).as("hops"))
+      val merged = dist.union(next).localCheckpoint()
+      org.apache.spark.sql.graft.CheckpointBridge.freeLocalCheckpoint(dist)
+      dist = merged
+    }
+    dist
+  }
+
+  /** HITS hub/authority scores (Kleinberg, JACM 1999) over a DIRECTED
+    * edge table — the directed sibling of [[pagerank]]: an authority
+    * is pointed at by good hubs, a hub points at good authorities.
+    * On a bipartite consumption graph (customer→supplier, query→doc)
+    * the two sides get the two roles and the iteration is the classic
+    * co-ranking.
+    *
+    * Deterministic integer variant: scores carry in MICROS and each
+    * half-round rescales by the CURRENT MAXIMUM instead of the L2
+    * norm — `x' = (x_raw · 10^6) div max(x_raw)` is one integer
+    * multiply + divide both engines compute identically, where the
+    * float L2 normalization would drift. The max node always has an
+    * incident edge, so the next raw pass is ≥ 10^6 and the divisor
+    * never hits zero. Headroom: raw ≤ 10^6·deg, times 10^6 ≤
+    * 10^12·deg — longs overflow only past deg ≈ 9·10^6, far above
+    * any per-node degree a bounded slice produces (callers at true
+    * web scale should pre-aggregate parallel edges, which this
+    * method's distinct() already does).
+    *
+    * Scale shape is [[pagerank]]'s: the edge table persists once;
+    * each half-round is one edge⋈score join (shuffle on the node
+    * key), one partial-agg sum, one broadcast of the 1-row max, one
+    * left join back to the node set; score tables are node-sized and
+    * each half-round ends in an eager localCheckpoint with the
+    * superseded round freed.
+    *
+    * Output: (id, hub_micros, auth_micros) for every node incident
+    * to an edge. */
+  def hits(edges: DataFrame, iters: Int = 5,
+           scope: CacheScope = CacheScope.unmanaged()): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val M = 1000000L
+    val e = scope.persist(edges
+      .select(col("u"), col("v")).where(col("u") =!= col("v")).distinct())
+    val ns = scope.persist(
+      e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+        .distinct())
+    var hub = ns.select(col("id"), lit(M).as("hub")).localCheckpoint()
+    var auth = ns.select(col("id"), lit(M).as("auth")).localCheckpoint()
+    def half(score: DataFrame, scoreCol: String, srcKey: String,
+             dstKey: String, outCol: String): DataFrame = {
+      val raw = e
+        .join(score, e(srcKey) === score("id")).drop("id")
+        .groupBy(col(dstKey).as("id"))
+        .agg(sum(col(scoreCol)).as("raw"))
+      val mx = raw.agg(max(col("raw")).as("mx"))
+      val next = ns
+        .join(raw, Seq("id"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("id"),
+          expr(s"(coalesce(raw, 0L) * ${M}L) div mx").as(outCol))
+        .localCheckpoint() // eager: truncates lineage, materializes now
+      next
+    }
+    for (_ <- 1 to iters) {
+      val a2 = half(hub, "hub", "u", "v", "auth")
+      org.apache.spark.sql.graft.CheckpointBridge.freeLocalCheckpoint(auth)
+      auth = a2
+      val h2 = half(auth, "auth", "v", "u", "hub")
+      org.apache.spark.sql.graft.CheckpointBridge.freeLocalCheckpoint(hub)
+      hub = h2
+    }
+    hub.join(auth, "id")
+      .select(col("id"), col("hub").as("hub_micros"),
+        col("auth").as("auth_micros"))
+  }
+
   /** Common-neighbor link prediction over a pair table: for every
     * NON-edge (u, w) sharing ≥ `minCommon` neighbors, the shared-
     * neighbor count and neighborhood Jaccard — the classic

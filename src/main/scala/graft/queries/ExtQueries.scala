@@ -713,6 +713,38 @@ object ExtQueries {
        |FROM e$KcoreRounds GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
 
+  // ---- multi-source BFS hop distance over the LSH near-dup graph:
+  //      minimum hops from a seed set of "known-contaminated" docs
+  //      (every 100th doc_id in the slice) to everything the dup graph
+  //      transitively reaches — the contamination radius (a doc two
+  //      hops out is a dup-of-a-dup: tainted even though no miner
+  //      paired it with a seed directly). Frontier BFS, unrolled
+  //      rounds replayed by the oracle; unreached docs are absent ----
+  private val BfsMaxHops = 4
+  def qBfsHops(s: SparkSession, dir: String): DataFrame = {
+    val seeds = docs(s, dir)
+      .filter(col("doc_id") < 1000 && col("doc_id") % 100 === 0)
+    GraphRank.bfsHops(lshDupPairs(s, dir), seeds, "doc_id", BfsMaxHops)
+      .select(col("id").as("doc_id"), col("hops"))
+      .orderBy("doc_id")
+  }
+  val qBfsHopsSql: String = {
+    val rounds = (1 to BfsMaxHops).map { r =>
+      val p = r - 1
+      s"""f$r AS (SELECT DISTINCT ed.v AS id FROM ed JOIN d$p ON ed.u = d$p.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM d$p x WHERE x.id = ed.v)),
+         |d$r AS MATERIALIZED (SELECT id, hops FROM d$p
+         |  UNION ALL SELECT id, CAST($r AS BIGINT) FROM f$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${lshPairsCtes()},
+       |ed AS MATERIALIZED (SELECT i AS u, j AS v FROM prs WHERE i <> j
+       |  UNION ALL SELECT j AS u, i AS v FROM prs WHERE i <> j),
+       |d0 AS MATERIALIZED (SELECT DISTINCT doc_id AS id, CAST(0 AS BIGINT) AS hops
+       |  FROM documents WHERE doc_id < 1000 AND doc_id % 100 = 0),
+       |$rounds
+       |SELECT id AS doc_id, hops FROM d$BfsMaxHops ORDER BY doc_id""".stripMargin
+  }
+
   // ---- common-neighbor link prediction over the SAME LSH near-dup
   //      graph: for every NON-edge sharing ≥ 2 neighbors, the shared
   //      count + neighborhood Jaccard (exact micros) — the classic
@@ -2810,6 +2842,7 @@ object ExtQueries {
     "q_triangles" -> (qTriangles _),
     "q_link_pred" -> (qLinkPred _),
     "q_kcore" -> (qKcore _),
+    "q_bfs_hops" -> (qBfsHops _),
     "q_mmr" -> (qMmr _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_embed_pca" -> (qEmbedPca _),
@@ -2922,6 +2955,7 @@ object ExtQueries {
     "q_triangles" -> qTrianglesSql,
     "q_link_pred" -> qLinkPredSql,
     "q_kcore" -> qKcoreSql,
+    "q_bfs_hops" -> qBfsHopsSql,
     "q_mmr" -> qMmrSql,
     "q_embed_quantize" -> qEmbedQuantizeSql,
     "q_embed_pca" -> qEmbedPcaSql,

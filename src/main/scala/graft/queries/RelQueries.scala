@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Profiling, Sessionize, Sketches, SkewTools, TemporalJoin}
+import graft.operators.{GraphRank, Profiling, Sessionize, Sketches, SkewTools, TemporalJoin}
 import graft.sources.{Layout, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -913,6 +913,103 @@ object RelQueries {
       |  (n * 1000000) // n_from AS p_micros
       |FROM w ORDER BY from_type, to_type""".stripMargin
 
+  // ---- HITS hub/authority co-ranking (Kleinberg 1999) over the
+  //      DIRECTED customer→supplier purchase graph (orders⋈lineitem,
+  //      bounded customer slice; supplier keys offset by 10^6 to keep
+  //      the two key spaces disjoint): a hub is a customer whose
+  //      purchases concentrate on well-endorsed suppliers, an
+  //      authority a supplier favored by exactly those customers —
+  //      the deterministic max-rescaled integer variant, unrolled
+  //      rounds replayed by the oracle ----
+  private val HitsIters = 5
+  private val HitsCustBound = 300L
+  def qHits(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") < HitsCustBound)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val e = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("u"),
+        (col("l_suppkey").cast("long") + lit(1000000L)).as("v"))
+    GraphRank.hits(e, HitsIters)
+      .select(col("id").as("node_id"), col("hub_micros"),
+        col("auth_micros"))
+      .orderBy("node_id")
+  }
+  val qHitsSql: String = {
+    val rounds = (1 to HitsIters).map { r =>
+      val p = r - 1
+      s"""ar$r AS (SELECT e.v AS id, sum(h.s) AS raw
+         |  FROM e JOIN h$p h ON e.u = h.id GROUP BY 1),
+         |a$r AS MATERIALIZED (SELECT nd.id,
+         |    (coalesce(raw, 0) * 1000000) // (SELECT max(raw) FROM ar$r) AS s
+         |  FROM nd LEFT JOIN ar$r USING (id)),
+         |hr$r AS (SELECT e.u AS id, sum(a.s) AS raw
+         |  FROM e JOIN a$r a ON e.v = a.id GROUP BY 1),
+         |h$r AS MATERIALIZED (SELECT nd.id,
+         |    (coalesce(raw, 0) * 1000000) // (SELECT max(raw) FROM hr$r) AS s
+         |  FROM nd LEFT JOIN hr$r USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  WHERE o_custkey < $HitsCustBound),
+       |nd AS MATERIALIZED (SELECT u AS id FROM e UNION SELECT v FROM e),
+       |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS s FROM nd),
+       |$rounds
+       |SELECT h.id AS node_id, CAST(h.s AS BIGINT) AS hub_micros,
+       |  CAST(a.s AS BIGINT) AS auth_micros
+       |FROM h$HitsIters h JOIN a$HitsIters a USING (id)
+       |ORDER BY node_id""".stripMargin
+  }
+
+  // ---- out-of-fold target encoding (the CatBoost/Micci-Barreca
+  //      trick): replace a categorical with the smoothed mean of a
+  //      binary target computed EXCLUDING the row's own fold, so the
+  //      encoding never leaks a row's label into its own feature.
+  //      enc = (pos_oof + m·prior) / (n_oof + m) in exact integer
+  //      micros, prior = the global positive rate, folds keyed by
+  //      o_orderkey % k. Output is category×fold-sized — the lookup
+  //      table a trainer broadcast-joins back onto the corpus; the
+  //      only corpus-sized stage is one partial-agg groupBy ----
+  private val TeFolds = 5L
+  private val TeSmooth = 20L
+  def qTargetEncode(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders").select(
+      col("o_orderpriority").as("priority"),
+      (col("o_orderkey") % TeFolds).cast("long").as("fold"),
+      when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+    val pf = o.groupBy("priority", "fold")
+      .agg(count(lit(1)).as("n_f"), sum("y").as("s_f"))
+    val g = o.agg(count(lit(1)).as("n_all"), sum("y").as("s_all"))
+    val w = Window.partitionBy("priority")
+    pf.withColumn("n_c", sum("n_f").over(w))
+      .withColumn("s_c", sum("s_f").over(w))
+      .crossJoin(broadcast(g))
+      .select(col("priority"), col("fold"),
+        (col("n_c") - col("n_f")).as("n_oof"),
+        (col("s_c") - col("s_f")).as("pos_oof"),
+        expr(s"((s_c - s_f) * 1000000L + ${TeSmooth}L * ((s_all * 1000000L) div n_all))" +
+          s" div (n_c - n_f + ${TeSmooth}L)").as("enc_micros"))
+      .orderBy("priority", "fold")
+  }
+  val qTargetEncodeSql: String =
+    s"""WITH o AS (SELECT o_orderpriority AS priority,
+       |    o_orderkey % $TeFolds AS fold,
+       |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+       |pf AS (SELECT priority, fold, count(*) AS n_f, sum(y) AS s_f
+       |  FROM o GROUP BY 1, 2),
+       |g AS (SELECT count(*) AS n_all, sum(y) AS s_all FROM o),
+       |w AS (SELECT priority, fold, n_f, s_f,
+       |    sum(n_f) OVER (PARTITION BY priority) AS n_c,
+       |    sum(s_f) OVER (PARTITION BY priority) AS s_c FROM pf)
+       |SELECT priority, CAST(fold AS BIGINT) AS fold,
+       |  CAST(n_c - n_f AS BIGINT) AS n_oof,
+       |  CAST(s_c - s_f AS BIGINT) AS pos_oof,
+       |  CAST(((s_c - s_f) * 1000000 + $TeSmooth * ((s_all * 1000000) // n_all))
+       |    // (n_c - n_f + $TeSmooth) AS BIGINT) AS enc_micros
+       |FROM w, g ORDER BY priority, fold""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_extract" -> (qJsonExtract _),
     "q_unpivot" -> (qUnpivot _),
@@ -943,6 +1040,8 @@ object RelQueries {
     "q_winsorize" -> (qWinsorize _),
     "q_rendezvous" -> (qRendezvous _),
     "q_sample_quantiles" -> (qSampleQuantiles _),
+    "q_hits" -> (qHits _),
+    "q_target_encode" -> (qTargetEncode _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -975,5 +1074,7 @@ object RelQueries {
     "q_winsorize" -> qWinsorizeSql,
     "q_rendezvous" -> qRendezvousSql,
     "q_sample_quantiles" -> qSampleQuantilesSql,
+    "q_hits" -> qHitsSql,
+    "q_target_encode" -> qTargetEncodeSql,
   )
 }

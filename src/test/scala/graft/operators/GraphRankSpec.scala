@@ -334,4 +334,118 @@ class GraphRankSpec extends AnyFunSuite {
       "core changed between rounds 5 and 6 — the contract cap is " +
         "mid-cascade; raise KcoreRounds")
   }
+
+  // ------------------------------ bfsHops ------------------------------
+
+  private def bfsMap(pairs: Seq[(Long, Long)], sources: Seq[Long],
+                     maxHops: Int): Map[Long, Long] =
+    GraphRank.bfsHops(pairs.toDF("i", "j"), sources.toDF("id"), "id",
+        maxHops)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("hops"))
+      .toMap
+
+  test("bfsHops: chain distances from a single source, capped") {
+    // 1-2-3-4-5-6 chain; source 1; cap 3 → 4,5,6 cut at/beyond the cap
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L)
+    assert(bfsMap(pairs, Seq(1L), maxHops = 3) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("bfsHops: multi-source takes the NEAREST seed; unreached absent") {
+    // two seeds at both ends of a chain + an untouched component
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L,
+      10L -> 11L)
+    assert(bfsMap(pairs, Seq(1L, 5L), maxHops = 4) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("bfsHops: cycle — first arrival wins, no re-visit") {
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L)
+    assert(bfsMap(pairs, Seq(1L), maxHops = 5) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("bfsHops: isolated seed reports hop 0; self-loops ignored") {
+    val pairs = Seq(1L -> 1L, 2L -> 3L)
+    assert(bfsMap(pairs, Seq(1L, 2L), maxHops = 2) ===
+      Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("bfsHops: deterministic under repartitioning") {
+    val pairs = (1L to 80L).map(i => (i, (i % 20) + 200L))
+    def run(parts: Int) = GraphRank.bfsHops(
+        pairs.toDF("i", "j").repartition(parts),
+        Seq(1L, 2L, 3L).toDF("id"), "id", maxHops = 3)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("hops")))
+      .sortBy(_._1).toSeq
+    assert(run(2) == run(9))
+  }
+
+  // -------------------------------- hits --------------------------------
+
+  /** Driver-side replay of the documented integer HITS semantics:
+    * max-rescaled micros, auth half-round from hubs then hub
+    * half-round from the fresh auths, synchronous per round. */
+  private def replayHits(edges: Seq[(Long, Long)],
+                         iters: Int): Map[Long, (Long, Long)] = {
+    val M = 1000000L
+    val e = edges.filter { case (u, v) => u != v }.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var hub = nodes.map(_ -> M).toMap
+    var auth = nodes.map(_ -> M).toMap
+    for (_ <- 1 to iters) {
+      val ar = e.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => hub(u) }.sum }
+      val am = ar.values.max
+      auth = nodes.map(n => n -> ar.get(n).map(_ * M / am).getOrElse(0L)).toMap
+      val hr = e.groupBy(_._1).map { case (u, es) =>
+        u -> es.map { case (_, v) => auth(v) }.sum }
+      val hm = hr.values.max
+      hub = nodes.map(n => n -> hr.get(n).map(_ * M / hm).getOrElse(0L)).toMap
+    }
+    nodes.map(n => n -> (hub(n), auth(n))).toMap
+  }
+
+  private def hitsMap(edges: Seq[(Long, Long)],
+                      iters: Int): Map[Long, (Long, Long)] =
+    GraphRank.hits(edges.toDF("u", "v"), iters)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("hub_micros"), r.getAs[Long]("auth_micros")))
+      .toMap
+
+  test("hits: exact agreement with the driver-side integer replay") {
+    // bipartite-ish: 1,2,3 buy from 10,11; 3 also from 12; plus a
+    // directed chain 20→21→22 to exercise mixed roles
+    val edges = Seq(1L -> 10L, 1L -> 11L, 2L -> 10L, 3L -> 10L,
+      3L -> 12L, 20L -> 21L, 21L -> 22L)
+    assert(hitsMap(edges, iters = 5) === replayHits(edges, iters = 5))
+  }
+
+  test("hits: the consensus authority maxes out; pure sources have auth 0") {
+    val edges = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L, 3L -> 11L)
+    val got = hitsMap(edges, iters = 3)
+    assert(got(10L)._2 == 1000000L) // everyone points at 10
+    assert(got(1L)._2 == 0L && got(2L)._2 == 0L && got(3L)._2 == 0L)
+    assert(got(10L)._1 == 0L) // 10 points at nothing
+    // 3 endorses both authorities → the best hub
+    assert(got(3L)._1 == 1000000L && got(3L)._1 > got(1L)._1)
+  }
+
+  test("hits: self-loops and duplicate edges normalize away") {
+    val edges = Seq(1L -> 10L, 1L -> 10L, 5L -> 5L, 2L -> 10L)
+    assert(hitsMap(edges, iters = 2) ===
+      replayHits(Seq(1L -> 10L, 2L -> 10L), iters = 2))
+  }
+
+  test("hits: deterministic under repartitioning") {
+    val edges = (1L to 60L).map(i => (i, (i % 15) + 100L))
+    def run(parts: Int) = GraphRank.hits(
+        edges.toDF("u", "v").repartition(parts), iters = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("hub_micros"),
+        r.getAs[Long]("auth_micros")))
+      .sortBy(_._1).toSeq
+    assert(run(2) == run(9))
+  }
 }
