@@ -31,6 +31,15 @@ class SparkEntrySpec extends AnyFunSuite {
         s"${SparkEntry.oracleSql.size} oracles")
   }
 
+  test("SURVEY §8's stated query total matches the registry (keeps docs honest)") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val n = SparkEntry.queries.size
+    assert(survey.contains(s"for **$n total**"),
+      s"SURVEY.md §8 must say 'for **$n total**' (registry has $n; " +
+        "update the query enumeration paragraph)")
+  }
+
   test("all queries run at sf0.001 and return rows") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, "/root/testdata/sf0.001").count()
