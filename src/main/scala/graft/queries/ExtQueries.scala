@@ -495,7 +495,16 @@ object ExtQueries {
     * is the query that MEASURES the mine. */
   private val lshPairsMemo = new java.util.concurrent.ConcurrentHashMap[
     String, Array[(Long, Long, Double)]]()
+  /** Memo bound: each entry is the verified pair array of one bounded
+    * slice (≤ 1000 docs → at most a few thousand (long,long,double)
+    * tuples ≈ 100 KB), but the map is keyed per data dir and a
+    * long-lived driver cycling many corpora would otherwise grow it
+    * for the JVM's lifetime — cap the dir count and reset when a new
+    * dir would exceed it (re-mining is correct, just slower). */
+  private val LshMemoMaxDirs = 8
   private def lshDupPairs(s: SparkSession, dir: String): DataFrame = {
+    if (lshPairsMemo.size >= LshMemoMaxDirs && !lshPairsMemo.containsKey(dir))
+      lshPairsMemo.clear()
     val rows = lshPairsMemo.computeIfAbsent(dir, _ =>
       Dedup.minHashLshPairs(
           docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text",
