@@ -321,55 +321,71 @@ object GraphRank {
     * does — or shard the graph).
     *
     * Scale shape is [[pagerank]]'s: the edge table persists once;
-    * each half-round is ONE edge⋈score join (shuffle on the node
-    * key) feeding a partial-agg sum — the raw table persists for the
-    * half-round so the max and the left join back onto the node set
-    * both read it without re-running the join (unpersisted, the agg
-    * executed twice per half-round: 10 extra shuffles at 5 iters).
-    * The rescale divisor is the 1-row max collected driver-side
-    * (model-sized, the Lloyd-centroid discipline), so no crossJoin
-    * appears in the plan. Score tables are node-sized and each
-    * half-round ends in an eager localCheckpoint with the superseded
-    * round freed. The loop's shuffle width is sized from the MEASURED
-    * edge count (session width for corpus-scale graphs, a few
-    * partitions for small ones — restored after the loop): iterative
-    * node-sized state at a corpus-tuned width pays ~4·iters × the
-    * full per-partition fixed cost for nothing.
+    * each half-round is ONE edge⋈score join feeding a sum on the
+    * destination key — the raw table persists for the half-round so
+    * the max and the left join back onto the node set both read it
+    * without re-running the join (unpersisted, the agg executed twice
+    * per half-round: 10 extra shuffles at 5 iters). The rescale
+    * divisor is the 1-row max collected driver-side (model-sized, the
+    * Lloyd-centroid discipline), so no crossJoin appears in the plan.
+    * Score tables are node-sized and each half-round ends in an eager
+    * localCheckpoint with the superseded round freed.
+    *
+    * The loop's shuffle width is sized from the MEASURED edge count —
+    * iterative node-sized state at a corpus-tuned width pays ~4·iters
+    * × the full per-partition fixed cost for nothing (measured: 8.3s
+    * → 3.2s on a 12k-edge graph at local[32]/32). The width is
+    * applied in a CLONED session ([[org.apache.spark.sql.graft
+    * .SessionBridge]]): the loop's plans re-root into the clone and
+    * run at the loop width, while the caller's session conf is never
+    * touched — a conf flip on the shared session would silently
+    * re-plan every concurrent query at the loop's width. The final
+    * plan (two checkpoint scans + one join) re-roots back to the
+    * caller's session.
     *
     * Output: (id, hub_micros, auth_micros) for every node incident
-    * to an edge. */
+    * to an edge; empty input (or self-loops only) returns an empty
+    * frame rather than failing. */
   def hits(edges: DataFrame, iters: Int = 5,
            scope: CacheScope = CacheScope.unmanaged()): DataFrame = {
     require(iters >= 1, "iters must be positive")
     val M = 1000000L
-    val e = scope.persist(edges
+    val e0 = scope.persist(edges
       .select(col("u"), col("v")).where(col("u") =!= col("v")).distinct())
-    val ns = scope.persist(
-      e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+    val ns0 = scope.persist(
+      e0.select(col("u").as("id")).union(e0.select(col("v").as("id")))
         .distinct())
     // overflow guard: fail loudly where wrapped longs would silently
     // diverge from an arbitrary-precision engine (see scaladoc); the
     // same pass measures the graph (Σ deg = 2|E|) for the shuffle
     // sizing below
-    val degStats = e.select(explode(array(col("u"), col("v"))).as("id"))
+    val degStats = e0.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("d"))
       .agg(max(col("d")).as("mx"), sum(col("d")).as("tot")).collect()(0)
+    if (degStats.isNullAt(0)) // no edges survived the self-loop filter
+      return ns0.select(col("id"), lit(M).as("hub_micros"),
+        lit(M).as("auth_micros"))
     val maxDeg = degStats.getLong(0)
     require(maxDeg < 9000000L,
       s"hits: max node degree $maxDeg exceeds the long headroom " +
         "(raw*10^6 wraps past deg ~9e6); pre-aggregate or shard the graph")
-    // the loop's working tables are NODE/EDGE-sized, not corpus-sized;
-    // at the session's (corpus-tuned) shuffle width every one of the
-    // ~4·iters tiny shuffles pays the full per-partition fixed cost
-    // (measured: 8.3s → 3.2s on a 12k-edge graph at local[32]/32).
-    // Size the loop's shuffles from the MEASURED edge count — big
-    // graphs keep the session width, small ones drop to a few
-    // partitions — and restore the session conf after the loop (the
-    // returned plan is lazy and runs at the caller's width).
-    val sess = e.sparkSession
-    val oldSp = sess.conf.get("spark.sql.shuffle.partitions")
+    val sess = e0.sparkSession
+    val sessSp = math.max(1L,
+      scala.util.Try(sess.conf.get("spark.sql.shuffle.partitions").toLong)
+        .getOrElse(200L)) // defensive: non-numeric conf ("auto") → treat as wide
     val loopSp = math.max(1L,
-      math.min(oldSp.toLong, degStats.getLong(1) / 500000L + 1))
+      math.min(sessSp, degStats.getLong(1) / 500000L + 1))
+    // big graphs run at the session width in the caller's session;
+    // small ones get a conf-isolated clone at the loop width (shared
+    // context and cache, so the persisted edge/node tables stay warm)
+    val bridge = org.apache.spark.sql.graft.SessionBridge
+    val small = loopSp < sessSp
+    val loopSess =
+      if (small) bridge.cloneWithConf(sess,
+        "spark.sql.shuffle.partitions" -> loopSp.toString)
+      else sess
+    val e = if (small) bridge.reRoot(e0, loopSess) else e0
+    val ns = if (small) bridge.reRoot(ns0, loopSess) else ns0
     var hub = ns.select(col("id"), lit(M).as("hub")).localCheckpoint()
     var auth = ns.select(col("id"), lit(M).as("auth")).localCheckpoint()
     def half(score: DataFrame, scoreCol: String, srcKey: String,
@@ -379,29 +395,26 @@ object GraphRank {
         .groupBy(col(dstKey).as("id"))
         .agg(sum(col(scoreCol)).as("raw"))
         .persist() // read twice below (max + left join): join runs once
-      val mx = raw.agg(max(col("raw"))).collect()(0).getLong(0)
-      val next = ns
-        .join(raw, Seq("id"), "left")
-        .select(col("id"),
-          expr(s"(coalesce(raw, 0L) * ${M}L) div ${mx}L").as(outCol))
-        .localCheckpoint() // eager: truncates lineage, materializes now
-      raw.unpersist()
-      next
+      try {
+        val mx = raw.agg(max(col("raw"))).collect()(0).getLong(0)
+        ns.join(raw, Seq("id"), "left")
+          .select(col("id"),
+            expr(s"(coalesce(raw, 0L) * ${M}L) div ${mx}L").as(outCol))
+          .localCheckpoint() // eager: truncates lineage, materializes now
+      } finally raw.unpersist() // also on job failure: no stranded blocks
     }
-    try {
-      sess.conf.set("spark.sql.shuffle.partitions", loopSp.toString)
-      for (_ <- 1 to iters) {
-        val a2 = half(hub, "hub", "u", "v", "auth")
-        org.apache.spark.sql.graft.CheckpointBridge.freeLocalCheckpoint(auth)
-        auth = a2
-        val h2 = half(auth, "auth", "v", "u", "hub")
-        org.apache.spark.sql.graft.CheckpointBridge.freeLocalCheckpoint(hub)
-        hub = h2
-      }
-    } finally sess.conf.set("spark.sql.shuffle.partitions", oldSp)
-    hub.join(auth, "id")
+    for (_ <- 1 to iters) {
+      val a2 = half(hub, "hub", "u", "v", "auth")
+      org.apache.spark.sql.graft.CheckpointBridge.freeLocalCheckpoint(auth)
+      auth = a2
+      val h2 = half(auth, "auth", "v", "u", "hub")
+      org.apache.spark.sql.graft.CheckpointBridge.freeLocalCheckpoint(hub)
+      hub = h2
+    }
+    val out = hub.join(auth, "id")
       .select(col("id"), col("hub").as("hub_micros"),
         col("auth").as("auth_micros"))
+    if (small) bridge.reRoot(out, sess) else out
   }
 
   /** Common-neighbor link prediction over a pair table: for every

@@ -499,12 +499,16 @@ object ExtQueries {
     * slice (≤ 1000 docs → at most a few thousand (long,long,double)
     * tuples ≈ 100 KB), but the map is keyed per data dir and a
     * long-lived driver cycling many corpora would otherwise grow it
-    * for the JVM's lifetime — cap the dir count and reset when a new
-    * dir would exceed it (re-mining is correct, just slower). */
+    * for the JVM's lifetime — cap the dir count and evict ONE entry
+    * when a new dir would exceed it (re-mining is correct, just
+    * slower; a full clear() here raced concurrent lookups and threw
+    * away every hot dir at once). */
   private val LshMemoMaxDirs = 8
   private def lshDupPairs(s: SparkSession, dir: String): DataFrame = {
-    if (lshPairsMemo.size >= LshMemoMaxDirs && !lshPairsMemo.containsKey(dir))
-      lshPairsMemo.clear()
+    if (lshPairsMemo.size >= LshMemoMaxDirs && !lshPairsMemo.containsKey(dir)) {
+      val it = lshPairsMemo.keys()
+      if (it.hasMoreElements) lshPairsMemo.remove(it.nextElement())
+    }
     val rows = lshPairsMemo.computeIfAbsent(dir, _ =>
       Dedup.minHashLshPairs(
           docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text",

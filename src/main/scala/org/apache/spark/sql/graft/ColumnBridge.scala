@@ -33,3 +33,38 @@ object CheckpointBridge {
       case _ => ()
     }
 }
+
+/** Per-call SQL-conf isolation for iterative DataFrame algorithms.
+  *
+  * An iterative loop over NODE-sized state wants a few shuffle
+  * partitions, not the session's corpus-tuned width — but mutating
+  * `spark.sql.shuffle.partitions` on the shared session races every
+  * concurrent query (they'd silently plan at the loop's width). The
+  * supported isolation is a CLONED session: same SparkContext, shared
+  * cache manager (persisted inputs stay warm), inherited conf and
+  * registered functions, but its OWN SQLConf — the loop re-roots its
+  * plans into the clone, runs at the loop width, and hands the final
+  * plan back re-rooted into the caller's session. Both hooks are
+  * `private[sql]` in Spark (`cloneSession`, `Dataset.ofRows`), hence
+  * this bridge. */
+object SessionBridge {
+  /** Clone `s` (conf, UDFs, temp views all inherited; SparkContext and
+    * cache shared) and apply `kv` overrides to the clone only. */
+  def cloneWithConf(s: org.apache.spark.sql.SparkSession,
+                    kv: (String, String)*): org.apache.spark.sql.SparkSession = {
+    val c = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+    kv.foreach { case (k, v) => c.conf.set(k, v) }
+    c
+  }
+
+  /** Rebind `df`'s logical plan to session `to` — planning (and conf
+    * reads) then happen under `to`'s SQLConf. The plan itself is
+    * session-agnostic; cached/checkpointed inputs resolve through the
+    * shared context. */
+  def reRoot(df: org.apache.spark.sql.DataFrame,
+             to: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      to.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.logical)
+}

@@ -438,6 +438,19 @@ class GraphRankSpec extends AnyFunSuite {
       replayHits(Seq(1L -> 10L, 2L -> 10L), iters = 2))
   }
 
+  test("hits: empty / self-loop-only graphs return empty, not NPE") {
+    val empty = GraphRank.hits(Seq.empty[(Long, Long)].toDF("u", "v"), 3)
+    assert(empty.columns.toSeq == Seq("id", "hub_micros", "auth_micros"))
+    assert(empty.count() == 0L)
+    assert(GraphRank.hits(Seq(7L -> 7L).toDF("u", "v"), 3).count() == 0L)
+  }
+
+  test("hits: leaves the session's shuffle width untouched") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    GraphRank.hits(Seq(1L -> 10L, 2L -> 10L).toDF("u", "v"), 3).collect()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
+
   test("hits: deterministic under repartitioning") {
     val edges = (1L to 60L).map(i => (i, (i % 15) + 100L))
     def run(parts: Int) = GraphRank.hits(
