@@ -115,7 +115,7 @@ case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String,
     * [[routedTransform]] and the wide-model [[transformProba]] path.
     * Returns the routed frame (input columns + `__nid`) and the node-id
     * map, or None when the leaves have no tree form. */
-  private def routedNid(df: DataFrame)
+  private[fit] def routedNid(df: DataFrame)
       : Option[(DataFrame, scala.collection.Map[Vector[(Int, Split)], Int])] = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -17,12 +17,21 @@ import org.apache.spark.sql.functions._
   * leaves are penalized hardest, which is exactly what makes noise
   * splits collapse while real structure survives.
   *
-  * Scale shape: ONE Spark job — rows route to their leaf through the
-  * model's disjoint predicates (flat CASE WHEN, codegen) and aggregate
-  * to per-(leaf, class) counts, O(#leaves × #classes) rows to the
-  * driver. The pruning pass itself is a driver-side fold over the leaf
-  * trie: O(model), no further jobs, deterministic (ties collapse, and
-  * majority ties pick the lexicographically smallest label). */
+  * Scale shape: AT MOST one Spark job. Pruning against the TRAINING
+  * distribution ([[pruneTraining]], canonical C4.5) needs ZERO jobs —
+  * the fit already recorded every leaf's exact class distribution as
+  * it closed (`C45Model.leafDist`), so re-routing the corpus to
+  * rebuild those counts would be a redundant full scan. Pruning
+  * against held-out data ([[prune]]) routes rows to their leaf in ONE
+  * job and aggregates to per-(leaf, class) counts, O(#leaves ×
+  * #classes) rows to the driver — through the flat disjoint-predicate
+  * CASE WHEN while the model is narrow, and through the same
+  * broadcast level-walk transform/fit use past `routeThreshold`
+  * leaves (a thousands-of-leaves CASE WHEN blows whole-stage-codegen
+  * limits). The pruning pass itself is a driver-side fold over the
+  * leaf trie: O(model), no further jobs, deterministic (ties
+  * collapse, and majority ties pick the lexicographically smallest
+  * label). */
 object C45Pruning {
 
   /** Normal deviate for C4.5's default CF = 0.25. */
@@ -44,33 +53,97 @@ object C45Pruning {
   private case class Pruned(leaves: Vector[Rule], err: Double,
                             counts: Map[String, Long])
 
-  /** Prune `model` against (training) data `df`. Returns a model whose
-    * leaves are a subset-or-collapse of the input's: every pruned leaf
-    * predicate is a prefix of one or more original leaf predicates, so
-    * the leaves still partition the space. */
-  def prune(model: C45Model, df: DataFrame, z: Double = DefaultZ): C45Model = {
+  /** Prune `model` against data `df` (training or held-out). Returns a
+    * model whose leaves are a subset-or-collapse of the input's: every
+    * pruned leaf predicate is a prefix of one or more original leaf
+    * predicates, so the leaves still partition the space.
+    *
+    * When `df` IS the training data and the model came straight from
+    * the fit, prefer [[pruneTraining]] — identical result, zero jobs. */
+  def prune(model: C45Model, df: DataFrame, z: Double = DefaultZ,
+            routeThreshold: Int = 64): C45Model = {
+    if (model.leaves.isEmpty) return model
+    pruneFromCounts(model, scanCounts(model, df, routeThreshold), z,
+      unit = 1.0)
+  }
+
+  /** Prune `model` against its own TRAINING distribution without
+    * touching the data: reuses the exact per-leaf class distributions
+    * the fit recorded as leaves closed (`C45Model.leafDist`, long
+    * micros). On a null-free corpus this is bit-identical to
+    * `prune(model, trainingDf)` for 10⁶× cheaper; under fractional
+    * missing-mode it is strictly MORE faithful — the recorded micros
+    * carry the fractional membership of null-bearing rows that the
+    * scan path's leaf predicates route nowhere (Quinlan's C4.5 prunes
+    * on those fractional weights). Only fit-produced models qualify
+    * (loaded / already-pruned / simplified ones carry no
+    * distributions). */
+  def pruneTraining(model: C45Model, z: Double = DefaultZ): C45Model = {
+    if (model.leaves.isEmpty) return model
+    require(model.leafDist.size == model.leaves.size,
+      "pruneTraining needs per-leaf class distributions: only fit-produced " +
+        "models carry them (loadRules/pruned/simplified models do not)")
+    val counts = model.leafDist.zipWithIndex
+      .collect { case (d, i) if d.nonEmpty => i -> d }.toMap
+    pruneFromCounts(model, counts, z, unit = 1e6)
+  }
+
+  /** One job: route every row to its (disjoint) leaf, count classes.
+    * Narrow models use the flat first-match CASE WHEN; past
+    * `routeThreshold` leaves the broadcast level-walk (shared with
+    * transform/fit) routes instead — constant expression size per
+    * level, codegen-safe at any width. Both paths produce identical
+    * counts (leaves partition the space, so first-match ≡ only-match
+    * whenever the level-walk's tree form exists). */
+  private def scanCounts(model: C45Model, df: DataFrame,
+                         routeThreshold: Int): Map[Int, Map[String, Long]] = {
     val names = model.schema.attrNames
     val leaves = model.leaves
-    if (leaves.isEmpty) return model
-
-    // one job: route every row to its (disjoint) leaf, count classes
-    val rid = leaves.zipWithIndex.tail.foldLeft(
-      when(leaves.head.toPredicate(names), lit(0))) { case (acc, (r, i)) =>
-      acc.when(r.toPredicate(names), lit(i))
-    }.otherwise(lit(-1))
-    val counts: Map[Int, Map[String, Long]] = df
-      .select(rid.as("rid"), col(model.schema.classCol).cast("string").as("cls"))
-      .filter(col("rid") >= 0)
-      .groupBy("rid", "cls").agg(count(lit(1)).as("n"))
-      .collect()
-      .groupBy(_.getInt(0))
-      .map { case (k, rows) =>
-        k -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+    val clsCol = col(model.schema.classCol).cast("string").as("cls")
+    val routed: Option[Map[Int, Map[String, Long]]] =
+      if (leaves.size <= routeThreshold) None
+      else model.routedNid(df).map { case (cur, nid) =>
+        val leafIdx: Map[Int, Int] = leaves.zipWithIndex
+          .map { case (r, i) => nid(r.conditions) -> i }.toMap
+        cur.filter(col("__nid").isNotNull)
+          .groupBy(col("__nid"), clsCol)
+          .agg(count(lit(1)).as("n"))
+          .collect()
+          .groupBy(r => leafIdx(r.getInt(0)))
+          .map { case (k, rows) =>
+            k -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+          }
       }
+    routed.getOrElse {
+      val rid = leaves.zipWithIndex.tail.foldLeft(
+        when(leaves.head.toPredicate(names), lit(0))) { case (acc, (r, i)) =>
+        acc.when(r.toPredicate(names), lit(i))
+      }.otherwise(lit(-1))
+      df.select(rid.as("rid"), clsCol)
+        .filter(col("rid") >= 0)
+        .groupBy("rid", "cls").agg(count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (k, rows) =>
+          k -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+        }
+    }
+  }
+
+  /** The driver-side bottom-up pass, shared by both counts sources.
+    * `counts` values are in units of `unit` rows (1.0 for scan counts,
+    * 1e6 for the fit's recorded micros) — the Wilson bound is NOT
+    * scale-invariant (its small-n penalty is the point), so n converts
+    * to true row units before the math; sums/majorities stay exact
+    * long arithmetic. */
+  private def pruneFromCounts(model: C45Model,
+                              counts: Map[Int, Map[String, Long]],
+                              z: Double, unit: Double): C45Model = {
+    val leaves = model.leaves
 
     def leafErr(c: Map[String, Long]): Double = {
-      val n = c.values.sum.toDouble
-      val errors = n - (if (c.isEmpty) 0L else c.values.max).toDouble
+      val n = c.values.sum / unit
+      val errors = n - (if (c.isEmpty) 0L else c.values.max) / unit
       n * upperErrorRate(errors, n, z)
     }
 

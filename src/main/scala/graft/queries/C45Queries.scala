@@ -797,8 +797,10 @@ object C45Queries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val model = C45.fit(df, schema, C45Params(maxDepth = 5))
-      // prune() collects eagerly, so the result no longer needs df
-      graft.fit.C45Pruning.prune(model, df).toDF(s).orderBy("rule")
+      // pruning against the TRAINING data reuses the fit's recorded
+      // per-leaf distributions — zero extra jobs (PruningSpec pins
+      // pruneTraining ≡ prune(model, df) on this null-free corpus)
+      graft.fit.C45Pruning.pruneTraining(model).toDF(s).orderBy("rule")
     } finally df.unpersist()
   }
   val qFitPrunedSql: String = goldenValuesSql("golden/fit_pruned_sf001_rules.txt")

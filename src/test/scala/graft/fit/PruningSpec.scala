@@ -101,6 +101,57 @@ class PruningSpec extends AnyFunSuite {
     assert(pruned.leaves.forall(_.depth <= 2))
   }
 
+  test("pruneTraining ≡ prune(model, trainingDf) on a null-free corpus, zero jobs") {
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    val schema = C45Schema(
+      Seq(AttrMeta("l_returnflag", isNumeric = false),
+        AttrMeta("l_quantity", isNumeric = true),
+        AttrMeta("l_discount", isNumeric = true),
+        AttrMeta("l_tax", isNumeric = true)),
+      "cls", Seq("N", "P"))
+    val noisy = graft.functions.Hashing.hash60(
+      concat_ws("|", col("l_orderkey"), col("l_linenumber"))) % 10 === 0
+    val base = (col("l_returnflag") === "A") === (col("l_quantity") <= lit(25.0))
+    val df = spark.read.parquet(s"$sf/lineitem.parquet").withColumn("cls",
+      when(base =!= noisy, lit("P")).otherwise(lit("N")))
+    val model = C45.fit(df, schema, C45Params(maxDepth = 5))
+    val viaScan = C45Pruning.prune(model, df)
+    val viaDist = C45Pruning.pruneTraining(model)
+    assert(viaDist.leaves.map(_.encode) == viaScan.leaves.map(_.encode))
+    assert(viaDist.majority == viaScan.majority)
+  }
+
+  test("pruneTraining rejects models without recorded distributions") {
+    val schema = C45Schema(Seq(AttrMeta("a", isNumeric = false)),
+      "cls", Seq("n", "p"))
+    val m = C45Model(schema,
+      Vector(Rule(Vector(0 -> CatEq("t")), Some("p"))), "p")
+    assertThrows[IllegalArgumentException](C45Pruning.pruneTraining(m))
+  }
+
+  test("wide models prune through the routed level-walk, same result as flat") {
+    val s = spark
+    import s.implicits._
+    // a two-level fan-out: 6 × 4 = up to 24 leaves, past a tiny
+    // routeThreshold; labels planted so several subtrees are pure
+    // noise and collapse identically on both routing paths
+    val rows = for {
+      i <- 1 to 800
+      a = s"g${i % 6}"
+      x = (i % 8).toDouble
+    } yield (a, x, if ((i % 6) < 3 == (x <= 3.0)) "p" else if (i % 13 == 0) "p" else "n")
+    val df = rows.toDF("a", "x", "cls")
+    val schema = C45Schema(Seq(
+      AttrMeta("a", isNumeric = false), AttrMeta("x", isNumeric = true)),
+      "cls", Seq("n", "p"))
+    val model = C45.fit(df, schema, C45Params(maxDepth = 4))
+    assume(model.leaves.size > 4, s"need a wide model, got ${model.leaves.size}")
+    val flat = C45Pruning.prune(model, df, routeThreshold = 10000)
+    val routed = C45Pruning.prune(model, df, routeThreshold = 2)
+    assert(routed.leaves.map(_.encode) == flat.leaves.map(_.encode))
+  }
+
   test("pruned golden: sf0.01 committed rule set reproduces") {
     val got = graft.queries.C45Queries.qFitPruned(spark, "/root/testdata/sf0.01")
       .collect().map(_.getString(0)).toVector
