@@ -145,6 +145,81 @@ object Dedup {
         floor(col("n_dup_windows") / col("n_windows") * lit(1e6) + lit(0.5)) / lit(1e6))
   }
 
+  /** Span-level duplicate EXCISION — the rewrite stage
+    * [[duplicateWindows]] only flags: every document is returned with
+    * the characters covered by any cross-document duplicated window
+    * REMOVED (the suffix-array-excision step of exact-substring dedup
+    * pipelines, e.g. Lee et al. "Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022 — windowed formulation, same
+    * two relational passes as the flagging screen).
+    *
+    * Overlapping/adjacent duplicated windows merge into one excised
+    * span (`n_dup_spans` counts the MERGED spans); the kept text is
+    * the concatenation of the inter-span gaps in order. Documents
+    * shorter than `window` (or with no duplicated window) pass through
+    * untouched with n_dup_spans = 0.
+    *
+    * Scale shape: the two corpus passes of [[duplicateWindows]] —
+    * windows carry ONLY (id, offset, md5), partial-agg doc-frequency
+    * on the window hash, flag-back join on the same key pre-aggregated
+    * to one row per duplicated hash — then per-doc duplicated offsets
+    * collapse to ONE sorted array (bounded by len/stride per doc) and
+    * the rewrite itself is a map-side fold over that array
+    * (`aggregate`: carve the gap before each new span, jump `pos` past
+    * the span end — O(len) per doc, codegen, no UDF, no extra
+    * shuffle). Output: (idCol, clean_text, n_dup_spans, n_removed). */
+  def exciseDuplicateWindows(df: DataFrame, idCol: String, textCol: String,
+                             window: Int, stride: Int): DataFrame = {
+    require(window >= 2 && stride >= 1, s"bad window/stride $window/$stride")
+    val wins = df.filter(length(col(textCol)) >= window)
+      .select(col(idCol),
+        explode(sequence(lit(0), length(col(textCol)) - window, lit(stride)))
+          .as("__off"),
+        col(textCol))
+      .select(col(idCol), col("__off"),
+        md5(col(textCol).substr(col("__off") + 1, lit(window))).as("__wh"))
+    val dup = wins.groupBy("__wh")
+      .agg(count_distinct(col(idCol)).as("__ndocs"))
+      .filter(col("__ndocs") >= 2)
+      .select("__wh")
+    val dupOffs = wins.join(dup, Seq("__wh"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__off"))).as("__offs"))
+    val t = col(textCol)
+    // fold the sorted duplicated offsets: acc = (pos = first char not
+    // yet emitted or excised, n = merged spans so far, txt = kept
+    // prefix). A window starting past `pos` opens a NEW span (the gap
+    // before it is kept); one starting at/inside the current span
+    // merges into it (adjacent == merged). All integer/substr Column
+    // arithmetic — deterministic, partitioning-independent.
+    val folded = aggregate(
+      coalesce(col("__offs"), array().cast("array<int>")),
+      struct(lit(0).as("pos"), lit(0L).as("n"), lit("").as("txt")),
+      (acc, o) => {
+        val pos = acc.getField("pos")
+        val n = acc.getField("n")
+        val newSpan = (o > pos) || (n === 0L)
+        struct(
+          greatest(pos, o + lit(window)).as("pos"),
+          (n + when(newSpan, 1L).otherwise(0L)).as("n"),
+          concat(acc.getField("txt"),
+            when(o > pos, t.substr(pos + 1, o - pos)).otherwise(lit("")))
+            .as("txt"))
+      },
+      acc => struct(
+        acc.getField("n").as("n"),
+        concat(acc.getField("txt"),
+          when(length(t) > acc.getField("pos"),
+            t.substr(acc.getField("pos") + 1, length(t) - acc.getField("pos")))
+            .otherwise(lit(""))).as("txt")))
+    df.join(dupOffs, Seq(idCol), "left")
+      .select(col(idCol), folded.as("__f"), length(t).as("__len"))
+      .select(col(idCol),
+        col("__f.txt").as("clean_text"),
+        col("__f.n").as("n_dup_spans"),
+        (col("__len") - length(col("__f.txt"))).cast("long").as("n_removed"))
+  }
+
   /** Distinct word n-grams of a text column as an array (n=1 → token
     * set). A document with fewer than n tokens has no n-grams → empty
     * array (an unguarded sequence(0, size-n) would auto-step -1 and

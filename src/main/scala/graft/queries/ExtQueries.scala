@@ -252,6 +252,45 @@ object ExtQueries {
        |  ${r6xSql("n_dup_windows::DOUBLE / n_windows")} AS dup_ratio
        |FROM per ORDER BY doc_id""".stripMargin
 
+  // ---- span-level duplicate EXCISION (the rewrite stage of
+  //      exact-substring dedup): same 40-char/stride-10 windows as
+  //      q_substring_dup, but documents come back REWRITTEN with the
+  //      cross-doc duplicated spans removed (overlapping/adjacent
+  //      windows merged). The oracle reconstructs each affected doc
+  //      character-by-character (kept = positions covered by no
+  //      duplicated window) — O(len) per doc, fine at every tier on
+  //      the ~300-char documents — while the Spark side is the
+  //      map-side gap-carving fold. ----
+  def qSubstringExcise(s: SparkSession, dir: String): DataFrame =
+    Dedup.exciseDuplicateWindows(docs(s, dir), "doc_id", "text",
+        DupWin, DupStride)
+      .orderBy("doc_id")
+  val qSubstringExciseSql: String =
+    s"""WITH d AS (SELECT doc_id, text, len(text) AS ln FROM documents),
+       |w AS (SELECT doc_id, unnest(generate_series(0, ln - $DupWin, $DupStride)) AS off, text
+       |  FROM d WHERE ln >= $DupWin),
+       |h AS (SELECT doc_id, off, md5(substr(text, off + 1, $DupWin)) AS wh FROM w),
+       |dup AS (SELECT wh FROM h GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+       |dw AS (SELECT h.doc_id, h.off FROM h JOIN dup USING (wh)),
+       |sp AS (SELECT doc_id, count(*) FILTER (
+       |    WHERE prevmax IS NULL OR off > prevmax + $DupWin) AS n_spans
+       |  FROM (SELECT doc_id, off, max(off) OVER (PARTITION BY doc_id ORDER BY off
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax FROM dw)
+       |  GROUP BY 1),
+       |rm AS (SELECT DISTINCT doc_id, unnest(generate_series(off + 1, off + $DupWin)) AS p FROM dw),
+       |ch AS (SELECT d.doc_id, unnest(generate_series(1, d.ln)) AS p, d.text
+       |  FROM d WHERE d.doc_id IN (SELECT doc_id FROM dw)),
+       |nt AS (SELECT ch.doc_id,
+       |    coalesce(string_agg(substr(ch.text, ch.p, 1), '' ORDER BY ch.p), '') AS clean_text
+       |  FROM ch LEFT JOIN rm ON ch.doc_id = rm.doc_id AND ch.p = rm.p
+       |  WHERE rm.p IS NULL GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CASE WHEN sp.n_spans IS NULL THEN d.text ELSE coalesce(nt.clean_text, '') END AS clean_text,
+       |  coalesce(sp.n_spans, 0) AS n_dup_spans,
+       |  d.ln - len(CASE WHEN sp.n_spans IS NULL THEN d.text ELSE coalesce(nt.clean_text, '') END) AS n_removed
+       |FROM d LEFT JOIN sp USING (doc_id) LEFT JOIN nt USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- minhash signatures (k=8, one-pass aggregation) ----
   private val MinHashK = 8
   def qMinhash(s: SparkSession, dir: String): DataFrame =
@@ -1881,6 +1920,55 @@ object ExtQueries {
        |FROM nd LEFT JOIN corecl USING (id) LEFT JOIN bcl USING (id)
        |ORDER BY vec_id""".stripMargin
 
+  // ---- DBSCAN from an EXTERNAL candidate pair table — the 100 TB
+  //      entry point (Similarity.dbscanFromPairs): the quadratic
+  //      candidate step is the generator's to bound, here the shared
+  //      banded-LSH near-dup mine (threshold-filtered to strong
+  //      near-dups). Where q_dbscan is the bounded exact all-pairs
+  //      BASELINE, this gate-verifies the scale path end to end:
+  //      density gate over witness pairs, CC core labels, min-label
+  //      border attachment. Nodes = all docs in the slice, so docs
+  //      without a strong near-dup surface as noise. ----
+  private val DbLshJac = 0.9
+  private val DbLshMinPts = 4
+  def qDbscanLsh(s: SparkSession, dir: String): DataFrame = {
+    val nodes = docs(s, dir).filter(col("doc_id") < 1000)
+      .select(col("doc_id").as("id"))
+    val pairs = lshDupPairs(s, dir).filter(col("jaccard") >= DbLshJac)
+    Similarity.dbscanFromPairs(nodes, pairs, DbLshMinPts)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+  val qDbscanLshSql: String =
+    s"""WITH RECURSIVE ${lshPairsCtes()},
+       |nb AS MATERIALIZED (SELECT i, j FROM prs WHERE jaccard >= $DbLshJac),
+       |nd0 AS (SELECT doc_id AS id FROM documents WHERE doc_id < 1000),
+       |dg AS MATERIALIZED (SELECT id, count(*) AS nc FROM
+       |  (SELECT i AS id FROM nb UNION ALL SELECT j AS id FROM nb) GROUP BY 1),
+       |nd AS MATERIALIZED (SELECT nd0.id, coalesce(nc, 0) + 1 >= $DbLshMinPts AS is_core
+       |  FROM nd0 LEFT JOIN dg USING (id)),
+       |ce AS MATERIALIZED (SELECT nb.i, nb.j FROM nb
+       |  JOIN nd a ON nb.i = a.id AND a.is_core
+       |  JOIN nd b ON nb.j = b.id AND b.is_core),
+       |edges AS (SELECT i AS src, j AS dst FROM ce UNION SELECT j, i FROM ce),
+       |reach(id, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT ed.src, r.lbl FROM edges ed JOIN reach r ON ed.dst = r.id),
+       |ccl AS MATERIALIZED (SELECT id, min(lbl) AS cl FROM reach GROUP BY 1),
+       |corecl AS MATERIALIZED (SELECT nd.id, coalesce(ccl.cl, nd.id) AS cluster
+       |  FROM nd LEFT JOIN ccl USING (id) WHERE nd.is_core),
+       |adj AS (SELECT i AS x, j AS y FROM nb UNION ALL SELECT j AS x, i AS y FROM nb),
+       |bcl AS MATERIALIZED (SELECT adj.y AS id, min(corecl.cluster) AS bcl
+       |  FROM adj JOIN corecl ON adj.x = corecl.id
+       |  JOIN nd ON adj.y = nd.id AND NOT nd.is_core GROUP BY 1)
+       |SELECT nd.id AS doc_id,
+       |  CASE WHEN nd.is_core THEN 'core' WHEN bcl.id IS NOT NULL THEN 'border'
+       |    ELSE 'noise' END AS role,
+       |  CASE WHEN nd.is_core THEN corecl.cluster ELSE bcl.bcl END AS cluster
+       |FROM nd LEFT JOIN corecl USING (id) LEFT JOIN bcl USING (id)
+       |ORDER BY doc_id""".stripMargin
+
   // ---- SemDeDup (Abbas et al. 2023): semantic dedup by k-means
   //      clustering + within-cluster greedy cosine pair rule (drop b
   //      iff a smaller-id cluster-mate has cos >= thr). Same trained
@@ -2820,6 +2908,8 @@ object ExtQueries {
     "q_dedup_lines" -> (qDedupLines _),
     "q_dedup_fp" -> (qDedupFp _),
     "q_substring_dup" -> (qSubstringDup _),
+    "q_substring_excise" -> (qSubstringExcise _),
+    "q_dbscan_lsh" -> (qDbscanLsh _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_normalize" -> (qNormalize _),
     "q_minhash" -> (qMinhash _),
@@ -2903,6 +2993,8 @@ object ExtQueries {
     "q_dedup_lines" -> qDedupLinesSql,
     "q_dedup_fp" -> qDedupFpSql,
     "q_substring_dup" -> qSubstringDupSql,
+    "q_substring_excise" -> qSubstringExciseSql,
+    "q_dbscan_lsh" -> qDbscanLshSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_normalize" -> qNormalizeSql,
     "q_minhash" -> qMinhashSql,

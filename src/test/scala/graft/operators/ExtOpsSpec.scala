@@ -124,6 +124,45 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got(5L) == ((3L, 0L, 0.0)), "single-doc repetition is not cross-doc duplication")
   }
 
+  test("excise duplicate windows: planted cross-doc spans are cut, the rest survives") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "abcdefgh"),   // windows (W=4,S=2): abcd cdef efgh; "abcd" dup w/ 2,4
+      (2L, "xxabcdyy"),   // xxab [abcd] cdyy → span [2,6) cut
+      (3L, "zzz"),        // shorter than the window: untouched
+      (4L, "abcdabcd"),   // abcd cdab abcd: offs 0 and 4 ADJACENT → ONE merged span
+      (5L, "pppppppp"))   // within-doc repetition only: untouched
+      .toDF("doc_id", "text")
+    val got = Dedup.exciseDuplicateWindows(df, "doc_id", "text",
+        window = 4, stride = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("efgh", 1L, 4L)), "doc 1 loses its leading dup span")
+    assert(got(2L) == (("xxyy", 1L, 4L)), "doc 2 keeps the flanks")
+    assert(got(3L) == (("zzz", 0L, 0L)))
+    assert(got(4L) == (("", 1L, 8L)), "adjacent dup windows merge to one span")
+    assert(got(5L) == (("pppppppp", 0L, 0L)))
+  }
+
+  test("excise duplicate windows: overlapping windows merge; output is partitioning-independent") {
+    val s = spark
+    import s.implicits._
+    // shared 6-char run "QQQQQQ" at different offsets; W=4,S=1 makes
+    // every inner window dup → one merged span per doc covering the run
+    val df = Seq(
+      (1L, "aaQQQQQQbb"),
+      (2L, "QQQQQQcccc"))
+      .toDF("doc_id", "text")
+    def run(parts: Int) = Dedup.exciseDuplicateWindows(
+        df.repartition(parts), "doc_id", "text", window = 4, stride = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val got = run(2)
+    assert(got == run(5))
+    assert(got == Seq((1L, "aabb", 1L), (2L, "cccc", 1L)))
+  }
+
   test("fingerprint dedup is order- and repetition-insensitive") {
     val s = spark
     import s.implicits._
