@@ -1233,14 +1233,29 @@ object C45 {
     * dominant cost. Total explode volume is unchanged vs sequential:
     * rows × (k-1) × attrs either way.
     *
-    * Frontiers are routed FLAT at any width here (no join-routing):
-    * rid assignment still matches the sequential fit exactly (the
-    * join-routed rid is pinned to equal the flat rid by construction
-    * — see the Route scaladoc), so results are identical; only the
-    * expression size grows with very deep frontiers. Callers with
-    * fractional-missing corpora must use sequential [[fit]] per fold
-    * (fractional fan-out needs per-fit row weights, which this fused
-    * explode does not carry).
+    * Frontiers are routed FLAT at any width here (no join-routing) in
+    * the unweighted path: rid assignment still matches the sequential
+    * fit exactly (the join-routed rid is pinned to equal the flat rid
+    * by construction — see the Route scaladoc), so results are
+    * identical; only the expression size grows with very deep
+    * frontiers.
+    *
+    * With `fractional = true` (null attribute values under
+    * missing-mode "fractional"), a flat rid cannot express membership
+    * — a null-valued row belongs to EVERY child of its rule's split
+    * with fractional weight — so the fused fit instead maintains ONE
+    * `__fit`-tagged weighted routed base across levels, exactly the
+    * sequential fit's RouteX broadcast-join fan-out but with the fit
+    * tag riding in the join key: level 0 fans `stamped` out to the
+    * (k-1) fits each row trains (the same explode volume the flat
+    * path pays), each later level joins the previous base against the
+    * union of all fits' routing edges, and the per-level histogram is
+    * one weighted `groupBy(fit, rid, aid, val, cls)` over that base.
+    * Decisions stay bit-identical to k sequential fractional fits: the
+    * weight expression, micro rounding, and driver math are shared
+    * code, and integer weight sums are order-independent under any
+    * partitioning. This replaces the former fallback of k sequential
+    * fits (k scans of base per level) for null-bearing corpora.
     *
     * Contract: `stamped` is persisted by the caller and contains
     * `foldCol` (int in [0, k)) + the schema's attributes + class
@@ -1251,7 +1266,8 @@ object C45 {
     * batched gating job runs here. */
   private[fit] def fitFolds(stamped: DataFrame, foldCol: String, k: Int,
       schema: C45Schema, params: C45Params,
-      approxDistinct: Option[Map[(Int, String), Long]] = None): Seq[C45Model] = {
+      approxDistinct: Option[Map[(Int, String), Long]] = None,
+      fractional: Boolean = false): Seq[C45Model] = {
     val names = schema.attrNames
     val clsCol = schema.classCol
     val catAttrs = schema.categoricalAttrs
@@ -1324,16 +1340,21 @@ object C45 {
       var closedMass: Vector[Long] = Vector.empty
       var closedDist: Vector[Map[String, Long]] = Vector.empty
       var globalMajority: Option[String] = None
+      var routesX: Seq[RouteX] = Nil
     }
     val state = Array.fill(k)(new FState)
+    val W1 = 1000000L
+    val unit = if (fractional) 1e6 else 1.0
     var level = 0
+    // fractional routing state, mirroring fit's: the previous level's
+    // fused routed base and the persisted handles to sweep on failure
+    var prevBase: DataFrame = null
+    var prevPersisted: Option[DataFrame] = None
+    val routedPersists = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
     while (state.exists(_.open.nonEmpty) && level <= params.maxDepth) {
       val tLevel0 = System.nanoTime()
       val active = fits.filter(f => state(f).open.nonEmpty)
-      val ridPairs: Seq[Column] = active.flatMap { f =>
-        Seq(lit(f), when(col(foldCol) === f, lit(-1))
-          .otherwise(flatRidColumn(state(f).open, names)))
-      }
       val attrMaps: Seq[(Int, Column)] = active.map { f =>
         val deadAids = state(f).open.map(_.usedAttrs).reduce(_ intersect _)
         val liveCat = catAttrs.filterNot(a => deadAids(schema.attrIndex(a.name)))
@@ -1351,17 +1372,120 @@ object C45 {
           when(col("__fit") === attrMaps.head._1, attrMaps.head._2)) {
           case (acc, (f, m)) => acc.when(col("__fit") === f, m)
         }
-      val cellRows = stamped
-        .withColumn("__cls", col(clsCol).cast("string"))
-        .select(col("__cls") +: names.map(col) :+
-          explode(map(ridPairs: _*)).as(Seq("__fit", "__rid")): _*)
-        .filter(col("__rid") >= 0)
-        .select(col("__fit"), col("__rid"), col("__cls").as("cls"),
-          explode(mapByFit).as(Seq("aid", "val")))
-        .filter(col("val").isNotNull)
-        .groupBy("__fit", "__rid", "aid", "val", "cls")
-        .agg(sum(lit(1L)).as("cnt"))
-        .collect()
+      val cellRows =
+        if (!fractional) {
+          val ridPairs: Seq[Column] = active.flatMap { f =>
+            Seq(lit(f), when(col(foldCol) === f, lit(-1))
+              .otherwise(flatRidColumn(state(f).open, names)))
+          }
+          stamped
+            .withColumn("__cls", col(clsCol).cast("string"))
+            .select(col("__cls") +: names.map(col) :+
+              explode(map(ridPairs: _*)).as(Seq("__fit", "__rid")): _*)
+            .filter(col("__rid") >= 0)
+            .select(col("__fit"), col("__rid"), col("__cls").as("cls"),
+              explode(mapByFit).as(Seq("aid", "val")))
+            .filter(col("val").isNotNull)
+            .groupBy("__fit", "__rid", "aid", "val", "cls")
+            .agg(sum(lit(1L)).as("cnt"))
+            .collect()
+        } else {
+          val spark = stamped.sparkSession
+          import spark.implicits._
+          val base =
+            if (level == 0) {
+              // fan each row out to the (k-1) fits it trains, at full
+              // weight and root rid — all fits are active at level 0
+              stamped
+                .withColumn("__cls", col(clsCol).cast("string"))
+                .withColumn("__fit",
+                  explode(array(fits.map(f => lit(f)): _*)))
+                .filter(col(foldCol) =!= col("__fit"))
+                .withColumn("__rid", flatRidColumn(Vector(Rule.root), names))
+                .filter(col("__rid") >= 0)
+                .withColumn("__w", lit(W1))
+                .select(col("__fit") +: col("__rid") +: col("__w") +:
+                  col("__cls") +: names.map(col): _*)
+            } else {
+              // one broadcast join against the union of every active
+              // fit's routing edges — the sequential fit's fractional
+              // fan-out with the fit tag riding in the join key. A fit
+              // that finished contributes no edges, so its rows drop
+              // out of the base here.
+              val xr = active.flatMap(f => state(f).routesX.map(x =>
+                (f, x.prid, x.kind, x.aid, x.boundary, x.side, x.catval,
+                  x.crid, x.frac)))
+              val routeDf = xr.toDF("__pfit", "__prid", "__kind", "__aid",
+                "__boundary", "__side", "__catval", "__crid", "__frac")
+              val routeAids = xr.map(_._4).toSet
+              val routeNum = numAttrs.filter(a => routeAids(schema.attrIndex(a.name)))
+              val routeCat = catAttrs.filter(a => routeAids(schema.attrIndex(a.name)))
+              val fracW = floor(col("__w") * col("__frac") + lit(0.5)).cast("long")
+              val numBranch =
+                if (routeNum.isEmpty) None
+                else {
+                  val numvCol = map(routeNum.flatMap(a =>
+                    Seq(lit(schema.attrIndex(a.name)), col(a.name).cast("double"))): _*)
+                  val v = element_at(numvCol, col("__aid"))
+                  Some(when(col("__kind") === "num",
+                    when(col("__side") === "le" && v <= col("__boundary"), col("__w"))
+                      .when(col("__side") === "gt" && v > col("__boundary"), col("__w"))
+                      .when(v.isNull, fracW)))
+                }
+              val catBranchOf: Column => Column = prev => {
+                val catvCol = map(routeCat.flatMap(a =>
+                  Seq(lit(schema.attrIndex(a.name)), col(a.name).cast("string"))): _*)
+                val cv = element_at(catvCol, col("__aid"))
+                val hit = when(cv === col("__catval"), col("__w"))
+                  .when(cv.isNull, fracW)
+                if (prev == null) when(col("__kind") === "cat", hit)
+                else prev.when(col("__kind") === "cat", hit)
+              }
+              val newW = (numBranch, routeCat.isEmpty) match {
+                case (Some(nb), true)  => nb
+                case (Some(nb), false) => catBranchOf(nb)
+                case (None, false)     => catBranchOf(null)
+                case (None, true)      => lit(null)
+              }
+              // attrs used on every open path of EVERY active fit leave
+              // the fused cache (each fit's histogram map already skips
+              // its own dead attrs)
+              val deadAll = active.map(f =>
+                state(f).open.map(_.usedAttrs).reduce(_ intersect _))
+                .reduce(_ intersect _)
+              prevBase
+                .join(broadcast(routeDf),
+                  prevBase("__fit") === routeDf("__pfit") &&
+                    prevBase("__rid") === routeDf("__prid"))
+                .withColumn("__wN", newW)
+                .filter(col("__wN").isNotNull && col("__wN") > 0)
+                .drop("__rid", "__w", "__pfit", "__prid", "__kind", "__aid",
+                  "__boundary", "__side", "__catval", "__frac")
+                .withColumnRenamed("__crid", "__rid")
+                .withColumnRenamed("__wN", "__w")
+                .drop(names.filter(n => deadAll(schema.attrIndex(n))): _*)
+            }
+          // level 0 reads through the caller's stamped cache (the fan-
+          // out recompute is one explode over that cache — same policy
+          // as fit's unpersisted flat level); join-routed levels persist
+          // for the NEXT level's route join, freed once it materializes
+          val based =
+            if (level >= 1 && level < params.maxDepth) {
+              val p = persistUncompressed(base); routedPersists += p; p
+            } else base
+          val rows = based
+            .select(col("__fit"), col("__rid"), col("__cls").as("cls"),
+              col("__w"), explode(mapByFit).as(Seq("aid", "val")))
+            .filter(col("val").isNotNull)
+            .groupBy("__fit", "__rid", "aid", "val", "cls")
+            .agg(sum(col("__w")).as("cnt"))
+            .collect()
+          prevPersisted.foreach(_.unpersist())
+          prevPersisted =
+            if (level >= 1 && level < params.maxDepth) Some(based) else None
+          prevBase = based
+          rows
+        }
       if (profile) {
         val t = (System.nanoTime() - tLevel0) / 1e9
         println(f"[fitFolds] level=$level fits=${active.size} " +
@@ -1375,16 +1499,18 @@ object C45 {
               r.getLong(5)))
         val s = state(f)
         val st = levelStats(cells, schema, classLabelsByFit(f),
-          fractional = false, unit = 1.0, params)
+          fractional, unit, params)
         val d = decideLevel(s.open, level, st, schema, params,
-          classLabelsByFit(f), fractional = false, unit = 1.0, s.globalMajority)
+          classLabelsByFit(f), fractional, unit, s.globalMajority)
         d.closedAdd.foreach { case (r, m, dd) =>
           s.closed :+= r; s.closedMass :+= m; s.closedDist :+= dd }
         s.globalMajority = d.globalMajority
         s.open = d.nextOpen
+        s.routesX = d.routesX
       }
       level += 1
     }
+    } finally routedPersists.foreach(_.unpersist())
     fits.map { f =>
       val s = state(f)
       val labels = classLabelsByFit(f)

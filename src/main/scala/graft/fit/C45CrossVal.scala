@@ -25,10 +25,11 @@ import org.apache.spark.sql.functions._
   * (`transform` is a flat CASE WHEN per model; the per-fold hit
   * counters share a single scan). Total cost ≈ 1 fit-shaped job per
   * level + 1 eval scan; the collect stays O(k × model). Corpora with
-  * null attribute values under fractional missing-mode fall back to
-  * the sequential k × fit loop (fractional fan-out needs per-fit row
-  * weights). Counts are exact longs, so the result is bit-stable at
-  * every tier. */
+  * null attribute values under fractional missing-mode take the same
+  * fused path with per-fit row weights (a `__fit`-tagged replay of the
+  * fit's own RouteX fan-out — see [[C45.fitFolds]]); decisions are
+  * bit-identical to k sequential fractional fits. Counts are exact
+  * longs, so the result is bit-stable at every tier. */
 object C45CrossVal {
 
   case class FoldResult(fold: Int, nTest: Long, nCorrect: Long)
@@ -60,9 +61,9 @@ object C45CrossVal {
       r
     }
     try {
-      // one up-front probe decides the path (mirrors C45.fit's own):
+      // one up-front probe decides the mode (mirrors C45.fit's own):
       // non-null labels are required either way; null ATTRIBUTE values
-      // + fractional mode need per-fit row weights → sequential fits
+      // + fractional mode engage fitFolds' weighted routed-base path
       // the cache-building scan carries EVERYTHING the path decision
       // and the fused fit's binning gate need: null counters plus the
       // per-(fold-exclusion, numeric attr) approx-distinct sketches
@@ -90,10 +91,7 @@ object C45CrossVal {
         else Some((for { f <- 0 until k; a <- numAttrs } yield
           (f, a.name) -> nullProbe.getAs[Long](s"dc_${f}_${a.name}")).toMap)
       val models: Seq[C45Model] = tick("fits")(
-        if (fractional)
-          (0 until k).map(f =>
-            C45.fit(stamped.filter(col("__fold") =!= f), schema, params))
-        else C45.fitFolds(stamped, "__fold", k, schema, params, dc))
+        C45.fitFolds(stamped, "__fold", k, schema, params, dc, fractional))
       // fused evaluation: k prediction columns (each a map-only CASE
       // WHEN / broadcast level-walk), ONE aggregation over the cache
       // with per-fold filtered counters — identical counts to scoring

@@ -49,6 +49,41 @@ class CrossValSpec extends AnyFunSuite {
     assert(a.map(_.nTest) != c.map(_.nTest), "different salt, different folds")
   }
 
+  test("fractional-missing crossval is fused: fold models ≡ sequential per-fold fits") {
+    // plant attribute nulls so missingMode="fractional" engages, then
+    // compare the fused fitFolds models against k independent C45.fit
+    // calls on the same filtered subsets — rules, labels, masses, and
+    // leaf distributions must be bit-identical (shared driver math,
+    // shared weight expressions, order-independent integer sums)
+    val key = concat_ws("|", col("l_orderkey"), col("l_linenumber"))
+    val df = noisyLineitem("/root/testdata/sf0.001")
+      .withColumn("l_discount",
+        when(graft.functions.Hashing.hash60(key, 3) % 7 === 0, lit(null))
+          .otherwise(col("l_discount")))
+    val k = 3
+    val params = C45Params(maxDepth = 3)
+    val fold = (graft.functions.Hashing.hash60(key, 7) % k).cast("int")
+    val stamped = df.withColumn("__fold", fold)
+      .select(("__fold" +: schema.attrNames :+ "cls").map(col): _*)
+      .persist()
+    try {
+      val fused = C45.fitFolds(stamped, "__fold", k, schema, params,
+        fractional = true)
+      val seq = (0 until k).map(f =>
+        C45.fit(stamped.filter(col("__fold") =!= f), schema, params))
+      fused.zip(seq).zipWithIndex.foreach { case ((a, b), f) =>
+        assert(a.leaves == b.leaves, s"fold $f rules")
+        assert(a.leafMass == b.leafMass, s"fold $f masses")
+        assert(a.leafDist == b.leafDist, s"fold $f distributions")
+        assert(a.majority == b.majority, s"fold $f majority")
+      }
+      // and the end-to-end crossValidate on the null-bearing corpus
+      // still partitions the data exactly
+      val folds = C45CrossVal.crossValidate(df, schema, params, key, k, salt = 7)
+      assert(folds.map(_.nTest).sum == df.count())
+    } finally stamped.unpersist()
+  }
+
   test("crossval golden: sf0.01 committed counts reproduce") {
     val got = graft.queries.C45Queries.qCrossVal(spark, "/root/testdata/sf0.01")
       .collect().map(r => s"${r.getInt(0)},${r.getLong(1)},${r.getLong(2)}").toVector
