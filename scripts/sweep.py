@@ -55,6 +55,10 @@ CV_GOLDENS = {  # crossval query -> tier marker -> committed counts csv
         "sf0.1": "src/test/resources/golden/crossval_sf01.txt",
         "sf1": "src/test/resources/golden/crossval_sf1.txt",
     },
+    "q_crossval_missing": {
+        "sf0.1": "src/test/resources/golden/crossval_missing_sf01.txt",
+        "sf1": "src/test/resources/golden/crossval_missing_sf1.txt",
+    },
 }
 IMP_GOLDENS = {  # importance query -> tier marker -> committed micros csv
     "q_feature_importance": {

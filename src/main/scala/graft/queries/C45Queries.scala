@@ -864,6 +864,36 @@ object C45Queries {
   }
   val qCrossValSql: String = goldenCountsSql("golden/crossval_sf001.txt")
 
+  // ---- O4 + evaluation under missing values: the same k-fold
+  //      cross-validation with nulls planted on the STRUCTURAL
+  //      attribute (l_quantity, 1 row in 7 at a third salt), so the
+  //      fractional missing-mode machinery engages inside the fused
+  //      fold fit — every fold's tree grows through weighted RouteX
+  //      fan-outs and scoring uses the fractional-weight vote. Counts
+  //      stay exact longs (micro weights round deterministically), so
+  //      the per-fold golden pins the fused path end to end. ----
+  def qCrossValMissing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = C45Schema(
+      Seq(AttrMeta("l_returnflag", isNumeric = false),
+        AttrMeta("l_quantity", isNumeric = true),
+        AttrMeta("l_discount", isNumeric = true)),
+      "cls", Seq("N", "P"))
+    val key = concat_ws("|", col("l_orderkey"), col("l_linenumber"))
+    val noisy = graft.functions.Hashing.hash60(key) % 10 === 0
+    val base = (col("l_returnflag") === "A") === (col("l_quantity") <= lit(25.0))
+    val df = li(s, dir).withColumn("cls",
+      when(base =!= noisy, lit("P")).otherwise(lit("N")))
+      .withColumn("l_quantity",
+        when(graft.functions.Hashing.hash60(key, 3) % 7 === 0, lit(null))
+          .otherwise(col("l_quantity")))
+    graft.fit.C45CrossVal
+      .crossValidate(df, schema, C45Params(maxDepth = 2), key, k = 3, salt = 7)
+      .toDF("fold", "n_test", "n_correct").orderBy("fold")
+  }
+  val qCrossValMissingSql: String =
+    goldenCountsSql("golden/crossval_missing_sf001.txt")
+
   // ---- O4 + model introspection: gain-based feature importance —
   //      Σ over chosen splits of (node rows × information gain), per
   //      attribute, from the fit's own driver-side selection pass
@@ -1070,6 +1100,7 @@ object C45Queries {
     "q_fit_pruned" -> (qFitPruned _),
     "q_rule_simplify" -> (qRuleSimplify _),
     "q_crossval" -> (qCrossVal _),
+    "q_crossval_missing" -> (qCrossValMissing _),
     "q_feature_importance" -> (qFeatureImportance _),
     "q_attr_meta" -> (qAttrMeta _),
     "q_rule_codec" -> (qRuleCodec _),
@@ -1109,6 +1140,7 @@ object C45Queries {
     "q_fit_pruned" -> qFitPrunedSql,
     "q_rule_simplify" -> qRuleSimplifySql,
     "q_crossval" -> qCrossValSql,
+    "q_crossval_missing" -> qCrossValMissingSql,
     "q_feature_importance" -> qFeatureImportanceSql,
     "q_attr_meta" -> qAttrMetaSql,
     "q_rule_codec" -> qRuleCodecSql,

@@ -26,6 +26,9 @@ object DumpRules {
     if (args.length > 1 && args(1) == "crossval")
       graft.queries.C45Queries.qCrossVal(spark, sfDir).collect()
         .foreach(r => println("CV|" + r.getInt(0) + "," + r.getLong(1) + "," + r.getLong(2)))
+    else if (args.length > 1 && args(1) == "crossval_missing")
+      graft.queries.C45Queries.qCrossValMissing(spark, sfDir).collect()
+        .foreach(r => println("CV|" + r.getInt(0) + "," + r.getLong(1) + "," + r.getLong(2)))
     else if (args.length > 1 && args(1) == "importance")
       graft.queries.C45Queries.qFeatureImportance(spark, sfDir).collect()
         .foreach(r => println("IMP|" + r.getString(0) + "," + r.getLong(1)))
