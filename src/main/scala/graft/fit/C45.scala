@@ -1372,13 +1372,67 @@ object C45 {
           when(col("__fit") === attrMaps.head._1, attrMaps.head._2)) {
           case (acc, (f, m)) => acc.when(col("__fit") === f, m)
         }
-      val cellRows =
-        if (!fractional) {
+      def groupRows(rows: Array[org.apache.spark.sql.Row]):
+          Map[Int, Array[(Int, Int, String, String, Long)]] =
+        rows.groupBy(_.getInt(0)).view.mapValues(_.map(r =>
+          (r.getInt(1), r.getInt(2), r.getString(3), r.getString(4),
+            r.getLong(5)))).toMap
+      // the level-0 fan-out base, shared below: one row per (row, fit)
+      // edge for the (k-1) fits each row trains, at full weight and
+      // root rid. Lazy — only the paths that scan or chain off it pay.
+      def rootFanout: DataFrame = stamped
+        .withColumn("__cls", col(clsCol).cast("string"))
+        .withColumn("__fit",
+          explode(array(fits.map(f => lit(f)): _*)))
+        .filter(col(foldCol) =!= col("__fit"))
+        .withColumn("__rid", flatRidColumn(Vector(Rule.root), names))
+        .filter(col("__rid") >= 0)
+        .withColumn("__w", lit(W1))
+        .select(col("__fit") +: col("__rid") +: col("__w") +:
+          col("__cls") +: names.map(col): _*)
+      // level-0 shortcut shared by both paths: at the root every fit
+      // holds rid 0 at full weight, and with no per-fit quantile
+      // binning every fit's attr map is identical — so each fit's
+      // cells are a driver-side composition of ONE per-fold marginal
+      // (cells(f) = Σ over folds ≠ f of byFold(fold, ·)) and the
+      // (k-1)-way row fan-out never runs for the histogram: the
+      // corpus-sized level aggregates k× less exploded volume. Exact
+      // long sums — bit-identical cells to the fan-out aggregation.
+      val marginal0 = level == 0 && binEdgesByFit.values.forall(_.isEmpty)
+      val cellsByFit: Map[Int, Array[(Int, Int, String, String, Long)]] =
+        if (marginal0) {
+          // level 1's route join (fractional) chains off the fan-out —
+          // expose it lazily; nothing materializes it this level
+          if (fractional) prevBase = rootFanout
+          val pairs: Seq[Column] = Seq(lit(-1), col("__cls")) ++
+            catAttrs.flatMap(a =>
+              Seq(lit(schema.attrIndex(a.name)), col(a.name).cast("string"))) ++
+            numAttrs.flatMap(a => Seq(lit(schema.attrIndex(a.name)),
+              col(a.name).cast("double").cast("string")))
+          val byFold = stamped
+            .withColumn("__cls", col(clsCol).cast("string"))
+            .select(col(foldCol).as("__fold"), col("__cls").as("cls"),
+              explode(map(pairs: _*)).as(Seq("aid", "val")))
+            .filter(col("val").isNotNull)
+            .groupBy("__fold", "aid", "val", "cls")
+            .agg(sum(lit(1L)).as("cnt"))
+            .collect()
+            .map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+              r.getString(3), r.getLong(4)))
+          val w0 = if (fractional) W1 else 1L
+          active.map { f =>
+            f -> byFold.iterator.filter(_._1 != f).toSeq
+              .groupBy(t => (t._2, t._3, t._4))
+              .map { case ((aid, v, c), g) =>
+                (0, aid, v, c, g.map(_._5).sum * w0) }
+              .toArray
+          }.toMap
+        } else if (!fractional) {
           val ridPairs: Seq[Column] = active.flatMap { f =>
             Seq(lit(f), when(col(foldCol) === f, lit(-1))
               .otherwise(flatRidColumn(state(f).open, names)))
           }
-          stamped
+          groupRows(stamped
             .withColumn("__cls", col(clsCol).cast("string"))
             .select(col("__cls") +: names.map(col) :+
               explode(map(ridPairs: _*)).as(Seq("__fit", "__rid")): _*)
@@ -1388,25 +1442,13 @@ object C45 {
             .filter(col("val").isNotNull)
             .groupBy("__fit", "__rid", "aid", "val", "cls")
             .agg(sum(lit(1L)).as("cnt"))
-            .collect()
+            .collect())
         } else {
           val spark = stamped.sparkSession
           import spark.implicits._
           val base =
-            if (level == 0) {
-              // fan each row out to the (k-1) fits it trains, at full
-              // weight and root rid — all fits are active at level 0
-              stamped
-                .withColumn("__cls", col(clsCol).cast("string"))
-                .withColumn("__fit",
-                  explode(array(fits.map(f => lit(f)): _*)))
-                .filter(col(foldCol) =!= col("__fit"))
-                .withColumn("__rid", flatRidColumn(Vector(Rule.root), names))
-                .filter(col("__rid") >= 0)
-                .withColumn("__w", lit(W1))
-                .select(col("__fit") +: col("__rid") +: col("__w") +:
-                  col("__cls") +: names.map(col): _*)
-            } else {
+            if (level == 0) rootFanout
+            else {
               // one broadcast join against the union of every active
               // fit's routing edges — the sequential fit's fractional
               // fan-out with the fit tag riding in the join key. A fit
@@ -1484,19 +1526,16 @@ object C45 {
           prevPersisted =
             if (level >= 1 && level < params.maxDepth) Some(based) else None
           prevBase = based
-          rows
+          groupRows(rows)
         }
       if (profile) {
         val t = (System.nanoTime() - tLevel0) / 1e9
         println(f"[fitFolds] level=$level fits=${active.size} " +
-          f"cells=${cellRows.length} hist=$t%.2fs")
+          f"cells=${cellsByFit.values.map(_.length).sum} hist=$t%.2fs")
       }
-      val byFit = cellRows.groupBy(_.getInt(0))
       active.foreach { f =>
         val cells: Array[(Int, Int, String, String, Long)] =
-          byFit.getOrElse(f, Array.empty[org.apache.spark.sql.Row]).map(r =>
-            (r.getInt(1), r.getInt(2), r.getString(3), r.getString(4),
-              r.getLong(5)))
+          cellsByFit.getOrElse(f, Array.empty)
         val s = state(f)
         val st = levelStats(cells, schema, classLabelsByFit(f),
           fractional, unit, params)
