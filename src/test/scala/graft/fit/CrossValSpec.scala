@@ -84,6 +84,60 @@ class CrossValSpec extends AnyFunSuite {
     } finally stamped.unpersist()
   }
 
+  test("fused fractional fold fit runs ONE corpus job per tree level") {
+    // the SCALE.md claim behind the round-16 fusion: ALL k fold fits
+    // grow from one histogram job per level (plus nothing else when
+    // labels are declared and binning is off) — count Spark jobs with
+    // a listener while fitting 3 folds of a planted-null corpus
+    val key = concat_ws("|", col("l_orderkey"), col("l_linenumber"))
+    val df = noisyLineitem("/root/testdata/sf0.001")
+      .withColumn("l_quantity",
+        when(graft.functions.Hashing.hash60(key, 3) % 7 === 0, lit(null))
+          .otherwise(col("l_quantity")))
+    val fold = (graft.functions.Hashing.hash60(key, 7) % 3).cast("int")
+    val stamped = df.withColumn("__fold", fold)
+      .select(("__fold" +: schema.attrNames :+ "cls").map(col): _*)
+      .persist()
+    try {
+      stamped.count() // materialize the cache outside the counted window
+      val corpusJobs = new java.util.concurrent.atomic.AtomicInteger
+      val otherJobs = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          // histogram collects are the only actions fitFolds takes on
+          // corpus-sized data; the remaining jobs are the broadcast
+          // builds of the O(model) route tables (one task, no corpus)
+          if (s.stageInfos.exists(_.name.contains("collect at C45.scala")))
+            corpusJobs.incrementAndGet()
+          else otherJobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      // AQE decomposes one logical query into a job per materialized
+      // stage — pin the job count with it off so "job" = one query
+      val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val models = C45.fitFolds(stamped, "__fold", 3, schema,
+          C45Params(maxDepth = 2, maxBins = 0), fractional = true)
+        // listener events are posted asynchronously; fitFolds is fully
+        // eager, so a short settle is enough for the JobStart events
+        Thread.sleep(500)
+        assert(models.size == 3)
+        // levels 0..2 = 3 histogram collects shared by ALL 3 fits; the
+        // only other jobs are the 2 route-table broadcast builds
+        // (levels 1 and 2), each a single local-table task
+        assert(corpusJobs.get == 3,
+          s"expected one corpus job per level (3), saw ${corpusJobs.get}")
+        assert(otherJobs.get <= 2,
+          s"expected at most 2 O(model) broadcast jobs, saw ${otherJobs.get}")
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.sparkContext.removeSparkListener(l)
+      }
+    } finally stamped.unpersist()
+  }
+
   test("crossval golden: sf0.01 committed counts reproduce") {
     val got = graft.queries.C45Queries.qCrossVal(spark, "/root/testdata/sf0.01")
       .collect().map(r => s"${r.getInt(0)},${r.getLong(1)},${r.getLong(2)}").toVector
