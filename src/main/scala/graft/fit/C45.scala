@@ -595,6 +595,47 @@ object C45 {
     }.otherwise(lit(-1))
   }
 
+  /** The fractional route-weight expression over a RouteX join's
+    * output columns (__w, __frac, __kind, __aid, __boundary, __side,
+    * __catval, plus the row's live attribute values): full weight
+    * where the value selects this child, frac-rounded micros on EVERY
+    * child where the value is NULL, null (row leaves) otherwise. ONE
+    * builder shared by [[fit]]'s sequential fan-out and [[fitFolds]]'
+    * fused fold fan-out, so the rounding/branch semantics can never
+    * diverge between the two paths whose bit-identity CrossValSpec
+    * pins. Rounding to whole micros keeps downstream sums exact
+    * integers; a weight rounding to 0 is dropped by the caller. */
+  private def routeXWeight(routeNum: Seq[graft.meta.AttrMeta],
+      routeCat: Seq[graft.meta.AttrMeta], schema: C45Schema): Column = {
+    val fracW = floor(col("__w") * col("__frac") + lit(0.5)).cast("long")
+    val numBranch =
+      if (routeNum.isEmpty) None
+      else {
+        val numvCol = map(routeNum.flatMap(a =>
+          Seq(lit(schema.attrIndex(a.name)), col(a.name).cast("double"))): _*)
+        val v = element_at(numvCol, col("__aid"))
+        Some(when(col("__kind") === "num",
+          when(col("__side") === "le" && v <= col("__boundary"), col("__w"))
+            .when(col("__side") === "gt" && v > col("__boundary"), col("__w"))
+            .when(v.isNull, fracW)))
+      }
+    val catBranchOf: Column => Column = prev => {
+      val catvCol = map(routeCat.flatMap(a =>
+        Seq(lit(schema.attrIndex(a.name)), col(a.name).cast("string"))): _*)
+      val cv = element_at(catvCol, col("__aid"))
+      val hit = when(cv === col("__catval"), col("__w"))
+        .when(cv.isNull, fracW)
+      if (prev == null) when(col("__kind") === "cat", hit)
+      else prev.when(col("__kind") === "cat", hit)
+    }
+    (numBranch, routeCat.isEmpty) match {
+      case (Some(nb), true)  => nb
+      case (Some(nb), false) => catBranchOf(nb)
+      case (None, false)     => catBranchOf(null)
+      case (None, true)      => lit(null)
+    }
+  }
+
   /** Driver-side split stats on the collected cells — the same
     * factored identities as InfoStats (A4-A7 and the O2 boundary
     * scan), summed in sorted (value, class) order so the floating-
@@ -1020,40 +1061,13 @@ object C45 {
           val routeNum = numAttrs.filter(a => routeAids(schema.attrIndex(a.name)))
           val routeCat = catAttrs.filter(a => routeAids(schema.attrIndex(a.name)))
           // fan every parent row out to its children (broadcast hash
-          // join on prid, one row per edge) and weight each branch:
-          // full weight where the value selects this child, frac-scaled
-          // weight on EVERY child where the value is null, nothing
-          // otherwise. Rounding to whole micros keeps downstream sums
-          // exact integers; a weight rounding to 0 is dropped outright.
-          val fracW = floor(col("__w") * col("__frac") + lit(0.5)).cast("long")
-          val numBranch =
-            if (routeNum.isEmpty) None
-            else {
-              val numvCol = map(routeNum.flatMap(a =>
-                Seq(lit(schema.attrIndex(a.name)), col(a.name).cast("double"))): _*)
-              val v = element_at(numvCol, col("__aid"))
-              Some(when(col("__kind") === "num",
-                when(col("__side") === "le" && v <= col("__boundary"), col("__w"))
-                  .when(col("__side") === "gt" && v > col("__boundary"), col("__w"))
-                  .when(v.isNull, fracW)))
-            }
-          val catBranchOf: Column => Column = prev => {
-            val catvCol = map(attrPairs(routeCat, "string"): _*)
-            val cv = element_at(catvCol, col("__aid"))
-            val hit = when(cv === col("__catval"), col("__w"))
-              .when(cv.isNull, fracW)
-            if (prev == null) when(col("__kind") === "cat", hit)
-            else prev.when(col("__kind") === "cat", hit)
-          }
-          val newW = (numBranch, routeCat.isEmpty) match {
-            case (Some(nb), true)  => nb
-            case (Some(nb), false) => catBranchOf(nb)
-            case (None, false)     => catBranchOf(null)
-            case (None, true)      => lit(null)
-          }
+          // join on prid, one row per edge) and weight each branch via
+          // the shared routeXWeight expression: full weight where the
+          // value selects this child, frac-scaled weight on EVERY
+          // child where the value is null, nothing otherwise.
           val routed = prevBase
             .join(broadcast(routeDf), prevBase("__rid") === routeDf("__prid"))
-            .withColumn("__wN", newW)
+            .withColumn("__wN", routeXWeight(routeNum, routeCat, schema))
             .filter(col("__wN").isNotNull && col("__wN") > 0)
             .drop("__rid", "__w", "__prid", "__kind", "__aid", "__boundary",
               "__side", "__catval", "__frac")
@@ -1462,33 +1476,6 @@ object C45 {
               val routeAids = xr.map(_._4).toSet
               val routeNum = numAttrs.filter(a => routeAids(schema.attrIndex(a.name)))
               val routeCat = catAttrs.filter(a => routeAids(schema.attrIndex(a.name)))
-              val fracW = floor(col("__w") * col("__frac") + lit(0.5)).cast("long")
-              val numBranch =
-                if (routeNum.isEmpty) None
-                else {
-                  val numvCol = map(routeNum.flatMap(a =>
-                    Seq(lit(schema.attrIndex(a.name)), col(a.name).cast("double"))): _*)
-                  val v = element_at(numvCol, col("__aid"))
-                  Some(when(col("__kind") === "num",
-                    when(col("__side") === "le" && v <= col("__boundary"), col("__w"))
-                      .when(col("__side") === "gt" && v > col("__boundary"), col("__w"))
-                      .when(v.isNull, fracW)))
-                }
-              val catBranchOf: Column => Column = prev => {
-                val catvCol = map(routeCat.flatMap(a =>
-                  Seq(lit(schema.attrIndex(a.name)), col(a.name).cast("string"))): _*)
-                val cv = element_at(catvCol, col("__aid"))
-                val hit = when(cv === col("__catval"), col("__w"))
-                  .when(cv.isNull, fracW)
-                if (prev == null) when(col("__kind") === "cat", hit)
-                else prev.when(col("__kind") === "cat", hit)
-              }
-              val newW = (numBranch, routeCat.isEmpty) match {
-                case (Some(nb), true)  => nb
-                case (Some(nb), false) => catBranchOf(nb)
-                case (None, false)     => catBranchOf(null)
-                case (None, true)      => lit(null)
-              }
               // attrs used on every open path of EVERY active fit leave
               // the fused cache (each fit's histogram map already skips
               // its own dead attrs)
@@ -1499,7 +1486,7 @@ object C45 {
                 .join(broadcast(routeDf),
                   prevBase("__fit") === routeDf("__pfit") &&
                     prevBase("__rid") === routeDf("__prid"))
-                .withColumn("__wN", newW)
+                .withColumn("__wN", routeXWeight(routeNum, routeCat, schema))
                 .filter(col("__wN").isNotNull && col("__wN") > 0)
                 .drop("__rid", "__w", "__pfit", "__prid", "__kind", "__aid",
                   "__boundary", "__side", "__catval", "__frac")

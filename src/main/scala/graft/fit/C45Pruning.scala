@@ -115,10 +115,9 @@ object C45Pruning {
           }
       }
     routed.getOrElse {
-      val rid = leaves.zipWithIndex.tail.foldLeft(
-        when(leaves.head.toPredicate(names), lit(0))) { case (acc, (r, i)) =>
-        acc.when(r.toPredicate(names), lit(i))
-      }.otherwise(lit(-1))
+      // the SAME flat routing expression the fit uses — shared so a
+      // change to rid assignment can never leave pruning behind
+      val rid = C45.flatRidColumn(leaves, names)
       df.select(rid.as("rid"), clsCol)
         .filter(col("rid") >= 0)
         .groupBy("rid", "cls").agg(count(lit(1)).as("n"))

@@ -157,7 +157,8 @@ object Dedup {
     * span (`n_dup_spans` counts the MERGED spans); the kept text is
     * the concatenation of the inter-span gaps in order. Documents
     * shorter than `window` (or with no duplicated window) pass through
-    * untouched with n_dup_spans = 0.
+    * untouched with n_dup_spans = 0; a NULL text stays NULL (with
+    * n_removed NULL — no length to subtract from).
     *
     * Scale shape: the two corpus passes of [[duplicateWindows]] —
     * windows carry ONLY (id, offset, md5), partial-agg doc-frequency
@@ -215,7 +216,11 @@ object Dedup {
     df.join(dupOffs, Seq(idCol), "left")
       .select(col(idCol), folded.as("__f"), length(t).as("__len"))
       .select(col(idCol),
-        col("__f.txt").as("clean_text"),
+        // a NULL text passes through as NULL (the fold's substr chain
+        // would otherwise collapse it to ""): length(NULL) is the only
+        // NULL __len, so it doubles as the marker
+        when(col("__len").isNull, lit(null).cast("string"))
+          .otherwise(col("__f.txt")).as("clean_text"),
         col("__f.n").as("n_dup_spans"),
         (col("__len") - length(col("__f.txt"))).cast("long").as("n_removed"))
   }

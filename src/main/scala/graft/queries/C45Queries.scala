@@ -869,9 +869,12 @@ object C45Queries {
   //      attribute (l_quantity, 1 row in 7 at a third salt), so the
   //      fractional missing-mode machinery engages inside the fused
   //      fold fit — every fold's tree grows through weighted RouteX
-  //      fan-outs and scoring uses the fractional-weight vote. Counts
+  //      fan-outs. Held-out scoring is C45Model.transform's flat
+  //      routing: a null on the path falls to the majority fallback
+  //      (the deterministic eval contract; the fractional-weight VOTE
+  //      is the separate predict surface, q_predict_missing). Counts
   //      stay exact longs (micro weights round deterministically), so
-  //      the per-fold golden pins the fused path end to end. ----
+  //      the per-fold golden pins the fused fit end to end. ----
   def qCrossValMissing(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val schema = C45Schema(

@@ -532,29 +532,37 @@ object ExtQueries {
     * cost, never content — the mine is pure md5 arithmetic, fully
     * deterministic. q_minhash_lsh itself stays on the live miner: it
     * is the query that MEASURES the mine. */
-  private val lshPairsMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, Array[(Long, Long, Double)]]()
   /** Memo bound: each entry is the verified pair array of one bounded
     * slice (≤ 1000 docs → at most a few thousand (long,long,double)
     * tuples ≈ 100 KB), but the map is keyed per data dir and a
     * long-lived driver cycling many corpora would otherwise grow it
-    * for the JVM's lifetime — cap the dir count and evict ONE entry
-    * when a new dir would exceed it (re-mining is correct, just
-    * slower; a full clear() here raced concurrent lookups and threw
-    * away every hot dir at once). */
+    * for the JVM's lifetime — a small access-order LRU keeps the HOT
+    * dirs and evicts the least-recently-read one past the cap, so
+    * round-robin cycling over cap+1 dirs cannot thrash the entry
+    * about to be reused (re-mining is correct either way, just
+    * slower). */
   private val LshMemoMaxDirs = 8
-  private def lshDupPairs(s: SparkSession, dir: String): DataFrame = {
-    if (lshPairsMemo.size >= LshMemoMaxDirs && !lshPairsMemo.containsKey(dir)) {
-      val it = lshPairsMemo.keys()
-      if (it.hasMoreElements) lshPairsMemo.remove(it.nextElement())
+  private val lshPairsMemo =
+    new java.util.LinkedHashMap[String, Array[(Long, Long, Double)]](
+      16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[(Long, Long, Double)]]): Boolean =
+        size() > LshMemoMaxDirs
     }
-    val rows = lshPairsMemo.computeIfAbsent(dir, _ =>
-      Dedup.minHashLshPairs(
+  private def lshDupPairs(s: SparkSession, dir: String): DataFrame = {
+    // mine OUTSIDE the lock (it runs Spark jobs); a racing duplicate
+    // mine is harmless — the content is deterministic by construction
+    val cached = lshPairsMemo.synchronized(Option(lshPairsMemo.get(dir)))
+    val rows = cached.getOrElse {
+      val mined = Dedup.minHashLshPairs(
           docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text",
           k = 16, rowsPerBand = 2, threshold = 0.5,
           maxShingleDf = ShingleDfCap)
         .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      lshPairsMemo.synchronized(lshPairsMemo.put(dir, mined))
+      mined
+    }
     import s.implicits._
     s.createDataset(rows.toIndexedSeq).toDF("i", "j", "jaccard")
   }

@@ -120,9 +120,12 @@ class CrossValSpec extends AnyFunSuite {
       try {
         val models = C45.fitFolds(stamped, "__fold", 3, schema,
           C45Params(maxDepth = 2, maxBins = 0), fractional = true)
-        // listener events are posted asynchronously; fitFolds is fully
-        // eager, so a short settle is enough for the JobStart events
-        Thread.sleep(500)
+        // listener events post asynchronously; poll (bounded) for the
+        // expected count rather than trusting a fixed sleep on a
+        // loaded box
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (corpusJobs.get + otherJobs.get < 5 &&
+            System.nanoTime() < deadline) Thread.sleep(50)
         assert(models.size == 3)
         // levels 0..2 = 3 histogram collects shared by ALL 3 fits; the
         // only other jobs are the 2 route-table broadcast builds

@@ -132,17 +132,20 @@ class ExtOpsSpec extends AnyFunSuite {
       (2L, "xxabcdyy"),   // xxab [abcd] cdyy → span [2,6) cut
       (3L, "zzz"),        // shorter than the window: untouched
       (4L, "abcdabcd"),   // abcd cdab abcd: offs 0 and 4 ADJACENT → ONE merged span
-      (5L, "pppppppp"))   // within-doc repetition only: untouched
+      (5L, "pppppppp"),   // within-doc repetition only: untouched
+      (6L, null))         // NULL text: stays NULL, never becomes ""
       .toDF("doc_id", "text")
     val got = Dedup.exciseDuplicateWindows(df, "doc_id", "text",
         window = 4, stride = 2)
       .collect().map(r => r.getLong(0) ->
-        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+        ((r.getString(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))))
+      .toMap
     assert(got(1L) == (("efgh", 1L, 4L)), "doc 1 loses its leading dup span")
     assert(got(2L) == (("xxyy", 1L, 4L)), "doc 2 keeps the flanks")
     assert(got(3L) == (("zzz", 0L, 0L)))
     assert(got(4L) == (("", 1L, 8L)), "adjacent dup windows merge to one span")
     assert(got(5L) == (("pppppppp", 0L, 0L)))
+    assert(got(6L) == ((null, 0L, -1L)), "NULL text passes through as NULL")
   }
 
   test("excise duplicate windows: overlapping windows merge; output is partitioning-independent") {
