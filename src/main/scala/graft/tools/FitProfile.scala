@@ -1,4 +1,4 @@
-package graft
+package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc single-query timing harness (dev tool): runs the named
@@ -19,7 +19,7 @@ object FitProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
-      val fn = SparkEntry.queries(name)
+      val fn = graft.SparkEntry.queries(name)
       fn(spark, sfDir).count() // warmup
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
