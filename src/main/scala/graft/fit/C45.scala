@@ -1266,10 +1266,16 @@ object C45 {
     * union of all fits' routing edges, and the per-level histogram is
     * one weighted `groupBy(fit, rid, aid, val, cls)` over that base.
     * Decisions stay bit-identical to k sequential fractional fits: the
-    * weight expression, micro rounding, and driver math are shared
-    * code, and integer weight sums are order-independent under any
-    * partitioning. This replaces the former fallback of k sequential
-    * fits (k scans of base per level) for null-bearing corpora.
+    * weight expression ([[routeXWeight]], shared with [[fit]]), micro
+    * rounding, and driver math are shared code, and integer weight
+    * sums are order-independent under any partitioning. This replaces
+    * the former fallback of k sequential fits (k scans of base per
+    * level) for null-bearing corpora. The trade is peak cache: each
+    * join-routed level persists a rows×(k-1) fused base where the
+    * sequential loop held rows×1 at a time (k times over) —
+    * MEMORY_AND_DISK spills rather than evicts, and at most one
+    * level's base is cached at once, so the footprint is bounded and
+    * the win is (k-1) fewer corpus scans per level.
     *
     * Contract: `stamped` is persisted by the caller and contains
     * `foldCol` (int in [0, k)) + the schema's attributes + class
