@@ -71,6 +71,12 @@ PROBA_GOLDENS = {  # q_predict_proba: distinct (prediction, micros) + counts
         "sf0.1": "src/test/resources/golden/proba_sf01.txt",
         "sf1": "src/test/resources/golden/proba_sf1.txt",
     },
+    # save -> load -> transformProba must be bit-identical to the live
+    # model at every tier, so it shares q_predict_proba's goldens
+    "q_model_roundtrip": {
+        "sf0.1": "src/test/resources/golden/proba_sf01.txt",
+        "sf1": "src/test/resources/golden/proba_sf1.txt",
+    },
 }
 
 

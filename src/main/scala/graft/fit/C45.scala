@@ -47,7 +47,18 @@ case class C45Params(minDataRatio: Double = InfoStats.DefaultMinDataRatio,
 /** A fitted C4.5 model: the leaf rule set (root-to-leaf conjunctions,
   * exactly the reference's printed deliverable, Main.java:128-131) plus
   * a majority-class fallback and a prediction phase the reference lacks
-  * (SURVEY.md §0). */
+  * (SURVEY.md §0).
+  *
+  * `leafMass`/`leafDist` are per-leaf training masses / class
+  * distributions in EXACT INTEGER MICROS in BOTH missing modes — a
+  * drop-mode fit records row counts × 10⁶, a fractional fit records
+  * the (deterministically rounded) fractional micro weights, and on a
+  * null-free corpus the two coincide exactly (every weight is exactly
+  * 10⁶). The scale is therefore mode-INdependent; absolute-mass
+  * consumers can divide by 10⁶ for row units (MassScaleSpec pins
+  * this, incl. through the fused fold fit). `leafMass(i) ==
+  * leafDist(i).values.sum` always; a maxDepth-exhausted leaf carries
+  * mass 0 and an empty distribution. */
 case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String,
                     leafMass: Vector[Long] = Vector.empty,
                     leafDist: Vector[Map[String, Long]] = Vector.empty) {
@@ -177,8 +188,10 @@ case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String,
     * one `<probPrefix><class>` micros column per class label, classes
     * sorted. Same two plans as transform: flat CASE WHEN to a leaf
     * index while the model is narrow, broadcast level-walk past
-    * `routeThreshold` leaves. Only fit-produced models carry the
-    * distributions (loaded/pruned/simplified ones do not). */
+    * `routeThreshold` leaves. Fit-produced, pruned, and
+    * sidecar-loaded ([[C45Model.load]]) models carry the
+    * distributions; rule-text-only loads and simplified rule sets do
+    * not. */
   def transformProba(df: DataFrame, outputCol: String = "prediction",
                      probPrefix: String = "p_",
                      routeThreshold: Int = 64): DataFrame = {
@@ -318,9 +331,11 @@ case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String,
     * with the weight fanning out exactly as the fit's fractional
     * routing does (weights ride as exact long micros so the per-row
     * per-class sums are order-independent), then ONE hash aggregation
-    * by row id and a join back to the input. Models not produced by a
-    * fit (loadRules, pruned/simplified rule sets) carry no masses and
-    * must use [[transform]]. */
+    * by row id and a join back to the input. Fit-produced, pruned
+    * (which keep the merged leaf distributions), and sidecar-loaded
+    * ([[C45Model.load]]) models carry the masses; rule-text-only
+    * loads and simplified rule sets do not and must use
+    * [[transform]]. */
   def transformFractional(df: DataFrame, outputCol: String = "prediction",
                           routeThreshold: Int = 64): DataFrame = {
     require(leafMass.size == leaves.size && leaves.nonEmpty,
@@ -364,8 +379,12 @@ case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String,
     val mass = prefixMass
     val wLeaf: Vector[Column] = leaves.map { r =>
       r.conditions.zipWithIndex.map { case ((aid, s), d) =>
-        val frac = mass(r.conditions.take(d + 1)).toDouble /
-          mass(r.conditions.take(d)).toDouble
+        // a zero-mass parent (possible only through zero-mass leaves,
+        // e.g. maxDepth-exhausted ones) contributes nothing: frac 0,
+        // never 0/0
+        val denom = mass(r.conditions.take(d)).toDouble
+        val frac =
+          if (denom > 0) mass(r.conditions.take(d + 1)) / denom else 0.0
         val a = col(names(aid))
         when(a.isNull, lit(frac))
           .otherwise(when(s.toPredicate(a), lit(1.0)).otherwise(lit(0.0)))
@@ -406,15 +425,18 @@ case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String,
       r.kind match {
         case "leaf" => Seq(PredEdge(r.prid, "leaf", -1, 0.0, "", "", r.prid, 1.0))
         case "num" =>
+          // zero-mass parents (see flatFractional): frac 0, never 0/0
           val pm = nidMass(r.prid).toDouble
+          def fr(c: Int) = if (pm > 0) nidMass(c) / pm else 0.0
           Seq(PredEdge(r.prid, "num", r.aid, r.boundary, "le", "", r.lrid,
-              nidMass(r.lrid) / pm),
+              fr(r.lrid)),
             PredEdge(r.prid, "num", r.aid, r.boundary, "gt", "", r.rrid,
-              nidMass(r.rrid) / pm))
+              fr(r.rrid)))
         case _ =>
           val pm = nidMass(r.prid).toDouble
           r.children.toSeq.sortBy(_._1).map { case (v, c) =>
-            PredEdge(r.prid, "cat", r.aid, 0.0, "", v, c, nidMass(c) / pm) }
+            PredEdge(r.prid, "cat", r.aid, 0.0, "", v, c,
+              if (pm > 0) nidMass(c) / pm else 0.0) }
       }
     })
     val names = schema.attrNames
@@ -486,11 +508,39 @@ case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String,
   def saveRules(path: String): Unit =
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
       (ruleStrings :+ s":$majority").mkString("\n"))
+
+  /** FULL model persistence: the reference text codec ([[saveRules]],
+    * `dir/rules.txt`) PLUS a parquet distribution sidecar (`dir/dist`,
+    * one (leaf, cls, micros) row per leaf × observed class — exact
+    * long micros, lossless in parquet), so a [[C45Model.load]]ed model
+    * supports [[transformFractional]]/[[transformProba]]/
+    * [[C45Pruning.pruneTraining]] — everything a live fit supports.
+    * The sidecar is O(model) rows; `leafMass` is not stored because it
+    * is always each leaf's distribution sum (fit invariant). A leaf
+    * absent from the sidecar carries an empty distribution (mass 0 —
+    * maxDepth-exhausted leaves), exactly as the fit recorded it. */
+  def save(spark: SparkSession, dir: String): Unit = {
+    require(leafDist.size == leaves.size && leaves.nonEmpty,
+      "C45Model.save persists the distribution sidecar: the model must " +
+        "carry per-leaf class distributions (fit/prune/load produce " +
+        "them); use saveRules for a rules-only text export")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    saveRules(java.nio.file.Paths.get(dir, "rules.txt").toString)
+    import spark.implicits._
+    leafDist.zipWithIndex
+      .flatMap { case (d, i) => d.toSeq.map { case (c, m) => (i, c, m) } }
+      .toDF("leaf", "cls", "micros")
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(java.nio.file.Paths.get(dir, "dist").toString)
+  }
 }
 
 object C45Model {
   /** Inverse of [[C45Model.saveRules]]: the final `:label` line (a
-    * condition-less closed rule) carries the global majority. */
+    * condition-less closed rule) carries the global majority. Text
+    * codec only — the loaded model has no leaf distributions (use
+    * [[load]] for the full round-trip). */
   def loadRules(path: String, schema: C45Schema): C45Model = {
     val lines = java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(path)).toArray.map(_.toString).filter(_.nonEmpty)
@@ -498,6 +548,29 @@ object C45Model {
     val majority = rules.last.label.getOrElse(
       sys.error(s"model file $path has no majority line"))
     C45Model(schema, rules.init, majority)
+  }
+
+  /** Inverse of [[C45Model.save]]: rules from the text codec, per-leaf
+    * class distributions from the parquet sidecar (leaf index aligns
+    * with the rules-file line order), `leafMass` rebuilt as each
+    * leaf's distribution sum. The result is indistinguishable from the
+    * live fit's model — train → store → load → prune/serve
+    * probabilities round-trips bit-exactly (ModelPersistenceSpec /
+    * q_model_roundtrip). */
+  def load(spark: SparkSession, dir: String, schema: C45Schema): C45Model = {
+    val base = loadRules(
+      java.nio.file.Paths.get(dir, "rules.txt").toString, schema)
+    val byLeaf: Map[Int, Map[String, Long]] =
+      spark.read.parquet(java.nio.file.Paths.get(dir, "dist").toString)
+        .collect()
+        .groupBy(_.getAs[Int]("leaf"))
+        .map { case (i, rows) =>
+          i -> rows.map(r =>
+            r.getAs[String]("cls") -> r.getAs[Long]("micros")).toMap
+        }
+    val dist = base.leaves.indices.toVector
+      .map(i => byLeaf.getOrElse(i, Map.empty[String, Long]))
+    base.copy(leafMass = dist.map(_.values.sum), leafDist = dist)
   }
 }
 

@@ -51,7 +51,8 @@ object C45Pruning {
     }
 
   private case class Pruned(leaves: Vector[Rule], err: Double,
-                            counts: Map[String, Long])
+                            counts: Map[String, Long],
+                            dists: Vector[Map[String, Long]])
 
   /** Prune `model` against data `df` (training or held-out). Returns a
     * model whose leaves are a subset-or-collapse of the input's: every
@@ -75,14 +76,18 @@ object C45Pruning {
     * missing-mode it is strictly MORE faithful — the recorded micros
     * carry the fractional membership of null-bearing rows that the
     * scan path's leaf predicates route nowhere (Quinlan's C4.5 prunes
-    * on those fractional weights). Only fit-produced models qualify
-    * (loaded / already-pruned / simplified ones carry no
-    * distributions). */
+    * on those fractional weights). Any model carrying per-leaf
+    * distributions qualifies: fit-produced, already-pruned (the prune
+    * keeps the merged distributions), or loaded through
+    * [[C45Model.load]]'s distribution sidecar — only rule-text-only
+    * loads ([[C45Model.loadRules]]) and [[C45RuleSimplify]] output
+    * lack them. */
   def pruneTraining(model: C45Model, z: Double = DefaultZ): C45Model = {
     if (model.leaves.isEmpty) return model
     require(model.leafDist.size == model.leaves.size,
-      "pruneTraining needs per-leaf class distributions: only fit-produced " +
-        "models carry them (loadRules/pruned/simplified models do not)")
+      "pruneTraining needs per-leaf class distributions: fit/prune/" +
+        "C45Model.load produce them (loadRules text-only loads and " +
+        "simplified rule sets do not)")
     val counts = model.leafDist.zipWithIndex
       .collect { case (d, i) if d.nonEmpty => i -> d }.toMap
     pruneFromCounts(model, counts, z, unit = 1e6)
@@ -162,7 +167,7 @@ object C45Pruning {
       if (group.length == 1 && group.head._1.depth == depth) {
         val (r, i) = group.head
         val c = counts.getOrElse(i, Map.empty)
-        return Pruned(Vector(r), leafErr(c), c)
+        return Pruned(Vector(r), leafErr(c), c, Vector(c))
       }
       val children = group.groupBy(_._1.conditions(depth)).toSeq
         .sortBy(_._1.toString)
@@ -172,15 +177,27 @@ object C45Pruning {
         .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
       val asLeafErr = leafErr(merged)
       if (asLeafErr <= subtreeErr + 1e-9)
-        Pruned(Vector(Rule(prefix, Some(majority(merged)))), asLeafErr, merged)
+        Pruned(Vector(Rule(prefix, Some(majority(merged)))), asLeafErr,
+          merged, Vector(merged))
       else
-        Pruned(children.flatMap(_.leaves).toVector, subtreeErr, merged)
+        Pruned(children.flatMap(_.leaves).toVector, subtreeErr, merged,
+          children.flatMap(_.dists).toVector)
     }
 
     val rooted = walk(leaves.zipWithIndex, 0, Vector.empty)
-    // leafMass is aligned with the UNPRUNED leaves — clear it rather
-    // than ship a misaligned vector (pruned models use transform)
-    model.copy(leaves = rooted.leaves, leafMass = Vector.empty,
-      leafDist = Vector.empty)
+    // keep the merged per-leaf class distributions the bottom-up walk
+    // just computed — realigned to the PRUNED leaves and converted to
+    // exact micros (held-out scan counts × 1e6; fit micros pass
+    // through) — so prune → transformFractional / transformProba /
+    // re-prune all compose. leafMass is each leaf's distribution sum,
+    // the same invariant the fit maintains. Note: pruning against
+    // held-out data carries the HELD-OUT distributions (that is the
+    // distribution the pruned model was validated on); pruneTraining
+    // carries training micros exactly as the fit recorded them.
+    val toMicros = math.round(1e6 / unit)
+    val dists = rooted.dists.map(_.view.mapValues(_ * toMicros).toMap)
+    model.copy(leaves = rooted.leaves,
+      leafMass = dists.map(_.values.sum),
+      leafDist = dists)
   }
 }

@@ -679,6 +679,36 @@ object C45Queries {
   }
   val qPredictProbaSql: String = goldenProbaSql("golden/proba_sf001.txt")
 
+  // ---- O4 + model persistence: train → store → load → serve, the
+  //      registry loop q_ann_stored proves for the ANN quantizer, now
+  //      closed for the fit itself. Same planted fit as
+  //      q_predict_proba; the model round-trips through
+  //      C45Model.save/load (reference text codec + parquet
+  //      distribution sidecar, C45.scala `save`) and the LOADED
+  //      model's transformProba output must be bit-identical to the
+  //      live model's — oracle = q_predict_proba's committed golden
+  //      pin, so any byte the round-trip loses fails the gate. ----
+  def qModelRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val schema = C45Schema(
+      Seq(AttrMeta("l_returnflag", isNumeric = false),
+        AttrMeta("l_linenumber", isNumeric = false),
+        AttrMeta("l_quantity", isNumeric = true),
+        AttrMeta("l_discount", isNumeric = true),
+        AttrMeta("l_tax", isNumeric = true)),
+      "l_linestatus", ClassLabels)
+    val df = li(s, dir).withColumn("l_linenumber", col("l_linenumber").cast("string"))
+    val tmp = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_scratch", "c45_model").toString
+    C45.fit(df, schema, C45Params(maxDepth = 3)).save(s, tmp)
+    val loaded = graft.fit.C45Model.load(s, tmp, schema)
+    loaded.transformProba(df, "prediction", "p_")
+      .select(col("prediction"), col("p_F").as("p_f"), col("p_O").as("p_o"))
+      .groupBy("prediction", "p_f", "p_o")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prediction", "p_f", "p_o")
+  }
+  val qModelRoundtripSql: String = qPredictProbaSql
+
   /** Deep-frontier fit under the driver's gate. `q_fit_tree`'s natural
     * label (l_linestatus) is independent of the attributes, so past
     * sf0.01 its tree is a single root leaf and the incremental
@@ -1104,6 +1134,7 @@ object C45Queries {
     "q_rule_simplify" -> (qRuleSimplify _),
     "q_crossval" -> (qCrossVal _),
     "q_crossval_missing" -> (qCrossValMissing _),
+    "q_model_roundtrip" -> (qModelRoundtrip _),
     "q_feature_importance" -> (qFeatureImportance _),
     "q_attr_meta" -> (qAttrMeta _),
     "q_rule_codec" -> (qRuleCodec _),
@@ -1144,6 +1175,7 @@ object C45Queries {
     "q_rule_simplify" -> qRuleSimplifySql,
     "q_crossval" -> qCrossValSql,
     "q_crossval_missing" -> qCrossValMissingSql,
+    "q_model_roundtrip" -> qModelRoundtripSql,
     "q_feature_importance" -> qFeatureImportanceSql,
     "q_attr_meta" -> qAttrMetaSql,
     "q_rule_codec" -> qRuleCodecSql,

@@ -122,6 +122,55 @@ class PruningSpec extends AnyFunSuite {
     assert(viaDist.majority == viaScan.majority)
   }
 
+  test("pruned models keep the merged leaf distributions: fractional " +
+      "predict and re-pruning compose") {
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    val schema = C45Schema(
+      Seq(AttrMeta("l_returnflag", isNumeric = false),
+        AttrMeta("l_quantity", isNumeric = true),
+        AttrMeta("l_discount", isNumeric = true),
+        AttrMeta("l_tax", isNumeric = true)),
+      "cls", Seq("N", "P"))
+    val noisy = graft.functions.Hashing.hash60(
+      concat_ws("|", col("l_orderkey"), col("l_linenumber"))) % 10 === 0
+    val base = (col("l_returnflag") === "A") === (col("l_quantity") <= lit(25.0))
+    val df = spark.read.parquet(s"$sf/lineitem.parquet").withColumn("cls",
+      when(base =!= noisy, lit("P")).otherwise(lit("N")))
+    val pruned = C45Pruning.pruneTraining(C45.fit(df, schema, C45Params(maxDepth = 5)))
+    // the walk's merged distributions align with the pruned leaves and
+    // keep the fit's invariants (micros; mass = distribution sum)
+    assert(pruned.leafDist.size == pruned.leaves.size)
+    assert(pruned.leafMass == pruned.leafDist.map(_.values.sum))
+    // ... and they equal a fresh per-leaf recount of the training data
+    // (each pruned leaf's predicate, counted independently, × 1e6)
+    val names = schema.attrNames
+    pruned.leaves.zip(pruned.leafDist).foreach { case (r, d) =>
+      val want = df.filter(r.toPredicate(names)).groupBy("cls").count()
+        .collect().map(x => x.getString(0) -> x.getLong(1) * 1000000L).toMap
+      assert(d == want, s"leaf ${r.encode}")
+    }
+    // fractional predict on the PRUNED model (the prune → serve
+    // pipeline that used to throw) matches the same model armed with
+    // the recomputed distributions — i.e. the carried masses are the
+    // ones fractional scoring needs
+    val nulled = df.withColumn("l_quantity",
+      when(col("l_orderkey") % 3 === 0, lit(null).cast("double"))
+        .otherwise(col("l_quantity")))
+    val recomputed = pruned.copy(
+      leafMass = pruned.leaves.map(r =>
+        df.filter(r.toPredicate(names)).count() * 1000000L))
+    val a = pruned.transformFractional(nulled, "pred")
+      .groupBy("pred").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = recomputed.transformFractional(nulled, "pred")
+      .groupBy("pred").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // re-pruning a pruned model works and is a fixpoint at the same z
+    val again = C45Pruning.pruneTraining(pruned)
+    assert(again.leaves.map(_.encode) == pruned.leaves.map(_.encode))
+    assert(again.leafDist == pruned.leafDist)
+  }
+
   test("pruneTraining rejects models without recorded distributions") {
     val schema = C45Schema(Seq(AttrMeta("a", isNumeric = false)),
       "cls", Seq("n", "p"))
