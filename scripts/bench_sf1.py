@@ -44,10 +44,16 @@ def run_bench(sf_dir: str) -> dict:
                SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_CPUS="32",
                SPARK_GRAFT_ONLY=",".join(HEAVY))
-    out = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
-                         cwd=REPO, env=env, check=True,
-                         capture_output=True, text=True).stdout
-    line = next(l for l in out.splitlines() if '{"metric"' in l)
+    proc = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                          cwd=REPO, env=env, capture_output=True, text=True)
+    line = next((l for l in proc.stdout.splitlines() if '{"metric"' in l),
+                None)
+    if proc.returncode != 0 or line is None:
+        sys.exit(f"bench run on {sf_dir} failed "
+                 f"(exit {proc.returncode}, metric line "
+                 f"{'missing' if line is None else 'present'});\n"
+                 f"--- stdout tail ---\n{proc.stdout[-2000:]}\n"
+                 f"--- stderr tail ---\n{proc.stderr[-2000:]}")
     return json.loads(re.sub(r"^\[info\] ", "", line.strip()))
 
 
@@ -64,7 +70,10 @@ def main():
     ratios = {}
     for q in HEAVY:
         a, b = sf1["queries"].get(q), ref["queries"].get(q)
-        ratios[q] = round(a / b, 2) if a and b and b >= 0.5 else None
+        # explicit None checks: a legitimate 0.0 timing is not "missing"
+        ratios[q] = (round(a / b, 2)
+                     if a is not None and b is not None and b >= 0.5
+                     else None)
     report = {
         "metric": "heavy_pipelines_total",
         "value": round(sf1["value"], 3),
@@ -76,6 +85,12 @@ def main():
         "note": "median of 3 interleaved reps, clean cache between "
                 "queries; sf0.1 reference measured the same run on the "
                 "same box (scripts/bench_sf1.py)",
+        "machine_state": {  # graft.Bench's self-diagnosis fields
+            "sf1": {"loadavg": sf1.get("loadavg"),
+                    "calibration_sec": sf1.get("calibration_sec")},
+            "sf01_reference": {"loadavg": ref.get("loadavg"),
+                               "calibration_sec": ref.get("calibration_sec")},
+        },
         "queries": {q: round(v, 3) for q, v in sf1["queries"].items()},
         "sf01_reference": {q: round(v, 3) for q, v in ref["queries"].items()},
         "ratio_sf1_over_sf01": ratios,

@@ -36,6 +36,15 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.contains(n)))
+    // machine-state fingerprint: totals drift ~1.3-2x with neighbor
+    // load on the same code (BENCH_r16 recorded 202s where a quiet
+    // re-run gave ~170s), so the record carries the 1-minute system
+    // loadavg at start/end plus the timing of a fixed trivial
+    // calibration query — any future reader can normalize an apparent
+    // regression against what the machine was doing during the run
+    def loadavg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadavg
     // clearCache between timed queries, exactly as Verify.scala does:
     // queries are self-contained and persist pipeline intermediates via
     // unmanaged CacheScope, which live until session end. Without the
@@ -59,6 +68,16 @@ object Bench {
       name -> ts(ts.length / 2)
     }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val loadEnd = loadavg
+    // the calibration anchor: q_setops_all is tiny, byte-stable across
+    // rounds, and dominated by fixed job overhead — its drift IS the
+    // machine's drift (fall back to the fastest measured query when a
+    // filtered run excludes it)
+    val calibration = results.getOrElse("q_setops_all",
+      if (results.nonEmpty) results.values.min else 0.0)
+    def f3(v: Double): String = "%.3f".format(v)
+    val envFields =
+      s""""loadavg":[${f3(loadStart)},${f3(loadEnd)}],"calibration_sec":${f3(calibration)}"""
     // Full-precision per-query timings go to a sidecar file; the stdout
     // line is consumed from a bounded tail of the run log, so it must
     // stay under ~1800 chars: 3-decimal values, slowest queries first,
@@ -66,17 +85,16 @@ object Bench {
     val full = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"reps":$reps,"sf":"$sfDir",$envFields}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
         fullLine.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    def f3(v: Double): String = "%.3f".format(v)
     val slowFirst = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
     val fixed =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_total":${results.size},"omitted":OMIT,"reps":$reps,"sf":"$sfDir","queries":{}}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_total":${results.size},"omitted":OMIT,"reps":$reps,"sf":"$sfDir",$envFields,"queries":{}}"""
     val budget = 1800 - fixed.length
     val kept = scala.collection.mutable.ArrayBuffer[String]()
     var used = 0
@@ -84,7 +102,7 @@ object Bench {
       if (used + s.length + 1 <= budget) { kept += s; used += s.length + 1 }
     }
     val omitted = results.size - kept.length
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_total":${results.size},"omitted":$omitted,"reps":$reps,"sf":"$sfDir","queries":${kept.mkString("{", ",", "}")}}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_total":${results.size},"omitted":$omitted,"reps":$reps,"sf":"$sfDir",$envFields,"queries":${kept.mkString("{", ",", "}")}}""")
     spark.stop()
   }
 }

@@ -1350,6 +1350,16 @@ object C45 {
     * level's base is cached at once, so the footprint is bounded and
     * the win is (k-1) fewer corpus scans per level.
     *
+    * Mass-scale caveat (round-16 advice): the fractional decision is
+    * GLOBAL — if any fold carries null attribute values, all k fits
+    * run micro-weighted. This does NOT change the recorded
+    * `leafMass`/`leafDist` scale for a fit whose training complement
+    * happens to be null-free: rows without nulls never fan out, so
+    * every weight is exactly 10⁶ and the recorded micros equal a
+    * direct `C45.fit` on that subset bit-for-bit (drop-mode fits
+    * record counts × 10⁶ — same scale; MassScaleSpec pins all three
+    * corners).
+    *
     * Contract: `stamped` is persisted by the caller and contains
     * `foldCol` (int in [0, k)) + the schema's attributes + class
     * column; class labels are non-null (caller-probed).
@@ -1492,7 +1502,17 @@ object C45 {
       // corpus-sized level aggregates k× less exploded volume. Exact
       // long sums — bit-identical cells to the fan-out aggregation.
       val marginal0 = level == 0 && binEdgesByFit.values.forall(_.isEmpty)
+      // one description per LEVEL, set for every job the level's
+      // histogram launches (the collect plus any broadcast builds it
+      // triggers): makes the Spark UI read "which level is running",
+      // and gives CrossValSpec a stable one-query-per-level witness
+      // (distinct descriptions == levels) instead of stage-name
+      // matching
+      val sc = stamped.sparkSession.sparkContext
+      val prevDesc = sc.getLocalProperty("spark.job.description")
+      sc.setJobDescription(s"graft.fitFolds level=$level k=$k histogram")
       val cellsByFit: Map[Int, Array[(Int, Int, String, String, Long)]] =
+        try {
         if (marginal0) {
           // level 1's route join (fractional) chains off the fan-out —
           // expose it lazily; nothing materializes it this level
@@ -1594,6 +1614,7 @@ object C45 {
           prevBase = based
           groupRows(rows)
         }
+        } finally sc.setJobDescription(prevDesc)
       if (profile) {
         val t = (System.nanoTime() - tLevel0) / 1e9
         println(f"[fitFolds] level=$level fits=${active.size} " +
