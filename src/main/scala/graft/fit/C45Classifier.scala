@@ -1,0 +1,140 @@
+package graft.fit
+
+import graft.meta.{AttrMeta, C45Schema}
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.param.{IntParam, Param, ParamMap, Params,
+  ParamValidators, StringArrayParam}
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, NumericType, StructField,
+  StructType}
+
+/** Shared params for [[C45Classifier]] / [[C45ClassificationModel]] —
+  * the `spark.ml` face of the C4.5 fit, so it drops into an
+  * `org.apache.spark.ml.Pipeline` next to MLlib stages (BASELINE.md
+  * names "MLlib DecisionTree + DataFrame" as the natural Spark
+  * approach; MLlibCrossCheckSpec already cross-checks accuracy — this
+  * shim closes the Pipeline/CrossValidator interop gap).
+  *
+  * Feature typing follows [[C45Schema.fromDataFrame]]: a numeric-dtype
+  * feature column fits as a continuous attribute, anything else as
+  * categorical. The label column may be any dtype (it is cast to
+  * string for the fit — e.g. a StringIndexer's double output becomes
+  * the class labels "0.0"/"1.0"); predictions are cast BACK to the
+  * label dtype observed at fit time, so indexed-label pipelines feed
+  * `MulticlassClassificationEvaluator` directly. */
+private[fit] trait C45ClassifierParams extends Params {
+  final val labelCol: Param[String] =
+    new Param[String](this, "labelCol", "label column name")
+  final val predictionCol: Param[String] =
+    new Param[String](this, "predictionCol", "prediction output column name")
+  final val featureCols: StringArrayParam = new StringArrayParam(this,
+    "featureCols", "feature columns: numeric dtypes fit as continuous " +
+      "attributes, everything else as categorical")
+  final val maxDepth: IntParam = new IntParam(this, "maxDepth",
+    "maximum tree depth", ParamValidators.gtEq(0))
+  final val maxBins: IntParam = new IntParam(this, "maxBins",
+    "quantile-bin cap for the numeric split search (<= 0 disables binning)")
+  final val missingMode: Param[String] = new Param[String](this,
+    "missingMode", "null attribute handling: 'fractional' (Quinlan's " +
+      "fractional weights) or 'drop'",
+    ParamValidators.inArray(Array("fractional", "drop")))
+  setDefault(labelCol -> "label", predictionCol -> "prediction",
+    featureCols -> Array.empty[String], maxDepth -> 8, maxBins -> 256,
+    missingMode -> "fractional")
+
+  final def getLabelCol: String = $(labelCol)
+  final def getPredictionCol: String = $(predictionCol)
+  final def getFeatureCols: Array[String] = $(featureCols)
+
+  /** Features must exist; the prediction column must not. The label is
+    * checked only when `requireLabel` (fit-time; a serving transform
+    * doesn't need it). */
+  protected def validateSchema(schema: StructType, requireLabel: Boolean,
+                               predictionType: DataType): StructType = {
+    require($(featureCols).nonEmpty, "featureCols must be set (non-empty)")
+    $(featureCols).foreach(f => require(schema.fieldNames.contains(f),
+      s"feature column '$f' missing from ${schema.fieldNames.mkString(",")}"))
+    if (requireLabel)
+      require(schema.fieldNames.contains($(labelCol)),
+        s"label column '${$(labelCol)}' missing")
+    require(!schema.fieldNames.contains($(predictionCol)),
+      s"output column '${$(predictionCol)}' already exists")
+    schema.add(StructField($(predictionCol), predictionType, nullable = true))
+  }
+}
+
+/** `spark.ml` Estimator over [[C45.fit]]: same engine, same semantics
+  * quirk choices, same one-histogram-job-per-level scale shape —
+  * usable inside `Pipeline` / `CrossValidator` (C45MlSpec drives
+  * both). For the engine-native surface (fractional predict,
+  * probabilities, pruning, persistence sidecar) use the wrapped
+  * [[C45ClassificationModel.model]]. */
+class C45Classifier(override val uid: String)
+    extends Estimator[C45ClassificationModel] with C45ClassifierParams {
+
+  def this() = this(Identifiable.randomUID("c45"))
+
+  def setLabelCol(v: String): this.type = set(labelCol, v)
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+  def setFeatureCols(v: Array[String]): this.type = set(featureCols, v)
+  def setFeatureCols(v: Seq[String]): this.type = set(featureCols, v.toArray)
+  def setMaxDepth(v: Int): this.type = set(maxDepth, v)
+  def setMaxBins(v: Int): this.type = set(maxBins, v)
+  def setMissingMode(v: String): this.type = set(missingMode, v)
+
+  override def fit(dataset: Dataset[_]): C45ClassificationModel = {
+    transformSchema(dataset.schema)
+    val df = dataset.toDF()
+    val labelType = df.schema($(labelCol)).dataType
+    val attrs = $(featureCols).toIndexedSeq.map { f =>
+      AttrMeta(f, df.schema(f).dataType.isInstanceOf[NumericType])
+    }
+    // the fit sees ONLY the features + a stringified label under a
+    // reserved name (never colliding with a feature), so arbitrary
+    // extra columns ride through fit() untouched
+    val schema = C45Schema(attrs, "__c45_label", Nil)
+    val train = df.select(
+      $(featureCols).map(col).toIndexedSeq :+
+        col($(labelCol)).cast("string").as("__c45_label"): _*)
+    val m = C45.fit(train, schema, C45Params(
+      maxDepth = $(maxDepth), maxBins = $(maxBins),
+      missingMode = $(missingMode)))
+    copyValues(new C45ClassificationModel(uid, m, labelType)
+      .setParent(this))
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    validateSchema(schema, requireLabel = true,
+      predictionType = schema($(labelCol)).dataType)
+
+  override def copy(extra: ParamMap): C45Classifier = defaultCopy(extra)
+}
+
+/** The fitted `spark.ml` Model: delegates scoring to
+  * [[C45Model.transform]] (flat CASE WHEN narrow, broadcast level-walk
+  * wide) and casts the predicted label back to the fit-time label
+  * dtype. */
+class C45ClassificationModel private[fit](
+    override val uid: String,
+    val model: C45Model,
+    private val labelType: DataType)
+    extends Model[C45ClassificationModel] with C45ClassifierParams {
+
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+
+  override def transform(dataset: Dataset[_]): DataFrame = {
+    transformSchema(dataset.schema)
+    model.transform(dataset.toDF(), "__c45_pred")
+      .withColumn($(predictionCol), col("__c45_pred").cast(labelType))
+      .drop("__c45_pred")
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    validateSchema(schema, requireLabel = false, predictionType = labelType)
+
+  override def copy(extra: ParamMap): C45ClassificationModel =
+    copyValues(new C45ClassificationModel(uid, model, labelType), extra)
+      .setParent(parent)
+}

@@ -1,0 +1,102 @@
+package graft.fit
+
+import graft.SparkTestSession
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+import org.apache.spark.ml.feature.StringIndexer
+import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The spark.ml face of the fit: C45Classifier must behave as a
+  * first-class Pipeline stage — fit inside ml.Pipeline, evaluate with
+  * MulticlassClassificationEvaluator, tune with ml's CrossValidator —
+  * and score identically to the engine-native C45.fit it wraps. */
+class C45MlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val features = Seq("l_returnflag", "l_quantity", "l_discount")
+
+  /** Planted XOR + 10% deterministic noise (same construction as the
+    * pruning/crossval fixtures): learnable to ~0.9 accuracy. */
+  private def planted(sf: String) = {
+    val key = concat_ws("|", col("l_orderkey"), col("l_linenumber"))
+    val noisy = graft.functions.Hashing.hash60(key) % 10 === 0
+    val base = (col("l_returnflag") === "A") === (col("l_quantity") <= lit(25.0))
+    spark.read.parquet(s"$sf/lineitem.parquet").withColumn("cls",
+      when(base =!= noisy, lit("P")).otherwise(lit("N")))
+  }
+
+  test("fits inside an ml.Pipeline and feeds the multiclass evaluator") {
+    val df = planted("/root/testdata/sf0.001")
+    val indexer = new StringIndexer()
+      .setInputCol("cls").setOutputCol("label").setStringOrderType("alphabetAsc")
+    val c45 = new C45Classifier()
+      .setFeatureCols(features).setLabelCol("label").setMaxDepth(2)
+    val pipe = new Pipeline().setStages(Array(indexer, c45)).fit(df)
+    val scored = pipe.transform(df)
+    // prediction came back as the label's dtype (indexed doubles), so
+    // the stock evaluator consumes it directly
+    assert(scored.schema("prediction").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    val acc = new MulticlassClassificationEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction")
+      .setMetricName("accuracy").evaluate(scored)
+    assert(acc > 0.85 && acc <= 0.95, s"planted structure + 10% noise: $acc")
+  }
+
+  test("wrapper predictions ≡ engine-native C45.fit predictions") {
+    val df = planted("/root/testdata/sf0.001")
+    val c45 = new C45Classifier()
+      .setFeatureCols(features).setLabelCol("cls").setMaxDepth(3)
+      .setPredictionCol("pred")
+    val schema = graft.meta.C45Schema(
+      features.map(f => graft.meta.AttrMeta(f, isNumeric = f != "l_returnflag")),
+      "cls", Nil)
+    val nativeModel = C45.fit(df, schema, C45Params(maxDepth = 3))
+    // both predictions stamped on the SAME rows ((orderkey, linenumber)
+    // is not unique in the testdata, so a join would pair wrong rows)
+    val both = nativeModel.transform(c45.fit(df).transform(df), "pred_native")
+    assert(both.filter(col("pred") =!= col("pred_native")).count() == 0)
+    // string label in, string prediction out
+    assert(both.schema("pred").dataType ==
+      org.apache.spark.sql.types.StringType)
+  }
+
+  test("tunes under ml's CrossValidator") {
+    val df = planted("/root/testdata/sf0.001")
+    val indexer = new StringIndexer()
+      .setInputCol("cls").setOutputCol("label").setStringOrderType("alphabetAsc")
+    val c45 = new C45Classifier()
+      .setFeatureCols(features).setLabelCol("label")
+    val grid = new ParamGridBuilder()
+      .addGrid(c45.maxDepth, Array(1, 2))
+      .build()
+    val cv = new CrossValidator()
+      .setEstimator(new Pipeline().setStages(Array(indexer, c45)))
+      .setEvaluator(new MulticlassClassificationEvaluator()
+        .setLabelCol("label").setPredictionCol("prediction")
+        .setMetricName("accuracy"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(2)
+      .setSeed(7L)
+    val cvModel = cv.fit(df)
+    assert(cvModel.avgMetrics.length == 2)
+    // depth 2 resolves the planted XOR, depth 1 cannot — the tuner
+    // must prefer it by a real margin
+    val best = grid(cvModel.avgMetrics.indexOf(cvModel.avgMetrics.max))
+    assert(best(c45.maxDepth) == 2,
+      s"metrics ${cvModel.avgMetrics.toSeq} should peak at depth 2")
+    assert(cvModel.avgMetrics.max > 0.85)
+  }
+
+  test("schema validation: missing features / preexisting output fail fast") {
+    val df = planted("/root/testdata/sf0.001")
+    val noSuch = new C45Classifier()
+      .setFeatureCols(Seq("nope")).setLabelCol("cls")
+    assertThrows[IllegalArgumentException](noSuch.fit(df))
+    val collide = new C45Classifier()
+      .setFeatureCols(features).setLabelCol("cls").setPredictionCol("l_tax")
+    assertThrows[IllegalArgumentException](collide.fit(df))
+  }
+}
