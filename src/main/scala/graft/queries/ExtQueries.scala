@@ -1935,13 +1935,15 @@ object ExtQueries {
   //      near-dups). Where q_dbscan is the bounded exact all-pairs
   //      BASELINE, this gate-verifies the scale path end to end:
   //      density gate over witness pairs, CC core labels, min-label
-  //      border attachment. Nodes = all docs in the slice, so docs
-  //      without a strong near-dup surface as noise. ----
+  //      border attachment. Nodes = the WHOLE corpus (no slice): the
+  //      per-node work is one left join against the pair-degree table
+  //      — pairs, not nodes, dominate the cost — so every doc gets a
+  //      role and docs outside the mined slice surface as noise,
+  //      exactly the shape a corpus-scale run has. ----
   private val DbLshJac = 0.9
   private val DbLshMinPts = 4
   def qDbscanLsh(s: SparkSession, dir: String): DataFrame = {
-    val nodes = docs(s, dir).filter(col("doc_id") < 1000)
-      .select(col("doc_id").as("id"))
+    val nodes = docs(s, dir).select(col("doc_id").as("id"))
     val pairs = lshDupPairs(s, dir).filter(col("jaccard") >= DbLshJac)
     Similarity.dbscanFromPairs(nodes, pairs, DbLshMinPts)
       .withColumnRenamed("id", "doc_id")
@@ -1950,7 +1952,7 @@ object ExtQueries {
   val qDbscanLshSql: String =
     s"""WITH RECURSIVE ${lshPairsCtes()},
        |nb AS MATERIALIZED (SELECT i, j FROM prs WHERE jaccard >= $DbLshJac),
-       |nd0 AS (SELECT doc_id AS id FROM documents WHERE doc_id < 1000),
+       |nd0 AS (SELECT doc_id AS id FROM documents),
        |dg AS MATERIALIZED (SELECT id, count(*) AS nc FROM
        |  (SELECT i AS id FROM nb UNION ALL SELECT j AS id FROM nb) GROUP BY 1),
        |nd AS MATERIALIZED (SELECT nd0.id, coalesce(nc, 0) + 1 >= $DbLshMinPts AS is_core
