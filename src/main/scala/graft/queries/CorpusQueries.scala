@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.functions.Hashing
-import graft.operators.{MergeOps, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{CacheScope, Dedup, MergeOps, Packing, Sampling,
+  Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -161,6 +162,86 @@ object CorpusQueries {
        |  WHERE ($okLen) AND ($okStop) AND ($okDup) AND ($okTop))
        |SELECT r.doc_id, q.n_tokens, md5(r.text) AS clean_sig
        |FROM red r JOIN canon USING (doc_id) JOIN q USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- v2 end-to-end curation: PII redaction → span-level duplicate
+  //      EXCISION → exact dedup → composite quality gate. This is the
+  //      real pipeline ORDER: excision rewrites the text, so it must
+  //      run BEFORE the stages keyed on text content — two docs that
+  //      differ only inside a duplicated span become exact duplicates
+  //      only AFTER the span is carved out, and the token stats the
+  //      gate thresholds are the post-excision ones
+  //      (CurationOrderSpec pins a case where the order flips the
+  //      outcome). Same 40/10 windows as q_substring_excise. The
+  //      excised frame feeds THREE consumers (canonical set, quality
+  //      table, final projection), so it persists once through an
+  //      unmanaged scope — Verify/Bench clearCache between queries —
+  //      instead of replaying the two excision corpus passes per
+  //      consumer. Every join stays id- or hash-keyed: the corpus
+  //      never shuffles by anything but its own keys. ----
+  private val CurWin = 40
+  private val CurStride = 10
+  def qCurateFull(s: SparkSession, dir: String): DataFrame = {
+    val red = docs(s, dir)
+      .withColumn("text", TextAnalysis.redactPii(col("text")))
+    val exc = CacheScope.unmanaged().persist(
+      Dedup.exciseDuplicateWindows(red, "doc_id", "text", CurWin, CurStride)
+        .select(col("doc_id"), col("clean_text").as("text"),
+          col("n_dup_spans")))
+    val canon = Dedup.exact(exc, "doc_id", "text")
+      .select(col("min_doc_id").as("doc_id"))
+    val qual = TextAnalysis.qualityFilter(exc, "doc_id", "text",
+        QfMinTokens, QfMaxTokens, QfMinStop, QfMaxDup, QfMaxTop)
+      .filter(col("keep") === 1)
+      .select(col("id").as("doc_id"), col("n_tokens"))
+    exc.join(canon, Seq("doc_id"), "left_semi")
+      .join(qual, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_spans"),
+        md5(col("text")).as("clean_sig"))
+      .orderBy("doc_id")
+  }
+  val qCurateFullSql: String = {
+    val okLen = s"n_tokens BETWEEN $QfMinTokens AND $QfMaxTokens"
+    val okStop = s"stop_n::DOUBLE / n_tokens >= $QfMinStop"
+    val okDup = s"1.0 - n_distinct::DOUBLE / n_tokens <= $QfMaxDup"
+    val okTop = s"top_n::DOUBLE / n_tokens <= $QfMaxTop"
+    s"""WITH red AS (SELECT doc_id, regexp_replace(regexp_replace(text,
+       |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+       |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS text FROM documents),
+       |d AS (SELECT doc_id, text, len(text) AS ln FROM red),
+       |w AS (SELECT doc_id, unnest(generate_series(0, ln - $CurWin, $CurStride)) AS off, text
+       |  FROM d WHERE ln >= $CurWin),
+       |h AS (SELECT doc_id, off, md5(substr(text, off + 1, $CurWin)) AS wh FROM w),
+       |dup AS (SELECT wh FROM h GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+       |dw AS (SELECT h.doc_id, h.off FROM h JOIN dup USING (wh)),
+       |sp AS (SELECT doc_id, count(*) FILTER (
+       |    WHERE prevmax IS NULL OR off > prevmax + $CurWin) AS n_spans
+       |  FROM (SELECT doc_id, off, max(off) OVER (PARTITION BY doc_id ORDER BY off
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax FROM dw)
+       |  GROUP BY 1),
+       |rm AS (SELECT DISTINCT doc_id, unnest(generate_series(off + 1, off + $CurWin)) AS p FROM dw),
+       |ch AS (SELECT d.doc_id, unnest(generate_series(1, d.ln)) AS p, d.text
+       |  FROM d WHERE d.doc_id IN (SELECT doc_id FROM dw)),
+       |nt AS (SELECT ch.doc_id,
+       |    coalesce(string_agg(substr(ch.text, ch.p, 1), '' ORDER BY ch.p), '') AS clean_text
+       |  FROM ch LEFT JOIN rm ON ch.doc_id = rm.doc_id AND ch.p = rm.p
+       |  WHERE rm.p IS NULL GROUP BY 1),
+       |exc AS (SELECT d.doc_id,
+       |    CASE WHEN sp.n_spans IS NULL THEN d.text ELSE coalesce(nt.clean_text, '') END AS text,
+       |    coalesce(sp.n_spans, 0) AS n_dup_spans
+       |  FROM d LEFT JOIN sp USING (doc_id) LEFT JOIN nt USING (doc_id)),
+       |canon AS (SELECT min(doc_id) AS doc_id FROM exc GROUP BY text),
+       |t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM exc),
+       |c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY 1, 2),
+       |s AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |    count(*) AS n_distinct, max(n) AS top_n,
+       |    CAST(coalesce(sum(n) FILTER (WHERE list_contains(['the','a','of','and','to','is'], tok)), 0) AS BIGINT) AS stop_n
+       |  FROM c GROUP BY 1),
+       |q AS (SELECT doc_id, n_tokens FROM s
+       |  WHERE ($okLen) AND ($okStop) AND ($okDup) AND ($okTop))
+       |SELECT e.doc_id, q.n_tokens, e.n_dup_spans, md5(e.text) AS clean_sig
+       |FROM exc e JOIN canon USING (doc_id) JOIN q USING (doc_id)
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -812,6 +893,7 @@ object CorpusQueries {
     "q_pack_greedy" -> (qPackGreedy _),
     "q_quality_filter" -> (qQualityFilter _),
     "q_clean_corpus" -> (qCleanCorpus _),
+    "q_curate_full" -> (qCurateFull _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_inverted_index" -> (qInvertedIndex _),
     "q_domain_cap" -> (qDomainCap _),
@@ -839,6 +921,7 @@ object CorpusQueries {
     "q_pack_greedy" -> qPackGreedySql,
     "q_quality_filter" -> qQualityFilterSql,
     "q_clean_corpus" -> qCleanCorpusSql,
+    "q_curate_full" -> qCurateFullSql,
     "q_merge_upsert" -> qMergeUpsertSql,
     "q_inverted_index" -> qInvertedIndexSql,
     "q_domain_cap" -> qDomainCapSql,
