@@ -1343,12 +1343,17 @@ object C45 {
     * rounding, and driver math are shared code, and integer weight
     * sums are order-independent under any partitioning. This replaces
     * the former fallback of k sequential fits (k scans of base per
-    * level) for null-bearing corpora. The trade is peak cache: each
-    * join-routed level persists a rows×(k-1) fused base where the
-    * sequential loop held rows×1 at a time (k times over) —
-    * MEMORY_AND_DISK spills rather than evicts, and at most one
-    * level's base is cached at once, so the footprint is bounded and
-    * the win is (k-1) fewer corpus scans per level.
+    * level) for null-bearing corpora. Peak cache is capped by a
+    * CLEAN/DIRTY split (round 17): only rows with a null attribute
+    * value can fan out, so only they ride the weighted chain — each
+    * join-routed level persists dirty×(k-1) rows, not rows×(k-1),
+    * while the null-free majority re-routes per fit through the flat
+    * rid CASE over the caller's rows×1 cache (one union, still ONE
+    * aggregation job per level; a clean row's chain contribution was
+    * exactly W1 at its pinned flat rid, so cells are bit-identical).
+    * At a typical few-percent null rate the persisted state is ≈
+    * rows×1; a fully-null corpus degrades to the old rows×(k-1)
+    * shape, MEMORY_AND_DISK, one level at a time.
     *
     * Mass-scale caveat (round-16 advice): the fractional decision is
     * GLOBAL — if any fold carries null attribute values, all k fits
@@ -1480,10 +1485,26 @@ object C45 {
         rows.groupBy(_.getInt(0)).view.mapValues(_.map(r =>
           (r.getInt(1), r.getInt(2), r.getString(3), r.getString(4),
             r.getLong(5)))).toMap
-      // the level-0 fan-out base, shared below: one row per (row, fit)
-      // edge for the (k-1) fits each row trains, at full weight and
-      // root rid. Lazy — only the paths that scan or chain off it pay.
+      // only rows carrying a null attribute value can ever FAN OUT —
+      // a null-free row holds its full weight down exactly one path of
+      // every fit (each per-condition factor is 0 or 1). So the
+      // weighted RouteX chain carries ONLY the null-bearing ("dirty")
+      // rows; the null-free majority routes per fit with the same flat
+      // rid CASE the unweighted path uses, at constant weight W1, read
+      // straight through the caller's rows×1 cache each level. This
+      // caps the chain's persisted state at dirty×(k-1) instead of
+      // rows×(k-1) per join-routed level (the round-16 peak-cache
+      // flag) while keeping cells bit-identical: in the full fan-out a
+      // clean row contributed exactly W1 at its flat rid (the routed
+      // crid is pinned equal to the flat rid by construction).
+      lazy val dirtyCol: Column = names.map(col(_).isNull)
+        .reduceOption(_ || _).getOrElse(lit(false))
+      // the level-0 fan-out base of the DIRTY rows, shared below: one
+      // row per (dirty row, fit) edge for the (k-1) fits each row
+      // trains, at full weight and root rid. Lazy — only the paths
+      // that scan or chain off it pay.
       def rootFanout: DataFrame = stamped
+        .filter(dirtyCol)
         .withColumn("__cls", col(clsCol).cast("string"))
         .withColumn("__fit",
           explode(array(fits.map(f => lit(f)): _*)))
@@ -1514,8 +1535,9 @@ object C45 {
       val cellsByFit: Map[Int, Array[(Int, Int, String, String, Long)]] =
         try {
         if (marginal0) {
-          // level 1's route join (fractional) chains off the fan-out —
-          // expose it lazily; nothing materializes it this level
+          // level 1's route join (fractional) chains off the DIRTY
+          // fan-out — expose it lazily; nothing materializes it this
+          // level (clean rows re-enter per level via the flat rid side)
           if (fractional) prevBase = rootFanout
           val pairs: Seq[Column] = Seq(lit(-1), col("__cls")) ++
             catAttrs.flatMap(a =>
@@ -1601,9 +1623,28 @@ object C45 {
             if (level >= 1 && level < params.maxDepth) {
               val p = persistUncompressed(base); routedPersists += p; p
             } else base
-          val rows = based
+          // dirty side: the weighted chain's exploded histogram rows;
+          // clean side: flat per-fit rids over the null-free slice of
+          // the caller's cache at weight W1. One union, ONE
+          // aggregation job per level — exact long sums, so the merge
+          // is order-independent and bit-identical to the all-rows
+          // fan-out this replaces.
+          val dirtySide = based
             .select(col("__fit"), col("__rid"), col("__cls").as("cls"),
               col("__w"), explode(mapByFit).as(Seq("aid", "val")))
+          val ridPairs: Seq[Column] = active.flatMap { f =>
+            Seq(lit(f), when(col(foldCol) === f, lit(-1))
+              .otherwise(flatRidColumn(state(f).open, names)))
+          }
+          val cleanSide = stamped
+            .filter(!dirtyCol)
+            .withColumn("__cls", col(clsCol).cast("string"))
+            .select(col("__cls") +: names.map(col) :+
+              explode(map(ridPairs: _*)).as(Seq("__fit", "__rid")): _*)
+            .filter(col("__rid") >= 0)
+            .select(col("__fit"), col("__rid"), col("__cls").as("cls"),
+              lit(W1).as("__w"), explode(mapByFit).as(Seq("aid", "val")))
+          val rows = dirtySide.unionByName(cleanSide)
             .filter(col("val").isNotNull)
             .groupBy("__fit", "__rid", "aid", "val", "cls")
             .agg(sum(col("__w")).as("cnt"))
