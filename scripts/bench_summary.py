@@ -30,6 +30,11 @@ summary = {
     "sec_per_query": round(total / len(queries), 3) if queries else None,
     "reps": d.get("reps"),
     "sf": d.get("sf"),
+    # graft.Bench's machine-state self-diagnosis (round 17): loadavg at
+    # run start/end + the fixed calibration query's time, so any future
+    # comparison can normalize environment drift
+    "loadavg": d.get("loadavg"),
+    "calibration_sec": d.get("calibration_sec"),
     "slowest": sorted(d["queries"].items(), key=lambda kv: -kv[1])[:10],
     "queries": queries,
 }
