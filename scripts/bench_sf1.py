@@ -85,6 +85,17 @@ def main():
         "note": "median of 3 interleaved reps, clean cache between "
                 "queries; sf0.1 reference measured the same run on the "
                 "same box (scripts/bench_sf1.py)",
+        "ratio_notes": {
+            # sf1 is an exact 10x replication of sf0.1, so EVERY sf1
+            # document has 9 byte-identical copies: the excision
+            # workload (docs with duplicated windows) grows ~100x
+            # (477/5000 affected at sf0.1 -> 50000/50000 at sf1), not
+            # 10x. q_curate_full's ratio therefore measures workload
+            # growth, not engine superlinearity — per affected doc the
+            # cost FALLS (relational span-merge, round 17).
+            "q_curate_full": "excision workload grows ~100x at this "
+                             "tier (all docs duplicated by replication)"
+        },
         "machine_state": {  # graft.Bench's self-diagnosis fields
             "sf1": {"loadavg": sf1.get("loadavg"),
                     "calibration_sec": sf1.get("calibration_sec")},

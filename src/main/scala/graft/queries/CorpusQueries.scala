@@ -183,9 +183,17 @@ object CorpusQueries {
   private val CurWin = 40
   private val CurStride = 10
   def qCurateFull(s: SparkSession, dir: String): DataFrame = {
-    val red = docs(s, dir)
-      .withColumn("text", TextAnalysis.redactPii(col("text")))
-    val exc = CacheScope.unmanaged().persist(
+    val scope = CacheScope.unmanaged()
+    // materialize the redaction ONCE: the excision evaluates its text
+    // column per exploded window row and per gap-fold step, and an
+    // unpersisted `red` would textually inline the regex subtree into
+    // every one of those references — ~60 regex re-executions per doc
+    // (the Dedup.shingles pitfall; measured 5.7× per 10× data at sf1
+    // before this persist, ~1.9× after). (doc_id, text) is all the
+    // downstream stages need — the cache stays two columns wide.
+    val red = scope.persist(docs(s, dir)
+      .select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("text")))
+    val exc = scope.persist(
       Dedup.exciseDuplicateWindows(red, "doc_id", "text", CurWin, CurStride)
         .select(col("doc_id"), col("clean_text").as("text"),
           col("n_dup_spans")))
