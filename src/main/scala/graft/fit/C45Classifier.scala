@@ -1,10 +1,12 @@
 package graft.fit
 
 import graft.meta.{AttrMeta, C45Schema}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.ml.{Estimator, Model}
 import org.apache.spark.ml.param.{IntParam, Param, ParamMap, Params,
   ParamValidators, StringArrayParam}
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable,
+  Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{DataType, NumericType, StructField,
@@ -72,7 +74,8 @@ private[fit] trait C45ClassifierParams extends Params {
   * probabilities, pruning, persistence sidecar) use the wrapped
   * [[C45ClassificationModel.model]]. */
 class C45Classifier(override val uid: String)
-    extends Estimator[C45ClassificationModel] with C45ClassifierParams {
+    extends Estimator[C45ClassificationModel] with C45ClassifierParams
+    with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("c45"))
 
@@ -119,8 +122,9 @@ class C45Classifier(override val uid: String)
 class C45ClassificationModel private[fit](
     override val uid: String,
     val model: C45Model,
-    private val labelType: DataType)
-    extends Model[C45ClassificationModel] with C45ClassifierParams {
+    private[fit] val labelType: DataType)
+    extends Model[C45ClassificationModel] with C45ClassifierParams
+    with MLWritable {
 
   def setPredictionCol(v: String): this.type = set(predictionCol, v)
 
@@ -137,4 +141,85 @@ class C45ClassificationModel private[fit](
   override def copy(extra: ParamMap): C45ClassificationModel =
     copyValues(new C45ClassificationModel(uid, model, labelType), extra)
       .setParent(parent)
+
+  override def write: MLWriter = new C45ClassificationModel.Writer(this)
+}
+
+/** Companion readers: `C45Classifier` persists through the stock
+  * params codec; the fitted model's writer combines the standard
+  * `metadata/` JSON (so `Pipeline`/`PipelineModel` persistence can
+  * dispatch on the class name) with the engine's own
+  * [[C45Model.save]] layout (`engine/` — reference text codec +
+  * parquet distribution sidecar) plus a one-row `wrapper/` parquet
+  * carrying the engine schema and the fit-time label dtype. The
+  * engine rules file writes through driver-local IO (the model is
+  * O(leaves) tiny), so paths must be driver-visible (local FS in this
+  * environment). */
+object C45Classifier extends DefaultParamsReadable[C45Classifier]
+
+object C45ClassificationModel extends MLReadable[C45ClassificationModel] {
+
+  override def read: MLReader[C45ClassificationModel] = new Reader
+
+  private class Writer(instance: C45ClassificationModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      val spark = sparkSession
+      // the standard ml metadata line: class + uid + params, exactly
+      // the fields DefaultParamsReader.loadMetadata needs to dispatch
+      // a PipelineModel stage back to this companion's reader
+      val paramJson = instance.extractParamMap().toSeq
+        .sortBy(_.param.name)
+        .map { pp =>
+          val p = pp.param.asInstanceOf[Param[Any]]
+          s""""${p.name}":${p.jsonEncode(pp.value)}"""
+        }.mkString("{", ",", "}")
+      val meta = s"""{"class":"${instance.getClass.getName}",""" +
+        s""""timestamp":${System.currentTimeMillis()},""" +
+        s""""sparkVersion":"${spark.version}",""" +
+        s""""uid":"${instance.uid}",""" +
+        s""""paramMap":$paramJson,"defaultParamMap":{}}"""
+      import spark.implicits._
+      spark.createDataset(Seq(meta)).coalesce(1)
+        .write.text(new Path(path, "metadata").toString)
+      instance.model.save(spark, new Path(path, "engine").toString)
+      val s = instance.model.schema
+      Seq((s.attrNames, s.attrs.map(_.isNumeric), s.classLabels,
+          instance.labelType.sql))
+        .toDF("attr_names", "attr_numeric", "class_labels", "label_type")
+        .coalesce(1)
+        .write.parquet(new Path(path, "wrapper").toString)
+    }
+  }
+
+  private class Reader extends MLReader[C45ClassificationModel] {
+    override def load(path: String): C45ClassificationModel = {
+      val spark = sparkSession
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val metaLine = spark.read.text(new Path(path, "metadata").toString)
+        .head().getString(0)
+      val meta = JsonMethods.parse(metaLine)
+      implicit val fmt: Formats = DefaultFormats
+      val uid = (meta \ "uid").extract[String]
+      val w = spark.read.parquet(new Path(path, "wrapper").toString).head()
+      def strs(f: String): Seq[String] =
+        w.getAs[scala.collection.Seq[String]](f).toSeq
+      val attrs = strs("attr_names")
+        .zip(w.getAs[scala.collection.Seq[Boolean]]("attr_numeric").toSeq)
+        .map { case (n, num) => AttrMeta(n, num) }
+      val schema = C45Schema(attrs, "__c45_label", strs("class_labels"))
+      val engine = C45Model.load(spark,
+        new Path(path, "engine").toString, schema)
+      val labelType = DataType.fromDDL(w.getAs[String]("label_type"))
+      val m = new C45ClassificationModel(uid, engine, labelType)
+      meta \ "paramMap" match {
+        case JObject(fields) => fields.foreach { case (name, v) =>
+          val p = m.getParam(name).asInstanceOf[Param[Any]]
+          m.set(p, p.jsonDecode(JsonMethods.compact(JsonMethods.render(v))))
+        }
+        case _ => ()
+      }
+      m
+    }
+  }
 }

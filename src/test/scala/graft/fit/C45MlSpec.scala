@@ -90,6 +90,37 @@ class C45MlSpec extends AnyFunSuite {
     assert(cvModel.avgMetrics.max > 0.85)
   }
 
+  test("Pipeline persistence round-trips the fitted model (save → load → identical predictions)") {
+    import org.apache.spark.ml.PipelineModel
+    val df = planted("/root/testdata/sf0.001")
+    val indexer = new StringIndexer()
+      .setInputCol("cls").setOutputCol("label").setStringOrderType("alphabetAsc")
+    val c45 = new C45Classifier()
+      .setFeatureCols(features).setLabelCol("label").setMaxDepth(2)
+    val fitted = new Pipeline().setStages(Array(indexer, c45)).fit(df)
+    val dir = java.nio.file.Files.createTempDirectory("c45_ml_pipe").toString
+    fitted.write.overwrite().save(dir)
+    val loaded = PipelineModel.load(dir)
+    // same rows scored by both models — predictions must be identical
+    val m0 = fitted.stages.last.asInstanceOf[C45ClassificationModel]
+    val both = loaded.transform(df).withColumnRenamed("prediction", "p2")
+    val scored = m0.transform(both)
+    assert(scored.filter(col("prediction") =!= col("p2")).count() == 0)
+    // the engine model round-tripped too: same rules, same majority
+    val m1 = loaded.stages.last.asInstanceOf[C45ClassificationModel]
+    assert(m1.model.leaves == m0.model.leaves)
+    assert(m1.model.majority == m0.model.majority)
+    assert(m1.model.leafDist == m0.model.leafDist)
+    assert(m1.getPredictionCol == m0.getPredictionCol)
+    // unfitted Pipeline (estimator) persistence works as well
+    val edir = java.nio.file.Files.createTempDirectory("c45_ml_est").toString
+    new Pipeline().setStages(Array(indexer, c45)).write.overwrite().save(edir)
+    val est = Pipeline.load(edir)
+    val c45Loaded = est.getStages.last.asInstanceOf[C45Classifier]
+    assert(c45Loaded.getOrDefault(c45Loaded.maxDepth) == 2)
+    assert(c45Loaded.getFeatureCols.toSeq == features)
+  }
+
   test("schema validation: missing features / preexisting output fail fast") {
     val df = planted("/root/testdata/sf0.001")
     val noSuch = new C45Classifier()
