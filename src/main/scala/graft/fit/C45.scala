@@ -518,14 +518,27 @@ case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String,
     * The sidecar is O(model) rows; `leafMass` is not stored because it
     * is always each leaf's distribution sum (fit invariant). A leaf
     * absent from the sidecar carries an empty distribution (mass 0 —
-    * maxDepth-exhausted leaves), exactly as the fit recorded it. */
+    * maxDepth-exhausted leaves), exactly as the fit recorded it.
+    *
+    * `dir` may be on ANY Hadoop-visible filesystem (local, HDFS, s3a):
+    * the rules file writes through the Hadoop FileSystem API — the
+    * model is O(leaves) tiny, so single-file driver IO is the right
+    * shape even at cluster scale — and the sidecar is an ordinary
+    * parquet write. ([[saveRules]] stays the local-path reference-codec
+    * convenience.) */
   def save(spark: SparkSession, dir: String): Unit = {
     require(leafDist.size == leaves.size && leaves.nonEmpty,
       "C45Model.save persists the distribution sidecar: the model must " +
         "carry per-leaf class distributions (fit/prune/load produce " +
         "them); use saveRules for a rules-only text export")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    saveRules(java.nio.file.Paths.get(dir, "rules.txt").toString)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dirPath)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dirPath, "rules.txt"),
+      /*overwrite=*/ true)
+    try out.write(
+      (ruleStrings :+ s":$majority").mkString("\n").getBytes("UTF-8"))
+    finally out.close()
     import spark.implicits._
     leafDist.zipWithIndex
       .flatMap { case (d, i) => d.toSeq.map { case (c, m) => (i, c, m) } }
@@ -556,10 +569,21 @@ object C45Model {
     * leaf's distribution sum. The result is indistinguishable from the
     * live fit's model — train → store → load → prune/serve
     * probabilities round-trips bit-exactly (ModelPersistenceSpec /
-    * q_model_roundtrip). */
+    * q_model_roundtrip). Reads through the Hadoop FileSystem API, so
+    * any [[C45Model.save]]-visible filesystem works. */
   def load(spark: SparkSession, dir: String, schema: C45Schema): C45Model = {
-    val base = loadRules(
-      java.nio.file.Paths.get(dir, "rules.txt").toString, schema)
+    val rulesPath = new org.apache.hadoop.fs.Path(dir, "rules.txt")
+    val fs = rulesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(rulesPath)
+    val text =
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    val rules = text.split("\n").filter(_.nonEmpty)
+      .map(graft.model.Rule.decode).toVector
+    val majority = rules.last.label.getOrElse(
+      sys.error(s"model dir $dir has no majority line"))
+    val base = C45Model(schema, rules.init, majority)
     val byLeaf: Map[Int, Map[String, Long]] =
       spark.read.parquet(java.nio.file.Paths.get(dir, "dist").toString)
         .collect()
