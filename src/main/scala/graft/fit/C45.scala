@@ -196,8 +196,9 @@ case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String,
                      probPrefix: String = "p_",
                      routeThreshold: Int = 64): DataFrame = {
     require(leafDist.size == leaves.size && leaves.nonEmpty,
-      "transformProba needs per-leaf class distributions: only fit-produced " +
-        "models carry them (loadRules/pruned/simplified models do not)")
+      "transformProba needs per-leaf class distributions: fit/prune/" +
+        "C45Model.load produce them (loadRules text-only loads and " +
+        "simplified rule sets do not)")
     require(leaves.forall(_.label.nonEmpty), "model has open rules")
     val classes: Seq[String] =
       (leafDist.flatMap(_.keys) ++ leaves.flatMap(_.label) :+ majority)
@@ -339,8 +340,9 @@ case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String,
   def transformFractional(df: DataFrame, outputCol: String = "prediction",
                           routeThreshold: Int = 64): DataFrame = {
     require(leafMass.size == leaves.size && leaves.nonEmpty,
-      "transformFractional needs per-leaf training masses: only fit-produced " +
-        "models carry them (loadRules/pruned/simplified models do not — use transform)")
+      "transformFractional needs per-leaf training masses: fit/prune/" +
+        "C45Model.load produce them (loadRules text-only loads and " +
+        "simplified rule sets do not — use transform)")
     require(leaves.forall(_.label.nonEmpty), "model has open rules")
     val classes = leaves.flatMap(_.label).distinct.sorted
     if (leaves.size <= routeThreshold) flatFractional(df, outputCol, classes)
@@ -545,7 +547,7 @@ case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String,
       .toDF("leaf", "cls", "micros")
       .coalesce(1)
       .write.mode("overwrite")
-      .parquet(java.nio.file.Paths.get(dir, "dist").toString)
+      .parquet(new org.apache.hadoop.fs.Path(dirPath, "dist").toString)
   }
 }
 
@@ -585,7 +587,7 @@ object C45Model {
       sys.error(s"model dir $dir has no majority line"))
     val base = C45Model(schema, rules.init, majority)
     val byLeaf: Map[Int, Map[String, Long]] =
-      spark.read.parquet(java.nio.file.Paths.get(dir, "dist").toString)
+      spark.read.parquet(new org.apache.hadoop.fs.Path(dir, "dist").toString)
         .collect()
         .groupBy(_.getAs[Int]("leaf"))
         .map { case (i, rows) =>

@@ -151,10 +151,11 @@ class C45ClassificationModel private[fit](
   * dispatch on the class name) with the engine's own
   * [[C45Model.save]] layout (`engine/` — reference text codec +
   * parquet distribution sidecar) plus a one-row `wrapper/` parquet
-  * carrying the engine schema and the fit-time label dtype. The
-  * engine rules file writes through driver-local IO (the model is
-  * O(leaves) tiny), so paths must be driver-visible (local FS in this
-  * environment). */
+  * carrying the engine schema and the fit-time label dtype. All files
+  * go through the Hadoop FileSystem API / parquet writes, so any
+  * Hadoop-visible path (local, HDFS, s3a) works; the rules file is a
+  * single driver-written file — the right shape for an O(leaves)-tiny
+  * model. */
 object C45Classifier extends DefaultParamsReadable[C45Classifier]
 
 object C45ClassificationModel extends MLReadable[C45ClassificationModel] {

@@ -649,7 +649,13 @@ object C45Queries {
     * combinations with row counts — one row per reachable leaf
     * (+ majority fallback), so the pin covers every leaf's exact
     * distribution AND how many rows land on it. */
-  def qPredictProba(s: SparkSession, dir: String): DataFrame = {
+  /** The SHARED fixture behind q_predict_proba and q_model_roundtrip:
+    * both must score the identical fit with the identical projection —
+    * they pin against the SAME committed goldens (sweep.py maps
+    * q_model_roundtrip onto q_predict_proba's tier files), so the
+    * fit + aggregation live here exactly once. */
+  private def probaFixture(s: SparkSession, dir: String)
+      : (graft.fit.C45Model, DataFrame) = {
     val schema = C45Schema(
       Seq(AttrMeta("l_returnflag", isNumeric = false),
         AttrMeta("l_linenumber", isNumeric = false),
@@ -658,12 +664,19 @@ object C45Queries {
         AttrMeta("l_tax", isNumeric = true)),
       "l_linestatus", ClassLabels)
     val df = li(s, dir).withColumn("l_linenumber", col("l_linenumber").cast("string"))
-    val model = C45.fit(df, schema, C45Params(maxDepth = 3))
+    (C45.fit(df, schema, C45Params(maxDepth = 3)), df)
+  }
+
+  private def probaSummary(model: graft.fit.C45Model, df: DataFrame): DataFrame =
     model.transformProba(df, "prediction", "p_")
       .select(col("prediction"), col("p_F").as("p_f"), col("p_O").as("p_o"))
       .groupBy("prediction", "p_f", "p_o")
       .agg(count(lit(1)).as("n"))
       .orderBy("prediction", "p_f", "p_o")
+
+  def qPredictProba(s: SparkSession, dir: String): DataFrame = {
+    val (model, df) = probaFixture(s, dir)
+    probaSummary(model, df)
   }
   /** Committed golden (prediction,p_f,p_o,n CSV lines) → VALUES pin. */
   private def goldenProbaSql(resource: String): String = {
@@ -689,23 +702,14 @@ object C45Queries {
   //      live model's — oracle = q_predict_proba's committed golden
   //      pin, so any byte the round-trip loses fails the gate. ----
   def qModelRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val schema = C45Schema(
-      Seq(AttrMeta("l_returnflag", isNumeric = false),
-        AttrMeta("l_linenumber", isNumeric = false),
-        AttrMeta("l_quantity", isNumeric = true),
-        AttrMeta("l_discount", isNumeric = true),
-        AttrMeta("l_tax", isNumeric = true)),
-      "l_linestatus", ClassLabels)
-    val df = li(s, dir).withColumn("l_linenumber", col("l_linenumber").cast("string"))
-    val tmp = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_scratch", "c45_model").toString
-    C45.fit(df, schema, C45Params(maxDepth = 3)).save(s, tmp)
-    val loaded = graft.fit.C45Model.load(s, tmp, schema)
-    loaded.transformProba(df, "prediction", "p_")
-      .select(col("prediction"), col("p_F").as("p_f"), col("p_O").as("p_o"))
-      .groupBy("prediction", "p_f", "p_o")
-      .agg(count(lit(1)).as("n"))
-      .orderBy("prediction", "p_f", "p_o")
+    val (model, df) = probaFixture(s, dir)
+    // a fresh per-invocation dir: a fixed shared path would let two
+    // graft JVMs on one box (tier sweep + bench) interleave save/load
+    // and pair one run's rules with another's distributions
+    val tmp = java.nio.file.Files.createTempDirectory("graft_c45_rt").toString
+    model.save(s, tmp)
+    val loaded = graft.fit.C45Model.load(s, tmp, model.schema)
+    probaSummary(loaded, df)
   }
   val qModelRoundtripSql: String = qPredictProbaSql
 

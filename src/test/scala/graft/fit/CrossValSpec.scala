@@ -124,6 +124,12 @@ class CrossValSpec extends AnyFunSuite {
       }
       spark.sparkContext.addSparkListener(l)
       spark.sparkContext.setJobGroup(groupId, "fused fold fit under test")
+      // AQE decomposes one logical query into a job per materialized
+      // stage — pin it off so the ABSOLUTE job bound below stays
+      // meaningful (the distinct-description invariant holds either
+      // way)
+      val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
       try {
         val models = C45.fitFolds(stamped, "__fold", 3, schema,
           C45Params(maxDepth = 2, maxBins = 0), fractional = true)
@@ -144,6 +150,7 @@ class CrossValSpec extends AnyFunSuite {
         assert(groupJobs.get <= 9,
           s"unexpected extra jobs in the fused fit: ${groupJobs.get}")
       } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
         spark.sparkContext.clearJobGroup()
         spark.sparkContext.removeSparkListener(l)
       }
