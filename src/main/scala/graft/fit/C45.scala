@@ -192,6 +192,13 @@ case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String,
     * sidecar-loaded ([[C45Model.load]]) models carry the
     * distributions; rule-text-only loads and simplified rule sets do
     * not. */
+  /** The class set [[transformProba]] emits columns for, in its column
+    * order (sorted strings): every class observed in a leaf
+    * distribution or label, plus the majority. */
+  def probaClasses: Seq[String] =
+    (leafDist.flatMap(_.keys) ++ leaves.flatMap(_.label) :+ majority)
+      .distinct.sorted
+
   def transformProba(df: DataFrame, outputCol: String = "prediction",
                      probPrefix: String = "p_",
                      routeThreshold: Int = 64): DataFrame = {
@@ -200,9 +207,7 @@ case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String,
         "C45Model.load produce them (loadRules text-only loads and " +
         "simplified rule sets do not)")
     require(leaves.forall(_.label.nonEmpty), "model has open rules")
-    val classes: Seq[String] =
-      (leafDist.flatMap(_.keys) ++ leaves.flatMap(_.label) :+ majority)
-        .distinct.sorted
+    val classes: Seq[String] = probaClasses
     // per-leaf micros vector, exact integer arithmetic on the recorded
     // long micros; zero-mass leaves -> all mass on the leaf's label
     def microsOf(d: Map[String, Long], fallback: String): Seq[Long] = {

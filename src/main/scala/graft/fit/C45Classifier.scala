@@ -31,6 +31,11 @@ private[fit] trait C45ClassifierParams extends Params {
     new Param[String](this, "labelCol", "label column name")
   final val predictionCol: Param[String] =
     new Param[String](this, "predictionCol", "prediction output column name")
+  final val probabilityCol: Param[String] = new Param[String](this,
+    "probabilityCol", "optional class-probability output column (empty = " +
+      "off): an ml Vector of the leaf's training class shares, indexed by " +
+      "label value for numeric labels (StringIndexer order) and by sorted " +
+      "class string otherwise")
   final val featureCols: StringArrayParam = new StringArrayParam(this,
     "featureCols", "feature columns: numeric dtypes fit as continuous " +
       "attributes, everything else as categorical")
@@ -43,11 +48,12 @@ private[fit] trait C45ClassifierParams extends Params {
       "fractional weights) or 'drop'",
     ParamValidators.inArray(Array("fractional", "drop")))
   setDefault(labelCol -> "label", predictionCol -> "prediction",
-    featureCols -> Array.empty[String], maxDepth -> 8, maxBins -> 256,
-    missingMode -> "fractional")
+    probabilityCol -> "", featureCols -> Array.empty[String], maxDepth -> 8,
+    maxBins -> 256, missingMode -> "fractional")
 
   final def getLabelCol: String = $(labelCol)
   final def getPredictionCol: String = $(predictionCol)
+  final def getProbabilityCol: String = $(probabilityCol)
   final def getFeatureCols: Array[String] = $(featureCols)
 
   /** Features must exist; the prediction column must not. The label is
@@ -63,7 +69,15 @@ private[fit] trait C45ClassifierParams extends Params {
         s"label column '${$(labelCol)}' missing")
     require(!schema.fieldNames.contains($(predictionCol)),
       s"output column '${$(predictionCol)}' already exists")
-    schema.add(StructField($(predictionCol), predictionType, nullable = true))
+    val withPred =
+      schema.add(StructField($(predictionCol), predictionType, nullable = true))
+    if ($(probabilityCol).isEmpty) withPred
+    else {
+      require(!schema.fieldNames.contains($(probabilityCol)),
+        s"output column '${$(probabilityCol)}' already exists")
+      withPred.add(StructField($(probabilityCol),
+        org.apache.spark.ml.linalg.SQLDataTypes.VectorType, nullable = true))
+    }
   }
 }
 
@@ -81,6 +95,7 @@ class C45Classifier(override val uid: String)
 
   def setLabelCol(v: String): this.type = set(labelCol, v)
   def setPredictionCol(v: String): this.type = set(predictionCol, v)
+  def setProbabilityCol(v: String): this.type = set(probabilityCol, v)
   def setFeatureCols(v: Array[String]): this.type = set(featureCols, v)
   def setFeatureCols(v: Seq[String]): this.type = set(featureCols, v.toArray)
   def setMaxDepth(v: Int): this.type = set(maxDepth, v)
@@ -127,12 +142,35 @@ class C45ClassificationModel private[fit](
     with MLWritable {
 
   def setPredictionCol(v: String): this.type = set(predictionCol, v)
+  def setProbabilityCol(v: String): this.type = set(probabilityCol, v)
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema)
-    model.transform(dataset.toDF(), "__c45_pred")
-      .withColumn($(predictionCol), col("__c45_pred").cast(labelType))
-      .drop("__c45_pred")
+    if ($(probabilityCol).isEmpty)
+      model.transform(dataset.toDF(), "__c45_pred")
+        .withColumn($(predictionCol), col("__c45_pred").cast(labelType))
+        .drop("__c45_pred")
+    else {
+      // the ml-convention probability vector: transformProba's exact
+      // integer micros over 1e6, ordered by label VALUE when the fit
+      // labels were numeric (so vector(i) is class i for
+      // StringIndexer-fed pipelines — what logLoss-style evaluators
+      // index by) and by sorted class string otherwise
+      val classes = model.probaClasses
+      val ordered =
+        if (labelType.isInstanceOf[NumericType]) classes.sortBy(_.toDouble)
+        else classes
+      val scored = model.transformProba(dataset.toDF(), "__c45_pred", "__c45_p_")
+      // class labels may contain dots (e.g. StringIndexer's "0.0") —
+      // backtick-quote so col() doesn't parse them as field access
+      val arr = org.apache.spark.sql.functions.array(
+        ordered.map(c => col(s"`__c45_p_$c`") / 1000000.0): _*)
+      scored
+        .withColumn($(predictionCol), col("__c45_pred").cast(labelType))
+        .withColumn($(probabilityCol),
+          org.apache.spark.ml.functions.array_to_vector(arr))
+        .drop("__c45_pred" +: classes.map(c => s"__c45_p_$c"): _*)
+    }
   }
 
   override def transformSchema(schema: StructType): StructType =

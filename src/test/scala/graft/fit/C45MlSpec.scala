@@ -121,6 +121,36 @@ class C45MlSpec extends AnyFunSuite {
     assert(c45Loaded.getFeatureCols.toSeq == features)
   }
 
+  test("probabilityCol emits a label-indexed ml Vector the logLoss evaluator consumes") {
+    val df = planted("/root/testdata/sf0.001")
+    val indexer = new StringIndexer()
+      .setInputCol("cls").setOutputCol("label").setStringOrderType("alphabetAsc")
+    val c45 = new C45Classifier()
+      .setFeatureCols(features).setLabelCol("label").setMaxDepth(2)
+      .setProbabilityCol("probability")
+    val scored = new Pipeline().setStages(Array(indexer, c45)).fit(df)
+      .transform(df).cache()
+    try {
+      // vector of 2 classes, each row sums to ~1 (exact micros / 1e6)
+      val v0 = scored.select("probability").head()
+        .getAs[org.apache.spark.ml.linalg.Vector](0)
+      assert(v0.size == 2)
+      assert(math.abs(v0.toArray.sum - 1.0) < 1e-5)
+      // probability is indexed by the DOUBLE label value: the argmax
+      // index equals the prediction for every row
+      import org.apache.spark.sql.functions.udf
+      val argmax = udf((v: org.apache.spark.ml.linalg.Vector) =>
+        v.argmax.toDouble)
+      assert(scored.filter(argmax(col("probability")) =!= col("prediction"))
+        .count() == 0)
+      val ll = new MulticlassClassificationEvaluator()
+        .setLabelCol("label").setPredictionCol("prediction")
+        .setProbabilityCol("probability").setMetricName("logLoss")
+        .evaluate(scored)
+      assert(ll > 0.0 && ll < 0.7, s"planted structure: logLoss $ll")
+    } finally scored.unpersist()
+  }
+
   test("schema validation: missing features / preexisting output fail fast") {
     val df = planted("/root/testdata/sf0.001")
     val noSuch = new C45Classifier()
