@@ -44,12 +44,19 @@ private[fit] trait C45ClassifierParams extends Params {
   final val maxBins: IntParam = new IntParam(this, "maxBins",
     "quantile-bin cap for the numeric split search (<= 0 disables binning)")
   final val missingMode: Param[String] = new Param[String](this,
-    "missingMode", "null attribute handling: 'fractional' (Quinlan's " +
-      "fractional weights) or 'drop'",
+    "missingMode", "null attribute handling AT FIT TIME: 'fractional' " +
+      "(Quinlan's fractional weights) or 'drop'",
     ParamValidators.inArray(Array("fractional", "drop")))
+  final val fractionalPredict: org.apache.spark.ml.param.BooleanParam =
+    new org.apache.spark.ml.param.BooleanParam(this, "fractionalPredict",
+      "score rows with null feature values by Quinlan's fractional-weight " +
+        "vote (C45Model.transformFractional) instead of the majority " +
+        "fallback; null-free rows predict identically either way. " +
+        "Mutually exclusive with probabilityCol (the probability path " +
+        "routes nulls to the majority leaf)")
   setDefault(labelCol -> "label", predictionCol -> "prediction",
     probabilityCol -> "", featureCols -> Array.empty[String], maxDepth -> 8,
-    maxBins -> 256, missingMode -> "fractional")
+    maxBins -> 256, missingMode -> "fractional", fractionalPredict -> false)
 
   final def getLabelCol: String = $(labelCol)
   final def getPredictionCol: String = $(predictionCol)
@@ -101,6 +108,7 @@ class C45Classifier(override val uid: String)
   def setMaxDepth(v: Int): this.type = set(maxDepth, v)
   def setMaxBins(v: Int): this.type = set(maxBins, v)
   def setMissingMode(v: String): this.type = set(missingMode, v)
+  def setFractionalPredict(v: Boolean): this.type = set(fractionalPredict, v)
 
   override def fit(dataset: Dataset[_]): C45ClassificationModel = {
     transformSchema(dataset.schema)
@@ -143,14 +151,22 @@ class C45ClassificationModel private[fit](
 
   def setPredictionCol(v: String): this.type = set(predictionCol, v)
   def setProbabilityCol(v: String): this.type = set(probabilityCol, v)
+  def setFractionalPredict(v: Boolean): this.type = set(fractionalPredict, v)
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema)
-    if ($(probabilityCol).isEmpty)
-      model.transform(dataset.toDF(), "__c45_pred")
+    require(!($(fractionalPredict) && $(probabilityCol).nonEmpty),
+      "fractionalPredict and probabilityCol are mutually exclusive: the " +
+        "probability path routes null-valued rows to the majority leaf")
+    if ($(probabilityCol).isEmpty) {
+      val scored =
+        if ($(fractionalPredict))
+          model.transformFractional(dataset.toDF(), "__c45_pred")
+        else model.transform(dataset.toDF(), "__c45_pred")
+      scored
         .withColumn($(predictionCol), col("__c45_pred").cast(labelType))
         .drop("__c45_pred")
-    else {
+    } else {
       // the ml-convention probability vector: transformProba's exact
       // integer micros over 1e6, ordered by label VALUE when the fit
       // labels were numeric (so vector(i) is class i for

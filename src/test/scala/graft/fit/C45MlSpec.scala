@@ -151,6 +151,33 @@ class C45MlSpec extends AnyFunSuite {
     } finally scored.unpersist()
   }
 
+  test("fractionalPredict serves null-bearing rows via the engine's fractional vote") {
+    val df = planted("/root/testdata/sf0.001")
+    val c45 = new C45Classifier()
+      .setFeatureCols(features).setLabelCol("cls").setMaxDepth(3)
+      .setPredictionCol("pred")
+    val fitted = c45.fit(df)
+    val nulled = df.withColumn("l_quantity",
+      when(col("l_orderkey") % 3 === 0, lit(null).cast("double"))
+        .otherwise(col("l_quantity")))
+    // fractional wrapper predictions == the engine's transformFractional
+    val frac = fitted.copy(org.apache.spark.ml.param.ParamMap(
+      fitted.fractionalPredict -> true))
+    val both = fitted.model.transformFractional(
+      frac.transform(nulled).withColumnRenamed("pred", "p_ml"), "p_native")
+    assert(both.filter(col("p_ml") =!= col("p_native")).count() == 0)
+    // default (flat) predictions differ on some null-bearing rows —
+    // the fractional vote is a real behavior, not a rename
+    val flat = fitted.transform(nulled).withColumnRenamed("pred", "p_flat")
+    assert(fitted.model.transformFractional(flat, "p_frac")
+      .filter(col("p_flat") =!= col("p_frac")).count() > 0)
+    // mutually exclusive with probabilityCol
+    val bad = fitted.copy(org.apache.spark.ml.param.ParamMap(
+      fitted.fractionalPredict -> true,
+      fitted.probabilityCol -> "probability"))
+    assertThrows[IllegalArgumentException](bad.transform(nulled))
+  }
+
   test("schema validation: missing features / preexisting output fail fast") {
     val df = planted("/root/testdata/sf0.001")
     val noSuch = new C45Classifier()
