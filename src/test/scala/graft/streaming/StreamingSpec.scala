@@ -220,4 +220,47 @@ class StreamingSpec extends AnyFunSuite {
         "late-but-within-watermark arrival still matches; nothing re-emits")
     } finally q.stop()
   }
+
+  test("interval join state is BOUNDED: watermark advance evicts state rows") {
+    // The scale property the join's design hinges on: the condition
+    // holds ONLY watermarked-column conjuncts, so Spark derives a state
+    // watermark for EACH side and cleans its store as the watermarks
+    // advance. If any conjunct were over a non-watermarked column,
+    // extraction would fail silently (results stay exact in append
+    // mode) and numRowsRemoved would stay 0 forever — O(stream) state.
+    val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val left = MemoryStream[(Long, Long, Long)]
+    val right = MemoryStream[(Long, Long, Long)]
+    def shape(ms: MemoryStream[(Long, Long, Long)]) =
+      ms.toDF.toDF("event_id", "ts", "user_id")
+    val joined = StreamingJoin.intervalJoin(
+      shape(left), shape(right), "user_id")
+    val q = joined.writeStream.format("memory").queryName("sjoin_state")
+      .outputMode("append").start()
+    try {
+      val h = 3600L * 1000 * 1000 * 1000 // 1h in ns
+      left.addData((1L, 10 * h, 7L))
+      right.addData((2L, 10 * h + h / 2, 7L))
+      q.processAllAvailable() // the match emits; state holds both rows
+      // jump event time far past the 2h watermark delay + 1h interval:
+      // the batch-end watermark recompute passes every earlier row's
+      // retention horizon on both sides
+      left.addData((3L, 100 * h, 7L))
+      right.addData((4L, 100 * h, 7L))
+      q.processAllAvailable()
+      // eviction executes in a batch AFTER the watermark advanced
+      left.addData((5L, 101 * h, 7L))
+      right.addData((6L, 101 * h, 7L))
+      q.processAllAvailable()
+      val removed = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+      assert(removed > 0,
+        "no state rows were ever evicted — the join's state watermark " +
+          "extraction failed (a non-watermarked conjunct is back in the " +
+          "join condition?) and the state store grows O(stream)")
+    } finally q.stop()
+  }
 }
