@@ -176,6 +176,13 @@ case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String,
     Some((cur, nid))
   }
 
+  /** The class set [[transformProba]] emits columns for, in its column
+    * order (sorted strings): every class observed in a leaf
+    * distribution or label, plus the majority. */
+  def probaClasses: Seq[String] =
+    (leafDist.flatMap(_.keys) ++ leaves.flatMap(_.label) :+ majority)
+      .distinct.sorted
+
   /** Per-row class-membership probabilities from the leaves' training
     * class distributions — C4.5's predict_proba. Each row routes to
     * its leaf exactly as [[transform]] does, and emits that leaf's
@@ -188,24 +195,19 @@ case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String,
     * one `<probPrefix><class>` micros column per class label, classes
     * sorted. Same two plans as transform: flat CASE WHEN to a leaf
     * index while the model is narrow, broadcast level-walk past
-    * `routeThreshold` leaves. Fit-produced, pruned, and
+    * `routeThreshold` leaves (generalized rule sets have no tree form
+    * and always take the order-aware flat path). Fit-produced, pruned,
+    * simplified ([[C45RuleSimplify]], first-match distributions), and
     * sidecar-loaded ([[C45Model.load]]) models carry the
-    * distributions; rule-text-only loads and simplified rule sets do
-    * not. */
-  /** The class set [[transformProba]] emits columns for, in its column
-    * order (sorted strings): every class observed in a leaf
-    * distribution or label, plus the majority. */
-  def probaClasses: Seq[String] =
-    (leafDist.flatMap(_.keys) ++ leaves.flatMap(_.label) :+ majority)
-      .distinct.sorted
-
+    * distributions; only rule-text-only loads ([[C45Model.loadRules]])
+    * do not. */
   def transformProba(df: DataFrame, outputCol: String = "prediction",
                      probPrefix: String = "p_",
                      routeThreshold: Int = 64): DataFrame = {
     require(leafDist.size == leaves.size && leaves.nonEmpty,
       "transformProba needs per-leaf class distributions: fit/prune/" +
-        "C45Model.load produce them (loadRules text-only loads and " +
-        "simplified rule sets do not)")
+        "simplify/C45Model.load produce them (loadRules text-only " +
+        "loads do not)")
     require(leaves.forall(_.label.nonEmpty), "model has open rules")
     val classes: Seq[String] = probaClasses
     // per-leaf micros vector, exact integer arithmetic on the recorded
@@ -262,6 +264,14 @@ case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String,
         probCols: _*)
     }
   }
+
+  /** A generalized ([[C45RuleSimplify]]) rule set: more than one leaf
+    * and no tree form — leaves may overlap and first-match order is
+    * semantic. Drives the semantics switches in [[transformFractional]]
+    * (C4.5rules unknown-fails scoring) and [[C45Pruning]] (rejects:
+    * subtree replacement needs a partition). */
+  private[fit] def overlapping: Boolean =
+    leaves.size > 1 && treeStructure().isEmpty
 
   /** Reconstruct the tree from the leaf rules' condition prefixes:
     * node ids for every distinct path prefix (assigned level-wise in
@@ -338,17 +348,23 @@ case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String,
     * routing does (weights ride as exact long micros so the per-row
     * per-class sums are order-independent), then ONE hash aggregation
     * by row id and a join back to the input. Fit-produced, pruned
-    * (which keep the merged leaf distributions), and sidecar-loaded
-    * ([[C45Model.load]]) models carry the masses; rule-text-only
-    * loads and simplified rule sets do not and must use
-    * [[transform]]. */
+    * (which keep the merged leaf distributions), simplified, and
+    * sidecar-loaded ([[C45Model.load]]) models carry the masses;
+    * rule-text-only loads do not and must use [[transform]].
+    *
+    * Generalized ([[C45RuleSimplify]]) rule lists have no tree to
+    * fractionally descend: C4.5rules itself classifies them with
+    * unknown-FAILS first-match (a test on a null value is unsatisfied
+    * — Quinlan 1993, ch. 5), which is exactly [[transform]]'s
+    * semantics, so such models delegate there. */
   def transformFractional(df: DataFrame, outputCol: String = "prediction",
                           routeThreshold: Int = 64): DataFrame = {
     require(leafMass.size == leaves.size && leaves.nonEmpty,
       "transformFractional needs per-leaf training masses: fit/prune/" +
-        "C45Model.load produce them (loadRules text-only loads and " +
-        "simplified rule sets do not — use transform)")
+        "simplify/C45Model.load produce them (loadRules text-only " +
+        "loads do not — use transform)")
     require(leaves.forall(_.label.nonEmpty), "model has open rules")
+    if (overlapping) return transform(df, outputCol, routeThreshold)
     val classes = leaves.flatMap(_.label).distinct.sorted
     if (leaves.size <= routeThreshold) flatFractional(df, outputCol, classes)
     else routedFractional(df, outputCol, classes)
@@ -536,8 +552,8 @@ case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String,
   def save(spark: SparkSession, dir: String): Unit = {
     require(leafDist.size == leaves.size && leaves.nonEmpty,
       "C45Model.save persists the distribution sidecar: the model must " +
-        "carry per-leaf class distributions (fit/prune/load produce " +
-        "them); use saveRules for a rules-only text export")
+        "carry per-leaf class distributions (fit/prune/simplify/load " +
+        "produce them); use saveRules for a rules-only text export")
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dirPath)

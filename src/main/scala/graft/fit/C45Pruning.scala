@@ -64,6 +64,10 @@ object C45Pruning {
   def prune(model: C45Model, df: DataFrame, z: Double = DefaultZ,
             routeThreshold: Int = 64): C45Model = {
     if (model.leaves.isEmpty) return model
+    require(!model.overlapping,
+      "pruning is subtree replacement over a tree-form leaf partition; " +
+        "generalized (C45RuleSimplify) rule sets overlap and cannot be " +
+        "subtree-pruned — simplify already minimizes each rule")
     pruneFromCounts(model, scanCounts(model, df, routeThreshold), z,
       unit = 1.0)
   }
@@ -80,14 +84,19 @@ object C45Pruning {
     * distributions qualifies: fit-produced, already-pruned (the prune
     * keeps the merged distributions), or loaded through
     * [[C45Model.load]]'s distribution sidecar — only rule-text-only
-    * loads ([[C45Model.loadRules]]) and [[C45RuleSimplify]] output
-    * lack them. */
+    * loads ([[C45Model.loadRules]]) lack them. Generalized
+    * ([[C45RuleSimplify]]) rule sets carry distributions but overlap,
+    * so subtree replacement is undefined on them — rejected with a
+    * clear message, as in [[prune]]. */
   def pruneTraining(model: C45Model, z: Double = DefaultZ): C45Model = {
     if (model.leaves.isEmpty) return model
+    require(!model.overlapping,
+      "pruning is subtree replacement over a tree-form leaf partition; " +
+        "generalized (C45RuleSimplify) rule sets overlap and cannot be " +
+        "subtree-pruned — simplify already minimizes each rule")
     require(model.leafDist.size == model.leaves.size,
       "pruneTraining needs per-leaf class distributions: fit/prune/" +
-        "C45Model.load produce them (loadRules text-only loads and " +
-        "simplified rule sets do not)")
+        "C45Model.load produce them (loadRules text-only loads do not)")
     val counts = model.leafDist.zipWithIndex
       .collect { case (d, i) if d.nonEmpty => i -> d }.toMap
     pruneFromCounts(model, counts, z, unit = 1e6)

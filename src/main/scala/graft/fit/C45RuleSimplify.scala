@@ -29,7 +29,12 @@ import org.apache.spark.sql.functions._
   * canonical C4.5rules outcome): the returned model's `transform`
   * remains correct because its flat CASE WHEN is first-match, and
   * leaves are ordered best-rule-first (lowest pessimistic error rate,
-  * then codec text). Exact-duplicate rules collapse to one. */
+  * then codec text). Exact-duplicate rules collapse to one. The
+  * returned model carries per-rule FIRST-MATCH training distributions
+  * (whole-row counts in exact micros — see the job comment in
+  * [[simplify]]), so transformProba / C45Model.save / load round-trip;
+  * subtree pruning stays tree-only ([[C45Pruning]] rejects overlapping
+  * rule sets). */
 object C45RuleSimplify {
 
   /** Evaluate (covered, correct) for each (predicate, label) candidate
@@ -102,10 +107,33 @@ object C45RuleSimplify {
     // best-rule-first order; exact duplicates collapse
     val ordered = done.result().sortBy { case (r, rt) => (rt, r.encode) }
       .map(_._1).distinct
-    // leafMass aligns with the original leaves, not the generalized
-    // rule list — clear it (simplified models score via transform)
-    model.copy(leaves = dropSubsumed(ordered), leafMass = Vector.empty,
-      leafDist = Vector.empty)
+    val finalLeaves = dropSubsumed(ordered)
+    // ONE more routing job records per-rule training distributions so
+    // simplify → transformProba / C45Model.save compose. The
+    // generalized rules overlap, so membership is FIRST-MATCH — the
+    // same CASE WHEN rid expression transform scores such models with
+    // (C45.flatRidColumn) — and masses are whole-row counts in exact
+    // micros (C4.5rules classifies with unknown-fails semantics: a
+    // null on a rule's attribute routes past it, so there is no
+    // fractional membership to record). O(Σ depth) expression, one
+    // partial-aggregated count, O(rules × classes) rows to the driver.
+    val dist: Vector[Map[String, Long]] =
+      if (finalLeaves.isEmpty) Vector.empty
+      else {
+        val rid = C45.flatRidColumn(finalLeaves, names)
+        val byRid = df.select(rid.as("__rid"), cls.as("__cls"))
+          .filter(col("__rid") >= 0)
+          .groupBy("__rid", "__cls").agg(count(lit(1)).as("__n"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (i, rows) =>
+            i -> rows.map(r =>
+              r.getString(1) -> r.getLong(2) * 1000000L).toMap
+          }
+        finalLeaves.indices.toVector.map(i => byRid.getOrElse(i, Map.empty))
+      }
+    model.copy(leaves = finalLeaves, leafMass = dist.map(_.values.sum),
+      leafDist = dist)
   }
 
   /** Does satisfying `c1` guarantee satisfying `c2`? */

@@ -106,6 +106,94 @@ class RuleSimplifySpec extends AnyFunSuite {
       "1,>25.0&0,A:N", "1,>25.0&0,N:P", "1,>25.0&0,R:P"))
   }
 
+  test("simplified model carries first-match distributions; proba is " +
+    "hand-computable") {
+    val s = spark
+    import s.implicits._
+    // class decided by a, with 2 planted noise rows in the a=t region
+    // (one per x-branch) so BOTH x-conditions drop (the widened rule's
+    // pessimistic rate beats each noisy leaf's) and the merged rule's
+    // first-match distribution is MIXED: {p: 48, n: 2}.
+    val leaves = Vector(
+      Rule(Vector(0 -> CatEq("t"), 1 -> NumLE(5.0)), Some("p")),
+      Rule(Vector(0 -> CatEq("t"), 1 -> NumGT(5.0)), Some("p")),
+      Rule(Vector(0 -> CatEq("u")), Some("n")))
+    val model = C45Model(schema, leaves, "p")
+    val rows = (1 to 50).map(i =>
+      ("t", i % 10 + 0.0, if (i == 3 || i == 17) "n" else "p")) ++
+      (1 to 50).map(i => ("u", i % 10 + 0.0, "n"))
+    val out = C45RuleSimplify.simplify(model, rows.toDF("a", "x", "cls"))
+    // pure a=u rule ranks first (lower pessimistic rate), then a=t
+    assert(out.leaves.map(_.encode) == Vector("0,u:n", "0,t:p"))
+    assert(out.leafDist == Vector(
+      Map("n" -> 50000000L), Map("p" -> 48000000L, "n" -> 2000000L)))
+    assert(out.leafMass == Vector(50000000L, 50000000L))
+    // hand-computed micros: 48/50 -> 960000, 2/50 -> 40000
+    val proba = out.transformProba(
+        Seq(("t", 1.0), ("u", 9.0), ("z", 1.0)).toDF("a", "x"))
+      .select("a", "prediction", "p_n", "p_p")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(proba == Seq(
+      ("t", "p", 40000L, 960000L),
+      ("u", "n", 1000000L, 0L),
+      ("z", "p", 0L, 1000000L))) // no rule fires -> majority at 10^6
+  }
+
+  test("simplify -> save -> load -> proba round-trips bit-identically") {
+    val s = spark
+    import s.implicits._
+    val leaves = Vector(
+      Rule(Vector(0 -> CatEq("t"), 1 -> NumLE(5.0)), Some("p")),
+      Rule(Vector(0 -> CatEq("t"), 1 -> NumGT(5.0)), Some("p")),
+      Rule(Vector(0 -> CatEq("u")), Some("n")))
+    val rows = (1 to 50).map(i =>
+      ("t", i % 10 + 0.0, if (i == 3 || i == 17) "n" else "p")) ++
+      (1 to 50).map(i => ("u", i % 10 + 0.0, "n"))
+    val out = C45RuleSimplify.simplify(
+      C45Model(schema, leaves, "p"), rows.toDF("a", "x", "cls"))
+    val dir = java.nio.file.Files.createTempDirectory("simplify_rt")
+      .toString
+    try {
+      out.save(spark, dir)
+      val back = C45Model.load(spark, dir, schema)
+      assert(back.leaves == out.leaves) // first-match ORDER preserved
+      assert(back.leafDist == out.leafDist)
+      val score = Seq(("t", 1.0), ("u", 9.0), ("z", 1.0)).toDF("a", "x")
+      assert(back.transformProba(score).collect().map(_.toSeq).toSeq ==
+        out.transformProba(score).collect().map(_.toSeq).toSeq)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  test("overlapping rule lists: fractional == transform (C4.5rules " +
+    "unknown-fails), pruning rejects") {
+    val s = spark
+    import s.implicits._
+    // a genuinely overlapping first-match list: [x>3 -> p, a=t -> n].
+    // Row (t, 5.0) matches BOTH; first-match predicts p. A per-rule
+    // SUM vote (the tree-model fractional plan) would tie p/n and
+    // break the tie to n — so the delegation to transform is semantic,
+    // not cosmetic.
+    val m = C45Model(schema,
+      Vector(Rule(Vector(1 -> NumGT(3.0)), Some("p")),
+        Rule(Vector(0 -> CatEq("t")), Some("n"))), "p",
+      leafMass = Vector(1000000L, 1000000L),
+      leafDist = Vector(Map("p" -> 1000000L), Map("n" -> 1000000L)))
+    assert(m.overlapping)
+    val score = Seq(("t", Option(5.0)), ("t", Option(1.0)),
+      ("u", Option(1.0)), (null: String, None: Option[Double]))
+      .toDF("a", "x")
+    val frac = m.transformFractional(score).collect().map(_.toSeq).toSeq
+    assert(frac == m.transform(score).collect().map(_.toSeq).toSeq)
+    assert(frac.map(_.last) == Seq("p", "n", "p", "p"))
+    intercept[IllegalArgumentException](C45Pruning.pruneTraining(m))
+    intercept[IllegalArgumentException](C45Pruning.prune(m, score))
+  }
+
   test("simplified golden: sf0.01 committed rule set reproduces") {
     val got = graft.queries.C45Queries.qRuleSimplify(spark, "/root/testdata/sf0.01")
       .collect().map(_.getString(0)).toVector
