@@ -54,23 +54,48 @@ private[fit] trait C45ClassifierParams extends Params {
         "fallback; null-free rows predict identically either way. " +
         "Mutually exclusive with probabilityCol (the probability path " +
         "routes nulls to the majority leaf)")
+  final val prune: org.apache.spark.ml.param.BooleanParam =
+    new org.apache.spark.ml.param.BooleanParam(this, "prune",
+      "apply C4.5 pessimistic subtree-replacement pruning to the fitted " +
+        "tree against its own training distribution before wrapping — " +
+        "zero extra Spark jobs (C45Pruning.pruneTraining over the " +
+        "fit-recorded leaf distributions)")
+  final val pruneCF: org.apache.spark.ml.param.DoubleParam =
+    new org.apache.spark.ml.param.DoubleParam(this, "pruneCF",
+      "pruning confidence factor (C4.5's CF, in (0, 0.5)): smaller " +
+        "prunes harder; read only when prune=true",
+      ParamValidators.inRange(0.0, 0.5,
+        lowerInclusive = false, upperInclusive = false))
   setDefault(labelCol -> "label", predictionCol -> "prediction",
     probabilityCol -> "", featureCols -> Array.empty[String], maxDepth -> 8,
-    maxBins -> 256, missingMode -> "fractional", fractionalPredict -> false)
+    maxBins -> 256, missingMode -> "fractional", fractionalPredict -> false,
+    prune -> false, pruneCF -> 0.25)
 
   final def getLabelCol: String = $(labelCol)
   final def getPredictionCol: String = $(predictionCol)
   final def getProbabilityCol: String = $(probabilityCol)
   final def getFeatureCols: Array[String] = $(featureCols)
 
-  /** Features must exist; the prediction column must not. The label is
-    * checked only when `requireLabel` (fit-time; a serving transform
-    * doesn't need it). */
+  /** Features must exist; the prediction column must not; no input
+    * column may sit in the reserved `__c45_` namespace (fit and
+    * transform route through `__c45_label`/`__c45_pred`/`__c45_p_*`
+    * internally — a colliding input would corrupt scoring silently).
+    * The label is checked only when `requireLabel` (fit-time; a
+    * serving transform doesn't need it). `predictionType` is by-name
+    * so a fit-time `schema(labelCol)` lookup cannot throw Spark's
+    * generic field-resolution error before the friendly label require
+    * here fires. */
   protected def validateSchema(schema: StructType, requireLabel: Boolean,
-                               predictionType: DataType): StructType = {
+                               predictionType: => DataType): StructType = {
     require($(featureCols).nonEmpty, "featureCols must be set (non-empty)")
     $(featureCols).foreach(f => require(schema.fieldNames.contains(f),
       s"feature column '$f' missing from ${schema.fieldNames.mkString(",")}"))
+    schema.fieldNames.filter(_.startsWith("__c45_")) match {
+      case Array() => ()
+      case bad => throw new IllegalArgumentException(
+        s"input columns ${bad.mkString(", ")} collide with the wrapper's " +
+          "reserved __c45_* namespace — rename them before fit/transform")
+    }
     if (requireLabel)
       require(schema.fieldNames.contains($(labelCol)),
         s"label column '${$(labelCol)}' missing")
@@ -91,9 +116,10 @@ private[fit] trait C45ClassifierParams extends Params {
 /** `spark.ml` Estimator over [[C45.fit]]: same engine, same semantics
   * quirk choices, same one-histogram-job-per-level scale shape —
   * usable inside `Pipeline` / `CrossValidator` (C45MlSpec drives
-  * both). For the engine-native surface (fractional predict,
-  * probabilities, pruning, persistence sidecar) use the wrapped
-  * [[C45ClassificationModel.model]]. */
+  * both). Fractional serving, ml-convention probabilities, and
+  * CF-parameterized pessimistic pruning are params; only
+  * rule-simplification and the raw engine layout still need the
+  * wrapped [[C45ClassificationModel.model]]. */
 class C45Classifier(override val uid: String)
     extends Estimator[C45ClassificationModel] with C45ClassifierParams
     with DefaultParamsWritable {
@@ -109,6 +135,8 @@ class C45Classifier(override val uid: String)
   def setMaxBins(v: Int): this.type = set(maxBins, v)
   def setMissingMode(v: String): this.type = set(missingMode, v)
   def setFractionalPredict(v: Boolean): this.type = set(fractionalPredict, v)
+  def setPrune(v: Boolean): this.type = set(prune, v)
+  def setPruneCF(v: Double): this.type = set(pruneCF, v)
 
   override def fit(dataset: Dataset[_]): C45ClassificationModel = {
     transformSchema(dataset.schema)
@@ -124,9 +152,15 @@ class C45Classifier(override val uid: String)
     val train = df.select(
       $(featureCols).map(col).toIndexedSeq :+
         col($(labelCol)).cast("string").as("__c45_label"): _*)
-    val m = C45.fit(train, schema, C45Params(
+    val fitted = C45.fit(train, schema, C45Params(
       maxDepth = $(maxDepth), maxBins = $(maxBins),
       missingMode = $(missingMode)))
+    // the zero-job engine prune (over the fit-recorded distributions)
+    // — no re-scan, so prune=true costs nothing beyond the fit itself
+    val m =
+      if ($(prune))
+        C45Pruning.pruneTraining(fitted, C45Pruning.zForCF($(pruneCF)))
+      else fitted
     copyValues(new C45ClassificationModel(uid, m, labelType)
       .setParent(this))
   }

@@ -37,6 +37,47 @@ object C45Pruning {
   /** Normal deviate for C4.5's default CF = 0.25. */
   val DefaultZ = 0.6744897501960817
 
+  /** The z for an arbitrary C4.5 confidence factor: the (1-CF)
+    * standard-normal quantile (CF 0.25 → 0.6745; smaller CF → larger z
+    * → harder pruning). The C4.5 default short-circuits to the exact
+    * [[DefaultZ]] constant so CF-parameterized callers (the spark.ml
+    * wrapper) are bit-identical to engine-default callers; other CFs
+    * use Acklam's published rational approximation to the inverse
+    * normal CDF (|relative error| < 1.15e-9 — far inside the pruning
+    * comparison's 1e-9 tie tolerance at any realistic n). */
+  def zForCF(cf: Double): Double = {
+    require(cf > 0.0 && cf < 0.5, s"CF must be in (0, 0.5): $cf")
+    if (cf == 0.25) DefaultZ else inverseNormalCdf(1.0 - cf)
+  }
+
+  /** Acklam's inverse standard-normal CDF (lower-tail quantile),
+    * restricted to the central/upper regions `zForCF` reaches
+    * (p ∈ (0.5, 1)). Coefficients are the published constants. */
+  private def inverseNormalCdf(p: Double): Double = {
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pHigh = 1 - 0.02425
+    if (p <= pHigh) {
+      val q = p - 0.5
+      val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else {
+      val q = math.sqrt(-2 * math.log(1 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    }
+  }
+
   /** Wilson upper confidence bound on an error RATE: observed `errors`
     * in `n` trials. n = 0 is defined as 0 (an empty leaf costs
     * nothing; it can only appear through degenerate inputs). */

@@ -705,10 +705,20 @@ object C45Queries {
     val (model, df) = probaFixture(s, dir)
     // a fresh per-invocation dir: a fixed shared path would let two
     // graft JVMs on one box (tier sweep + bench) interleave save/load
-    // and pair one run's rules with another's distributions
-    val tmp = java.nio.file.Files.createTempDirectory("graft_c45_rt").toString
-    model.save(s, tmp)
-    val loaded = graft.fit.C45Model.load(s, tmp, model.schema)
+    // and pair one run's rules with another's distributions. load is
+    // EAGER (rules + sidecar collect to the driver), so the dir is
+    // deletable right here — Bench reps and Verify runs leave nothing
+    // behind.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_c45_rt")
+    val loaded =
+      try {
+        model.save(s, tmp.toString)
+        graft.fit.C45Model.load(s, tmp.toString, model.schema)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.delete)
+      }
     probaSummary(loaded, df)
   }
   val qModelRoundtripSql: String = qPredictProbaSql

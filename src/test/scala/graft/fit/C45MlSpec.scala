@@ -187,4 +187,70 @@ class C45MlSpec extends AnyFunSuite {
       .setFeatureCols(features).setLabelCol("cls").setPredictionCol("l_tax")
     assertThrows[IllegalArgumentException](collide.fit(df))
   }
+
+  test("schema validation: reserved __c45_* inputs and a missing label " +
+    "fail with the friendly message") {
+    val df = planted("/root/testdata/sf0.001")
+    val c45 = new C45Classifier().setFeatureCols(features).setLabelCol("cls")
+    // a column in the wrapper's internal namespace would corrupt
+    // scoring silently — rejected up front, fit and transform alike
+    val tainted = df.withColumn("__c45_pred", lit(1))
+    val eFit = intercept[IllegalArgumentException](c45.fit(tainted))
+    assert(eFit.getMessage.contains("__c45_"))
+    val fitted = c45.fit(df)
+    val eServe = intercept[IllegalArgumentException](
+      fitted.transform(tainted))
+    assert(eServe.getMessage.contains("__c45_"))
+    // a missing label column names the label, not Spark's generic
+    // field-resolution error (the dtype lookup is by-name)
+    val eLabel = intercept[IllegalArgumentException](
+      c45.fit(df.drop("cls")))
+    assert(eLabel.getMessage.contains("label column 'cls' missing"))
+  }
+
+  test("prune=true == engine pruneTraining; CF round-trips persistence") {
+    val df = planted("/root/testdata/sf0.001")
+    val c45 = new C45Classifier()
+      .setFeatureCols(features).setLabelCol("cls").setMaxDepth(6)
+      .setPredictionCol("pred").setPrune(true)
+    val wrapped = c45.fit(df)
+    // the wrapper-pruned engine model IS pruneTraining's output
+    val schema = graft.meta.C45Schema(
+      features.map(f => graft.meta.AttrMeta(f, isNumeric = f != "l_returnflag")),
+      "cls", Nil)
+    val engine = C45Pruning.pruneTraining(
+      C45.fit(df, schema, C45Params(maxDepth = 6)))
+    assert(wrapped.model.leaves == engine.leaves)
+    assert(wrapped.model.leafDist == engine.leafDist)
+    // the deep unpruned tree is strictly wider — prune=true is real
+    val unpruned = c45.copy(org.apache.spark.ml.param.ParamMap(
+      c45.prune -> false)).fit(df)
+    assert(unpruned.model.leaves.size > wrapped.model.leaves.size)
+    // predictions match the engine path row-for-row
+    val both = engine.transform(wrapped.transform(df), "pred_native")
+    assert(both.filter(col("pred") =!= col("pred_native")).count() == 0)
+    // a harder CF prunes at least as hard, via the zForCF quantile
+    val hard = c45.copy(org.apache.spark.ml.param.ParamMap(
+      c45.pruneCF -> 0.01)).fit(df)
+    assert(hard.model.leaves.size <= wrapped.model.leaves.size)
+    // persistence: prune/pruneCF ride the paramMap; the loaded model
+    // scores identically
+    val dir = java.nio.file.Files.createTempDirectory("c45_ml_prune").toString
+    wrapped.write.overwrite().save(dir)
+    val loaded = C45ClassificationModel.load(dir)
+    assert(loaded.getOrDefault(loaded.prune))
+    assert(loaded.model.leaves == wrapped.model.leaves)
+    val rt = loaded.transform(wrapped.transform(df)
+      .withColumnRenamed("pred", "p0"))
+    assert(rt.filter(col("pred") =!= col("p0")).count() == 0)
+  }
+
+  test("zForCF: exact at the C4.5 default, published quantiles elsewhere") {
+    assert(C45Pruning.zForCF(0.25) == C45Pruning.DefaultZ)
+    assert(math.abs(C45Pruning.zForCF(0.05) - 1.6448536269514722) < 1e-8)
+    assert(math.abs(C45Pruning.zForCF(0.01) - 2.3263478740408408) < 1e-8)
+    assert(math.abs(C45Pruning.zForCF(0.4) - 0.2533471031357997) < 1e-8)
+    assertThrows[IllegalArgumentException](C45Pruning.zForCF(0.5))
+    assertThrows[IllegalArgumentException](C45Pruning.zForCF(0.0))
+  }
 }
