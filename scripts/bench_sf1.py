@@ -27,7 +27,8 @@ HEAVY = [
     "q_ann_eval", "q_ann_ivf", "q_ann_ivfpq", "q_ann_pq", "q_annpq_eval",
     "q_basket_pairs", "q_bfs_hops", "q_bloom_semi", "q_bpe_encode",
     "q_bpe_train", "q_cluster_terms", "q_cooccur", "q_corpus_drift",
-    "q_crossval", "q_crossval_missing", "q_curate_full", "q_dbscan",
+    "q_crossval", "q_crossval_missing", "q_curate_full", "q_curate_stats",
+    "q_dbscan",
     "q_dbscan_lsh", "q_dedup_apply",
     "q_dedup_eval", "q_embed_pca", "q_event_transitions",
     "q_feature_importance", "q_fit_deep", "q_fit_missing", "q_fit_pruned",
@@ -94,7 +95,9 @@ def main():
             # growth, not engine superlinearity — per affected doc the
             # cost FALLS (relational span-merge, round 17).
             "q_curate_full": "excision workload grows ~100x at this "
-                             "tier (all docs duplicated by replication)"
+                             "tier (all docs duplicated by replication)",
+            "q_curate_stats": "same pipeline as q_curate_full (same "
+                              "~100x excision workload), aggregated"
         },
         "machine_state": {  # graft.Bench's self-diagnosis fields
             "sf1": {"loadavg": sf1.get("loadavg"),

@@ -182,15 +182,26 @@ object CorpusQueries {
   //      never shuffles by anything but its own keys. ----
   private val CurWin = 40
   private val CurStride = 10
-  def qCurateFull(s: SparkSession, dir: String): DataFrame = {
+
+  /** The shared v2 curation stages: (excised corpus [doc_id, text,
+    * n_dup_spans], canonical doc ids, quality-passing ids with
+    * post-excision token counts). [[qCurateFull]] (the gated rows) and
+    * [[qCurateStats]] (per-stage aggregates) are projections of these
+    * three frames. */
+  private def curateStages(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val scope = CacheScope.unmanaged()
     // materialize the redaction ONCE: the excision evaluates its text
     // column per exploded window row and per gap-fold step, and an
     // unpersisted `red` would textually inline the regex subtree into
     // every one of those references — ~60 regex re-executions per doc
-    // (the Dedup.shingles pitfall; measured 5.7× per 10× data at sf1
-    // before this persist, ~1.9× after). (doc_id, text) is all the
-    // downstream stages need — the cache stays two columns wide.
+    // (the Dedup.shingles pitfall; measured 5.7× growth per 10× data
+    // at sf1 before this persist). The REMAINING sf1/sf0.1 bench ratio
+    // (~4.4×, BENCH_sf1.json) is workload, not plan: the sf1 generator
+    // replicates every doc, so nearly every window is a cross-doc
+    // duplicate and the dup-offset set the excision merges grows ~100×
+    // per 10× docs. (doc_id, text) is all the downstream stages need —
+    // the cache stays two columns wide.
     val red = scope.persist(docs(s, dir)
       .select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("text")))
     val exc = scope.persist(
@@ -203,13 +214,21 @@ object CorpusQueries {
         QfMinTokens, QfMaxTokens, QfMinStop, QfMaxDup, QfMaxTop)
       .filter(col("keep") === 1)
       .select(col("id").as("doc_id"), col("n_tokens"))
+    (exc, canon, qual)
+  }
+
+  def qCurateFull(s: SparkSession, dir: String): DataFrame = {
+    val (exc, canon, qual) = curateStages(s, dir)
     exc.join(canon, Seq("doc_id"), "left_semi")
       .join(qual, Seq("doc_id"))
       .select(col("doc_id"), col("n_tokens"), col("n_dup_spans"),
         md5(col("text")).as("clean_sig"))
       .orderBy("doc_id")
   }
-  val qCurateFullSql: String = {
+  /** The shared oracle CTE chain for the curation pipeline — binds
+    * `exc` (excised corpus), `canon`, and `q` (quality survivors),
+    * mirroring [[curateStages]] stage for stage. */
+  private def curateCtesSql: String = {
     val okLen = s"n_tokens BETWEEN $QfMinTokens AND $QfMaxTokens"
     val okStop = s"stop_n::DOUBLE / n_tokens >= $QfMinStop"
     val okDup = s"1.0 - n_distinct::DOUBLE / n_tokens <= $QfMaxDup"
@@ -247,11 +266,49 @@ object CorpusQueries {
        |    CAST(coalesce(sum(n) FILTER (WHERE list_contains(['the','a','of','and','to','is'], tok)), 0) AS BIGINT) AS stop_n
        |  FROM c GROUP BY 1),
        |q AS (SELECT doc_id, n_tokens FROM s
-       |  WHERE ($okLen) AND ($okStop) AND ($okDup) AND ($okTop))
+       |  WHERE ($okLen) AND ($okStop) AND ($okDup) AND ($okTop))""".stripMargin
+  }
+  val qCurateFullSql: String =
+    s"""$curateCtesSql
        |SELECT e.doc_id, q.n_tokens, e.n_dup_spans, md5(e.text) AS clean_sig
        |FROM exc e JOIN canon USING (doc_id) JOIN q USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  // ---- curation observability at ANY tier: ONE row of per-stage
+  //      aggregates from the SAME pipeline. The sf1 generator
+  //      replicates every doc, so excision empties nearly every text
+  //      and q_curate_full's final gated output is legitimately EMPTY
+  //      at that tier — hash-matching an empty frame verifies nothing.
+  //      These aggregates are non-degenerate at every tier (doc/span
+  //      counts, surviving-char mass, per-stage survivor counts), so
+  //      the scale-tier gate exercises the excision, dedup, and
+  //      quality stages' actual outputs. Each aggregate is one
+  //      partial-combined pass over an already-persisted frame; the
+  //      crossJoins assemble four 1-row frames. ----
+  def qCurateStats(s: SparkSession, dir: String): DataFrame = {
+    val (exc, canon, qual) = curateStages(s, dir)
+    val fin = exc.join(canon, Seq("doc_id"), "left_semi")
+      .join(qual, Seq("doc_id"))
+    exc.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_dup_spans") > 0, 1L).otherwise(0L))
+          .as("n_docs_excised"),
+        sum(col("n_dup_spans").cast("long")).as("n_spans"),
+        sum(length(col("text")).cast("long")).as("clean_chars"))
+      .crossJoin(canon.agg(count(lit(1)).as("n_canonical")))
+      .crossJoin(qual.agg(count(lit(1)).as("n_quality")))
+      .crossJoin(fin.agg(count(lit(1)).as("n_final")))
   }
+  val qCurateStatsSql: String =
+    s"""$curateCtesSql,
+       |f AS (SELECT e.doc_id FROM exc e JOIN canon USING (doc_id) JOIN q USING (doc_id))
+       |SELECT (SELECT count(*) FROM exc) AS n_docs,
+       |  (SELECT count(*) FROM exc WHERE n_dup_spans > 0) AS n_docs_excised,
+       |  (SELECT CAST(coalesce(sum(n_dup_spans), 0) AS BIGINT) FROM exc) AS n_spans,
+       |  (SELECT CAST(coalesce(sum(len(text)), 0) AS BIGINT) FROM exc) AS clean_chars,
+       |  (SELECT count(*) FROM canon) AS n_canonical,
+       |  (SELECT count(*) FROM q) AS n_quality,
+       |  (SELECT count(*) FROM f) AS n_final""".stripMargin
 
   // ---- CDC snapshot merge: upsert docs with doc_id%10=0 (uppercased
   //      text), insert shifted copies of doc_id%17=3, delete
@@ -902,6 +959,7 @@ object CorpusQueries {
     "q_quality_filter" -> (qQualityFilter _),
     "q_clean_corpus" -> (qCleanCorpus _),
     "q_curate_full" -> (qCurateFull _),
+    "q_curate_stats" -> (qCurateStats _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_inverted_index" -> (qInvertedIndex _),
     "q_domain_cap" -> (qDomainCap _),
@@ -930,6 +988,7 @@ object CorpusQueries {
     "q_quality_filter" -> qQualityFilterSql,
     "q_clean_corpus" -> qCleanCorpusSql,
     "q_curate_full" -> qCurateFullSql,
+    "q_curate_stats" -> qCurateStatsSql,
     "q_merge_upsert" -> qMergeUpsertSql,
     "q_inverted_index" -> qInvertedIndexSql,
     "q_domain_cap" -> qDomainCapSql,
