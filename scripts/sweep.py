@@ -78,6 +78,12 @@ PROBA_GOLDENS = {  # q_predict_proba: distinct (prediction, micros) + counts
         "sf1": "src/test/resources/golden/proba_sf1.txt",
     },
 }
+SIMPLIFY_PROBA_GOLDENS = {  # same shape, N/P classes (planted-XOR fixture)
+    "q_simplify_proba": {
+        "sf0.1": "src/test/resources/golden/simplify_proba_sf01.txt",
+        "sf1": "src/test/resources/golden/simplify_proba_sf1.txt",
+    },
+}
 
 
 def fit_golden_frame(path):
@@ -139,6 +145,13 @@ def proba_golden_frame(path):
     return pd.DataFrame(rows, columns=["prediction", "p_f", "p_o", "n"])
 
 
+def simplify_proba_golden_frame(path):
+    """same shape as proba_golden_frame, N/P class columns (the frame
+    qSimplifyProba emits)."""
+    return proba_golden_frame(path).rename(
+        columns={"p_f": "p_n", "p_o": "p_p"})
+
+
 def canon(df):
     cols = sorted(df.columns)
     return df[cols].sort_values(by=cols).reset_index(drop=True)
@@ -176,7 +189,9 @@ def main():
             for tiers, builder in ((FIT_GOLDENS.get(name), fit_golden_frame),
                                    (CV_GOLDENS.get(name), cv_golden_frame),
                                    (IMP_GOLDENS.get(name), imp_golden_frame),
-                                   (PROBA_GOLDENS.get(name), proba_golden_frame))
+                                   (PROBA_GOLDENS.get(name), proba_golden_frame),
+                                   (SIMPLIFY_PROBA_GOLDENS.get(name),
+                                    simplify_proba_golden_frame))
             if tiers), None)
         if golden_kind and tier != "sf0.01":
             tiers, builder = golden_kind

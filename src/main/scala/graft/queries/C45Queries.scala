@@ -678,17 +678,20 @@ object C45Queries {
     val (model, df) = probaFixture(s, dir)
     probaSummary(model, df)
   }
-  /** Committed golden (prediction,p_f,p_o,n CSV lines) → VALUES pin. */
-  private def goldenProbaSql(resource: String): String = {
+  /** Committed golden (prediction,<c1>,<c2>,n CSV lines) → VALUES pin;
+    * `c1`/`c2` are the two class-micros column names ("p_f"/"p_o" for
+    * the l_linestatus fixture, "p_n"/"p_p" for the planted-XOR one). */
+  private def goldenProbaSql(resource: String,
+                             c1: String = "p_f", c2: String = "p_o"): String = {
     val src = scala.io.Source.fromResource(resource)
     val lines = try src.getLines().filter(_.nonEmpty).toVector finally src.close()
     val rows = lines.map { l =>
-      val Array(p, pf, po, n) = l.split(",")
-      s"('${p.replace("'", "''")}', CAST($pf AS BIGINT), " +
-        s"CAST($po AS BIGINT), CAST($n AS BIGINT))"
+      val Array(p, v1, v2, n) = l.split(",")
+      s"('${p.replace("'", "''")}', CAST($v1 AS BIGINT), " +
+        s"CAST($v2 AS BIGINT), CAST($n AS BIGINT))"
     }
-    s"SELECT prediction, p_f, p_o, n FROM (VALUES ${rows.mkString(", ")}) " +
-      "AS t(prediction, p_f, p_o, n) ORDER BY prediction, p_f, p_o"
+    s"SELECT prediction, $c1, $c2, n FROM (VALUES ${rows.mkString(", ")}) " +
+      s"AS t(prediction, $c1, $c2, n) ORDER BY prediction, $c1, $c2"
   }
   val qPredictProbaSql: String = goldenProbaSql("golden/proba_sf001.txt")
 
@@ -858,7 +861,11 @@ object C45Queries {
   //      the opposite-label region and the pessimistic rate jumps).
   //      Simplified rules overlap — the canonical C4.5rules outcome —
   //      ordered best-rate-first; the golden pins the exact set. ----
-  def qRuleSimplify(s: SparkSession, dir: String): DataFrame = {
+  /** The shared rule-generalization fixture: the planted-XOR-plus-noise
+    * 3-attribute fit at depth 4, simplified. Returns the simplified
+    * model plus the (persisted) training frame — callers unpersist. */
+  private def simplifiedFixture(s: SparkSession, dir: String)
+      : (graft.fit.C45Model, DataFrame) = {
     val schema = C45Schema(
       Seq(AttrMeta("l_returnflag", isNumeric = false),
         AttrMeta("l_quantity", isNumeric = true),
@@ -873,14 +880,42 @@ object C45Queries {
       when(base =!= noisy, lit("P")).otherwise(lit("N")))
       .select((schema.attrNames :+ "cls").map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val model = C45.fit(df, schema, C45Params(maxDepth = 4))
-      // the greedy rounds' conditional aggs all re-scan df; simplify()
-      // finishes eagerly, so the result no longer needs it
-      graft.fit.C45RuleSimplify.simplify(model, df).toDF(s).orderBy("rule")
-    } finally df.unpersist()
+    val model = C45.fit(df, schema, C45Params(maxDepth = 4))
+    // the greedy rounds' conditional aggs all re-scan df; simplify()
+    // finishes eagerly (incl. its first-match distribution job), so
+    // the returned model no longer needs the cache
+    (graft.fit.C45RuleSimplify.simplify(model, df), df)
+  }
+
+  def qRuleSimplify(s: SparkSession, dir: String): DataFrame = {
+    val (simplified, df) = simplifiedFixture(s, dir)
+    try simplified.toDF(s).orderBy("rule") finally df.unpersist()
   }
   val qRuleSimplifySql: String = goldenValuesSql("golden/rule_simplify_sf001_rules.txt")
+
+  // ---- rule generalization + proba serving: the simplified model's
+  //      per-rule FIRST-MATCH training distributions (recorded by
+  //      simplify in one routing job) served through transformProba —
+  //      gate-checks that generalized, OVERLAPPING rule sets carry
+  //      exact-micros distributions through the order-aware flat path
+  //      (the level-walk has no tree to walk here). Same summary shape
+  //      as q_predict_proba; oracle = VALUES pin of the committed
+  //      golden, sweep.py golden-compares the higher tiers (sf1 counts
+  //      are 10× sf0.1's; the micros are replication-invariant). ----
+  def qSimplifyProba(s: SparkSession, dir: String): DataFrame = {
+    val (simplified, df) = simplifiedFixture(s, dir)
+    try {
+      simplified.transformProba(df, "prediction", "p_")
+        .select(col("prediction"), col("p_N").as("p_n"), col("p_P").as("p_p"))
+        .groupBy("prediction", "p_n", "p_p")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prediction", "p_n", "p_p")
+      // the returned plan re-reads only the parquet scan after the
+      // fixture cache releases — the model's literals are driver-side
+    } finally df.unpersist()
+  }
+  val qSimplifyProbaSql: String =
+    goldenProbaSql("golden/simplify_proba_sf001.txt", "p_n", "p_p")
 
   // ---- O4 + evaluation: k-fold cross-validation — the train/test
   //      surface the reference lacks entirely. Same planted XOR + 10%
@@ -1146,6 +1181,7 @@ object C45Queries {
     "q_fit_missing" -> (qFitMissing _),
     "q_fit_pruned" -> (qFitPruned _),
     "q_rule_simplify" -> (qRuleSimplify _),
+    "q_simplify_proba" -> (qSimplifyProba _),
     "q_crossval" -> (qCrossVal _),
     "q_crossval_missing" -> (qCrossValMissing _),
     "q_model_roundtrip" -> (qModelRoundtrip _),
@@ -1187,6 +1223,7 @@ object C45Queries {
     "q_fit_missing" -> qFitMissingSql,
     "q_fit_pruned" -> qFitPrunedSql,
     "q_rule_simplify" -> qRuleSimplifySql,
+    "q_simplify_proba" -> qSimplifyProbaSql,
     "q_crossval" -> qCrossValSql,
     "q_crossval_missing" -> qCrossValMissingSql,
     "q_model_roundtrip" -> qModelRoundtripSql,

@@ -36,6 +36,10 @@ object DumpRules {
       graft.queries.C45Queries.qPredictProba(spark, sfDir).collect()
         .foreach(r => println("PROB|" + r.getString(0) + "," + r.getLong(1) +
           "," + r.getLong(2) + "," + r.getLong(3)))
+    else if (args.length > 1 && args(1) == "simplify_proba")
+      graft.queries.C45Queries.qSimplifyProba(spark, sfDir).collect()
+        .foreach(r => println("PROB|" + r.getString(0) + "," + r.getLong(1) +
+          "," + r.getLong(2) + "," + r.getLong(3)))
     else fit(spark, sfDir).collect()
       .foreach(r => println("RULE|" + r.getString(0) + "|" + r.getString(1) + "|" + r.getInt(2)))
     spark.stop()
