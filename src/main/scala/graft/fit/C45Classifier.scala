@@ -62,14 +62,27 @@ private[fit] trait C45ClassifierParams extends Params {
         "fit-recorded leaf distributions)")
   final val pruneCF: org.apache.spark.ml.param.DoubleParam =
     new org.apache.spark.ml.param.DoubleParam(this, "pruneCF",
-      "pruning confidence factor (C4.5's CF, in (0, 0.5)): smaller " +
-        "prunes harder; read only when prune=true",
+      "pruning/simplification confidence factor (C4.5's CF, in " +
+        "(0, 0.5)): smaller prunes/generalizes harder; read when prune " +
+        "or simplifyRules is set",
       ParamValidators.inRange(0.0, 0.5,
         lowerInclusive = false, upperInclusive = false))
+  final val simplifyRules: org.apache.spark.ml.param.BooleanParam =
+    new org.apache.spark.ml.param.BooleanParam(this, "simplifyRules",
+      "generalize the fitted (and, with prune=true, pruned) tree into a " +
+        "C4.5rules-style ordered rule list (C45RuleSimplify): greedy " +
+        "per-rule condition dropping under the same pessimistic bound, " +
+        "first-match scoring, per-rule training distributions for " +
+        "probabilityCol. Costs extra fit-time jobs (one conditional " +
+        "aggregation per greedy round). A generalized list has no tree " +
+        "to fractionally descend, so with simplifyRules=true, " +
+        "fractionalPredict scores unknown-fails first-match (the " +
+        "engine's documented C4.5rules delegation) — identical to the " +
+        "plain prediction")
   setDefault(labelCol -> "label", predictionCol -> "prediction",
     probabilityCol -> "", featureCols -> Array.empty[String], maxDepth -> 8,
     maxBins -> 256, missingMode -> "fractional", fractionalPredict -> false,
-    prune -> false, pruneCF -> 0.25)
+    prune -> false, pruneCF -> 0.25, simplifyRules -> false)
 
   final def getLabelCol: String = $(labelCol)
   final def getPredictionCol: String = $(predictionCol)
@@ -116,10 +129,10 @@ private[fit] trait C45ClassifierParams extends Params {
 /** `spark.ml` Estimator over [[C45.fit]]: same engine, same semantics
   * quirk choices, same one-histogram-job-per-level scale shape —
   * usable inside `Pipeline` / `CrossValidator` (C45MlSpec drives
-  * both). Fractional serving, ml-convention probabilities, and
-  * CF-parameterized pessimistic pruning are params; only
-  * rule-simplification and the raw engine layout still need the
-  * wrapped [[C45ClassificationModel.model]]. */
+  * both). Fractional serving, ml-convention probabilities,
+  * CF-parameterized pessimistic pruning, and C4.5rules generalization
+  * are all params; only the raw engine layout still needs the wrapped
+  * [[C45ClassificationModel.model]]. */
 class C45Classifier(override val uid: String)
     extends Estimator[C45ClassificationModel] with C45ClassifierParams
     with DefaultParamsWritable {
@@ -137,6 +150,7 @@ class C45Classifier(override val uid: String)
   def setFractionalPredict(v: Boolean): this.type = set(fractionalPredict, v)
   def setPrune(v: Boolean): this.type = set(prune, v)
   def setPruneCF(v: Double): this.type = set(pruneCF, v)
+  def setSimplifyRules(v: Boolean): this.type = set(simplifyRules, v)
 
   override def fit(dataset: Dataset[_]): C45ClassificationModel = {
     transformSchema(dataset.schema)
@@ -157,10 +171,17 @@ class C45Classifier(override val uid: String)
       missingMode = $(missingMode)))
     // the zero-job engine prune (over the fit-recorded distributions)
     // — no re-scan, so prune=true costs nothing beyond the fit itself
-    val m =
+    val pruned =
       if ($(prune))
         C45Pruning.pruneTraining(fitted, C45Pruning.zForCF($(pruneCF)))
       else fitted
+    // canonical C4.5rules order: generalize AFTER pruning; the result
+    // carries per-rule first-match distributions, so probabilityCol
+    // and persistence compose
+    val m =
+      if ($(simplifyRules))
+        C45RuleSimplify.simplify(pruned, train, C45Pruning.zForCF($(pruneCF)))
+      else pruned
     copyValues(new C45ClassificationModel(uid, m, labelType)
       .setParent(this))
   }

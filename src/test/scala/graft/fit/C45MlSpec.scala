@@ -245,6 +245,38 @@ class C45MlSpec extends AnyFunSuite {
     assert(rt.filter(col("pred") =!= col("p0")).count() == 0)
   }
 
+  test("simplifyRules=true == engine prune->simplify; proba + " +
+    "persistence compose") {
+    val df = planted("/root/testdata/sf0.001")
+    val c45 = new C45Classifier()
+      .setFeatureCols(features).setLabelCol("cls").setMaxDepth(4)
+      .setPredictionCol("pred").setPrune(true).setSimplifyRules(true)
+    val wrapped = c45.fit(df)
+    // the wrapped engine model IS prune -> simplify (canonical order)
+    val schema = graft.meta.C45Schema(
+      features.map(f => graft.meta.AttrMeta(f, isNumeric = f != "l_returnflag")),
+      "cls", Nil)
+    val engine = C45RuleSimplify.simplify(
+      C45Pruning.pruneTraining(C45.fit(df, schema, C45Params(maxDepth = 4))),
+      df.select((features :+ "cls").map(col): _*))
+    assert(wrapped.model.leaves == engine.leaves)
+    assert(wrapped.model.leafDist == engine.leafDist)
+    assert(wrapped.model.leaves.nonEmpty)
+    // first-match distributions serve probabilityCol on the wrapper
+    val proba = wrapped.copy(org.apache.spark.ml.param.ParamMap(
+      wrapped.probabilityCol -> "probability")).transform(df)
+    assert(proba.select("probability").head()
+      .getAs[org.apache.spark.ml.linalg.Vector](0).size == 2)
+    // persistence round-trips the generalized list in first-match order
+    val dir = java.nio.file.Files.createTempDirectory("c45_ml_simp").toString
+    wrapped.write.overwrite().save(dir)
+    val loaded = C45ClassificationModel.load(dir)
+    assert(loaded.model.leaves == wrapped.model.leaves) // order preserved
+    val rt = loaded.transform(wrapped.transform(df)
+      .withColumnRenamed("pred", "p0"))
+    assert(rt.filter(col("pred") =!= col("p0")).count() == 0)
+  }
+
   test("zForCF: exact at the C4.5 default, published quantiles elsewhere") {
     assert(C45Pruning.zForCF(0.25) == C45Pruning.DefaultZ)
     assert(math.abs(C45Pruning.zForCF(0.05) - 1.6448536269514722) < 1e-8)
