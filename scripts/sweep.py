@@ -163,6 +163,13 @@ def main():
     dump = os.path.abspath(sys.argv[3]) if len(sys.argv) > 3 else "/tmp/graft_sweep"
     tier = os.path.basename(sf_dir.rstrip("/"))
 
+    # the dump dir is this run's scratch: clear stale query dirs from a
+    # previous (possibly SPARK_GRAFT_ONLY-filtered) run, or the report
+    # silently mixes tiers/runs
+    if os.path.isdir(dump):
+        import shutil
+        shutil.rmtree(dump)
+
     subprocess.run(
         ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {dump}'],
         cwd=REPO, check=True)
