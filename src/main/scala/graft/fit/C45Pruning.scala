@@ -160,7 +160,10 @@ object C45Pruning {
       else model.routedNid(df).map { case (cur, nid) =>
         val leafIdx: Map[Int, Int] = leaves.zipWithIndex
           .map { case (r, i) => nid(r.conditions) -> i }.toMap
-        cur.filter(col("__nid").isNotNull)
+        // null class labels (rejected by the fit, but held-out frames
+        // are caller-supplied) have no class to count — dropped
+        cur.filter(col("__nid").isNotNull &&
+            col(model.schema.classCol).isNotNull)
           .groupBy(col("__nid"), clsCol)
           .agg(count(lit(1)).as("n"))
           .collect()
@@ -174,7 +177,7 @@ object C45Pruning {
       // change to rid assignment can never leave pruning behind
       val rid = C45.flatRidColumn(leaves, names)
       df.select(rid.as("rid"), clsCol)
-        .filter(col("rid") >= 0)
+        .filter(col("rid") >= 0 && col("cls").isNotNull)
         .groupBy("rid", "cls").agg(count(lit(1)).as("n"))
         .collect()
         .groupBy(_.getInt(0))

@@ -121,8 +121,10 @@ object C45RuleSimplify {
       if (finalLeaves.isEmpty) Vector.empty
       else {
         val rid = C45.flatRidColumn(finalLeaves, names)
+        // null class labels (rejected by the fit, but this is public
+        // API) carry no attributable class — dropped, like rid -1
         val byRid = df.select(rid.as("__rid"), cls.as("__cls"))
-          .filter(col("__rid") >= 0)
+          .filter(col("__rid") >= 0 && col("__cls").isNotNull)
           .groupBy("__rid", "__cls").agg(count(lit(1)).as("__n"))
           .collect()
           .groupBy(_.getInt(0))
