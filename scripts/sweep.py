@@ -84,6 +84,28 @@ SIMPLIFY_PROBA_GOLDENS = {  # same shape, N/P classes (planted-XOR fixture)
         "sf1": "src/test/resources/golden/simplify_proba_sf1.txt",
     },
 }
+FOREST_GOLDENS = {  # bagged forest -> tier marker -> committed rules
+    # NOTE: unlike the single-tree fits, sf1 does NOT share sf0.1's
+    # golden — gen_sf1.py re-keys l_orderkey per copy, so the
+    # deterministic bootstrap draws (md5 of the row key) differ per
+    # replica and the ensemble is tier-specific.
+    "q_forest": {
+        "sf0.1": "src/test/resources/golden/forest_sf01_rules.txt",
+        "sf1": "src/test/resources/golden/forest_sf1_rules.txt",
+    },
+}
+FOREST_OOB_GOLDENS = {  # OOB confusion counts per tier (same reason)
+    "q_forest_oob": {
+        "sf0.1": "src/test/resources/golden/forest_oob_sf01.txt",
+        "sf1": "src/test/resources/golden/forest_oob_sf1.txt",
+    },
+}
+FOREST_PROBA_GOLDENS = {  # ensemble-averaged micros per tier (same reason)
+    "q_forest_proba": {
+        "sf0.1": "src/test/resources/golden/forest_proba_sf01.txt",
+        "sf1": "src/test/resources/golden/forest_proba_sf1.txt",
+    },
+}
 
 
 def fit_golden_frame(path):
@@ -152,6 +174,40 @@ def simplify_proba_golden_frame(path):
         columns={"p_f": "p_n", "p_o": "p_p"})
 
 
+def forest_golden_frame(path):
+    """golden forest txt (tree|rule|majority lines) -> the (tree, rule,
+    label, depth, majority) frame qForest emits."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            t, rule, maj = line.split("|", 2)
+            cut = rule.rfind(":")
+            conds = rule[:cut]
+            depth = 0 if not conds else conds.count("&") + 1
+            rows.append((int(t), rule, rule[cut + 1:], depth, maj))
+    df = pd.DataFrame(rows,
+                      columns=["tree", "rule", "label", "depth", "majority"])
+    df["tree"] = df["tree"].astype("int32")
+    df["depth"] = df["depth"].astype("int32")
+    return df
+
+
+def forest_oob_golden_frame(path):
+    """golden OOB counts txt (actual,pred,n lines) -> the (actual,
+    oob_prediction, n) frame qForestOob emits."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                a, p, n = line.split(",")
+                rows.append((a, p, int(n)))
+    return pd.DataFrame(rows, columns=["actual", "oob_prediction", "n"])
+
+
 def canon(df):
     cols = sorted(df.columns)
     return df[cols].sort_values(by=cols).reset_index(drop=True)
@@ -198,7 +254,13 @@ def main():
                                    (IMP_GOLDENS.get(name), imp_golden_frame),
                                    (PROBA_GOLDENS.get(name), proba_golden_frame),
                                    (SIMPLIFY_PROBA_GOLDENS.get(name),
-                                    simplify_proba_golden_frame))
+                                    simplify_proba_golden_frame),
+                                   (FOREST_GOLDENS.get(name),
+                                    forest_golden_frame),
+                                   (FOREST_OOB_GOLDENS.get(name),
+                                    forest_oob_golden_frame),
+                                   (FOREST_PROBA_GOLDENS.get(name),
+                                    proba_golden_frame))
             if tiers), None)
         if golden_kind and tier != "sf0.01":
             tiers, builder = golden_kind

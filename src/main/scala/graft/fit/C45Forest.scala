@@ -1,0 +1,371 @@
+package graft.fit
+
+import graft.meta.C45Schema
+import graft.model.Rule
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Tuning knobs for [[C45Forest.fit]] — bagged C4.5 (Breiman 1996,
+  * "Bagging Predictors") with an optional random-subspace restriction
+  * per tree (Ho 1998). `nTrees` bootstrap replicates; `attrsPerTree`
+  * (0 = all) restricts each tree to a deterministic rotating subset of
+  * the schema's attributes — tree t sees attr index i iff
+  * `(i + t) % d < attrsPerTree`, so every attribute appears in exactly
+  * `attrsPerTree` of any `d` consecutive trees; `seed` salts the
+  * bootstrap hash. `base.missingMode` must be "drop": the fused
+  * weighted histogram carries integer bootstrap multiplicities, and a
+  * null attribute value simply leaves each attribute's slice (and the
+  * routing) exactly as the single-tree drop mode does. */
+case class C45ForestParams(nTrees: Int = 10,
+                           attrsPerTree: Int = 0,
+                           seed: Int = 42,
+                           base: C45Params = C45Params(missingMode = "drop")) {
+  require(nTrees >= 1, s"nTrees must be >= 1: $nTrees")
+  require(attrsPerTree >= 0, s"attrsPerTree must be >= 0: $attrsPerTree")
+  require(base.missingMode == "drop",
+    "C45Forest supports missingMode=drop only (null attribute values " +
+      "leave each histogram slice and route to no leaf)")
+}
+
+/** A fitted bagged-C4.5 ensemble: `trees(t)` is the C4.5 model of the
+  * t-th bootstrap replicate. Serving is majority vote across trees
+  * (ties break toward the lexicographically smallest label); each
+  * member model serves through its own [[C45Model.transform]] plan, so
+  * the vote is T flat CASE WHEN columns + one pure-Column argmax —
+  * zero joins, zero shuffles, fully codegen'd. */
+case class C45Forest(trees: Vector[C45Model], seed: Int) {
+
+  /** Sorted union of the member trees' class labels. */
+  def labels: Seq[String] =
+    trees.flatMap(_.schema.classLabels).distinct.sorted
+
+  /** Per-label vote argmax over prediction columns `predCols`, ties to
+    * the smallest label: greatest((count, rank, label)) where rank
+    * DEscends with the label sort order, so an equal count prefers the
+    * earlier label. `gate(t)` optionally masks tree t's vote (the OOB
+    * path votes only out-of-bag trees). */
+  private def voteColumn(predCols: Seq[Column],
+                         gate: Int => Column = _ => lit(true)): Column = {
+    val ls = labels
+    if (ls.size == 1) return lit(ls.head)
+    val structs = ls.zipWithIndex.map { case (l, i) =>
+      val cnt = predCols.zipWithIndex.map { case (p, t) =>
+        when(gate(t) && p === lit(l), 1).otherwise(0)
+      }.reduce(_ + _)
+      struct(cnt.as("c"), lit(ls.size - i).as("r"), lit(l).as("l"))
+    }
+    greatest(structs: _*).getField("l")
+  }
+
+  /** Score `df`: adds `outputCol` with the majority-vote label. */
+  def transform(df: DataFrame, outputCol: String = "prediction"): DataFrame = {
+    val preds = trees.indices.map(t => s"__fp$t")
+    val scored = trees.indices.foldLeft(df)((d, t) =>
+      trees(t).transform(d, preds(t)))
+    scored.withColumn(outputCol, voteColumn(preds.map(col)))
+      .drop(preds: _*)
+  }
+
+  /** Score `df` with class-membership probabilities: `outputCol` is the
+    * majority-vote label (same estimator as [[transform]] — hard
+    * voting), and each `probPrefix<class>` column is the ensemble
+    * AVERAGE of the member trees' leaf-distribution micros —
+    * floorDiv(Σ_t p_t + T/2, T), exact integer arithmetic (each tree's
+    * micros ≤ 10⁶ and T is model-sized, so the double-backed floor is
+    * exact far below 2⁵³). Every member tree carries recorded
+    * distributions by construction of [[C45Forest.fit]]. */
+  def transformProba(df: DataFrame, outputCol: String = "prediction",
+                     probPrefix: String = "p_"): DataFrame = {
+    val T = trees.size
+    val preds = trees.indices.map(t => s"__fp$t")
+    val scored = trees.indices.foldLeft(df)((d, t) =>
+      trees(t).transformProba(d, preds(t), probPrefix = s"__ftp${t}_"))
+    val withVote = scored.withColumn(outputCol, voteColumn(preds.map(col)))
+    val out = labels.foldLeft(withVote) { (d, c) =>
+      val sum = trees.indices.map(t => col(s"__ftp${t}_$c")).reduce(_ + _)
+      d.withColumn(s"$probPrefix$c",
+        floor((sum + lit(T / 2)) / lit(T)).cast("long"))
+    }
+    out.drop(preds: _*)
+      .drop(trees.indices.flatMap(t => labels.map(c => s"__ftp${t}_$c")): _*)
+  }
+
+  /** Out-of-bag evaluation (Breiman's "out-of-bag estimates"): each row
+    * is scored ONLY by the trees whose bootstrap replicate excluded it
+    * (bootstrap weight 0, recomputed from `key` — the same hash the fit
+    * used, so the masks are exact). Rows in every tree's bag (prob
+    * ≈ 0.632^T) carry no out-of-bag vote and are excluded. Returns the
+    * confusion counts `(actual, oob_prediction, n)` — an unbiased
+    * held-out error estimate with ZERO extra fits and one tiny
+    * aggregation job. */
+  def oobEval(df: DataFrame, key: Column, actualCol: String): DataFrame = {
+    val preds = trees.indices.map(t => s"__fp$t")
+    val scored = trees.indices.foldLeft(df)((d, t) =>
+      trees(t).transform(d, preds(t)))
+    val oob = trees.indices.map(t =>
+      C45Forest.bootstrapU(key, lit(t), seed) < C45Forest.PoissonCum(0))
+    val nOob = oob.map(o => when(o, 1).otherwise(0)).reduce(_ + _)
+    scored
+      .withColumn("__noob", nOob)
+      .filter(col("__noob") > 0)
+      .withColumn("__vote", voteColumn(preds.map(col), oob))
+      .groupBy(col(actualCol).cast("string").as("actual"),
+        col("__vote").as("oob_prediction"))
+      .agg(count(lit(1L)).as("n"))
+  }
+}
+
+/** Bagged C4.5, fit FUSED: all `nTrees` bootstrap replicates train from
+  * ONE bounded histogram job per level — the same (tree, rule, attr,
+  * value, class) → Σweight aggregation shape as the fused k-fold fit
+  * ([[C45.fitFolds]]), with the per-(row, tree) integer bootstrap
+  * multiplicity riding as the weight instead of a fold exclusion.
+  *
+  * Bootstrap weights are DETERMINISTIC Poisson(1) draws (the standard
+  * streaming/distributed bootstrap — Oza & Russell 2001; at n rows a
+  * Poisson(1) multiplicity vector is the n→∞ limit of multinomial
+  * bagging): w(row, t) = InverseCDF_Poisson(1)(u) where u is a 60-bit
+  * md5 hash of (seed, t, row key) scaled to [0,1) — a pure function of
+  * the row's key, so any replica of the data computes the same sample
+  * with no RNG state, no shuffle, and exact replay in the DuckDB
+  * oracle (the same md5 mirror as [[graft.functions.Hashing.hash60]]).
+  * Weights are materialized ONCE into the fit's cached projection (T
+  * long columns); each level reads them back with one element_at.
+  *
+  * Scale shape: the per-level histogram explodes each cached row to
+  * its in-bag trees (E[#] = (1 − e⁻¹)·T ≈ 0.63·T) × its live
+  * attributes, then partial-aggregates map-side, so the shuffle is
+  * O(model), never O(data) — the single-tree fit's bound times the
+  * ensemble width. Routing is the flat first-match CASE WHEN per tree
+  * ([[C45.flatRidColumn]], the fused fold fit's unweighted path):
+  * bagged C4.5 ensembles are depth-bounded by construction here
+  * (params.base.maxDepth), which keeps the per-tree expression inside
+  * whole-stage codegen.
+  *
+  * Numeric binning (`base.maxBins`) computes ONE shared set of
+  * quantile edges from the FULL data (one probe + one approxQuantile
+  * job, not T): a tree's in-bag sample sees a subset of the full value
+  * set, so shared edges bound every tree's boundary window identically
+  * — a deliberate, documented divergence from per-replicate binning.
+  *
+  * Each tree's decisions replay [[C45.levelStats]]/[[C45.decideLevel]]
+  * on its weighted cell slice — bit-identical to a sequential
+  * [[C45.fit]] on the explicitly replicated bootstrap sample
+  * (C45ForestSpec pins this), because integer weight sums are
+  * order-independent and the driver math is shared code. Recorded
+  * `leafMass`/`leafDist` are bootstrap-multiplicity micros (Σw × 10⁶
+  * per leaf). */
+object C45Forest {
+
+  /** Cumulative Poisson(1) probabilities scaled to 2⁶⁰, k = 0..6:
+    * `u < PoissonCum(k)` ⟺ the draw is ≤ k. Draws above k = 6
+    * (p < 8.4e-5) clamp to 7 — exact replay matters more than the
+    * vanishing tail. Thresholds are floor(c_k · 2⁶⁰) computed at
+    * 50-digit precision, hard-coded so Spark and the SQL mirror can
+    * never disagree. */
+  val PoissonCum: Array[Long] = Array(
+    424136118829305329L, // k=0  c=0.36787944117144233
+    848272237658610659L, // k=1  c=0.7357588823428847
+    1060340297073263324L, // k=2  c=0.9196986029286058
+    1131029650211480879L, // k=3  c=0.9810118431238462
+    1148701988496035267L, // k=4  c=0.9963401531726563
+    1152236456152946145L, // k=5  c=0.9994058151824183
+    1152825534095764625L) // k=6  c=0.9999167588507120
+
+  /** The 60-bit uniform draw for (seed, tree, key): first 15 hex chars
+    * of md5("seed|tree|key") as a long in [0, 2⁶⁰). Same construction
+    * as [[graft.functions.Hashing.hash60]] with the tree id riding in
+    * the salt — and the same exact SQL mirror ([[bootstrapUSql]]). */
+  def bootstrapU(key: Column, tree: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(s"$seed|"), tree.cast("string"),
+      lit("|"), key)), 1, 15), 16, 10).cast("long")
+
+  /** The Poisson(1) bootstrap multiplicity for (seed, tree, key). */
+  def bootstrapWeight(key: Column, tree: Column, seed: Int): Column = {
+    val u = bootstrapU(key, tree, seed)
+    PoissonCum.zipWithIndex.tail.foldLeft(
+      when(u < PoissonCum(0), 0)) { case (acc, (t, k)) =>
+      acc.when(u < t, k)
+    }.otherwise(7)
+  }
+
+  /** SQL mirror of [[bootstrapU]] for the DuckDB oracle. */
+  def bootstrapUSql(keyExpr: String, tree: Int, seed: Int): String =
+    s"CAST(('0x' || substr(md5(concat('$seed|$tree|', $keyExpr)), 1, 15)) " +
+      "AS BIGINT)"
+
+  /** SQL mirror of the out-of-bag indicator (weight = 0). */
+  def oobSql(keyExpr: String, tree: Int, seed: Int): String =
+    s"(${bootstrapUSql(keyExpr, tree, seed)} < ${PoissonCum(0)})"
+
+  /** Attribute indices tree `t` may split on (rotating subspace). */
+  def attrSubset(t: Int, d: Int, attrsPerTree: Int): Set[Int] =
+    if (attrsPerTree <= 0 || attrsPerTree >= d) (0 until d).toSet
+    else (0 until d).filter(i => (i + t) % d < attrsPerTree).toSet
+
+  /** Fit the ensemble. `key` must be a deterministic string-valued
+    * expression over `df`'s columns (duplicate keys share a weight —
+    * acceptable: the weight stays a pure row function). */
+  def fit(df: DataFrame, schema: C45Schema, key: Column,
+          params: C45ForestParams = C45ForestParams()): C45Forest = {
+    val spark = df.sparkSession
+    val names = schema.attrNames
+    val clsCol = schema.classCol
+    val catAttrs = schema.categoricalAttrs
+    val numAttrs = schema.numericAttrs
+    val d = names.size
+    val T = params.nTrees
+    require(params.attrsPerTree <= d,
+      s"attrsPerTree ${params.attrsPerTree} exceeds attribute count $d")
+    val wCols = (0 until T).map(t => s"__fw$t")
+
+    // one cached projection: attrs + class + the T materialized
+    // bootstrap weights (so the level loop never recomputes md5);
+    // callers that pre-persisted keep their cache — the weight
+    // columns are then computed per level ON TOP of that cache
+    // (projection over a cache is cheap; md5 × T per row per level is
+    // the price of not double-caching the corpus)
+    val prePersisted = df.storageLevel != StorageLevel.NONE ||
+      C45.inputCacheBacked(df)
+    val proj = df.select((names :+ clsCol).map(col) ++
+      (0 until T).map(t =>
+        bootstrapWeight(key, lit(t), params.seed).as(wCols(t))): _*)
+    val data = if (prePersisted) proj
+      else proj.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+
+    // up-front probes in ONE agg job, mirroring C45.fit: non-null
+    // class labels, plus the binning gate's approx-distinct sketches
+    val dcAggs =
+      if (params.base.maxBins <= 0) Seq.empty
+      else numAttrs.map(a =>
+        approx_count_distinct(col(a.name)).as(s"__dc_${a.name}"))
+    val probeAggs =
+      Seq(count(when(col(clsCol).isNull, 1)).as("cls")) ++ dcAggs
+    val probe = data.agg(probeAggs.head, probeAggs.tail: _*).head()
+    require(probe.getLong(0) == 0L,
+      s"C45Forest.fit requires non-null class labels: column '$clsCol' " +
+        "contains NULLs")
+
+    val classLabels: Seq[String] =
+      if (schema.classLabels.nonEmpty) schema.classLabels
+      else data.select(col(clsCol).cast("string")).na.drop().distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+
+    // shared quantile edges (see scaladoc): full-data approxQuantile
+    // through the same API/snap expression as the single-tree fit
+    val binEdges: Map[Int, Array[Double]] =
+      if (params.base.maxBins <= 0 || numAttrs.isEmpty) Map.empty
+      else {
+        val need = numAttrs.filter(a =>
+          probe.getAs[Long](s"__dc_${a.name}") > params.base.maxBins)
+        if (need.isEmpty) Map.empty
+        else {
+          val probs = (1 until params.base.maxBins)
+            .map(_.toDouble / params.base.maxBins).toArray
+          val qs = data.stat.approxQuantile(need.map(_.name).toArray, probs, 1e-4)
+          need.map(_.name).zip(qs).collect {
+            case (nm, es) if es.nonEmpty =>
+              schema.attrIndex(nm) -> es.distinct.sorted
+          }.toMap
+        }
+      }
+    def numValCol(a: graft.meta.AttrMeta): Column = {
+      val raw = col(a.name).cast("double")
+      binEdges.get(schema.attrIndex(a.name))
+        .map(e => graft.functions.SortedCeilSnap.snapTo(e, raw))
+        .getOrElse(raw)
+    }
+
+    val subsets: IndexedSeq[Set[Int]] =
+      (0 until T).map(t => attrSubset(t, d, params.attrsPerTree))
+
+    final class TState {
+      var open: Vector[Rule] = Vector(Rule.root)
+      var closed: Vector[Rule] = Vector.empty
+      var closedMass: Vector[Long] = Vector.empty
+      var closedDist: Vector[Map[String, Long]] = Vector.empty
+      var globalMajority: Option[String] = None
+    }
+    val state = Array.fill(T)(new TState)
+    val sc = spark.sparkContext
+    var level = 0
+    while (state.exists(_.open.nonEmpty) && level <= params.base.maxDepth) {
+      val active = (0 until T).filter(t => state(t).open.nonEmpty)
+      // per-tree histogram map over its LIVE attrs: the tree's subspace
+      // minus the attrs used on every open path (candidates the
+      // decision pass would reject anyway), plus the aid=-1 class
+      // marginal slice
+      val attrMaps: Seq[(Int, Column)] = active.map { t =>
+        val deadAids = state(t).open.map(_.usedAttrs).reduce(_ intersect _)
+        val live = (aid: Int) => subsets(t)(aid) && !deadAids(aid)
+        val liveCat = catAttrs.filter(a => live(schema.attrIndex(a.name)))
+        val liveNum = numAttrs.filter(a => live(schema.attrIndex(a.name)))
+        val pairs: Seq[Column] = Seq(lit(-1), col("__cls")) ++
+          liveCat.flatMap(a =>
+            Seq(lit(schema.attrIndex(a.name)), col(a.name).cast("string"))) ++
+          liveNum.flatMap(a => Seq(lit(schema.attrIndex(a.name)),
+            numValCol(a).cast("string")))
+        (t, map(pairs: _*))
+      }
+      val mapByTree: Column =
+        if (attrMaps.size == 1) attrMaps.head._2
+        else attrMaps.tail.foldLeft(
+          when(col("__tree") === attrMaps.head._1, attrMaps.head._2)) {
+          case (acc, (t, m)) => acc.when(col("__tree") === t, m)
+        }
+      val ridPairs: Seq[Column] = active.flatMap { t =>
+        Seq(lit(t), C45.flatRidColumn(state(t).open, names))
+      }
+      val wByTree = element_at(
+        array(wCols.map(col): _*), col("__tree") + 1)
+      val prevDesc = sc.getLocalProperty("spark.job.description")
+      sc.setJobDescription(s"graft.fitForest level=$level T=$T histogram")
+      val cellsByTree: Map[Int, Array[(Int, Int, String, String, Long)]] =
+        try {
+          data
+            .withColumn("__cls", col(clsCol).cast("string"))
+            .select((Seq(col("__cls")) ++ names.map(col) ++ wCols.map(col) :+
+              explode(map(ridPairs: _*)).as(Seq("__tree", "__rid"))): _*)
+            .filter(col("__rid") >= 0)
+            .withColumn("__w", wByTree)
+            .filter(col("__w") > 0)
+            .select(col("__tree"), col("__rid"), col("__cls").as("cls"),
+              col("__w"), explode(mapByTree).as(Seq("aid", "val")))
+            .filter(col("val").isNotNull)
+            .groupBy("__tree", "__rid", "aid", "val", "cls")
+            .agg(sum(col("__w")).as("cnt"))
+            .collect()
+            .groupBy(_.getInt(0)).view.mapValues(_.map(r =>
+              (r.getInt(1), r.getInt(2), r.getString(3), r.getString(4),
+                r.getLong(5)))).toMap
+        } finally sc.setJobDescription(prevDesc)
+      active.foreach { t =>
+        val s = state(t)
+        val cells = cellsByTree.getOrElse(t, Array.empty[(Int, Int, String, String, Long)])
+        val st = C45.levelStats(cells, schema, classLabels,
+          fractional = false, unit = 1.0, params.base)
+        val dec = C45.decideLevel(s.open, level, st, schema, params.base,
+          classLabels, fractional = false, unit = 1.0, s.globalMajority)
+        dec.closedAdd.foreach { case (r, m, dd) =>
+          s.closed :+= r; s.closedMass :+= m; s.closedDist :+= dd }
+        s.globalMajority = dec.globalMajority
+        s.open = dec.nextOpen
+      }
+      level += 1
+    }
+    C45Forest((0 until T).map { t =>
+      val s = state(t)
+      s.open.foreach { r =>
+        s.closed :+= r.closed(s.globalMajority.getOrElse(classLabels.head))
+        s.closedMass :+= 0L
+        s.closedDist :+= Map.empty
+      }
+      C45Model(schema.copy(classLabels = classLabels), s.closed,
+        s.globalMajority.getOrElse(classLabels.head), s.closedMass,
+        s.closedDist)
+    }.toVector, params.seed)
+    } finally if (!prePersisted) data.unpersist()
+  }
+}

@@ -1112,6 +1112,181 @@ object C45Queries {
       |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
       |WHERE rn = 1 ORDER BY rule""".stripMargin
 
+  // ---- O4 × ensemble: bagged C4.5 (the fused bootstrap forest).
+  //      Same training view as q_fit_tree; 5 trees, each restricted to
+  //      a rotating 3-of-5 attribute subspace, Poisson(1) bootstrap
+  //      weights drawn deterministically from md5(seed|tree|row key) —
+  //      ALL trees train from ONE weighted histogram job per level
+  //      (C45Forest scaladoc). The output is the full ensemble (tree,
+  //      rule, label, depth, majority); the oracle is the committed
+  //      golden, emitted as a VALUES pin exactly like q_fit_tree —
+  //      valid at sf0.01 (scripts/sweep.py golden-compares the other
+  //      tiers: the sf1 replicas re-key l_orderkey, so the bootstrap
+  //      draws — and hence the committed golden — are tier-specific). ----
+  private val ForestParams = graft.fit.C45ForestParams(
+    nTrees = 5, attrsPerTree = 3, seed = 42,
+    base = C45Params(maxDepth = 3, missingMode = "drop"))
+
+  /** The bootstrap row key: `l_orderkey#l_linenumber` as text. NOT
+    * unique in the testdata (FIXTURES.md) — deliberately fine: the
+    * weight is a pure function of the row's columns, so duplicates
+    * sharing a draw keeps the fit deterministic under any
+    * partitioning AND replayable by the DuckDB oracle. */
+  private def forestKey: Column =
+    concat(col("l_orderkey").cast("string"), lit("#"),
+      col("l_linenumber").cast("string"))
+
+  private def forestFit(s: SparkSession, dir: String): graft.fit.C45Forest = {
+    val schema = C45Schema(
+      Seq(AttrMeta("l_returnflag", isNumeric = false),
+        AttrMeta("l_linenumber", isNumeric = false),
+        AttrMeta("l_quantity", isNumeric = true),
+        AttrMeta("l_discount", isNumeric = true),
+        AttrMeta("l_tax", isNumeric = true)),
+      "l_linestatus", ClassLabels)
+    val df = li(s, dir)
+      .withColumn("l_linenumber", col("l_linenumber").cast("string"))
+    graft.fit.C45Forest.fit(df, schema, forestKey, ForestParams)
+  }
+
+  def qForest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    forestFit(s, dir).trees.zipWithIndex.flatMap { case (m, t) =>
+      m.leaves.map(r => (t, r.encode, r.label.getOrElse(""), r.depth,
+        m.majority))
+    }.toDF("tree", "rule", "label", "depth", "majority")
+      .orderBy("tree", "rule")
+  }
+
+  val qForestSql: String = goldenForestSql("golden/forest_sf001_rules.txt")
+
+  /** Committed golden forest (resource lines `tree|rule|majority`) →
+    * the VALUES oracle DuckDB replays: exactly [[qForest]]'s frame. */
+  private def goldenForestSql(resource: String): String = {
+    val src = scala.io.Source.fromResource(resource)
+    val lines = try src.getLines().filter(_.nonEmpty).toVector finally src.close()
+    def q(v: String) = "'" + v.replace("'", "''") + "'"
+    val rows = lines.map { l =>
+      val Array(t, rule, maj) = l.split("\\|", 3)
+      val cut = rule.lastIndexOf(':')
+      val conds = rule.substring(0, cut)
+      val label = rule.substring(cut + 1)
+      val depth = if (conds.isEmpty) 0 else conds.count(_ == '&') + 1
+      s"(CAST($t AS INTEGER), ${q(rule)}, ${q(label)}, $depth, ${q(maj)})"
+    }
+    s"SELECT tree, rule, label, depth, majority " +
+      s"FROM (VALUES ${rows.mkString(", ")}) " +
+      "AS t(tree, rule, label, depth, majority) ORDER BY tree, rule"
+  }
+
+  // ---- O4 × ensemble QA: out-of-bag evaluation. Every row is scored
+  //      only by the trees whose bootstrap replicate EXCLUDED it (an
+  //      unbiased held-out error estimate with zero extra fits); the
+  //      output is the OOB confusion counts. The oracle is REAL SQL at
+  //      the gate tier: it re-derives the per-(row, tree) out-of-bag
+  //      masks from the same md5 draw (C45Forest.oobSql — exact
+  //      integer-threshold compare), routes every row through the
+  //      COMMITTED golden trees as plain CASE WHEN conjunctions, votes
+  //      with the same smallest-label tie-break, and aggregates — so
+  //      DuckDB independently replays sampling, routing, voting, and
+  //      the confusion aggregation end to end. ----
+  def qForestOob(s: SparkSession, dir: String): DataFrame = {
+    val f = forestFit(s, dir)
+    val df = li(s, dir)
+      .withColumn("l_linenumber", col("l_linenumber").cast("string"))
+    f.oobEval(df, forestKey, "l_linestatus")
+      .orderBy("actual", "oob_prediction")
+  }
+
+  val qForestOobSql: String = forestOobSql("golden/forest_sf001_rules.txt")
+
+  // ---- O4 × ensemble probabilities: the forest's soft output — the
+  //      exact integer AVERAGE of the member trees' leaf-distribution
+  //      micros (floorDiv(Σ + T/2, T)), prediction = the same hard
+  //      vote as q_forest's serving path. Collapsed to its distinct
+  //      (prediction, micros) combinations with row counts, exactly
+  //      q_predict_proba's float-free pin shape; tier goldens are
+  //      forest-specific (the sf1 replicas re-draw bootstraps). ----
+  def qForestProba(s: SparkSession, dir: String): DataFrame = {
+    val f = forestFit(s, dir)
+    val df = li(s, dir)
+      .withColumn("l_linenumber", col("l_linenumber").cast("string"))
+    f.transformProba(df, "prediction", "p_")
+      .select(col("prediction"), col("p_F").as("p_f"), col("p_O").as("p_o"))
+      .groupBy("prediction", "p_f", "p_o")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prediction", "p_f", "p_o")
+  }
+  val qForestProbaSql: String =
+    goldenProbaSql("golden/forest_proba_sf001.txt")
+
+  /** The generated OOB oracle (see above): committed golden trees +
+    * md5 bootstrap masks + vote, all in one DuckDB query. */
+  private def forestOobSql(resource: String): String = {
+    val src = scala.io.Source.fromResource(resource)
+    val lines = try src.getLines().filter(_.nonEmpty).toVector finally src.close()
+    val names = Seq("l_returnflag", "ln_s", "l_quantity", "l_discount", "l_tax")
+    val numeric = Set(2, 3, 4)
+    def condSql(aid: Int, sp: graft.model.Split): String = sp match {
+      case graft.model.CatEq(v) => s"${names(aid)} = '${v.replace("'", "''")}'"
+      case graft.model.NumLE(b) => s"CAST(${names(aid)} AS DOUBLE) <= $b"
+      case graft.model.NumGT(b) => s"CAST(${names(aid)} AS DOUBLE) > $b"
+    }
+    require(numeric.forall(i => i < names.size)) // schema shape guard
+    val byTree: Map[Int, (Vector[graft.model.Rule], String)] = lines
+      .map { l =>
+        val Array(t, rule, maj) = l.split("\\|", 3)
+        (t.toInt, graft.model.Rule.decode(rule), maj)
+      }
+      .groupBy(_._1)
+      .map { case (t, g) => t -> (g.map(_._2), g.head._3) }
+    val trees = byTree.keys.toSeq.sorted
+    val key = "k"
+    val predCols = trees.map { t =>
+      val (rules, maj) = byTree(t)
+      val whens = rules.map { r =>
+        val cond = r.conditions.map { case (aid, sp) => condSql(aid, sp) }
+          .mkString(" AND ")
+        s"WHEN ${if (cond.isEmpty) "TRUE" else cond} THEN '${r.label.get}'"
+      }.mkString(" ")
+      s"(CASE $whens ELSE '$maj' END) AS p$t"
+    }
+    val oobCols = trees.map(t =>
+      s"${graft.fit.C45Forest.oobSql(key, t, ForestParams.seed)} AS oob$t")
+    val labels = Seq("F", "O") // ClassLabels, smallest-label tie-break
+    val cntCols = labels.zipWithIndex.map { case (l, i) =>
+      trees.map(t =>
+        s"(CASE WHEN oob$t AND p$t = '$l' THEN 1 ELSE 0 END)")
+        .mkString(" + ") + s" AS c$i"
+    }
+    val noob = trees.map(t => s"(CASE WHEN oob$t THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val vote = labels.indices.init.map { i =>
+      val geAll = (i + 1 until labels.size).map(j => s"c$i >= c$j")
+        .mkString(" AND ")
+      s"WHEN $geAll THEN '${labels(i)}'"
+    }.mkString(" ")
+    s"""WITH base AS (
+       |  SELECT l_returnflag, CAST(l_linenumber AS VARCHAR) AS ln_s,
+       |    l_quantity, l_discount, l_tax,
+       |    CAST(l_linestatus AS VARCHAR) AS actual,
+       |    concat(CAST(l_orderkey AS VARCHAR), '#',
+       |      CAST(l_linenumber AS VARCHAR)) AS $key
+       |  FROM lineitem),
+       |scored AS (
+       |  SELECT actual, ${(oobCols ++ predCols).mkString(",\n    ")}
+       |  FROM base),
+       |votes AS (
+       |  SELECT actual, ${cntCols.mkString(",\n    ")},
+       |    $noob AS noob
+       |  FROM scored)
+       |SELECT actual,
+       |  (CASE $vote ELSE '${labels.last}' END) AS oob_prediction,
+       |  count(*) AS n
+       |FROM votes WHERE noob > 0
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** Flagship (SparkEntry.entry): rank every attribute by root gain
     * ratio — the reference's level-0 decision, end to end. */
   def rootRank(s: SparkSession, dir: String): DataFrame = {
@@ -1185,6 +1360,9 @@ object C45Queries {
     "q_crossval" -> (qCrossVal _),
     "q_crossval_missing" -> (qCrossValMissing _),
     "q_model_roundtrip" -> (qModelRoundtrip _),
+    "q_forest" -> (qForest _),
+    "q_forest_oob" -> (qForestOob _),
+    "q_forest_proba" -> (qForestProba _),
     "q_feature_importance" -> (qFeatureImportance _),
     "q_attr_meta" -> (qAttrMeta _),
     "q_rule_codec" -> (qRuleCodec _),
@@ -1227,6 +1405,9 @@ object C45Queries {
     "q_crossval" -> qCrossValSql,
     "q_crossval_missing" -> qCrossValMissingSql,
     "q_model_roundtrip" -> qModelRoundtripSql,
+    "q_forest" -> qForestSql,
+    "q_forest_oob" -> qForestOobSql,
+    "q_forest_proba" -> qForestProbaSql,
     "q_feature_importance" -> qFeatureImportanceSql,
     "q_attr_meta" -> qAttrMetaSql,
     "q_rule_codec" -> qRuleCodecSql,

@@ -1,0 +1,201 @@
+package graft.fit
+
+import graft.SparkTestSession
+import graft.meta.{AttrMeta, C45Schema}
+import graft.model.Rule
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bagged C4.5 ([[C45Forest]]): the fused one-histogram-per-level fit
+  * must be BIT-IDENTICAL to sequential single-tree fits on explicitly
+  * replicated bootstrap samples; the deterministic Poisson(1) draws
+  * must have the right marginals; vote/OOB semantics are pinned on
+  * hand-built ensembles; and the committed per-tier goldens pin the
+  * production query end to end (the same resources qForestSql and
+  * scripts/sweep.py compare against). */
+class C45ForestSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val schema = C45Schema(
+    Seq(AttrMeta("c1", isNumeric = false),
+      AttrMeta("x1", isNumeric = true),
+      AttrMeta("x2", isNumeric = true)),
+    "cls", Seq("N", "P"))
+
+  /** 600 rows, a planted (c1, x1) interaction class, stable string key. */
+  private def fixture = {
+    spark.range(600).select(
+      (col("id") % 3).cast("string").as("c1"),
+      (col("id") % 7).cast("double").as("x1"),
+      ((col("id") * 13) % 10).cast("double").as("x2"),
+      when((col("id") % 3 === 0) === (col("id") % 7 <= 3), "P")
+        .otherwise("N").as("cls"),
+      col("id").cast("string").as("k"))
+  }
+
+  private val params = C45ForestParams(nTrees = 3, attrsPerTree = 2,
+    seed = 7, base = C45Params(maxDepth = 3, missingMode = "drop"))
+
+  test("fused forest trees are bit-identical to sequential fits on " +
+    "explicitly replicated bootstrap samples") {
+    val df = fixture
+    val forest = C45Forest.fit(df, schema, col("k"), params)
+    assert(forest.trees.size == 3)
+    (0 until 3).foreach { t =>
+      // replicate each row to its Poisson multiplicity, then null out
+      // the attrs outside tree t's subspace: drop-mode C4.5 never sees
+      // a null attr as a candidate, so this IS the subspace restriction
+      // with unchanged global attr indices
+      val subset = C45Forest.attrSubset(t, 3, params.attrsPerTree)
+      val rep = df
+        .withColumn("__w", C45Forest.bootstrapWeight(col("k"), lit(t), 7))
+        .filter(col("__w") > 0)
+        .withColumn("__dup",
+          explode(array_repeat(lit(1), col("__w").cast("int"))))
+        .drop("__w", "__dup")
+      val masked = schema.attrNames.zipWithIndex.foldLeft(rep) {
+        case (d, (n, i)) =>
+          if (subset(i)) d
+          else d.withColumn(n,
+            lit(null).cast(if (schema.isNumericAttr(i)) "double" else "string"))
+      }
+      val seq = C45.fit(masked, schema,
+        C45Params(maxDepth = 3, missingMode = "drop"))
+      assert(seq.ruleStrings == forest.trees(t).ruleStrings,
+        s"tree $t diverged from its sequential replay")
+      assert(seq.majority == forest.trees(t).majority)
+      assert(seq.leafMass == forest.trees(t).leafMass)
+      assert(seq.leafDist == forest.trees(t).leafDist)
+    }
+  }
+
+  test("bootstrap draws have Poisson(1) marginals and are key-deterministic") {
+    val n = 20000
+    val w = spark.range(n).select(
+      C45Forest.bootstrapWeight(col("id").cast("string"), lit(0), 42)
+        .as("w")).collect().map(_.getInt(0))
+    val mean = w.map(_.toLong).sum.toDouble / n
+    val p0 = w.count(_ == 0).toDouble / n
+    assert(math.abs(mean - 1.0) < 0.05, s"mean=$mean")
+    assert(math.abs(p0 - math.exp(-1)) < 0.02, s"p0=$p0")
+    assert(w.max <= 7)
+    // same key, same tree, same seed -> same draw; different tree differs
+    val again = spark.range(n).select(
+      C45Forest.bootstrapWeight(col("id").cast("string"), lit(0), 42)
+        .as("w")).collect().map(_.getInt(0))
+    assert(w.sameElements(again))
+  }
+
+  test("attrSubset rotates: exact size, full coverage, d-periodic") {
+    val subsets = (0 until 5).map(t => C45Forest.attrSubset(t, 5, 3))
+    assert(subsets.forall(_.size == 3))
+    assert(subsets.reduce(_ union _) == (0 until 5).toSet)
+    assert(C45Forest.attrSubset(7, 5, 3) == C45Forest.attrSubset(2, 5, 3))
+    // degenerate settings fall back to the full attribute set
+    assert(C45Forest.attrSubset(1, 4, 0) == (0 until 4).toSet)
+    assert(C45Forest.attrSubset(1, 4, 4) == (0 until 4).toSet)
+  }
+
+  test("majority vote breaks ties toward the smallest label") {
+    def leafModel(label: String) = C45Model(schema,
+      Vector(Rule(Vector.empty, Some(label))), label)
+    val df = fixture
+    val tie = C45Forest(Vector(leafModel("P"), leafModel("N")), seed = 0)
+    assert(tie.transform(df).select("prediction").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("N"))
+    val maj = C45Forest(
+      Vector(leafModel("P"), leafModel("P"), leafModel("N")), seed = 0)
+    assert(maj.transform(df).select("prediction").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("P"))
+  }
+
+  test("transformProba averages the member trees' micros exactly " +
+    "(floorDiv(sum + T/2, T)) and votes hard") {
+    val df = fixture
+    val forest = C45Forest.fit(df, schema, col("k"), params)
+    val T = forest.trees.size
+    // per-tree micros via each member's own transformProba, averaged
+    // driver-side with BigInt floorDiv — the spec's independent replay
+    val scored = forest.trees.indices.foldLeft(df)((d, t) =>
+      forest.trees(t).transformProba(d, s"e$t", probPrefix = s"ep${t}_"))
+    val expected = scored.select(col("k") +:
+      forest.labels.map(c =>
+        forest.trees.indices.map(t => col(s"ep${t}_$c")).reduce(_ + _)
+          .as(s"sum_$c")): _*)
+      .collect().map(r => r.getString(0) ->
+        forest.labels.indices.map(i =>
+          Math.floorDiv(r.getLong(i + 1) + T / 2, T))).toMap
+    val got = forest.transformProba(df)
+      .select(Seq(col("k"), col("prediction")) ++
+        forest.labels.map(c => col(s"p_$c")): _*)
+      .collect()
+    got.foreach { r =>
+      val exp = expected(r.getString(0))
+      forest.labels.indices.foreach { i =>
+        assert(r.getLong(2 + i) == exp(i),
+          s"row ${r.getString(0)} class ${forest.labels(i)}")
+      }
+    }
+    // prediction column equals the hard-vote transform's
+    val hard = forest.transform(df).select("k", "prediction")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    got.foreach(r => assert(r.getString(1) == hard(r.getString(0))))
+  }
+
+  test("oobEval scores exactly the zero-weight rows with the tree's own " +
+    "prediction (single-tree forest)") {
+    val df = fixture
+    val p1 = params.copy(nTrees = 1, attrsPerTree = 0)
+    val f1 = C45Forest.fit(df, schema, col("k"), p1)
+    val expected = df
+      .withColumn("__w",
+        C45Forest.bootstrapWeight(col("k"), lit(0), p1.seed))
+      .filter(col("__w") === 0)
+      .transform(d => f1.trees(0).transform(d, "p"))
+      .groupBy(col("cls").as("actual"), col("p").as("oob_prediction"))
+      .agg(count(lit(1L)).as("n"))
+      .orderBy("actual", "oob_prediction")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val got = f1.oobEval(df, col("k"), "cls")
+      .orderBy("actual", "oob_prediction")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.sameElements(expected))
+    // and the OOB row volume is the zero-weight row count
+    val nZero = df.withColumn("__w",
+      C45Forest.bootstrapWeight(col("k"), lit(0), p1.seed))
+      .filter(col("__w") === 0).count()
+    assert(got.map(_._3).sum == nZero)
+  }
+
+  // ---- committed-golden pins for the production query (the same
+  //      resources the qForestSql VALUES oracle and scripts/sweep.py
+  //      tier compares are generated from) ----
+  private def tierDir(sf: String): String =
+    if (sf == "sf1") "testdata-sf1"
+    else sys.env.getOrElse("SPARK_GRAFT_SF_DIR_BASE", "/root/testdata") + "/" + sf
+
+  private def checkGolden(sf: String, resource: String): Unit = {
+    val dir = tierDir(sf)
+    if (!new java.io.File(dir).isDirectory)
+      cancel(s"testdata $dir not present on this machine")
+    val golden = scala.io.Source.fromResource(resource)
+      .getLines().filter(_.nonEmpty).toVector
+    val got = graft.queries.C45Queries.qForest(spark, dir)
+      .collect().map(r => s"${r.getInt(0)}|${r.getString(1)}|${r.getString(4)}")
+      .toVector
+    assert(got == golden, s"forest diverged from golden ($sf)")
+  }
+
+  test("q_forest reproduces the committed sf0.01 ensemble exactly") {
+    checkGolden("sf0.01", "golden/forest_sf001_rules.txt")
+  }
+
+  test("q_forest at sf0.1 matches the committed tier golden") {
+    checkGolden("sf0.1", "golden/forest_sf01_rules.txt")
+  }
+
+  test("q_forest at the replicated sf1 tier matches its own tier golden " +
+    "(re-keyed copies draw fresh bootstraps)") {
+    checkGolden("sf1", "golden/forest_sf1_rules.txt")
+  }
+}
