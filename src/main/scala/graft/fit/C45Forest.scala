@@ -60,7 +60,7 @@ case class C45Forest(trees: Vector[C45Model], seed: Int) {
 
   /** Score `df`: adds `outputCol` with the majority-vote label. */
   def transform(df: DataFrame, outputCol: String = "prediction"): DataFrame = {
-    val preds = trees.indices.map(t => s"__fp$t")
+    val preds = trees.indices.map(t => s"__c45f_p$t")
     val scored = trees.indices.foldLeft(df)((d, t) =>
       trees(t).transform(d, preds(t)))
     scored.withColumn(outputCol, voteColumn(preds.map(col)))
@@ -78,17 +78,17 @@ case class C45Forest(trees: Vector[C45Model], seed: Int) {
   def transformProba(df: DataFrame, outputCol: String = "prediction",
                      probPrefix: String = "p_"): DataFrame = {
     val T = trees.size
-    val preds = trees.indices.map(t => s"__fp$t")
+    val preds = trees.indices.map(t => s"__c45f_p$t")
     val scored = trees.indices.foldLeft(df)((d, t) =>
-      trees(t).transformProba(d, preds(t), probPrefix = s"__ftp${t}_"))
+      trees(t).transformProba(d, preds(t), probPrefix = s"__c45f_tp${t}_"))
     val withVote = scored.withColumn(outputCol, voteColumn(preds.map(col)))
     val out = labels.foldLeft(withVote) { (d, c) =>
-      val sum = trees.indices.map(t => col(s"__ftp${t}_$c")).reduce(_ + _)
+      val sum = trees.indices.map(t => col(s"__c45f_tp${t}_$c")).reduce(_ + _)
       d.withColumn(s"$probPrefix$c",
         floor((sum + lit(T / 2)) / lit(T)).cast("long"))
     }
     out.drop(preds: _*)
-      .drop(trees.indices.flatMap(t => labels.map(c => s"__ftp${t}_$c")): _*)
+      .drop(trees.indices.flatMap(t => labels.map(c => s"__c45f_tp${t}_$c")): _*)
   }
 
   /** Out-of-bag evaluation (Breiman's "out-of-bag estimates"): each row
@@ -100,18 +100,18 @@ case class C45Forest(trees: Vector[C45Model], seed: Int) {
     * held-out error estimate with ZERO extra fits and one tiny
     * aggregation job. */
   def oobEval(df: DataFrame, key: Column, actualCol: String): DataFrame = {
-    val preds = trees.indices.map(t => s"__fp$t")
+    val preds = trees.indices.map(t => s"__c45f_p$t")
     val scored = trees.indices.foldLeft(df)((d, t) =>
       trees(t).transform(d, preds(t)))
     val oob = trees.indices.map(t =>
       C45Forest.bootstrapU(key, lit(t), seed) < C45Forest.PoissonCum(0))
     val nOob = oob.map(o => when(o, 1).otherwise(0)).reduce(_ + _)
     scored
-      .withColumn("__noob", nOob)
-      .filter(col("__noob") > 0)
-      .withColumn("__vote", voteColumn(preds.map(col), oob))
+      .withColumn("__c45f_noob", nOob)
+      .filter(col("__c45f_noob") > 0)
+      .withColumn("__c45f_vote", voteColumn(preds.map(col), oob))
       .groupBy(col(actualCol).cast("string").as("actual"),
-        col("__vote").as("oob_prediction"))
+        col("__c45f_vote").as("oob_prediction"))
       .agg(count(lit(1L)).as("n"))
   }
 }
