@@ -106,6 +106,12 @@ FOREST_PROBA_GOLDENS = {  # ensemble-averaged micros per tier (same reason)
         "sf1": "src/test/resources/golden/forest_proba_sf1.txt",
     },
 }
+FOREST_IMP_GOLDENS = {  # mean per-tree importance micros (same reason)
+    "q_forest_importance": {
+        "sf0.1": "src/test/resources/golden/forest_importance_sf01.txt",
+        "sf1": "src/test/resources/golden/forest_importance_sf1.txt",
+    },
+}
 
 
 def fit_golden_frame(path):
@@ -260,7 +266,9 @@ def main():
                                    (FOREST_OOB_GOLDENS.get(name),
                                     forest_oob_golden_frame),
                                    (FOREST_PROBA_GOLDENS.get(name),
-                                    proba_golden_frame))
+                                    proba_golden_frame),
+                                   (FOREST_IMP_GOLDENS.get(name),
+                                    imp_golden_frame))
             if tiers), None)
         if golden_kind and tier != "sf0.01":
             tiers, builder = golden_kind

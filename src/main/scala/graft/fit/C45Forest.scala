@@ -208,7 +208,18 @@ object C45Forest {
     * expression over `df`'s columns (duplicate keys share a weight —
     * acceptable: the weight stays a pure row function). */
   def fit(df: DataFrame, schema: C45Schema, key: Column,
-          params: C45ForestParams = C45ForestParams()): C45Forest = {
+          params: C45ForestParams = C45ForestParams()): C45Forest =
+    fitWithImportance(df, schema, key, params)._1
+
+  /** [[fit]], additionally returning each tree's gain-based feature
+    * importance (attr index → Σ node-mass × gain over the splits that
+    * chose it, in bootstrap-weight units — the per-tree analogue of
+    * [[C45.fitWithImportance]], free from the same driver-side
+    * decision pass). The classic random-forest importance is the
+    * per-attribute MEAN across trees. */
+  def fitWithImportance(df: DataFrame, schema: C45Schema, key: Column,
+      params: C45ForestParams = C45ForestParams())
+      : (C45Forest, Vector[Map[Int, Double]]) = {
     val spark = df.sparkSession
     val names = schema.attrNames
     val clsCol = schema.classCol
@@ -287,6 +298,8 @@ object C45Forest {
       var closedMass: Vector[Long] = Vector.empty
       var closedDist: Vector[Map[String, Long]] = Vector.empty
       var globalMajority: Option[String] = None
+      val imp = scala.collection.mutable.Map.empty[Int, Double]
+        .withDefaultValue(0.0)
     }
     val state = Array.fill(T)(new TState)
     val sc = spark.sparkContext
@@ -350,12 +363,13 @@ object C45Forest {
           classLabels, fractional = false, unit = 1.0, s.globalMajority)
         dec.closedAdd.foreach { case (r, m, dd) =>
           s.closed :+= r; s.closedMass :+= m; s.closedDist :+= dd }
+        dec.importanceAdd.foreach { case (aid, v) => s.imp(aid) += v }
         s.globalMajority = dec.globalMajority
         s.open = dec.nextOpen
       }
       level += 1
     }
-    C45Forest((0 until T).map { t =>
+    (C45Forest((0 until T).map { t =>
       val s = state(t)
       s.open.foreach { r =>
         s.closed :+= r.closed(s.globalMajority.getOrElse(classLabels.head))
@@ -365,7 +379,8 @@ object C45Forest {
       C45Model(schema.copy(classLabels = classLabels), s.closed,
         s.globalMajority.getOrElse(classLabels.head), s.closedMass,
         s.closedDist)
-    }.toVector, params.seed)
+    }.toVector, params.seed),
+      state.map(_.imp.toMap).toVector)
     } finally if (!prePersisted) data.unpersist()
   }
 }

@@ -1220,6 +1220,37 @@ object C45Queries {
   val qForestProbaSql: String =
     goldenProbaSql("golden/forest_proba_sf001.txt")
 
+  // ---- O4 × ensemble introspection: random-forest feature importance
+  //      — per attribute, the MEAN across trees of the per-tree
+  //      gain-based importance (Σ node-mass × gain over the splits
+  //      that chose the attribute, bootstrap-weight units), the
+  //      classic bagged impurity-decrease ranking. Zero extra Spark
+  //      jobs: every per-tree value falls out of the fused fit's own
+  //      driver-side decision pass. Emitted in exact integer micros
+  //      (float-free pin); attributes a tree's subspace excluded
+  //      simply contribute 0 to the mean. ----
+  def qForestImportance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = C45Schema(
+      Seq(AttrMeta("l_returnflag", isNumeric = false),
+        AttrMeta("l_linenumber", isNumeric = false),
+        AttrMeta("l_quantity", isNumeric = true),
+        AttrMeta("l_discount", isNumeric = true),
+        AttrMeta("l_tax", isNumeric = true)),
+      "l_linestatus", ClassLabels)
+    val df = li(s, dir)
+      .withColumn("l_linenumber", col("l_linenumber").cast("string"))
+    val (_, imps) = graft.fit.C45Forest.fitWithImportance(
+      df, schema, forestKey, ForestParams)
+    schema.attrNames.map { n =>
+      val aid = schema.attrIndex(n)
+      val mean = imps.map(_.getOrElse(aid, 0.0)).sum / imps.size
+      (n, math.floor(mean * 1e6 + 0.5).toLong)
+    }.toDF("attr", "importance_micros").orderBy("attr")
+  }
+  val qForestImportanceSql: String =
+    goldenImportanceSql("golden/forest_importance_sf001.txt")
+
   /** The generated OOB oracle (see above): committed golden trees +
     * md5 bootstrap masks + vote, all in one DuckDB query. */
   private def forestOobSql(resource: String): String = {
@@ -1285,6 +1316,106 @@ object C45Queries {
        |  count(*) AS n
        |FROM votes WHERE noob > 0
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---- O4 × ensemble × streaming: the model-registry loop closed for
+  //      ensembles AT INGESTION — the COMMITTED golden forest (the
+  //      same resource q_forest pins) is decoded from the reference
+  //      rule codec and served inside a streaming scan: per-row hard
+  //      vote (T flat CASE WHEN columns + pure-Column argmax, zero
+  //      state) feeding a running class-mix monitor (complete-mode
+  //      aggregation whose state is O(labels) — two rows — never
+  //      O(stream)). Because the served model is the FIXED committed
+  //      ensemble, the vote-replay SQL oracle is valid at EVERY tier —
+  //      no per-tier goldens. ----
+  private val c45StreamRuns = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** The committed sf0.01 golden ensemble, decoded for serving (rules
+    * + per-tree majority; distributions aren't needed for the vote). */
+  private lazy val goldenForest: graft.fit.C45Forest = {
+    val src = scala.io.Source.fromResource("golden/forest_sf001_rules.txt")
+    val lines = try src.getLines().filter(_.nonEmpty).toVector finally src.close()
+    val schema = C45Schema(
+      Seq(AttrMeta("l_returnflag", isNumeric = false),
+        AttrMeta("l_linenumber", isNumeric = false),
+        AttrMeta("l_quantity", isNumeric = true),
+        AttrMeta("l_discount", isNumeric = true),
+        AttrMeta("l_tax", isNumeric = true)),
+      "l_linestatus", ClassLabels)
+    val byTree = lines.map { l =>
+      val Array(t, rule, maj) = l.split("\\|", 3)
+      (t.toInt, graft.model.Rule.decode(rule), maj)
+    }.groupBy(_._1)
+    graft.fit.C45Forest(
+      byTree.keys.toSeq.sorted.map { t =>
+        val g = byTree(t)
+        graft.fit.C45Model(schema, g.map(_._2), g.head._3)
+      }.toVector, ForestParams.seed)
+  }
+
+  def qStreamForest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"graft_stream_forest_${c45StreamRuns.incrementAndGet()}"
+    val liSchema = Tables.load(s, dir, "lineitem").schema
+    val stream = s.readStream.schema(liSchema)
+      .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+      .withColumn("l_linenumber", col("l_linenumber").cast("string"))
+    val q = goldenForest.transform(stream, "prediction")
+      .groupBy("prediction").agg(count(lit(1L)).as("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    if (!q.awaitTermination(300000L)) {
+      q.stop()
+      throw new IllegalStateException(
+        s"streaming query '$name' still running after 300000 ms")
+    }
+    s.table(name).orderBy("prediction")
+  }
+
+  /** The vote replayed over the committed trees in SQL (tier-valid:
+    * the served model is fixed). */
+  val qStreamForestSql: String = {
+    val src = scala.io.Source.fromResource("golden/forest_sf001_rules.txt")
+    val lines = try src.getLines().filter(_.nonEmpty).toVector finally src.close()
+    val names = Seq("l_returnflag", "ln_s", "l_quantity", "l_discount", "l_tax")
+    def condSql(aid: Int, sp: graft.model.Split): String = sp match {
+      case graft.model.CatEq(v) => s"${names(aid)} = '${v.replace("'", "''")}'"
+      case graft.model.NumLE(b) => s"CAST(${names(aid)} AS DOUBLE) <= $b"
+      case graft.model.NumGT(b) => s"CAST(${names(aid)} AS DOUBLE) > $b"
+    }
+    val byTree = lines.map { l =>
+      val Array(t, rule, maj) = l.split("\\|", 3)
+      (t.toInt, graft.model.Rule.decode(rule), maj)
+    }.groupBy(_._1)
+    val trees = byTree.keys.toSeq.sorted
+    val predCols = trees.map { t =>
+      val g = byTree(t)
+      val whens = g.map { case (_, r, _) =>
+        val cond = r.conditions.map { case (aid, sp) => condSql(aid, sp) }
+          .mkString(" AND ")
+        s"WHEN ${if (cond.isEmpty) "TRUE" else cond} THEN '${r.label.get}'"
+      }.mkString(" ")
+      s"(CASE $whens ELSE '${g.head._3}' END) AS p$t"
+    }
+    val labels = Seq("F", "O")
+    val cntCols = labels.zipWithIndex.map { case (l, i) =>
+      trees.map(t => s"(CASE WHEN p$t = '$l' THEN 1 ELSE 0 END)")
+        .mkString(" + ") + s" AS c$i"
+    }
+    val vote = labels.indices.init.map { i =>
+      val geAll = (i + 1 until labels.size).map(j => s"c$i >= c$j")
+        .mkString(" AND ")
+      s"WHEN $geAll THEN '${labels(i)}'"
+    }.mkString(" ")
+    s"""WITH base AS (
+       |  SELECT l_returnflag, CAST(l_linenumber AS VARCHAR) AS ln_s,
+       |    l_quantity, l_discount, l_tax
+       |  FROM lineitem),
+       |scored AS (SELECT ${predCols.mkString(",\n    ")} FROM base),
+       |votes AS (SELECT ${cntCols.mkString(",\n    ")} FROM scored)
+       |SELECT (CASE $vote ELSE '${labels.last}' END) AS prediction,
+       |  count(*) AS n
+       |FROM votes GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** Flagship (SparkEntry.entry): rank every attribute by root gain
@@ -1363,6 +1494,8 @@ object C45Queries {
     "q_forest" -> (qForest _),
     "q_forest_oob" -> (qForestOob _),
     "q_forest_proba" -> (qForestProba _),
+    "q_forest_importance" -> (qForestImportance _),
+    "q_stream_forest" -> (qStreamForest _),
     "q_feature_importance" -> (qFeatureImportance _),
     "q_attr_meta" -> (qAttrMeta _),
     "q_rule_codec" -> (qRuleCodec _),
@@ -1408,6 +1541,8 @@ object C45Queries {
     "q_forest" -> qForestSql,
     "q_forest_oob" -> qForestOobSql,
     "q_forest_proba" -> qForestProbaSql,
+    "q_forest_importance" -> qForestImportanceSql,
+    "q_stream_forest" -> qStreamForestSql,
     "q_feature_importance" -> qFeatureImportanceSql,
     "q_attr_meta" -> qAttrMetaSql,
     "q_rule_codec" -> qRuleCodecSql,

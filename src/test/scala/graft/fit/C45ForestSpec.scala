@@ -39,7 +39,7 @@ class C45ForestSpec extends AnyFunSuite {
   test("fused forest trees are bit-identical to sequential fits on " +
     "explicitly replicated bootstrap samples") {
     val df = fixture
-    val forest = C45Forest.fit(df, schema, col("k"), params)
+    val (forest, imps) = C45Forest.fitWithImportance(df, schema, col("k"), params)
     assert(forest.trees.size == 3)
     (0 until 3).foreach { t =>
       // replicate each row to its Poisson multiplicity, then null out
@@ -59,13 +59,16 @@ class C45ForestSpec extends AnyFunSuite {
           else d.withColumn(n,
             lit(null).cast(if (schema.isNumericAttr(i)) "double" else "string"))
       }
-      val seq = C45.fit(masked, schema,
+      val (seq, seqImp) = C45.fitWithImportance(masked, schema,
         C45Params(maxDepth = 3, missingMode = "drop"))
       assert(seq.ruleStrings == forest.trees(t).ruleStrings,
         s"tree $t diverged from its sequential replay")
       assert(seq.majority == forest.trees(t).majority)
       assert(seq.leafMass == forest.trees(t).leafMass)
       assert(seq.leafDist == forest.trees(t).leafDist)
+      // the per-tree gain importance falls out of the same decision
+      // pass — identical math on identical cells, so exactly equal
+      assert(seqImp == imps(t), s"tree $t importance diverged")
     }
   }
 
