@@ -105,6 +105,12 @@ FOREST_PROBA_GOLDENS = {  # ensemble-averaged micros per tier (same reason)
         "sf0.1": "src/test/resources/golden/forest_proba_sf01.txt",
         "sf1": "src/test/resources/golden/forest_proba_sf1.txt",
     },
+    # save -> load -> transformProba must be bit-identical to the live
+    # ensemble at every tier, so it shares q_forest_proba's goldens
+    "q_forest_roundtrip": {
+        "sf0.1": "src/test/resources/golden/forest_proba_sf01.txt",
+        "sf1": "src/test/resources/golden/forest_proba_sf1.txt",
+    },
 }
 FOREST_IMP_GOLDENS = {  # mean per-tree importance micros (same reason)
     "q_forest_importance": {

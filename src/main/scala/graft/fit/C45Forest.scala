@@ -99,6 +99,26 @@ case class C45Forest(trees: Vector[C45Model], seed: Int) {
     * confusion counts `(actual, oob_prediction, n)` — an unbiased
     * held-out error estimate with ZERO extra fits and one tiny
     * aggregation job. */
+  /** FULL ensemble persistence: one [[C45Model.save]] directory per
+    * tree (`dir/t<i>/` — reference text codec + parquet distribution
+    * sidecar) plus a one-line `forest.txt` (`nTrees,seed`), all through
+    * the Hadoop FileSystem API so any save-visible path (local, HDFS,
+    * s3a) works. [[C45Forest.load]] restores a forest whose vote,
+    * probabilities, and OOB masks are bit-identical to the live fit's
+    * (q_forest_roundtrip gates this). */
+  def save(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dirPath)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dirPath, "forest.txt"), true)
+    try out.write(s"${trees.size},$seed".getBytes("UTF-8"))
+    finally out.close()
+    trees.zipWithIndex.foreach { case (m, t) =>
+      m.save(spark, new org.apache.hadoop.fs.Path(dirPath, s"t$t").toString)
+    }
+  }
+
   def oobEval(df: DataFrame, key: Column, actualCol: String): DataFrame = {
     val preds = trees.indices.map(t => s"__c45f_p$t")
     val scored = trees.indices.foldLeft(df)((d, t) =>
@@ -198,6 +218,20 @@ object C45Forest {
   /** SQL mirror of the out-of-bag indicator (weight = 0). */
   def oobSql(keyExpr: String, tree: Int, seed: Int): String =
     s"(${bootstrapUSql(keyExpr, tree, seed)} < ${PoissonCum(0)})"
+
+  /** Inverse of [[C45Forest.save]]. */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String,
+           schema: C45Schema): C45Forest = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(dirPath, "forest.txt"))
+    val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val Array(n, s) = line.trim.split(",")
+    C45Forest((0 until n.toInt).map(t => C45Model.load(spark,
+      new org.apache.hadoop.fs.Path(dirPath, s"t$t").toString, schema))
+      .toVector, s.toInt)
+  }
 
   /** Attribute indices tree `t` may split on (rotating subspace). */
   def attrSubset(t: Int, d: Int, attrsPerTree: Int): Set[Int] =

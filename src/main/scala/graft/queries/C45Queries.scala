@@ -1318,6 +1318,36 @@ object C45Queries {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---- O4 × ensemble persistence: train → C45Forest.save → load →
+  //      transformProba, bit-identical to the live ensemble — the
+  //      model-registry loop q_model_roundtrip proves for one tree,
+  //      closed for the bagged ensemble (per-tree engine layout + a
+  //      forest manifest). Oracle = q_forest_proba's committed golden,
+  //      so any byte the round-trip loses fails the gate. ----
+  def qForestRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val f = forestFit(s, dir)
+    val df = li(s, dir)
+      .withColumn("l_linenumber", col("l_linenumber").cast("string"))
+    // fresh per-invocation dir, deleted eagerly (load collects rules +
+    // sidecars to the driver) — same discipline as qModelRoundtrip
+    val tmp = java.nio.file.Files.createTempDirectory("graft_c45f_rt")
+    val loaded =
+      try {
+        f.save(s, tmp.toString)
+        graft.fit.C45Forest.load(s, tmp.toString, f.trees.head.schema)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.delete)
+      }
+    loaded.transformProba(df, "prediction", "p_")
+      .select(col("prediction"), col("p_F").as("p_f"), col("p_O").as("p_o"))
+      .groupBy("prediction", "p_f", "p_o")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prediction", "p_f", "p_o")
+  }
+  val qForestRoundtripSql: String = qForestProbaSql
+
   // ---- O4 × ensemble × streaming: the model-registry loop closed for
   //      ensembles AT INGESTION — the COMMITTED golden forest (the
   //      same resource q_forest pins) is decoded from the reference
@@ -1496,6 +1526,7 @@ object C45Queries {
     "q_forest_proba" -> (qForestProba _),
     "q_forest_importance" -> (qForestImportance _),
     "q_stream_forest" -> (qStreamForest _),
+    "q_forest_roundtrip" -> (qForestRoundtrip _),
     "q_feature_importance" -> (qFeatureImportance _),
     "q_attr_meta" -> (qAttrMeta _),
     "q_rule_codec" -> (qRuleCodec _),
@@ -1543,6 +1574,7 @@ object C45Queries {
     "q_forest_proba" -> qForestProbaSql,
     "q_forest_importance" -> qForestImportanceSql,
     "q_stream_forest" -> qStreamForestSql,
+    "q_forest_roundtrip" -> qForestRoundtripSql,
     "q_feature_importance" -> qFeatureImportanceSql,
     "q_attr_meta" -> qAttrMetaSql,
     "q_rule_codec" -> qRuleCodecSql,

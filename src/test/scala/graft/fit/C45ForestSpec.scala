@@ -170,6 +170,28 @@ class C45ForestSpec extends AnyFunSuite {
     assert(got.map(_._3).sum == nZero)
   }
 
+  test("save -> load round-trips the ensemble bit-exactly " +
+    "(rules, majorities, distributions, seed)") {
+    val df = fixture
+    val forest = C45Forest.fit(df, schema, col("k"), params)
+    val tmp = java.nio.file.Files.createTempDirectory("c45f_rt_spec")
+    try {
+      forest.save(spark, tmp.toString)
+      val loaded = C45Forest.load(spark, tmp.toString, schema)
+      assert(loaded.seed == forest.seed)
+      assert(loaded.trees.map(_.ruleStrings) == forest.trees.map(_.ruleStrings))
+      assert(loaded.trees.map(_.majority) == forest.trees.map(_.majority))
+      assert(loaded.trees.map(_.leafDist) == forest.trees.map(_.leafDist))
+      // the loaded forest serves identically (vote + OOB masks)
+      val both = loaded.transform(forest.transform(df, "a"), "b")
+      assert(both.filter(col("a") =!= col("b")).count() == 0)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.delete)
+    }
+  }
+
   // ---- committed-golden pins for the production query (the same
   //      resources the qForestSql VALUES oracle and scripts/sweep.py
   //      tier compares are generated from) ----
