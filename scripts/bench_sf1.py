@@ -25,7 +25,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # whose scaling behavior sf0.01 correctness cannot witness.
 HEAVY = [
     "q_ann_eval", "q_ann_ivf", "q_ann_ivfpq", "q_ann_pq", "q_annpq_eval",
-    "q_basket_pairs", "q_bfs_hops", "q_bloom_semi", "q_bpe_encode",
+    "q_basket_pairs", "q_bfs_hops", "q_bloom_semi", "q_boost",
+    "q_boost_eval", "q_bpe_encode",
     "q_bpe_train", "q_cluster_terms", "q_cooccur", "q_corpus_drift",
     "q_crossval", "q_crossval_missing", "q_curate_full", "q_curate_stats",
     "q_dbscan",

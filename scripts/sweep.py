@@ -118,6 +118,19 @@ FOREST_IMP_GOLDENS = {  # mean per-tree importance micros (same reason)
         "sf1": "src/test/resources/golden/forest_importance_sf1.txt",
     },
 }
+BOOST_GOLDENS = {  # AdaBoost.M1 rounds per tier (weighted fits are
+    # data-dependent, so every tier pins its own ensemble)
+    "q_boost": {
+        "sf0.1": "src/test/resources/golden/boost_sf01_rules.txt",
+        "sf1": "src/test/resources/golden/boost_sf1_rules.txt",
+    },
+}
+BOOST_EVAL_GOLDENS = {  # boosted-vote confusion counts per tier
+    "q_boost_eval": {
+        "sf0.1": "src/test/resources/golden/boost_eval_sf01.txt",
+        "sf1": "src/test/resources/golden/boost_eval_sf1.txt",
+    },
+}
 
 
 def fit_golden_frame(path):
@@ -220,6 +233,37 @@ def forest_oob_golden_frame(path):
     return pd.DataFrame(rows, columns=["actual", "oob_prediction", "n"])
 
 
+def boost_golden_frame(path):
+    """golden boost txt (round|rule|alpha|error|majority lines) -> the
+    (round, rule, label, depth, alpha_micros, error_micros, majority)
+    frame qBoost emits."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            t, rule, a, e, maj = line.split("|", 4)
+            cut = rule.rfind(":")
+            conds = rule[:cut]
+            depth = 0 if not conds else conds.count("&") + 1
+            rows.append((int(t), rule, rule[cut + 1:], depth,
+                         int(a), int(e), maj))
+    df = pd.DataFrame(rows, columns=["round", "rule", "label", "depth",
+                                     "alpha_micros", "error_micros",
+                                     "majority"])
+    df["round"] = df["round"].astype("int32")
+    df["depth"] = df["depth"].astype("int32")
+    return df
+
+
+def boost_eval_golden_frame(path):
+    """golden boosted-confusion txt (actual,pred,n lines) -> the
+    (actual, prediction, n) frame qBoostEval emits."""
+    return forest_oob_golden_frame(path).rename(
+        columns={"oob_prediction": "prediction"})
+
+
 def canon(df):
     cols = sorted(df.columns)
     return df[cols].sort_values(by=cols).reset_index(drop=True)
@@ -274,7 +318,11 @@ def main():
                                    (FOREST_PROBA_GOLDENS.get(name),
                                     proba_golden_frame),
                                    (FOREST_IMP_GOLDENS.get(name),
-                                    imp_golden_frame))
+                                    imp_golden_frame),
+                                   (BOOST_GOLDENS.get(name),
+                                    boost_golden_frame),
+                                   (BOOST_EVAL_GOLDENS.get(name),
+                                    boost_eval_golden_frame))
             if tiers), None)
         if golden_kind and tier != "sf0.01":
             tiers, builder = golden_kind

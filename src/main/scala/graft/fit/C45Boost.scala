@@ -1,0 +1,253 @@
+package graft.fit
+
+import graft.meta.C45Schema
+import graft.model.Rule
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Tuning knobs for [[C45Boost.fit]] — AdaBoost.M1 (Freund & Schapire
+  * 1996) with shallow C4.5 base learners, the pairing Quinlan studied
+  * in "Bagging, boosting, and C4.5" (AAAI 1996). `rounds` caps the
+  * boosting iterations (the loop also stops on ε = 0 or ε ≥ 0.5, the
+  * M1 conditions); `base.maxDepth` keeps the weak learners weak
+  * (default 2 — near-stumps); `base.missingMode` must be "drop" (the
+  * weighted histogram carries boost weights; null attribute values
+  * leave each slice exactly as drop mode does). */
+case class C45BoostParams(rounds: Int = 5,
+                          base: C45Params = C45Params(maxDepth = 2,
+                            missingMode = "drop")) {
+  require(rounds >= 1, s"rounds must be >= 1: $rounds")
+  require(base.missingMode == "drop",
+    "C45Boost supports missingMode=drop only")
+}
+
+/** A fitted AdaBoost.M1 ensemble: `trees(t)` with vote weight
+  * `alphaMicros(t)` = floor(ln((1−ε_t)/ε_t)·10⁶) and recorded training
+  * error `errorMicros(t)` = floor(ε_t·10⁶) (both exact longs so
+  * goldens pin float-free). Serving is the weighted vote:
+  * argmax over labels of Σ_t α_t·[h_t(x) = label], ties to the
+  * lexicographically smallest label — T flat CASE WHEN columns + one
+  * pure-Column argmax, zero joins, zero shuffles. */
+case class C45Boost(trees: Vector[C45Model], alphaMicros: Vector[Long],
+                    errorMicros: Vector[Long]) {
+
+  /** Sorted union of the member trees' class labels. */
+  def labels: Seq[String] =
+    trees.flatMap(_.schema.classLabels).distinct.sorted
+
+  /** Score `df`: adds `outputCol` with the α-weighted vote label. */
+  def transform(df: DataFrame, outputCol: String = "prediction"): DataFrame = {
+    val preds = trees.indices.map(t => s"__c45b_p$t")
+    val scored = trees.indices.foldLeft(df)((d, t) =>
+      trees(t).transform(d, preds(t)))
+    val ls = labels
+    val vote =
+      if (ls.size == 1) lit(ls.head)
+      else greatest(ls.zipWithIndex.map { case (l, i) =>
+        val mass = trees.indices.map(t =>
+          when(col(preds(t)) === lit(l), lit(alphaMicros(t)))
+            .otherwise(lit(0L))).reduce(_ + _)
+        struct(mass.as("m"), lit(ls.size - i).as("r"), lit(l).as("l"))
+      }: _*).getField("l")
+    scored.withColumn(outputCol, vote).drop(preds: _*)
+  }
+}
+
+/** AdaBoost.M1 over the engine's C4.5, all-integer where it counts:
+  *
+  * - **Weights are exact long micros** (1 row starts at 10⁶) and ride
+  *   as ONE column on the persisted training projection. Each round's
+  *   weighted histogram is the forest/crossval aggregation shape —
+  *   explode to (rid, attr, value, class), partial-aggregate
+  *   Σ weight map-side — so the per-round shuffle stays O(model);
+  *   split math reuses [[C45.levelStats]]/[[C45.decideLevel]] in
+  *   their exact-micros weighted mode (the fused fractional fold
+  *   fit's path), so a weighted tree is bit-deterministic under any
+  *   partitioning.
+  * - **The M1 reweight is the Σ-preserving normalized form** —
+  *   wrong rows × W/(2E), right rows × W/(2(W−E)) (E = weighted
+  *   error mass, W = total mass) — applied as exact long
+  *   micro-factors with half-up rounding. This form is
+  *   overflow-safe by construction: a wrong row's mass is ≤ E, so
+  *   w·fWrong ≤ W·10⁶/2 (and symmetrically for right rows) — still,
+  *   the round's agg records max(w) and the fit aborts loudly if a
+  *   product could exceed Long.MaxValue rather than wrapping.
+  * - **Stopping**: ε = 0 (the tree is kept with α = ln(10⁶)·10⁻⁶ ≈
+  *   13.8, the exact-micros stand-in for "perfect") and ε ≥ 0.5 (the
+  *   tree is discarded) both end the loop — Freund & Schapire's M1
+  *   conditions.
+  *
+  * Scale shape per round: one weighted histogram job per tree level +
+  * one score/error/reweight pass that re-persists rows×(attrs+1)
+  * (boosting is inherently sequential — each round's weights depend
+  * on the previous round's predictions; that rewrite is the honest
+  * algorithmic cost, there is no bagging-style fusion). Total:
+  * rounds × (levels + 2) bounded-shuffle jobs. */
+object C45Boost {
+
+  private val W1 = 1000000L
+
+  /** α for a perfect round (ε = 0): ln(10⁶) in micros. */
+  val AlphaPerfectMicros: Long = math.floor(math.log(1e6) * 1e6).toLong
+
+  def fit(df: DataFrame, schema: C45Schema,
+          params: C45BoostParams = C45BoostParams()): C45Boost = {
+    val spark = df.sparkSession
+    val names = schema.attrNames
+    val clsCol = schema.classCol
+    val catAttrs = schema.categoricalAttrs
+    val numAttrs = schema.numericAttrs
+
+    // probes (one job): non-null labels + binning gate sketches
+    val proj0 = df.select((names :+ clsCol).map(col): _*)
+    val dcAggs =
+      if (params.base.maxBins <= 0) Seq.empty
+      else numAttrs.map(a =>
+        approx_count_distinct(col(a.name)).as(s"__dc_${a.name}"))
+    val probeAggs =
+      Seq(count(when(col(clsCol).isNull, 1)).as("cls")) ++ dcAggs
+    val probe = proj0.agg(probeAggs.head, probeAggs.tail: _*).head()
+    require(probe.getLong(0) == 0L,
+      s"C45Boost.fit requires non-null class labels: column '$clsCol' " +
+        "contains NULLs")
+    val classLabels: Seq[String] =
+      if (schema.classLabels.nonEmpty) schema.classLabels
+      else proj0.select(col(clsCol).cast("string")).na.drop().distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+
+    // shared full-data quantile edges (the forest's binning contract)
+    val binEdges: Map[Int, Array[Double]] =
+      if (params.base.maxBins <= 0 || numAttrs.isEmpty) Map.empty
+      else {
+        val need = numAttrs.filter(a =>
+          probe.getAs[Long](s"__dc_${a.name}") > params.base.maxBins)
+        if (need.isEmpty) Map.empty
+        else {
+          val probs = (1 until params.base.maxBins)
+            .map(_.toDouble / params.base.maxBins).toArray
+          val qs = proj0.stat.approxQuantile(need.map(_.name).toArray, probs, 1e-4)
+          need.map(_.name).zip(qs).collect {
+            case (nm, es) if es.nonEmpty =>
+              schema.attrIndex(nm) -> es.distinct.sorted
+          }.toMap
+        }
+      }
+    def numValCol(a: graft.meta.AttrMeta): Column = {
+      val raw = col(a.name).cast("double")
+      binEdges.get(schema.attrIndex(a.name))
+        .map(e => graft.functions.SortedCeilSnap.snapTo(e, raw))
+        .getOrElse(raw)
+    }
+
+    /** one weighted C4.5 fit over (attrs, __cls, __w micros). */
+    def fitWeighted(base: DataFrame): C45Model = {
+      var open = Vector(Rule.root)
+      var closed = Vector.empty[Rule]
+      var closedMass = Vector.empty[Long]
+      var closedDist = Vector.empty[Map[String, Long]]
+      var globalMajority: Option[String] = None
+      var level = 0
+      while (open.nonEmpty && level <= params.base.maxDepth) {
+        val deadAids = open.map(_.usedAttrs).reduce(_ intersect _)
+        val liveCat = catAttrs.filterNot(a => deadAids(schema.attrIndex(a.name)))
+        val liveNum = numAttrs.filterNot(a => deadAids(schema.attrIndex(a.name)))
+        val pairs: Seq[Column] = Seq(lit(-1), col("__cls")) ++
+          liveCat.flatMap(a =>
+            Seq(lit(schema.attrIndex(a.name)), col(a.name).cast("string"))) ++
+          liveNum.flatMap(a => Seq(lit(schema.attrIndex(a.name)),
+            numValCol(a).cast("string")))
+        val cells = base
+          .withColumn("__rid", C45.flatRidColumn(open, names))
+          .filter(col("__rid") >= 0)
+          .select(col("__rid"), col("__cls").as("cls"), col("__w"),
+            explode(map(pairs: _*)).as(Seq("aid", "val")))
+          .filter(col("val").isNotNull)
+          .groupBy("__rid", "aid", "val", "cls")
+          .agg(sum(col("__w")).as("cnt"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+            r.getString(3), r.getLong(4)))
+        val st = C45.levelStats(cells, schema, classLabels,
+          fractional = true, unit = 1e6, params.base)
+        val dec = C45.decideLevel(open, level, st, schema, params.base,
+          classLabels, fractional = true, unit = 1e6, globalMajority)
+        dec.closedAdd.foreach { case (r, m, dd) =>
+          closed :+= r; closedMass :+= m; closedDist :+= dd }
+        globalMajority = dec.globalMajority
+        open = dec.nextOpen
+        level += 1
+      }
+      open.foreach { r =>
+        closed :+= r.closed(globalMajority.getOrElse(classLabels.head))
+        closedMass :+= 0L
+        closedDist :+= Map.empty
+      }
+      C45Model(schema.copy(classLabels = classLabels), closed,
+        globalMajority.getOrElse(classLabels.head), closedMass, closedDist)
+    }
+
+    val trees = Vector.newBuilder[C45Model]
+    val alphas = Vector.newBuilder[Long]
+    val errors = Vector.newBuilder[Long]
+    var cur = proj0.withColumn("__cls", col(clsCol).cast("string"))
+      .withColumn("__w", lit(W1))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var round = 0
+      var stop = false
+      while (round < params.rounds && !stop) {
+        val model = fitWeighted(cur)
+        // score + error mass + total mass + max weight in ONE agg job
+        val scored = model.transform(cur, "__pred")
+        val wrong = col("__pred") =!= col("__cls")
+        val r = scored.agg(
+          sum(when(wrong, col("__w")).otherwise(lit(0L))).as("e"),
+          sum(col("__w")).as("w"),
+          max(col("__w")).as("mx")).head()
+        val e = r.getLong(0); val w = r.getLong(1); val mx = r.getLong(2)
+        if (e == 0L) {
+          // perfect weak learner: keep with the exact-micros stand-in
+          // for an unbounded alpha, then stop (M1)
+          trees += model; alphas += AlphaPerfectMicros; errors += 0L
+          stop = true
+        } else if (2 * e >= w) {
+          // ε >= 0.5: discard and stop (M1)
+          stop = true
+        } else {
+          val alpha = math.floor(
+            math.log((w - e).toDouble / e.toDouble) * 1e6).toLong
+          trees += model; alphas += alpha
+          errors += ((BigInt(e) * W1 + w / 2) / BigInt(w)).toLong
+          // Σ-preserving M1 reweight as exact micro-factors; the
+          // products are bounded (scaladoc) but verify loudly
+          val fWrong = BigInt(w) * W1 / (2 * BigInt(e))
+          val fRight = BigInt(w) * W1 / (2 * (BigInt(w) - BigInt(e)))
+          require(fWrong * mx + W1 / 2 < BigInt(Long.MaxValue) &&
+            fRight * mx + W1 / 2 < BigInt(Long.MaxValue),
+            s"boost reweight would overflow long micros (round $round: " +
+              s"max weight $mx, factors $fWrong/$fRight) — reduce rounds " +
+              "or rebalance the corpus")
+          // integral `div` keeps the half-up rounding EXACT at any
+          // magnitude (a double-backed `/` would round the >2^53
+          // numerator before dividing)
+          val next = scored
+            .withColumn("__wn",
+              col("__w") * when(wrong, lit(fWrong.toLong))
+                .otherwise(lit(fRight.toLong)) + lit(W1 / 2))
+            .withColumn("__w", expr(s"__wn div $W1"))
+            .drop("__pred", "__wn")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          next.count() // materialize before freeing the parent
+          cur.unpersist()
+          cur = next
+        }
+        round += 1
+      }
+    } finally cur.unpersist()
+    val ts = trees.result()
+    require(ts.nonEmpty,
+      "C45Boost.fit produced no usable tree (first round error >= 0.5)")
+    C45Boost(ts, alphas.result(), errors.result())
+  }
+}

@@ -1448,6 +1448,146 @@ object C45Queries {
        |FROM votes GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---- O4 × boosting: AdaBoost.M1 with shallow C4.5 base learners —
+  //      the OTHER ensemble Quinlan paired with C4.5 ("Bagging,
+  //      boosting, and C4.5", AAAI 1996; bagging is q_forest). Fit on
+  //      the planted learnable corpus (the importance/crossval XOR
+  //      fixture) so the error sequence is meaningful: near-stump
+  //      rounds with Σ-preserving exact-micro reweights (C45Boost
+  //      scaladoc). Output: one row per (round, rule) with the
+  //      round's vote weight and training error in exact micros —
+  //      committed-golden VALUES pin at the gate tier, per-tier
+  //      goldens above it (the weighted fits are data-dependent). ----
+  private val BoostParams = graft.fit.C45BoostParams(
+    rounds = 5, base = C45Params(maxDepth = 2, missingMode = "drop"))
+
+  private def boostSchema = C45Schema(
+    Seq(AttrMeta("l_returnflag", isNumeric = false),
+      AttrMeta("l_quantity", isNumeric = true),
+      AttrMeta("l_discount", isNumeric = true)),
+    "cls", Seq("N", "P"))
+
+  /** The planted XOR + 10% deterministic noise corpus (the
+    * importance fixture) — learnable, so boosting's round errors
+    * actually fall. */
+  private def boostDf(s: SparkSession, dir: String): DataFrame = {
+    val noisy = graft.functions.Hashing.hash60(
+      concat_ws("|", col("l_orderkey"), col("l_linenumber"))) % 10 === 0
+    val base = (col("l_returnflag") === "A") === (col("l_quantity") <= lit(25.0))
+    li(s, dir).withColumn("cls",
+      when(base =!= noisy, lit("P")).otherwise(lit("N")))
+  }
+
+  private def boostFit(s: SparkSession, dir: String): graft.fit.C45Boost =
+    graft.fit.C45Boost.fit(boostDf(s, dir), boostSchema, BoostParams)
+
+  def qBoost(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = boostFit(s, dir)
+    b.trees.zipWithIndex.flatMap { case (m, t) =>
+      m.leaves.map(r => (t, r.encode, r.label.getOrElse(""), r.depth,
+        b.alphaMicros(t), b.errorMicros(t), m.majority))
+    }.toDF("round", "rule", "label", "depth", "alpha_micros",
+      "error_micros", "majority")
+      .orderBy("round", "rule")
+  }
+
+  val qBoostSql: String = goldenBoostSql("golden/boost_sf001_rules.txt")
+
+  /** Committed golden boost (lines `round|rule|alpha|error|majority`)
+    * → the VALUES oracle DuckDB replays: exactly [[qBoost]]'s frame. */
+  private def goldenBoostSql(resource: String): String = {
+    val src = scala.io.Source.fromResource(resource)
+    val lines = try src.getLines().filter(_.nonEmpty).toVector finally src.close()
+    def q(v: String) = "'" + v.replace("'", "''") + "'"
+    val rows = lines.map { l =>
+      val Array(t, rule, a, e, maj) = l.split("\\|", 5)
+      val cut = rule.lastIndexOf(':')
+      val conds = rule.substring(0, cut)
+      val label = rule.substring(cut + 1)
+      val depth = if (conds.isEmpty) 0 else conds.count(_ == '&') + 1
+      s"(CAST($t AS INTEGER), ${q(rule)}, ${q(label)}, $depth, " +
+        s"CAST($a AS BIGINT), CAST($e AS BIGINT), ${q(maj)})"
+    }
+    s"SELECT round, rule, label, depth, alpha_micros, error_micros, " +
+      s"majority FROM (VALUES ${rows.mkString(", ")}) " +
+      "AS t(round, rule, label, depth, alpha_micros, error_micros, " +
+      "majority) ORDER BY round, rule"
+  }
+
+  // ---- boosting QA: the boosted ensemble's training confusion —
+  //      α-weighted vote over every row. The gate-tier oracle is REAL
+  //      SQL end to end: it rebuilds the planted class (the same
+  //      md5-hash noise mask, mirrored via Hashing.hash60Sql), routes
+  //      every row through the COMMITTED golden trees as CASE
+  //      conjunctions, argmaxes the α-weighted label masses with the
+  //      same smallest-label tie-break, and aggregates. ----
+  def qBoostEval(s: SparkSession, dir: String): DataFrame = {
+    val b = boostFit(s, dir)
+    b.transform(boostDf(s, dir), "prediction")
+      .groupBy(col("cls").as("actual"), col("prediction"))
+      .agg(count(lit(1L)).as("n"))
+      .orderBy("actual", "prediction")
+  }
+
+  val qBoostEvalSql: String = boostEvalSql("golden/boost_sf001_rules.txt")
+
+  private def boostEvalSql(resource: String): String = {
+    val src = scala.io.Source.fromResource(resource)
+    val lines = try src.getLines().filter(_.nonEmpty).toVector finally src.close()
+    val names = Seq("l_returnflag", "l_quantity", "l_discount")
+    def condSql(aid: Int, sp: graft.model.Split): String = sp match {
+      case graft.model.CatEq(v) => s"${names(aid)} = '${v.replace("'", "''")}'"
+      case graft.model.NumLE(b) => s"CAST(${names(aid)} AS DOUBLE) <= $b"
+      case graft.model.NumGT(b) => s"CAST(${names(aid)} AS DOUBLE) > $b"
+    }
+    val parsed = lines.map { l =>
+      val Array(t, rule, a, _, maj) = l.split("\\|", 5)
+      (t.toInt, graft.model.Rule.decode(rule), a.toLong, maj)
+    }
+    val byRound = parsed.groupBy(_._1)
+    val rounds = byRound.keys.toSeq.sorted
+    val predCols = rounds.map { t =>
+      val g = byRound(t)
+      val whens = g.map { case (_, r, _, _) =>
+        val cond = r.conditions.map { case (aid, sp) => condSql(aid, sp) }
+          .mkString(" AND ")
+        s"WHEN ${if (cond.isEmpty) "TRUE" else cond} THEN '${r.label.get}'"
+      }.mkString(" ")
+      s"(CASE $whens ELSE '${g.head._4}' END) AS p$t"
+    }
+    val alphas = rounds.map(t => byRound(t).head._3)
+    val labels = Seq("N", "P")
+    val massCols = labels.zipWithIndex.map { case (l, i) =>
+      rounds.zip(alphas).map { case (t, a) =>
+        s"(CASE WHEN p$t = '$l' THEN CAST($a AS BIGINT) ELSE 0 END)"
+      }.mkString(" + ") + s" AS m$i"
+    }
+    val vote = labels.indices.init.map { i =>
+      val geAll = (i + 1 until labels.size).map(j => s"m$i >= m$j")
+        .mkString(" AND ")
+      s"WHEN $geAll THEN '${labels(i)}'"
+    }.mkString(" ")
+    val hkey = "concat(CAST(l_orderkey AS VARCHAR), '|', " +
+      "CAST(l_linenumber AS VARCHAR))"
+    val noisy = s"(${graft.functions.Hashing.hash60Sql(hkey)} % 10 = 0)"
+    s"""WITH base AS (
+       |  SELECT l_returnflag, l_quantity, l_discount,
+       |    (CASE WHEN ((l_returnflag = 'A') = (l_quantity <= 25.0))
+       |       <> $noisy THEN 'P' ELSE 'N' END) AS actual
+       |  FROM lineitem),
+       |scored AS (
+       |  SELECT actual, ${predCols.mkString(",\n    ")}
+       |  FROM base),
+       |votes AS (
+       |  SELECT actual, ${massCols.mkString(",\n    ")}
+       |  FROM scored)
+       |SELECT actual,
+       |  (CASE $vote ELSE '${labels.last}' END) AS prediction,
+       |  count(*) AS n
+       |FROM votes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** Flagship (SparkEntry.entry): rank every attribute by root gain
     * ratio — the reference's level-0 decision, end to end. */
   def rootRank(s: SparkSession, dir: String): DataFrame = {
@@ -1527,6 +1667,8 @@ object C45Queries {
     "q_forest_importance" -> (qForestImportance _),
     "q_stream_forest" -> (qStreamForest _),
     "q_forest_roundtrip" -> (qForestRoundtrip _),
+    "q_boost" -> (qBoost _),
+    "q_boost_eval" -> (qBoostEval _),
     "q_feature_importance" -> (qFeatureImportance _),
     "q_attr_meta" -> (qAttrMeta _),
     "q_rule_codec" -> (qRuleCodec _),
@@ -1575,6 +1717,8 @@ object C45Queries {
     "q_forest_importance" -> qForestImportanceSql,
     "q_stream_forest" -> qStreamForestSql,
     "q_forest_roundtrip" -> qForestRoundtripSql,
+    "q_boost" -> qBoostSql,
+    "q_boost_eval" -> qBoostEvalSql,
     "q_feature_importance" -> qFeatureImportanceSql,
     "q_attr_meta" -> qAttrMetaSql,
     "q_rule_codec" -> qRuleCodecSql,

@@ -1,0 +1,138 @@
+package graft.fit
+
+import graft.SparkTestSession
+import graft.meta.{AttrMeta, C45Schema}
+import graft.model.Rule
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** AdaBoost.M1 over C4.5 ([[C45Boost]]): round-0 must be the plain
+  * drop-mode fit (uniform micros ≡ unweighted), the Σ-preserving
+  * reweight must hold mass to rounding, the M1 stop conditions fire,
+  * the α-weighted vote tie-breaks to the smallest label, and the
+  * committed per-tier goldens pin the production query. */
+class C45BoostSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val schema = C45Schema(
+    Seq(AttrMeta("c1", isNumeric = false),
+      AttrMeta("x1", isNumeric = true)),
+    "cls", Seq("N", "P"))
+
+  /** 600 rows, planted (c1, x1) interaction + deterministic 10% noise
+    * — learnable but not separable, so ε sequences are non-trivial. */
+  private def fixture = spark.range(600).select(
+    (col("id") % 3).cast("string").as("c1"),
+    (col("id") % 7).cast("double").as("x1"),
+    when((col("id") % 3 === 0) === (col("id") % 7 <= 3),
+      when(col("id") % 10 === 0, "N").otherwise("P"))
+      .otherwise(when(col("id") % 10 === 0, "P").otherwise("N")).as("cls"))
+
+  private val params = C45BoostParams(rounds = 4,
+    base = C45Params(maxDepth = 2, missingMode = "drop"))
+
+  test("round 0 is the plain drop-mode C4.5 fit (uniform micros ≡ " +
+    "unweighted), errors stay under 0.5 and alphas positive") {
+    val df = fixture
+    val b = C45Boost.fit(df, schema, params)
+    val plain = C45.fit(df, schema,
+      C45Params(maxDepth = 2, missingMode = "drop"))
+    assert(b.trees.head.ruleStrings == plain.ruleStrings)
+    assert(b.trees.head.majority == plain.majority)
+    assert(b.errorMicros.forall(e => e >= 0 && e < 500000L))
+    assert(b.alphaMicros.forall(_ > 0L))
+    assert(b.trees.nonEmpty && b.trees.size <= 4)
+  }
+
+  test("the Σ-preserving M1 reweight holds total mass to per-row " +
+    "rounding (independent replay of round 0)") {
+    val df = fixture
+    val plain = C45.fit(df, schema,
+      C45Params(maxDepth = 2, missingMode = "drop"))
+    val scored = plain.transform(df, "p")
+    val n = df.count()
+    val agg = scored.agg(
+      sum(when(col("p") =!= col("cls"), 1L).otherwise(0L)).as("e"),
+      count(lit(1)).as("n")).head()
+    val e = agg.getLong(0) * 1000000L
+    val w = agg.getLong(1) * 1000000L
+    val fWrong = (BigInt(w) * 1000000L / (2 * BigInt(e))).toLong
+    val fRight = (BigInt(w) * 1000000L / (2 * (BigInt(w) - BigInt(e)))).toLong
+    val w2 = scored.select(
+      sum(expr(s"(1000000 * (CASE WHEN p <> cls THEN ${fWrong}L ELSE " +
+        s"${fRight}L END) + 500000) div 1000000").cast("long")).as("s"))
+      .head().getLong(0)
+    assert(math.abs(w2 - w) <= n,
+      s"mass drifted past per-row rounding: $w -> $w2")
+  }
+
+  test("a separable fixture stops after one perfect round (ε = 0, " +
+    "α = the perfect-round stand-in)") {
+    val df = spark.range(300).select(
+      (col("id") % 2).cast("string").as("c1"),
+      col("id").cast("double").as("x1"),
+      when(col("id") % 2 === 0, "P").otherwise("N").as("cls"))
+    val b = C45Boost.fit(df, schema, params)
+    assert(b.trees.size == 1)
+    assert(b.alphaMicros == Vector(C45Boost.AlphaPerfectMicros))
+    assert(b.errorMicros == Vector(0L))
+    val acc = b.transform(df).filter(col("prediction") === col("cls")).count()
+    assert(acc == 300)
+  }
+
+  test("an unlearnable 50/50 fixture discards the first tree (ε >= 0.5) " +
+    "and fails loudly with no usable rounds") {
+    // class alternates INDEPENDENTLY of both attributes: any tree's
+    // training error is exactly 0.5
+    val df = spark.range(400).select(
+      (col("id") % 2).cast("string").as("c1"),
+      (col("id") % 2).cast("double").as("x1"),
+      when(col("id") % 4 < 2, "P").otherwise("N").as("cls"))
+    val e = intercept[IllegalArgumentException](
+      C45Boost.fit(df, schema, params))
+    assert(e.getMessage.contains("no usable tree"))
+  }
+
+  test("the α-weighted vote breaks ties toward the smallest label") {
+    def leafModel(label: String) = C45Model(schema,
+      Vector(Rule(Vector.empty, Some(label))), label)
+    val df = fixture
+    val tie = C45Boost(Vector(leafModel("P"), leafModel("N")),
+      Vector(7L, 7L), Vector(0L, 0L))
+    assert(tie.transform(df).select("prediction").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("N"))
+    val heavier = C45Boost(Vector(leafModel("P"), leafModel("N")),
+      Vector(8L, 7L), Vector(0L, 0L))
+    assert(heavier.transform(df).select("prediction").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("P"))
+  }
+
+  // ---- committed-golden pins (the resources qBoostSql / sweep.py use) ----
+  private def tierDir(sf: String): String =
+    if (sf == "sf1") "testdata-sf1"
+    else sys.env.getOrElse("SPARK_GRAFT_SF_DIR_BASE", "/root/testdata") + "/" + sf
+
+  private def checkGolden(sf: String, resource: String): Unit = {
+    val dir = tierDir(sf)
+    if (!new java.io.File(dir).isDirectory)
+      cancel(s"testdata $dir not present on this machine")
+    val golden = scala.io.Source.fromResource(resource)
+      .getLines().filter(_.nonEmpty).toVector
+    val got = graft.queries.C45Queries.qBoost(spark, dir)
+      .collect().map(r => s"${r.getInt(0)}|${r.getString(1)}|" +
+        s"${r.getLong(4)}|${r.getLong(5)}|${r.getString(6)}").toVector
+    assert(got == golden, s"boosted ensemble diverged from golden ($sf)")
+  }
+
+  test("q_boost reproduces the committed sf0.01 rounds exactly") {
+    checkGolden("sf0.01", "golden/boost_sf001_rules.txt")
+  }
+
+  test("q_boost at sf0.1 matches the committed tier golden") {
+    checkGolden("sf0.1", "golden/boost_sf01_rules.txt")
+  }
+
+  test("q_boost at the replicated sf1 tier matches the committed tier golden") {
+    checkGolden("sf1", "golden/boost_sf1_rules.txt")
+  }
+}
