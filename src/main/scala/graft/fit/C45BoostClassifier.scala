@@ -1,0 +1,217 @@
+package graft.fit
+
+import graft.meta.{AttrMeta, C45Schema}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.param.{IntParam, Param, ParamMap, Params,
+  ParamValidators, StringArrayParam}
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable,
+  Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, NumericType, StructField,
+  StructType}
+
+/** Shared params for [[C45BoostClassifier]] /
+  * [[C45BoostClassificationModel]] — the `spark.ml` face of the
+  * AdaBoost.M1 ensemble ([[C45Boost]]), following [[C45Classifier]]'s
+  * conventions: numeric-dtype features fit continuous, anything else
+  * categorical; the label is stringified for the fit and predictions
+  * cast back to the fit-time label dtype. Unlike the forest wrapper
+  * there is no key column — boost weights are data-dependent, not
+  * hash-drawn — and no probability output (M1 votes hard). */
+private[fit] trait C45BoostClassifierParams extends Params {
+  final val labelCol: Param[String] =
+    new Param[String](this, "labelCol", "label column name")
+  final val predictionCol: Param[String] =
+    new Param[String](this, "predictionCol", "prediction output column name")
+  final val featureCols: StringArrayParam = new StringArrayParam(this,
+    "featureCols", "feature columns: numeric dtypes fit as continuous " +
+      "attributes, everything else as categorical")
+  final val maxDepth: IntParam = new IntParam(this, "maxDepth",
+    "maximum depth of each weak learner (shallow keeps them weak)",
+    ParamValidators.gtEq(0))
+  final val maxBins: IntParam = new IntParam(this, "maxBins",
+    "quantile-bin cap for the numeric split search (<= 0 disables)")
+  final val rounds: IntParam = new IntParam(this, "rounds",
+    "boosting rounds cap (the loop also stops on the M1 conditions: " +
+      "a perfect round or error >= 0.5)", ParamValidators.gtEq(1))
+  setDefault(labelCol -> "label", predictionCol -> "prediction",
+    featureCols -> Array.empty[String], maxDepth -> 2, maxBins -> 256,
+    rounds -> 5)
+
+  final def getLabelCol: String = $(labelCol)
+  final def getPredictionCol: String = $(predictionCol)
+  final def getFeatureCols: Array[String] = $(featureCols)
+
+  protected def validateSchema(schema: StructType, requireLabel: Boolean,
+                               predictionType: => DataType): StructType = {
+    require($(featureCols).nonEmpty, "featureCols must be set (non-empty)")
+    $(featureCols).foreach(f => require(schema.fieldNames.contains(f),
+      s"feature column '$f' missing from ${schema.fieldNames.mkString(",")}"))
+    schema.fieldNames.filter(_.startsWith("__c45")) match {
+      case Array() => ()
+      case bad => throw new IllegalArgumentException(
+        s"input columns ${bad.mkString(", ")} collide with the wrapper's " +
+          "reserved __c45* namespace — rename them before fit/transform")
+    }
+    if (requireLabel)
+      require(schema.fieldNames.contains($(labelCol)),
+        s"label column '${$(labelCol)}' missing")
+    require(!schema.fieldNames.contains($(predictionCol)),
+      s"output column '${$(predictionCol)}' already exists")
+    schema.add(StructField($(predictionCol), predictionType, nullable = true))
+  }
+}
+
+/** `spark.ml` Estimator over [[C45Boost.fit]]: AdaBoost.M1 with
+  * shallow C4.5 weak learners inside a `Pipeline`/`CrossValidator`.
+  * The raw round diagnostics (per-round α / ε) live on the wrapped
+  * [[C45BoostClassificationModel.boost]]. */
+class C45BoostClassifier(override val uid: String)
+    extends Estimator[C45BoostClassificationModel]
+    with C45BoostClassifierParams with DefaultParamsWritable {
+
+  def this() = this(Identifiable.randomUID("c45boost"))
+
+  def setLabelCol(v: String): this.type = set(labelCol, v)
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+  def setFeatureCols(v: Array[String]): this.type = set(featureCols, v)
+  def setFeatureCols(v: Seq[String]): this.type = set(featureCols, v.toArray)
+  def setMaxDepth(v: Int): this.type = set(maxDepth, v)
+  def setMaxBins(v: Int): this.type = set(maxBins, v)
+  def setRounds(v: Int): this.type = set(rounds, v)
+
+  override def fit(dataset: Dataset[_]): C45BoostClassificationModel = {
+    transformSchema(dataset.schema)
+    val df = dataset.toDF()
+    val labelType = df.schema($(labelCol)).dataType
+    val attrs = $(featureCols).toIndexedSeq.map { f =>
+      AttrMeta(f, df.schema(f).dataType.isInstanceOf[NumericType])
+    }
+    val schema = C45Schema(attrs, "__c45_label", Nil)
+    val train = df.select(
+      $(featureCols).map(col).toIndexedSeq :+
+        col($(labelCol)).cast("string").as("__c45_label"): _*)
+    val b = C45Boost.fit(train, schema, C45BoostParams(
+      rounds = $(rounds),
+      base = C45Params(maxDepth = $(maxDepth), maxBins = $(maxBins),
+        missingMode = "drop")))
+    copyValues(new C45BoostClassificationModel(uid, b, labelType)
+      .setParent(this))
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    validateSchema(schema, requireLabel = true,
+      predictionType = schema($(labelCol)).dataType)
+
+  override def copy(extra: ParamMap): C45BoostClassifier = defaultCopy(extra)
+}
+
+/** The fitted `spark.ml` Model: α-weighted-vote scoring through
+  * [[C45Boost.transform]] (T flat CASE WHEN columns + a pure-Column
+  * argmax), prediction cast back to the fit-time label dtype. */
+class C45BoostClassificationModel private[fit](
+    override val uid: String,
+    val boost: C45Boost,
+    private[fit] val labelType: DataType)
+    extends Model[C45BoostClassificationModel]
+    with C45BoostClassifierParams with MLWritable {
+
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+
+  override def transform(dataset: Dataset[_]): DataFrame = {
+    transformSchema(dataset.schema)
+    boost.transform(dataset.toDF(), "__c45_pred")
+      .withColumn($(predictionCol), col("__c45_pred").cast(labelType))
+      .drop("__c45_pred")
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    validateSchema(schema, requireLabel = false, predictionType = labelType)
+
+  override def copy(extra: ParamMap): C45BoostClassificationModel =
+    copyValues(new C45BoostClassificationModel(uid, boost, labelType), extra)
+      .setParent(parent)
+
+  override def write: MLWriter = new C45BoostClassificationModel.Writer(this)
+}
+
+/** Companion readers, mirroring the forest wrapper's layout: standard
+  * `metadata/` JSON + one engine directory per round (`engine/t<i>/`)
+  * + a one-row `wrapper/` parquet carrying the engine schema, label
+  * dtype, and the per-round α / ε micro arrays. */
+object C45BoostClassifier extends DefaultParamsReadable[C45BoostClassifier]
+
+object C45BoostClassificationModel
+    extends MLReadable[C45BoostClassificationModel] {
+
+  override def read: MLReader[C45BoostClassificationModel] = new Reader
+
+  private class Writer(instance: C45BoostClassificationModel)
+      extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      val spark = sparkSession
+      val paramJson = instance.extractParamMap().toSeq
+        .sortBy(_.param.name)
+        .map { pp =>
+          val p = pp.param.asInstanceOf[Param[Any]]
+          s""""${p.name}":${p.jsonEncode(pp.value)}"""
+        }.mkString("{", ",", "}")
+      val meta = s"""{"class":"${instance.getClass.getName}",""" +
+        s""""timestamp":${System.currentTimeMillis()},""" +
+        s""""sparkVersion":"${spark.version}",""" +
+        s""""uid":"${instance.uid}",""" +
+        s""""paramMap":$paramJson,"defaultParamMap":{}}"""
+      import spark.implicits._
+      spark.createDataset(Seq(meta)).coalesce(1)
+        .write.text(new Path(path, "metadata").toString)
+      instance.boost.trees.zipWithIndex.foreach { case (m, t) =>
+        m.save(spark, new Path(path, s"engine/t$t").toString)
+      }
+      val s = instance.boost.trees.head.schema
+      Seq((s.attrNames, s.attrs.map(_.isNumeric), s.classLabels,
+          instance.labelType.sql, instance.boost.alphaMicros,
+          instance.boost.errorMicros))
+        .toDF("attr_names", "attr_numeric", "class_labels", "label_type",
+          "alpha_micros", "error_micros")
+        .coalesce(1)
+        .write.parquet(new Path(path, "wrapper").toString)
+    }
+  }
+
+  private class Reader extends MLReader[C45BoostClassificationModel] {
+    override def load(path: String): C45BoostClassificationModel = {
+      val spark = sparkSession
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val metaLine = spark.read.text(new Path(path, "metadata").toString)
+        .head().getString(0)
+      val meta = JsonMethods.parse(metaLine)
+      implicit val fmt: Formats = DefaultFormats
+      val uid = (meta \ "uid").extract[String]
+      val w = spark.read.parquet(new Path(path, "wrapper").toString).head()
+      def strs(f: String): Seq[String] =
+        w.getAs[scala.collection.Seq[String]](f).toSeq
+      val attrs = strs("attr_names")
+        .zip(w.getAs[scala.collection.Seq[Boolean]]("attr_numeric").toSeq)
+        .map { case (n, num) => AttrMeta(n, num) }
+      val schema = C45Schema(attrs, "__c45_label", strs("class_labels"))
+      val alphas = w.getAs[scala.collection.Seq[Long]]("alpha_micros").toVector
+      val errors = w.getAs[scala.collection.Seq[Long]]("error_micros").toVector
+      val trees = alphas.indices.map(t => C45Model.load(spark,
+        new Path(path, s"engine/t$t").toString, schema)).toVector
+      val labelType = DataType.fromDDL(w.getAs[String]("label_type"))
+      val m = new C45BoostClassificationModel(uid,
+        C45Boost(trees, alphas, errors), labelType)
+      meta \ "paramMap" match {
+        case JObject(fields) => fields.foreach { case (name, v) =>
+          val p = m.getParam(name).asInstanceOf[Param[Any]]
+          m.set(p, p.jsonDecode(JsonMethods.compact(JsonMethods.render(v))))
+        }
+        case _ => ()
+      }
+      m
+    }
+  }
+}
