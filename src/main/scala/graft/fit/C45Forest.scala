@@ -74,7 +74,14 @@ case class C45Forest(trees: Vector[C45Model], seed: Int) {
     * floorDiv(Σ_t p_t + T/2, T), exact integer arithmetic (each tree's
     * micros ≤ 10⁶ and T is model-sized, so the double-backed floor is
     * exact far below 2⁵³). Every member tree carries recorded
-    * distributions by construction of [[C45Forest.fit]]. */
+    * distributions by construction of [[C45Forest.fit]].
+    *
+    * A member tree only emits micros columns for its OWN
+    * [[C45Model.probaClasses]] — a bootstrap bag can miss a rare class
+    * entirely (or see it only in zero-mass depth-exhausted leaves), in
+    * which case that tree assigns the class zero mass everywhere, so
+    * the ensemble average reads `0L` for it instead of referencing a
+    * column the tree never produced. */
   def transformProba(df: DataFrame, outputCol: String = "prediction",
                      probPrefix: String = "p_"): DataFrame = {
     val T = trees.size
@@ -82,13 +89,16 @@ case class C45Forest(trees: Vector[C45Model], seed: Int) {
     val scored = trees.indices.foldLeft(df)((d, t) =>
       trees(t).transformProba(d, preds(t), probPrefix = s"__c45f_tp${t}_"))
     val withVote = scored.withColumn(outputCol, voteColumn(preds.map(col)))
+    val emitted: Vector[Set[String]] = trees.map(_.probaClasses.toSet)
     val out = labels.foldLeft(withVote) { (d, c) =>
-      val sum = trees.indices.map(t => col(s"__c45f_tp${t}_$c")).reduce(_ + _)
+      val sum = trees.indices.map(t =>
+        if (emitted(t)(c)) col(s"__c45f_tp${t}_$c") else lit(0L)).reduce(_ + _)
       d.withColumn(s"$probPrefix$c",
         floor((sum + lit(T / 2)) / lit(T)).cast("long"))
     }
     out.drop(preds: _*)
-      .drop(trees.indices.flatMap(t => labels.map(c => s"__c45f_tp${t}_$c")): _*)
+      .drop(trees.indices.flatMap(t =>
+        emitted(t).toSeq.map(c => s"__c45f_tp${t}_$c")): _*)
   }
 
   /** Out-of-bag evaluation (Breiman's "out-of-bag estimates"): each row

@@ -197,7 +197,8 @@ object CorpusQueries {
     // every one of those references — ~60 regex re-executions per doc
     // (the Dedup.shingles pitfall; measured 5.7× growth per 10× data
     // at sf1 before this persist). The REMAINING sf1/sf0.1 bench ratio
-    // (~4.4×, BENCH_sf1.json) is workload, not plan: the sf1 generator
+    // (~4.3–5.4× across BENCH_sf1 regenerations — run-dependent, so no
+    // single number is pinned here) is workload, not plan: the sf1 generator
     // replicates every doc, so nearly every window is a cross-doc
     // duplicate and the dup-offset set the excision merges grows ~100×
     // per 10× docs. (doc_id, text) is all the downstream stages need —

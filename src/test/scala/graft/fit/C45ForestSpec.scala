@@ -145,6 +145,28 @@ class C45ForestSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getString(1) == hard(r.getString(0))))
   }
 
+  test("transformProba tolerates a member tree that never observed a " +
+    "class (missing per-tree column reads as zero mass)") {
+    // tree 0 saw both classes; tree 1's bag had only P rows, so its
+    // probaClasses = {P} and it emits no p_N column — the r18-advised
+    // imbalanced-bag shape. The ensemble average must read 0 for it.
+    val full = C45Model(schema,
+      Vector(Rule(Vector.empty, Some("P"))), "P",
+      leafMass = Vector(1000000L),
+      leafDist = Vector(Map("N" -> 250000L, "P" -> 750000L)))
+    val pOnly = C45Model(schema,
+      Vector(Rule(Vector.empty, Some("P"))), "P",
+      leafMass = Vector(1000000L),
+      leafDist = Vector(Map("P" -> 1000000L)))
+    assert(pOnly.probaClasses == Seq("P"))
+    val f = C45Forest(Vector(full, pOnly), seed = 0)
+    val got = f.transformProba(fixture.limit(1))
+      .select("p_N", "p_P").head()
+    // p_N = floorDiv(250000 + 0 + 1, 2) = 125000; p_P = (750000 + 1000000 + 1) / 2
+    assert(got.getLong(0) == 125000L)
+    assert(got.getLong(1) == 875000L)
+  }
+
   test("oobEval scores exactly the zero-weight rows with the tree's own " +
     "prediction (single-tree forest)") {
     val df = fixture
