@@ -131,6 +131,25 @@ BOOST_EVAL_GOLDENS = {  # boosted-vote confusion counts per tier
         "sf1": "src/test/resources/golden/boost_eval_sf1.txt",
     },
 }
+BOOST_PROBA_GOLDENS = {  # normalized α-mass shares per tier (the
+    # weighted fits are data-dependent; same N/P share shape as
+    # simplify_proba). q_boost_roundtrip must be bit-identical to the
+    # live ensemble at every tier, so it shares q_boost_proba's files.
+    "q_boost_proba": {
+        "sf0.1": "src/test/resources/golden/boost_proba_sf01.txt",
+        "sf1": "src/test/resources/golden/boost_proba_sf1.txt",
+    },
+    "q_boost_roundtrip": {
+        "sf0.1": "src/test/resources/golden/boost_proba_sf01.txt",
+        "sf1": "src/test/resources/golden/boost_proba_sf1.txt",
+    },
+}
+BOOST_STAGES_GOLDENS = {  # staged error-curve confusions per tier
+    "q_boost_stages": {
+        "sf0.1": "src/test/resources/golden/boost_stages_sf01.txt",
+        "sf1": "src/test/resources/golden/boost_stages_sf1.txt",
+    },
+}
 
 
 def fit_golden_frame(path):
@@ -264,6 +283,21 @@ def boost_eval_golden_frame(path):
         columns={"oob_prediction": "prediction"})
 
 
+def boost_stages_golden_frame(path):
+    """golden staged-confusion txt (stage,actual,pred,n lines) -> the
+    (stage, actual, prediction, n) frame qBoostStages emits."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                k, a, p, n = line.split(",")
+                rows.append((int(k), a, p, int(n)))
+    df = pd.DataFrame(rows, columns=["stage", "actual", "prediction", "n"])
+    df["stage"] = df["stage"].astype("int32")
+    return df
+
+
 def canon(df):
     cols = sorted(df.columns)
     return df[cols].sort_values(by=cols).reset_index(drop=True)
@@ -322,7 +356,11 @@ def main():
                                    (BOOST_GOLDENS.get(name),
                                     boost_golden_frame),
                                    (BOOST_EVAL_GOLDENS.get(name),
-                                    boost_eval_golden_frame))
+                                    boost_eval_golden_frame),
+                                   (BOOST_PROBA_GOLDENS.get(name),
+                                    simplify_proba_golden_frame),
+                                   (BOOST_STAGES_GOLDENS.get(name),
+                                    boost_stages_golden_frame))
             if tiers), None)
         if golden_kind and tier != "sf0.01":
             tiers, builder = golden_kind

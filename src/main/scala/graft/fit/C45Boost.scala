@@ -24,8 +24,10 @@ case class C45BoostParams(rounds: Int = 5,
 
 /** A fitted AdaBoost.M1 ensemble: `trees(t)` with vote weight
   * `alphaMicros(t)` = floor(ln((1−ε_t)/ε_t)·10⁶) and recorded training
-  * error `errorMicros(t)` = floor(ε_t·10⁶) (both exact longs so
-  * goldens pin float-free). Serving is the weighted vote:
+  * error `errorMicros(t)` = ε_t·10⁶ rounded HALF-UP on the exact
+  * integer masses ((e·10⁶ + w/2) div w — the same rounding the
+  * reweight uses; alpha alone floors). Both exact longs so goldens pin
+  * float-free. Serving is the weighted vote:
   * argmax over labels of Σ_t α_t·[h_t(x) = label], ties to the
   * lexicographically smallest label — T flat CASE WHEN columns + one
   * pure-Column argmax, zero joins, zero shuffles. */
@@ -36,21 +38,103 @@ case class C45Boost(trees: Vector[C45Model], alphaMicros: Vector[Long],
   def labels: Seq[String] =
     trees.flatMap(_.schema.classLabels).distinct.sorted
 
+  /** The α-weighted vote over the member prediction columns `preds`
+    * (restricted to the first `upTo` rounds — the staged-diagnostic
+    * hook), ties to the lexicographically smallest label. */
+  private def voteColumn(preds: Seq[String], upTo: Int): Column = {
+    val ls = labels
+    if (ls.size == 1) return lit(ls.head)
+    greatest(ls.zipWithIndex.map { case (l, i) =>
+      val mass = (0 until upTo).map(t =>
+        when(col(preds(t)) === lit(l), lit(alphaMicros(t)))
+          .otherwise(lit(0L))).reduce(_ + _)
+      struct(mass.as("m"), lit(ls.size - i).as("r"), lit(l).as("l"))
+    }: _*).getField("l")
+  }
+
   /** Score `df`: adds `outputCol` with the α-weighted vote label. */
   def transform(df: DataFrame, outputCol: String = "prediction"): DataFrame = {
     val preds = trees.indices.map(t => s"__c45b_p$t")
     val scored = trees.indices.foldLeft(df)((d, t) =>
       trees(t).transform(d, preds(t)))
+    scored.withColumn(outputCol, voteColumn(preds, trees.size))
+      .drop(preds: _*)
+  }
+
+  /** Score `df` with class-membership probabilities: `outputCol` is
+    * the hard α-weighted vote (exactly [[transform]]'s estimator), and
+    * each `probPrefix<class>` column is the class's NORMALIZED vote
+    * mass share in EXACT integer micros —
+    * `floorDiv(mass_c·10⁶ + Σα/2, Σα)` where `mass_c = Σ_t α_t·[h_t(x)
+    * = c]` and Σα is a driver-side constant. Integral `div` keeps the
+    * half-up rounding exact (the products stay far below 2⁶³: Σα ≤
+    * rounds · [[C45Boost.AlphaPerfectMicros]]); shares sum to 10⁶ ±
+    * (#classes−1) from rounding, mirroring [[C45Model.transformProba]]'s
+    * contract. Pure flat Columns — zero joins, zero shuffles. */
+  def transformProba(df: DataFrame, outputCol: String = "prediction",
+                     probPrefix: String = "p_"): DataFrame = {
+    val preds = trees.indices.map(t => s"__c45b_p$t")
+    val scored = trees.indices.foldLeft(df)((d, t) =>
+      trees(t).transform(d, preds(t)))
     val ls = labels
-    val vote =
-      if (ls.size == 1) lit(ls.head)
-      else greatest(ls.zipWithIndex.map { case (l, i) =>
-        val mass = trees.indices.map(t =>
-          when(col(preds(t)) === lit(l), lit(alphaMicros(t)))
-            .otherwise(lit(0L))).reduce(_ + _)
-        struct(mass.as("m"), lit(ls.size - i).as("r"), lit(l).as("l"))
-      }: _*).getField("l")
-    scored.withColumn(outputCol, vote).drop(preds: _*)
+    val sumA = alphaMicros.sum
+    require(sumA > 0, "transformProba needs a positive total vote mass")
+    val withVote = scored.withColumn(outputCol, voteColumn(preds, trees.size))
+    val out = ls.foldLeft(withVote) { (d, l) =>
+      val mass = trees.indices.map(t =>
+        when(col(preds(t)) === lit(l), lit(alphaMicros(t)))
+          .otherwise(lit(0L))).reduce(_ + _)
+      d.withColumn("__c45b_m", mass)
+        .withColumn(s"$probPrefix$l",
+          expr(s"(__c45b_m * 1000000 + ${sumA / 2}) div $sumA"))
+        .drop("__c45b_m")
+    }
+    out.drop(preds: _*)
+  }
+
+  /** The standard AdaBoost diagnostic — error vs rounds: the confusion
+    * counts of every PREFIX ensemble 1..T, from ONE scoring pass.
+    * Staged predictions are free: each prefix's vote masses are prefix
+    * sums of the same per-tree CASE WHEN columns, so the plan is T
+    * flat vote columns + one posexplode + one tiny aggregation.
+    * Returns `(stage, actual, prediction, n)` where stage k uses
+    * rounds 0..k-1. */
+  def stagedConfusion(df: DataFrame, actualCol: String): DataFrame = {
+    val preds = trees.indices.map(t => s"__c45b_p$t")
+    val scored = trees.indices.foldLeft(df)((d, t) =>
+      trees(t).transform(d, preds(t)))
+    val votes = (1 to trees.size).map(k => voteColumn(preds, k))
+    scored
+      .select(col(actualCol).cast("string").as("actual"),
+        posexplode(array(votes: _*)).as(Seq("__k", "prediction")))
+      .groupBy((col("__k") + 1).as("stage"), col("actual"),
+        col("prediction"))
+      .agg(count(lit(1L)).as("n"))
+  }
+
+  /** FULL ensemble persistence, mirroring [[C45Forest.save]]'s layout:
+    * one [[C45Model.save]] directory per round (`dir/t<i>/` — reference
+    * text codec + parquet distribution sidecar) plus a `boost.txt`
+    * manifest (line 0 the round count, then one `alpha,error` micros
+    * line per round), all through the Hadoop FileSystem API so any
+    * save-visible path (local, HDFS, s3a) works. [[C45Boost.load]]
+    * restores an ensemble whose vote, probabilities, and staged
+    * diagnostics are bit-identical to the live fit's
+    * (q_boost_roundtrip gates this). */
+  def save(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dirPath)
+    val manifest = (trees.size.toString +:
+      trees.indices.map(t => s"${alphaMicros(t)},${errorMicros(t)}"))
+      .mkString("\n")
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dirPath, "boost.txt"), true)
+    try out.write(manifest.getBytes("UTF-8"))
+    finally out.close()
+    trees.zipWithIndex.foreach { case (m, t) =>
+      m.save(spark, new org.apache.hadoop.fs.Path(dirPath, s"t$t").toString)
+    }
   }
 }
 
@@ -90,6 +174,30 @@ object C45Boost {
 
   /** α for a perfect round (ε = 0): ln(10⁶) in micros. */
   val AlphaPerfectMicros: Long = math.floor(math.log(1e6) * 1e6).toLong
+
+  /** Inverse of [[C45Boost.save]]: per-round trees through
+    * [[C45Model.load]] (rules + distribution sidecars), α/ε micros from
+    * the manifest. Reads through the Hadoop FileSystem API, so any
+    * save-visible filesystem works. */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String,
+           schema: C45Schema): C45Boost = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(dirPath, "boost.txt"))
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toVector finally in.close()
+    val n = lines.head.trim.toInt
+    require(lines.size == n + 1,
+      s"boost manifest $dir/boost.txt declares $n rounds but carries " +
+        s"${lines.size - 1} alpha,error lines")
+    val ae = lines.tail.map { l =>
+      val Array(a, e) = l.trim.split(",")
+      (a.toLong, e.toLong)
+    }
+    C45Boost((0 until n).map(t => C45Model.load(spark,
+      new org.apache.hadoop.fs.Path(dirPath, s"t$t").toString, schema))
+      .toVector, ae.map(_._1), ae.map(_._2))
+  }
 
   def fit(df: DataFrame, schema: C45Schema,
           params: C45BoostParams = C45BoostParams()): C45Boost = {

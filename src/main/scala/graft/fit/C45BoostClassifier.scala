@@ -19,12 +19,18 @@ import org.apache.spark.sql.types.{DataType, NumericType, StructField,
   * categorical; the label is stringified for the fit and predictions
   * cast back to the fit-time label dtype. Unlike the forest wrapper
   * there is no key column — boost weights are data-dependent, not
-  * hash-drawn — and no probability output (M1 votes hard). */
+  * hash-drawn. Probabilities (optional, [[probabilityCol]]) are the
+  * normalized α-vote mass shares ([[C45Boost.transformProba]]). */
 private[fit] trait C45BoostClassifierParams extends Params {
   final val labelCol: Param[String] =
     new Param[String](this, "labelCol", "label column name")
   final val predictionCol: Param[String] =
     new Param[String](this, "predictionCol", "prediction output column name")
+  final val probabilityCol: Param[String] = new Param[String](this,
+    "probabilityCol", "optional class-probability output column (empty = " +
+      "off): an ml Vector of the normalized alpha-weighted vote mass " +
+      "shares, indexed by ascending numeric label value for numeric " +
+      "labels and by sorted class string otherwise")
   final val featureCols: StringArrayParam = new StringArrayParam(this,
     "featureCols", "feature columns: numeric dtypes fit as continuous " +
       "attributes, everything else as categorical")
@@ -37,11 +43,12 @@ private[fit] trait C45BoostClassifierParams extends Params {
     "boosting rounds cap (the loop also stops on the M1 conditions: " +
       "a perfect round or error >= 0.5)", ParamValidators.gtEq(1))
   setDefault(labelCol -> "label", predictionCol -> "prediction",
-    featureCols -> Array.empty[String], maxDepth -> 2, maxBins -> 256,
-    rounds -> 5)
+    probabilityCol -> "", featureCols -> Array.empty[String], maxDepth -> 2,
+    maxBins -> 256, rounds -> 5)
 
   final def getLabelCol: String = $(labelCol)
   final def getPredictionCol: String = $(predictionCol)
+  final def getProbabilityCol: String = $(probabilityCol)
   final def getFeatureCols: Array[String] = $(featureCols)
 
   protected def validateSchema(schema: StructType, requireLabel: Boolean,
@@ -60,7 +67,15 @@ private[fit] trait C45BoostClassifierParams extends Params {
         s"label column '${$(labelCol)}' missing")
     require(!schema.fieldNames.contains($(predictionCol)),
       s"output column '${$(predictionCol)}' already exists")
-    schema.add(StructField($(predictionCol), predictionType, nullable = true))
+    val withPred =
+      schema.add(StructField($(predictionCol), predictionType, nullable = true))
+    if ($(probabilityCol).isEmpty) withPred
+    else {
+      require(!schema.fieldNames.contains($(probabilityCol)),
+        s"output column '${$(probabilityCol)}' already exists")
+      withPred.add(StructField($(probabilityCol),
+        org.apache.spark.ml.linalg.SQLDataTypes.VectorType, nullable = true))
+    }
   }
 }
 
@@ -76,6 +91,7 @@ class C45BoostClassifier(override val uid: String)
 
   def setLabelCol(v: String): this.type = set(labelCol, v)
   def setPredictionCol(v: String): this.type = set(predictionCol, v)
+  def setProbabilityCol(v: String): this.type = set(probabilityCol, v)
   def setFeatureCols(v: Array[String]): this.type = set(featureCols, v)
   def setFeatureCols(v: Seq[String]): this.type = set(featureCols, v.toArray)
   def setMaxDepth(v: Int): this.type = set(maxDepth, v)
@@ -110,7 +126,9 @@ class C45BoostClassifier(override val uid: String)
 
 /** The fitted `spark.ml` Model: α-weighted-vote scoring through
   * [[C45Boost.transform]] (T flat CASE WHEN columns + a pure-Column
-  * argmax), prediction cast back to the fit-time label dtype. */
+  * argmax), prediction cast back to the fit-time label dtype; optional
+  * ml-convention probability Vector from the normalized α-vote mass
+  * shares ([[C45Boost.transformProba]], exact micros / 10⁶). */
 class C45BoostClassificationModel private[fit](
     override val uid: String,
     val boost: C45Boost,
@@ -119,12 +137,28 @@ class C45BoostClassificationModel private[fit](
     with C45BoostClassifierParams with MLWritable {
 
   def setPredictionCol(v: String): this.type = set(predictionCol, v)
+  def setProbabilityCol(v: String): this.type = set(probabilityCol, v)
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema)
-    boost.transform(dataset.toDF(), "__c45_pred")
-      .withColumn($(predictionCol), col("__c45_pred").cast(labelType))
-      .drop("__c45_pred")
+    if ($(probabilityCol).isEmpty) {
+      boost.transform(dataset.toDF(), "__c45_pred")
+        .withColumn($(predictionCol), col("__c45_pred").cast(labelType))
+        .drop("__c45_pred")
+    } else {
+      val classes = boost.labels
+      val ordered =
+        if (labelType.isInstanceOf[NumericType]) classes.sortBy(_.toDouble)
+        else classes
+      val scored = boost.transformProba(dataset.toDF(), "__c45_pred", "__c45_p_")
+      val arr = org.apache.spark.sql.functions.array(
+        ordered.map(c => col(s"`__c45_p_$c`") / 1000000.0): _*)
+      scored
+        .withColumn($(predictionCol), col("__c45_pred").cast(labelType))
+        .withColumn($(probabilityCol),
+          org.apache.spark.ml.functions.array_to_vector(arr))
+        .drop("__c45_pred" +: classes.map(c => s"__c45_p_$c"): _*)
+    }
   }
 
   override def transformSchema(schema: StructType): StructType =
@@ -138,9 +172,10 @@ class C45BoostClassificationModel private[fit](
 }
 
 /** Companion readers, mirroring the forest wrapper's layout: standard
-  * `metadata/` JSON + one engine directory per round (`engine/t<i>/`)
-  * + a one-row `wrapper/` parquet carrying the engine schema, label
-  * dtype, and the per-round α / ε micro arrays. */
+  * `metadata/` JSON + the ENGINE's own persistence ([[C45Boost.save]]:
+  * `engine/t<i>/` round dirs + the `engine/boost.txt` α/ε manifest —
+  * the wrapper delegates, it does not re-encode) + a one-row
+  * `wrapper/` parquet carrying the engine schema and label dtype. */
 object C45BoostClassifier extends DefaultParamsReadable[C45BoostClassifier]
 
 object C45BoostClassificationModel
@@ -166,15 +201,11 @@ object C45BoostClassificationModel
       import spark.implicits._
       spark.createDataset(Seq(meta)).coalesce(1)
         .write.text(new Path(path, "metadata").toString)
-      instance.boost.trees.zipWithIndex.foreach { case (m, t) =>
-        m.save(spark, new Path(path, s"engine/t$t").toString)
-      }
+      instance.boost.save(spark, new Path(path, "engine").toString)
       val s = instance.boost.trees.head.schema
       Seq((s.attrNames, s.attrs.map(_.isNumeric), s.classLabels,
-          instance.labelType.sql, instance.boost.alphaMicros,
-          instance.boost.errorMicros))
-        .toDF("attr_names", "attr_numeric", "class_labels", "label_type",
-          "alpha_micros", "error_micros")
+          instance.labelType.sql))
+        .toDF("attr_names", "attr_numeric", "class_labels", "label_type")
         .coalesce(1)
         .write.parquet(new Path(path, "wrapper").toString)
     }
@@ -197,13 +228,10 @@ object C45BoostClassificationModel
         .zip(w.getAs[scala.collection.Seq[Boolean]]("attr_numeric").toSeq)
         .map { case (n, num) => AttrMeta(n, num) }
       val schema = C45Schema(attrs, "__c45_label", strs("class_labels"))
-      val alphas = w.getAs[scala.collection.Seq[Long]]("alpha_micros").toVector
-      val errors = w.getAs[scala.collection.Seq[Long]]("error_micros").toVector
-      val trees = alphas.indices.map(t => C45Model.load(spark,
-        new Path(path, s"engine/t$t").toString, schema)).toVector
       val labelType = DataType.fromDDL(w.getAs[String]("label_type"))
       val m = new C45BoostClassificationModel(uid,
-        C45Boost(trees, alphas, errors), labelType)
+        C45Boost.load(spark, new Path(path, "engine").toString, schema),
+        labelType)
       meta \ "paramMap" match {
         case JObject(fields) => fields.foreach { case (name, v) =>
           val p = m.getParam(name).asInstanceOf[Param[Any]]

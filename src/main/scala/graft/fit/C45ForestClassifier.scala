@@ -34,8 +34,8 @@ private[fit] trait C45ForestClassifierParams extends Params {
   final val probabilityCol: Param[String] = new Param[String](this,
     "probabilityCol", "optional class-probability output column (empty = " +
       "off): an ml Vector of the ensemble-averaged leaf-distribution " +
-      "shares, indexed by label value for numeric labels (StringIndexer " +
-      "order) and by sorted class string otherwise")
+      "shares, indexed by ascending numeric label value for numeric " +
+      "labels and by sorted class string otherwise")
   final val featureCols: StringArrayParam = new StringArrayParam(this,
     "featureCols", "feature columns: numeric dtypes fit as continuous " +
       "attributes, everything else as categorical")
@@ -110,9 +110,9 @@ private[fit] trait C45ForestClassifierParams extends Params {
 
 /** `spark.ml` Estimator over [[C45Forest.fit]]: the fused bagged
   * ensemble (ONE weighted histogram job per level for ALL trees)
-  * inside a `Pipeline`/`CrossValidator`. Only the raw engine surface
-  * (oobEval, per-tree inspection) still needs the wrapped
-  * [[C45ForestClassificationModel.forest]]. */
+  * inside a `Pipeline`/`CrossValidator`. The fitted model also exposes
+  * [[C45ForestClassificationModel.oobEval]]; only per-tree inspection
+  * still needs the wrapped [[C45ForestClassificationModel.forest]]. */
 class C45ForestClassifier(override val uid: String)
     extends Estimator[C45ForestClassificationModel]
     with C45ForestClassifierParams with DefaultParamsWritable {
@@ -199,6 +199,27 @@ class C45ForestClassificationModel private[fit](
           org.apache.spark.ml.functions.array_to_vector(arr))
         .drop("__c45_pred" +: classes.map(c => s"__c45_p_$c"): _*)
     }
+  }
+
+  /** Out-of-bag evaluation through the wrapped engine
+    * ([[C45Forest.oobEval]]): each row is scored ONLY by the trees
+    * whose bootstrap bag excluded it — an unbiased held-out estimate
+    * with zero extra fits. The bootstrap key is rebuilt from `keyCols`
+    * EXACTLY as the fit built it ('#'-joined stringified columns), so
+    * the masks match the training draws bit-for-bit. `dataset` must
+    * carry the key columns and the label column; returns the confusion
+    * counts `(actual, oob_prediction, n)`. */
+  def oobEval(dataset: Dataset[_]): DataFrame = {
+    require($(keyCols).nonEmpty,
+      "keyCols must be set (non-empty): oobEval recomputes the fit's " +
+        "deterministic bootstrap masks from the row key")
+    val df = dataset.toDF()
+    ($(keyCols) :+ $(labelCol)).foreach(c =>
+      require(df.schema.fieldNames.contains(c),
+        s"column '$c' missing from ${df.schema.fieldNames.mkString(",")}"))
+    val key = concat_ws("#", $(keyCols).map(c => col(c).cast("string"))
+      .toIndexedSeq: _*)
+    forest.oobEval(df, key, $(labelCol))
   }
 
   override def transformSchema(schema: StructType): StructType =

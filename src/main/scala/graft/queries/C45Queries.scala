@@ -1160,6 +1160,22 @@ object C45Queries {
 
   val qForestSql: String = goldenForestSql("golden/forest_sf001_rules.txt")
 
+  /** Defensive parse of one `…|<rule>|…` golden line (rule at field
+    * `ruleAt`). The '|' split — like the rule codec's own ','/'&'/':'
+    * delimiters — is only sound while no categorical split value or
+    * label contains a delimiter character, which holds for every
+    * committed TPC-H/planted fixture. Rather than trusting that
+    * silently (ADVICE r18), the decode→encode round-trip turns a
+    * corrupted split into a loud failure at oracle-build time. */
+  private def splitGolden(line: String, n: Int, ruleAt: Int = 1): Array[String] = {
+    val fs = line.split("\\|", n)
+    require(fs.length == n &&
+      graft.model.Rule.decode(fs(ruleAt)).encode == fs(ruleAt),
+      "golden line does not round-trip the rule codec (a categorical " +
+        s"value containing a codec delimiter?): $line")
+    fs
+  }
+
   /** Committed golden forest (resource lines `tree|rule|majority`) →
     * the VALUES oracle DuckDB replays: exactly [[qForest]]'s frame. */
   private def goldenForestSql(resource: String): String = {
@@ -1167,7 +1183,7 @@ object C45Queries {
     val lines = try src.getLines().filter(_.nonEmpty).toVector finally src.close()
     def q(v: String) = "'" + v.replace("'", "''") + "'"
     val rows = lines.map { l =>
-      val Array(t, rule, maj) = l.split("\\|", 3)
+      val Array(t, rule, maj) = splitGolden(l, 3)
       val cut = rule.lastIndexOf(':')
       val conds = rule.substring(0, cut)
       val label = rule.substring(cut + 1)
@@ -1266,7 +1282,7 @@ object C45Queries {
     require(numeric.forall(i => i < names.size)) // schema shape guard
     val byTree: Map[Int, (Vector[graft.model.Rule], String)] = lines
       .map { l =>
-        val Array(t, rule, maj) = l.split("\\|", 3)
+        val Array(t, rule, maj) = splitGolden(l, 3)
         (t.toInt, graft.model.Rule.decode(rule), maj)
       }
       .groupBy(_._1)
@@ -1373,7 +1389,7 @@ object C45Queries {
         AttrMeta("l_tax", isNumeric = true)),
       "l_linestatus", ClassLabels)
     val byTree = lines.map { l =>
-      val Array(t, rule, maj) = l.split("\\|", 3)
+      val Array(t, rule, maj) = splitGolden(l, 3)
       (t.toInt, graft.model.Rule.decode(rule), maj)
     }.groupBy(_._1)
     graft.fit.C45Forest(
@@ -1414,7 +1430,7 @@ object C45Queries {
       case graft.model.NumGT(b) => s"CAST(${names(aid)} AS DOUBLE) > $b"
     }
     val byTree = lines.map { l =>
-      val Array(t, rule, maj) = l.split("\\|", 3)
+      val Array(t, rule, maj) = splitGolden(l, 3)
       (t.toInt, graft.model.Rule.decode(rule), maj)
     }.groupBy(_._1)
     val trees = byTree.keys.toSeq.sorted
@@ -1501,7 +1517,7 @@ object C45Queries {
     val lines = try src.getLines().filter(_.nonEmpty).toVector finally src.close()
     def q(v: String) = "'" + v.replace("'", "''") + "'"
     val rows = lines.map { l =>
-      val Array(t, rule, a, e, maj) = l.split("\\|", 5)
+      val Array(t, rule, a, e, maj) = splitGolden(l, 5)
       val cut = rule.lastIndexOf(':')
       val conds = rule.substring(0, cut)
       val label = rule.substring(cut + 1)
@@ -1533,6 +1549,171 @@ object C45Queries {
   val qBoostEvalSql: String = boostEvalSql("golden/boost_sf001_rules.txt")
 
   private def boostEvalSql(resource: String): String = {
+    val (predCols, alphas, labels) = boostScoredParts(resource)
+    val rounds = alphas.indices
+    val massCols = labels.zipWithIndex.map { case (l, i) =>
+      rounds.map(t =>
+        s"(CASE WHEN p$t = '$l' THEN CAST(${alphas(t)} AS BIGINT) " +
+          "ELSE 0 END)").mkString(" + ") + s" AS m$i"
+    }
+    val vote = labels.indices.init.map { i =>
+      val geAll = (i + 1 until labels.size).map(j => s"m$i >= m$j")
+        .mkString(" AND ")
+      s"WHEN $geAll THEN '${labels(i)}'"
+    }.mkString(" ")
+    s"""WITH base AS (${boostBaseSql(withActual = true)}),
+       |scored AS (
+       |  SELECT actual, ${predCols.mkString(",\n    ")}
+       |  FROM base),
+       |votes AS (
+       |  SELECT actual, ${massCols.mkString(",\n    ")}
+       |  FROM scored)
+       |SELECT actual,
+       |  (CASE $vote ELSE '${labels.last}' END) AS prediction,
+       |  count(*) AS n
+       |FROM votes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---- boosting + soft serving: the boosted ensemble's normalized
+  //      α-vote mass shares in EXACT integer micros (Σα is a
+  //      driver-side constant; share = (mass·10⁶ + Σα/2) div Σα — the
+  //      same half-up integral rounding the fit uses everywhere).
+  //      Collapsed to q_predict_proba's float-free pin shape. The
+  //      gate-tier oracle is REAL SQL end to end: committed golden
+  //      trees → per-round CASE routing → the identical integer share
+  //      division (DuckDB's integral `//` on BIGINTs), vote, group.
+  //      Tiers above the gate pin per-tier goldens (the weighted fits
+  //      are data-dependent), exactly as q_boost does. ----
+  /** The shared proba summary behind q_boost_proba and
+    * q_boost_roundtrip — both pin the SAME goldens (sweep.py maps the
+    * round-trip onto q_boost_proba's tier files), so the projection
+    * lives here exactly once. */
+  private def boostProbaSummary(b: graft.fit.C45Boost, df: DataFrame): DataFrame =
+    b.transformProba(df, "prediction", "p_")
+      .select(col("prediction"), col("p_N").as("p_n"), col("p_P").as("p_p"))
+      .groupBy("prediction", "p_n", "p_p")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prediction", "p_n", "p_p")
+
+  def qBoostProba(s: SparkSession, dir: String): DataFrame =
+    boostProbaSummary(boostFit(s, dir), boostDf(s, dir))
+
+  val qBoostProbaSql: String = boostProbaSql("golden/boost_sf001_rules.txt")
+
+  /** The committed golden boost rounds replayed as a full-SQL proba
+    * oracle (see above): routing, α masses, integral share division,
+    * and the vote, all in one DuckDB query. */
+  private def boostProbaSql(resource: String): String = {
+    val (predCols, alphas, labels) = boostScoredParts(resource)
+    val rounds = alphas.indices
+    val sumA = alphas.sum
+    val massCols = labels.zipWithIndex.map { case (l, i) =>
+      rounds.map(t =>
+        s"(CASE WHEN p$t = '$l' THEN CAST(${alphas(t)} AS BIGINT) " +
+          "ELSE 0 END)").mkString(" + ") + s" AS m$i"
+    }
+    val vote = labels.indices.init.map { i =>
+      val geAll = (i + 1 until labels.size).map(j => s"m$i >= m$j")
+        .mkString(" AND ")
+      s"WHEN $geAll THEN '${labels(i)}'"
+    }.mkString(" ")
+    val shareCols = Seq("p_n", "p_p").zipWithIndex.map { case (nm, i) =>
+      s"(m$i * 1000000 + ${sumA / 2}) // $sumA AS $nm"
+    }
+    s"""WITH base AS (${boostBaseSql(withActual = false)}),
+       |scored AS (SELECT ${predCols.mkString(",\n    ")} FROM base),
+       |votes AS (SELECT ${massCols.mkString(",\n    ")} FROM scored),
+       |shares AS (
+       |  SELECT (CASE $vote ELSE '${labels.last}' END) AS prediction,
+       |    ${shareCols.mkString(",\n    ")}
+       |  FROM votes)
+       |SELECT prediction, p_n, p_p, count(*) AS n
+       |FROM shares GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  // ---- boosting + model registry: train → C45Boost.save → load →
+  //      transformProba, bit-identical to the live ensemble — the loop
+  //      q_model_roundtrip/q_forest_roundtrip close for the tree and
+  //      the bagged forest, now closed for AdaBoost (per-round engine
+  //      dirs + the boost.txt α/ε manifest). Oracle = q_boost_proba's,
+  //      so any byte the round-trip loses fails the gate. ----
+  def qBoostRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val b = boostFit(s, dir)
+    // fresh per-invocation dir, deleted eagerly (load collects rules +
+    // sidecars to the driver) — same discipline as qModelRoundtrip
+    val tmp = java.nio.file.Files.createTempDirectory("graft_c45b_rt")
+    val loaded =
+      try {
+        b.save(s, tmp.toString)
+        graft.fit.C45Boost.load(s, tmp.toString, boostSchema)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.delete)
+      }
+    boostProbaSummary(loaded, boostDf(s, dir))
+  }
+  val qBoostRoundtripSql: String = qBoostProbaSql
+
+  // ---- boosting diagnostics: the staged error curve — the standard
+  //      AdaBoost diagnostic (training confusion of every PREFIX
+  //      ensemble 1..T, one row set per stage). Staged predictions are
+  //      free: prefix sums of the same per-round CASE WHEN columns in
+  //      ONE scoring pass (posexplode + one tiny aggregation — no
+  //      per-stage rescan). The gate-tier oracle replays the committed
+  //      per-round trees with per-prefix α masses in REAL SQL. ----
+  def qBoostStages(s: SparkSession, dir: String): DataFrame =
+    boostFit(s, dir).stagedConfusion(boostDf(s, dir), "cls")
+      .orderBy("stage", "actual", "prediction")
+
+  val qBoostStagesSql: String = boostStagesSql("golden/boost_sf001_rules.txt")
+
+  private def boostStagesSql(resource: String): String = {
+    val (predCols, alphas, labels) = boostScoredParts(resource)
+    val stages = (1 to alphas.size).map { k =>
+      val massCols = labels.zipWithIndex.map { case (l, i) =>
+        (0 until k).map(t =>
+          s"(CASE WHEN p$t = '$l' THEN CAST(${alphas(t)} AS BIGINT) " +
+            "ELSE 0 END)").mkString(" + ") + s" AS m$i"
+      }
+      val vote = labels.indices.init.map { i =>
+        val geAll = (i + 1 until labels.size).map(j => s"m$i >= m$j")
+          .mkString(" AND ")
+        s"WHEN $geAll THEN '${labels(i)}'"
+      }.mkString(" ")
+      s"""SELECT $k AS stage, actual,
+         |  (CASE $vote ELSE '${labels.last}' END) AS prediction
+         |FROM (SELECT actual, ${massCols.mkString(", ")} FROM scored)""".stripMargin
+    }
+    s"""WITH base AS (${boostBaseSql(withActual = true)}),
+       |scored AS (SELECT actual, ${predCols.mkString(",\n    ")} FROM base)
+       |SELECT stage, actual, prediction, count(*) AS n
+       |FROM (${stages.mkString("\nUNION ALL\n")})
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  /** The planted-class base CTE body shared by the boost oracles (the
+    * same md5-noise construction [[boostDf]] plants, mirrored via
+    * Hashing.hash60Sql). */
+  private def boostBaseSql(withActual: Boolean): String = {
+    val hkey = "concat(CAST(l_orderkey AS VARCHAR), '|', " +
+      "CAST(l_linenumber AS VARCHAR))"
+    val noisy = s"(${graft.functions.Hashing.hash60Sql(hkey)} % 10 = 0)"
+    val actual =
+      if (!withActual) ""
+      else s""",
+         |    (CASE WHEN ((l_returnflag = 'A') = (l_quantity <= 25.0))
+         |       <> $noisy THEN 'P' ELSE 'N' END) AS actual""".stripMargin
+    s"""
+       |  SELECT l_returnflag, l_quantity, l_discount$actual
+       |  FROM lineitem""".stripMargin
+  }
+
+  /** Committed golden boost rounds → the per-round SQL CASE prediction
+    * columns (`p<t>`), the per-round α micros, and the label order —
+    * the shared scaffolding of every boost replay oracle. */
+  private def boostScoredParts(resource: String)
+      : (Seq[String], Seq[Long], Seq[String]) = {
     val src = scala.io.Source.fromResource(resource)
     val lines = try src.getLines().filter(_.nonEmpty).toVector finally src.close()
     val names = Seq("l_returnflag", "l_quantity", "l_discount")
@@ -1542,7 +1723,7 @@ object C45Queries {
       case graft.model.NumGT(b) => s"CAST(${names(aid)} AS DOUBLE) > $b"
     }
     val parsed = lines.map { l =>
-      val Array(t, rule, a, _, maj) = l.split("\\|", 5)
+      val Array(t, rule, a, _, maj) = splitGolden(l, 5)
       (t.toInt, graft.model.Rule.decode(rule), a.toLong, maj)
     }
     val byRound = parsed.groupBy(_._1)
@@ -1556,36 +1737,7 @@ object C45Queries {
       }.mkString(" ")
       s"(CASE $whens ELSE '${g.head._4}' END) AS p$t"
     }
-    val alphas = rounds.map(t => byRound(t).head._3)
-    val labels = Seq("N", "P")
-    val massCols = labels.zipWithIndex.map { case (l, i) =>
-      rounds.zip(alphas).map { case (t, a) =>
-        s"(CASE WHEN p$t = '$l' THEN CAST($a AS BIGINT) ELSE 0 END)"
-      }.mkString(" + ") + s" AS m$i"
-    }
-    val vote = labels.indices.init.map { i =>
-      val geAll = (i + 1 until labels.size).map(j => s"m$i >= m$j")
-        .mkString(" AND ")
-      s"WHEN $geAll THEN '${labels(i)}'"
-    }.mkString(" ")
-    val hkey = "concat(CAST(l_orderkey AS VARCHAR), '|', " +
-      "CAST(l_linenumber AS VARCHAR))"
-    val noisy = s"(${graft.functions.Hashing.hash60Sql(hkey)} % 10 = 0)"
-    s"""WITH base AS (
-       |  SELECT l_returnflag, l_quantity, l_discount,
-       |    (CASE WHEN ((l_returnflag = 'A') = (l_quantity <= 25.0))
-       |       <> $noisy THEN 'P' ELSE 'N' END) AS actual
-       |  FROM lineitem),
-       |scored AS (
-       |  SELECT actual, ${predCols.mkString(",\n    ")}
-       |  FROM base),
-       |votes AS (
-       |  SELECT actual, ${massCols.mkString(",\n    ")}
-       |  FROM scored)
-       |SELECT actual,
-       |  (CASE $vote ELSE '${labels.last}' END) AS prediction,
-       |  count(*) AS n
-       |FROM votes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    (predCols, rounds.map(t => byRound(t).head._3), Seq("N", "P"))
   }
 
   /** Flagship (SparkEntry.entry): rank every attribute by root gain
@@ -1669,6 +1821,9 @@ object C45Queries {
     "q_forest_roundtrip" -> (qForestRoundtrip _),
     "q_boost" -> (qBoost _),
     "q_boost_eval" -> (qBoostEval _),
+    "q_boost_proba" -> (qBoostProba _),
+    "q_boost_roundtrip" -> (qBoostRoundtrip _),
+    "q_boost_stages" -> (qBoostStages _),
     "q_feature_importance" -> (qFeatureImportance _),
     "q_attr_meta" -> (qAttrMeta _),
     "q_rule_codec" -> (qRuleCodec _),
@@ -1719,6 +1874,9 @@ object C45Queries {
     "q_forest_roundtrip" -> qForestRoundtripSql,
     "q_boost" -> qBoostSql,
     "q_boost_eval" -> qBoostEvalSql,
+    "q_boost_proba" -> qBoostProbaSql,
+    "q_boost_roundtrip" -> qBoostRoundtripSql,
+    "q_boost_stages" -> qBoostStagesSql,
     "q_feature_importance" -> qFeatureImportanceSql,
     "q_attr_meta" -> qAttrMetaSql,
     "q_rule_codec" -> qRuleCodecSql,

@@ -61,6 +61,31 @@ class C45BoostMlSpec extends AnyFunSuite {
     assert(acc > 0.8, s"planted structure + 10% noise: $acc")
   }
 
+  test("probabilityCol serves the normalized α-mass shares as an ml " +
+    "Vector (exact engine micros / 1e6, distinct-feature parity)") {
+    val df = planted("/root/testdata/sf0.001")
+    val m = estimator.setPredictionCol("pred").setProbabilityCol("prob").fit(df)
+    val scored = m.transform(df)
+    assert(scored.schema("prob").dataType ==
+      org.apache.spark.ml.linalg.SQLDataTypes.VectorType)
+    def fkey(r: org.apache.spark.sql.Row, n: Int): String =
+      (0 until n).map(i => String.valueOf(r.get(i))).mkString("|")
+    val wrapped = scored.select(features.map(col) :+ col("prob"): _*)
+      .distinct().collect()
+      .map(r => fkey(r, features.size) ->
+        r.getAs[org.apache.spark.ml.linalg.Vector](features.size)).toMap
+    val engine = m.boost.transformProba(df, "ep", "ep_")
+      .select(features.map(col) ++ Seq(col("ep_N"), col("ep_P")): _*)
+      .distinct().collect()
+    assert(engine.nonEmpty && engine.length == wrapped.size)
+    engine.foreach { r =>
+      val v = wrapped(fkey(r, features.size))
+      // classes sorted (N, P) for the string label
+      assert(v(0) == r.getLong(features.size) / 1e6)
+      assert(v(1) == r.getLong(features.size + 1) / 1e6)
+    }
+  }
+
   test("model persistence round-trips (save → load → identical rounds, " +
     "alphas, and predictions)") {
     val df = planted("/root/testdata/sf0.001")

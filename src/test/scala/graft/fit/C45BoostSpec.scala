@@ -107,6 +107,89 @@ class C45BoostSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq == Seq("P"))
   }
 
+  test("transformProba emits the normalized α-mass shares in exact " +
+    "micros (hand-math ensemble) and votes exactly like transform") {
+    def leafModel(label: String) = C45Model(schema,
+      Vector(Rule(Vector.empty, Some(label))), label)
+    // constant per-tree predictions P, N, P with α = 3, 2, 5 micros:
+    // mass_P = 8, mass_N = 2, Σα = 10 → shares by half-up integral div
+    val b = C45Boost(
+      Vector(leafModel("P"), leafModel("N"), leafModel("P")),
+      Vector(3L, 2L, 5L), Vector(0L, 0L, 0L))
+    val r = b.transformProba(fixture.limit(1)).select("prediction", "p_N", "p_P").head()
+    assert(r.getString(0) == "P")
+    assert(r.getLong(1) == Math.floorDiv(2L * 1000000L + 5L, 10L)) // 200000
+    assert(r.getLong(2) == Math.floorDiv(8L * 1000000L + 5L, 10L)) // 800000
+    // a non-dividing Σα exercises the rounding: α = 3, 3, 1 → Σα = 7
+    val b2 = C45Boost(
+      Vector(leafModel("P"), leafModel("N"), leafModel("P")),
+      Vector(3L, 3L, 1L), Vector(0L, 0L, 0L))
+    val r2 = b2.transformProba(fixture.limit(1)).select("p_N", "p_P").head()
+    assert(r2.getLong(0) == Math.floorDiv(3L * 1000000L + 3L, 7L)) // 428571
+    assert(r2.getLong(1) == Math.floorDiv(4L * 1000000L + 3L, 7L)) // 571429
+    // on the real fit, the proba path's prediction is the hard vote's
+    val df = fixture
+    val fit = C45Boost.fit(df, schema, params)
+    val disagree = fit.transformProba(df, "pp")
+      .transform(d => fit.transform(d, "ph"))
+      .filter(col("pp") =!= col("ph")).count()
+    assert(disagree == 0)
+  }
+
+  test("stagedConfusion replays every prefix ensemble (hand-math) and " +
+    "its final stage equals the full transform's confusion") {
+    def leafModel(label: String) = C45Model(schema,
+      Vector(Rule(Vector.empty, Some(label))), label)
+    // stage 1: only T0 (P, α=5) → P; stage 2: N outweighs (α 7 > 5)
+    val b = C45Boost(Vector(leafModel("P"), leafModel("N")),
+      Vector(5L, 7L), Vector(0L, 0L))
+    val df = fixture
+    val n = df.count()
+    val staged = b.stagedConfusion(df, "cls")
+      .groupBy("stage", "prediction").agg(sum("n").as("n"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(staged.keys.map(_._1).toSet == Set(1, 2))
+    assert(staged((1, "P")) == n && !staged.contains((1, "N")))
+    assert(staged((2, "N")) == n && !staged.contains((2, "P")))
+    // real fit: the last stage is exactly the full ensemble's confusion
+    val fit = C45Boost.fit(df, schema, params)
+    val T = fit.trees.size
+    val last = fit.stagedConfusion(df, "cls").filter(col("stage") === T)
+      .select("actual", "prediction", "n")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val full = fit.transform(df)
+      .groupBy(col("cls").as("actual"), col("prediction"))
+      .agg(count(lit(1L)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(last == full)
+  }
+
+  test("save -> load round-trips the boosted ensemble bit-exactly " +
+    "(rules, α/ε micros, distributions, probabilities)") {
+    val df = fixture
+    val b = C45Boost.fit(df, schema, params)
+    val tmp = java.nio.file.Files.createTempDirectory("c45b_rt_spec")
+    try {
+      b.save(spark, tmp.toString)
+      val loaded = C45Boost.load(spark, tmp.toString, schema)
+      assert(loaded.alphaMicros == b.alphaMicros)
+      assert(loaded.errorMicros == b.errorMicros)
+      assert(loaded.trees.map(_.ruleStrings) == b.trees.map(_.ruleStrings))
+      assert(loaded.trees.map(_.majority) == b.trees.map(_.majority))
+      assert(loaded.trees.map(_.leafDist) == b.trees.map(_.leafDist))
+      // the loaded ensemble serves identically (vote + shares)
+      val live = b.transformProba(df, "p", "lp_")
+      val again = loaded.transformProba(live, "q", "qp_")
+      assert(again.filter(col("p") =!= col("q") ||
+        col("lp_N") =!= col("qp_N") || col("lp_P") =!= col("qp_P"))
+        .count() == 0)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.delete)
+    }
+  }
+
   // ---- committed-golden pins (the resources qBoostSql / sweep.py use) ----
   private def tierDir(sf: String): String =
     if (sf == "sf1") "testdata-sf1"

@@ -83,6 +83,24 @@ class C45ForestMlSpec extends AnyFunSuite {
     }
   }
 
+  test("wrapper oobEval ≡ engine oobEval (key construction forwarded " +
+    "from keyCols)") {
+    val df = planted("/root/testdata/sf0.001")
+    val m = estimator.setPredictionCol("pred").fit(df)
+    val key = concat_ws("#",
+      col("l_orderkey").cast("string"), col("l_linenumber").cast("string"))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("actual", "oob_prediction").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val wrapped = rows(m.oobEval(df))
+    val engine = rows(m.forest.oobEval(df, key, "cls"))
+    assert(wrapped.nonEmpty && wrapped == engine)
+    // fails fast without the key columns
+    val e = intercept[IllegalArgumentException](
+      m.oobEval(df.drop("l_orderkey")))
+    assert(e.getMessage.contains("l_orderkey"))
+  }
+
   test("model persistence round-trips (save → load → identical " +
     "predictions and trees)") {
     val df = planted("/root/testdata/sf0.001")
