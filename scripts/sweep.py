@@ -93,6 +93,10 @@ FOREST_GOLDENS = {  # bagged forest -> tier marker -> committed rules
         "sf0.1": "src/test/resources/golden/forest_sf01_rules.txt",
         "sf1": "src/test/resources/golden/forest_sf1_rules.txt",
     },
+    "q_forest_missing": {
+        "sf0.1": "src/test/resources/golden/forest_missing_sf01_rules.txt",
+        "sf1": "src/test/resources/golden/forest_missing_sf1_rules.txt",
+    },
 }
 FOREST_OOB_GOLDENS = {  # OOB confusion counts per tier (same reason)
     "q_forest_oob": {

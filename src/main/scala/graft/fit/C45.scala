@@ -725,7 +725,7 @@ object C45 {
     * diverge between the two paths whose bit-identity CrossValSpec
     * pins. Rounding to whole micros keeps downstream sums exact
     * integers; a weight rounding to 0 is dropped by the caller. */
-  private def routeXWeight(routeNum: Seq[graft.meta.AttrMeta],
+  private[fit] def routeXWeight(routeNum: Seq[graft.meta.AttrMeta],
       routeCat: Seq[graft.meta.AttrMeta], schema: C45Schema): Column = {
     val fracW = floor(col("__w") * col("__frac") + lit(0.5)).cast("long")
     val numBranch =
@@ -970,7 +970,7 @@ object C45 {
     * MEMORY_AND_DISK spills rather than evicts under pressure. The
     * conf is snapshotted by the InMemoryRelation at persist time, so
     * the temporary set/restore cannot leak to caller caches. */
-  private def persistUncompressed(df: DataFrame): DataFrame = {
+  private[fit] def persistUncompressed(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     val key = "spark.sql.inMemoryColumnarStorage.compressed"
     val old = s.conf.get(key)

@@ -11,15 +11,20 @@ import org.apache.spark.storage.StorageLevel
   * in "Bagging, boosting, and C4.5" (AAAI 1996). `rounds` caps the
   * boosting iterations (the loop also stops on ε = 0 or ε ≥ 0.5, the
   * M1 conditions); `base.maxDepth` keeps the weak learners weak
-  * (default 2 — near-stumps); `base.missingMode` must be "drop" (the
-  * weighted histogram carries boost weights; null attribute values
-  * leave each slice exactly as drop mode does). */
+  * (default 2 — near-stumps); `base.missingMode` picks the null-value
+  * semantics of each weak fit: "drop" (a null attribute value leaves
+  * each histogram slice and routes to no leaf) or "fractional"
+  * (canonical C4.5 unknown-value distribution, composed with the boost
+  * weight: a null-valued row descends every child with weight
+  * boost-micros × known-mass share, the same half-up micro rounding
+  * as the single tree's RouteX path). Serving and the per-round
+  * error/reweight pass stay on [[C45Model.transform]]'s deterministic
+  * hard routing (a null on the path falls to the majority), exactly
+  * like the cross-validation eval contract. */
 case class C45BoostParams(rounds: Int = 5,
                           base: C45Params = C45Params(maxDepth = 2,
                             missingMode = "drop")) {
   require(rounds >= 1, s"rounds must be >= 1: $rounds")
-  require(base.missingMode == "drop",
-    "C45Boost supports missingMode=drop only")
 }
 
 /** A fitted AdaBoost.M1 ensemble: `trees(t)` with vote weight
@@ -207,18 +212,27 @@ object C45Boost {
     val catAttrs = schema.categoricalAttrs
     val numAttrs = schema.numericAttrs
 
-    // probes (one job): non-null labels + binning gate sketches
+    // probes (one job): non-null labels + binning gate sketches +
+    // (fractional mode) whether any row carries a null attribute value
+    // — a null-free corpus takes the flat drop routing bit-for-bit
+    val dirtyCol: Column = names.map(col(_).isNull)
+      .reduceOption(_ || _).getOrElse(lit(false))
     val proj0 = df.select((names :+ clsCol).map(col): _*)
     val dcAggs =
       if (params.base.maxBins <= 0) Seq.empty
       else numAttrs.map(a =>
         approx_count_distinct(col(a.name)).as(s"__dc_${a.name}"))
+    val dirtyAggs =
+      if (params.base.missingMode != "fractional") Seq.empty
+      else Seq(count(when(dirtyCol, 1)).as("__dirty"))
     val probeAggs =
-      Seq(count(when(col(clsCol).isNull, 1)).as("cls")) ++ dcAggs
+      Seq(count(when(col(clsCol).isNull, 1)).as("cls")) ++ dcAggs ++ dirtyAggs
     val probe = proj0.agg(probeAggs.head, probeAggs.tail: _*).head()
     require(probe.getLong(0) == 0L,
       s"C45Boost.fit requires non-null class labels: column '$clsCol' " +
         "contains NULLs")
+    val fractional = params.base.missingMode == "fractional" &&
+      names.nonEmpty && probe.getAs[Long]("__dirty") > 0L
     val classLabels: Seq[String] =
       if (schema.classLabels.nonEmpty) schema.classLabels
       else proj0.select(col(clsCol).cast("string")).na.drop().distinct()
@@ -248,14 +262,28 @@ object C45Boost {
         .getOrElse(raw)
     }
 
-    /** one weighted C4.5 fit over (attrs, __cls, __w micros). */
+    /** one weighted C4.5 fit over (attrs, __cls, __w micros). In
+      * fractional mode the null-bearing rows ride a per-round RouteX
+      * broadcast-join chain (the fused fold fit's clean/dirty split,
+      * C45.fitFolds) with the BOOST weight as the chain's starting
+      * mass, so a null-valued row descends every child at
+      * boost-micros × known-share; null-free rows re-route per level
+      * through the flat rid CASE at their full weight. */
     def fitWeighted(base: DataFrame): C45Model = {
       var open = Vector(Rule.root)
       var closed = Vector.empty[Rule]
       var closedMass = Vector.empty[Long]
       var closedDist = Vector.empty[Map[String, Long]]
       var globalMajority: Option[String] = None
+      var routesXPrev: Seq[RouteX] = Nil
+      var prevBase: DataFrame = null
+      var prevPersisted: Option[DataFrame] = None
+      val routedPersists =
+        scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      val spark = base.sparkSession
+      import spark.implicits._
       var level = 0
+      try {
       while (open.nonEmpty && level <= params.base.maxDepth) {
         val deadAids = open.map(_.usedAttrs).reduce(_ intersect _)
         val liveCat = catAttrs.filterNot(a => deadAids(schema.attrIndex(a.name)))
@@ -265,17 +293,75 @@ object C45Boost {
             Seq(lit(schema.attrIndex(a.name)), col(a.name).cast("string"))) ++
           liveNum.flatMap(a => Seq(lit(schema.attrIndex(a.name)),
             numValCol(a).cast("string")))
-        val cells = base
-          .withColumn("__rid", C45.flatRidColumn(open, names))
-          .filter(col("__rid") >= 0)
-          .select(col("__rid"), col("__cls").as("cls"), col("__w"),
-            explode(map(pairs: _*)).as(Seq("aid", "val")))
-          .filter(col("val").isNotNull)
-          .groupBy("__rid", "aid", "val", "cls")
-          .agg(sum(col("__w")).as("cnt"))
-          .collect()
-          .map(r => (r.getInt(0), r.getInt(1), r.getString(2),
-            r.getString(3), r.getLong(4)))
+        val cells =
+          if (!fractional) {
+            base
+              .withColumn("__rid", C45.flatRidColumn(open, names))
+              .filter(col("__rid") >= 0)
+              .select(col("__rid"), col("__cls").as("cls"), col("__w"),
+                explode(map(pairs: _*)).as(Seq("aid", "val")))
+              .filter(col("val").isNotNull)
+              .groupBy("__rid", "aid", "val", "cls")
+              .agg(sum(col("__w")).as("cnt"))
+              .collect()
+              .map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+                r.getString(3), r.getLong(4)))
+          } else {
+            val chain =
+              if (level == 0)
+                base.filter(dirtyCol)
+                  .withColumn("__rid", lit(0))
+                  .select(col("__rid") +: col("__w") +: col("__cls") +:
+                    names.map(col): _*)
+              else {
+                val routeDf = routesXPrev.map(x =>
+                  (x.prid, x.kind, x.aid, x.boundary, x.side, x.catval,
+                    x.crid, x.frac))
+                  .toDF("__prid", "__kind", "__aid", "__boundary", "__side",
+                    "__catval", "__crid", "__frac")
+                val routeAids = routesXPrev.map(_.aid).toSet
+                val routeNum = numAttrs.filter(a =>
+                  routeAids(schema.attrIndex(a.name)))
+                val routeCat = catAttrs.filter(a =>
+                  routeAids(schema.attrIndex(a.name)))
+                prevBase
+                  .join(broadcast(routeDf),
+                    prevBase("__rid") === routeDf("__prid"))
+                  .withColumn("__wN",
+                    C45.routeXWeight(routeNum, routeCat, schema))
+                  .filter(col("__wN").isNotNull && col("__wN") > 0)
+                  .drop("__rid", "__w", "__prid", "__kind", "__aid",
+                    "__boundary", "__side", "__catval", "__frac")
+                  .withColumnRenamed("__crid", "__rid")
+                  .withColumnRenamed("__wN", "__w")
+              }
+            val based =
+              if (level >= 1 && level < params.base.maxDepth) {
+                val p = C45.persistUncompressed(chain); routedPersists += p; p
+              } else chain
+            val dirtySide = based
+              .select(col("__rid"), col("__cls").as("cls"), col("__w"),
+                explode(map(pairs: _*)).as(Seq("aid", "val")))
+            val cleanSide = base
+              .filter(!dirtyCol)
+              .withColumn("__rid", C45.flatRidColumn(open, names))
+              .filter(col("__rid") >= 0)
+              .select(col("__rid"), col("__cls").as("cls"), col("__w"),
+                explode(map(pairs: _*)).as(Seq("aid", "val")))
+            val rows = dirtySide.unionByName(cleanSide)
+              .filter(col("val").isNotNull)
+              .groupBy("__rid", "aid", "val", "cls")
+              .agg(sum(col("__w")).as("cnt"))
+              .collect()
+              .map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+                r.getString(3), r.getLong(4)))
+            prevPersisted.foreach(_.unpersist())
+            prevPersisted =
+              if (level >= 1 && level < params.base.maxDepth) Some(based)
+              else None
+            prevBase = based
+            rows
+          }
         val st = C45.levelStats(cells, schema, classLabels,
           fractional = true, unit = 1e6, params.base)
         val dec = C45.decideLevel(open, level, st, schema, params.base,
@@ -284,8 +370,10 @@ object C45Boost {
           closed :+= r; closedMass :+= m; closedDist :+= dd }
         globalMajority = dec.globalMajority
         open = dec.nextOpen
+        routesXPrev = dec.routesX
         level += 1
       }
+      } finally routedPersists.foreach(_.unpersist())
       open.foreach { r =>
         closed :+= r.closed(globalMajority.getOrElse(classLabels.head))
         closedMass :+= 0L

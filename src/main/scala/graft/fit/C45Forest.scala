@@ -13,19 +13,19 @@ import org.apache.spark.storage.StorageLevel
   * the schema's attributes — tree t sees attr index i iff
   * `(i + t) % d < attrsPerTree`, so every attribute appears in exactly
   * `attrsPerTree` of any `d` consecutive trees; `seed` salts the
-  * bootstrap hash. `base.missingMode` must be "drop": the fused
-  * weighted histogram carries integer bootstrap multiplicities, and a
-  * null attribute value simply leaves each attribute's slice (and the
-  * routing) exactly as the single-tree drop mode does. */
+  * bootstrap hash. `base.missingMode` picks the null-value semantics:
+  * "drop" (a null attribute value leaves each histogram slice and
+  * routes to no leaf, the single-tree drop mode per replicate) or
+  * "fractional" (canonical C4.5 unknown-value distribution — a
+  * null-valued row descends EVERY child of its rule's split with
+  * weight bootstrap-multiplicity × known-mass share, exact micros; see
+  * the [[C45Forest.fit]] scaladoc for the fused clean/dirty plan). */
 case class C45ForestParams(nTrees: Int = 10,
                            attrsPerTree: Int = 0,
                            seed: Int = 42,
                            base: C45Params = C45Params(missingMode = "drop")) {
   require(nTrees >= 1, s"nTrees must be >= 1: $nTrees")
   require(attrsPerTree >= 0, s"attrsPerTree must be >= 0: $attrsPerTree")
-  require(base.missingMode == "drop",
-    "C45Forest supports missingMode=drop only (null attribute values " +
-      "leave each histogram slice and route to no leaf)")
 }
 
 /** A fitted bagged-C4.5 ensemble: `trees(t)` is the C4.5 model of the
@@ -173,6 +173,24 @@ case class C45Forest(trees: Vector[C45Model], seed: Int) {
   * (params.base.maxDepth), which keeps the per-tree expression inside
   * whole-stage codegen.
   *
+  * With `base.missingMode = "fractional"` on a null-bearing corpus,
+  * the fit composes Quinlan's unknown-value distribution with the
+  * bootstrap: histogram weights become per-copy micros × multiplicity
+  * and ONLY the null-bearing rows ride a tree-tagged RouteX
+  * broadcast-join chain (the fused fold fit's clean/dirty split,
+  * [[C45.fitFolds]]) — a null-valued row descends every child of its
+  * split at known-mass share with the single tree's exact micro
+  * rounding applied to the PER-COPY weight (multiplicity multiplies
+  * outside the rounding), while the null-free majority re-routes per
+  * level through the flat per-tree rid CASE over the caller's cache.
+  * Still ONE aggregation job per level; persisted chain state is
+  * dirty × E[in-bag trees] rows per join-routed level. Decisions and
+  * recorded masses stay bit-identical to a sequential
+  * `C45.fit(missingMode = "fractional")` per explicitly-replicated
+  * bootstrap sample (C45ForestSpec pins it), because the weight
+  * expression, micro rounding, and driver math are the single fit's
+  * shared code and integer sums commute.
+  *
   * Numeric binning (`base.maxBins`) computes ONE shared set of
   * quantile edges from the FULL data (one probe + one approxQuantile
   * job, not T): a tree's in-bag sample sees a subset of the full value
@@ -291,17 +309,31 @@ object C45Forest {
     try {
 
     // up-front probes in ONE agg job, mirroring C45.fit: non-null
-    // class labels, plus the binning gate's approx-distinct sketches
+    // class labels, the binning gate's approx-distinct sketches, and
+    // (fractional mode) whether any row carries a null attribute value
+    // — the fractional machinery engages only when nulls occur at all,
+    // so a null-free corpus takes the drop path bit-for-bit
+    val dirtyCol: Column = names.map(col(_).isNull)
+      .reduceOption(_ || _).getOrElse(lit(false))
     val dcAggs =
       if (params.base.maxBins <= 0) Seq.empty
       else numAttrs.map(a =>
         approx_count_distinct(col(a.name)).as(s"__dc_${a.name}"))
+    val dirtyAggs =
+      if (params.base.missingMode != "fractional") Seq.empty
+      else Seq(count(when(dirtyCol, 1)).as("__dirty"))
     val probeAggs =
-      Seq(count(when(col(clsCol).isNull, 1)).as("cls")) ++ dcAggs
+      Seq(count(when(col(clsCol).isNull, 1)).as("cls")) ++ dcAggs ++ dirtyAggs
     val probe = data.agg(probeAggs.head, probeAggs.tail: _*).head()
     require(probe.getLong(0) == 0L,
       s"C45Forest.fit requires non-null class labels: column '$clsCol' " +
         "contains NULLs")
+    val fractional = params.base.missingMode == "fractional" &&
+      names.nonEmpty && probe.getAs[Long]("__dirty") > 0L
+    // fractional masses ride in micros (multiplicity × 10⁶); drop-mode
+    // cells stay raw multiplicities and decideLevel scales the record
+    val unit = if (fractional) 1e6 else 1.0
+    val W1 = 1000000L
 
     val classLabels: Seq[String] =
       if (schema.classLabels.nonEmpty) schema.classLabels
@@ -342,11 +374,20 @@ object C45Forest {
       var closedMass: Vector[Long] = Vector.empty
       var closedDist: Vector[Map[String, Long]] = Vector.empty
       var globalMajority: Option[String] = None
+      var routesX: Seq[RouteX] = Nil
       val imp = scala.collection.mutable.Map.empty[Int, Double]
         .withDefaultValue(0.0)
     }
     val state = Array.fill(T)(new TState)
     val sc = spark.sparkContext
+    // fractional routing state, mirroring C45.fitFolds': the previous
+    // level's fused DIRTY routed base (null-bearing rows only — see the
+    // histogram branch below) and the persisted handle to free once the
+    // next level materializes
+    var prevBase: DataFrame = null
+    var prevPersisted: Option[DataFrame] = None
+    val routedPersists = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
     var level = 0
     while (state.exists(_.open.nonEmpty) && level <= params.base.maxDepth) {
       val active = (0 until T).filter(t => state(t).open.nonEmpty)
@@ -379,40 +420,135 @@ object C45Forest {
         array(wCols.map(col): _*), col("__tree") + 1)
       val prevDesc = sc.getLocalProperty("spark.job.description")
       sc.setJobDescription(s"graft.fitForest level=$level T=$T histogram")
+      def groupRows(rows: Array[org.apache.spark.sql.Row])
+          : Map[Int, Array[(Int, Int, String, String, Long)]] =
+        rows.groupBy(_.getInt(0)).view.mapValues(_.map(r =>
+          (r.getInt(1), r.getInt(2), r.getString(3), r.getString(4),
+            r.getLong(5)))).toMap
+      // the level-0 fan-out base of the DIRTY rows (fractional mode):
+      // one row per (null-bearing row, in-bag tree) at root rid. The
+      // chain tracks the PER-COPY micro weight `__w` (starts at 10⁶;
+      // the only column the RouteX rounding touches) and the integer
+      // bootstrap multiplicity `__m` SEPARATELY — the histogram weighs
+      // by __w × __m, so every micro rounding happens exactly as it
+      // would on each replicated copy (floor(10⁶·frac + 0.5) · m, NOT
+      // floor(m·10⁶·frac + 0.5)) and the fit stays bit-identical to
+      // the sequential fractional fit on the replicated sample. Lazy:
+      // level 0 reads it through the cached projection; only
+      // join-routed levels persist their output.
+      def rootFanout: DataFrame = data
+        .filter(dirtyCol)
+        .withColumn("__cls", col(clsCol).cast("string"))
+        .select((Seq(col("__cls")) ++ names.map(col) ++ wCols.map(col) :+
+          explode(array((0 until T).map(lit(_)): _*)).as("__tree")): _*)
+        .withColumn("__m", wByTree)
+        .filter(col("__m") > 0)
+        .withColumn("__w", lit(W1))
+        .withColumn("__rid", lit(0))
+        .select(col("__tree") +: col("__rid") +: col("__w") +: col("__m") +:
+          col("__cls") +: names.map(col): _*)
       val cellsByTree: Map[Int, Array[(Int, Int, String, String, Long)]] =
         try {
-          data
-            .withColumn("__cls", col(clsCol).cast("string"))
-            .select((Seq(col("__cls")) ++ names.map(col) ++ wCols.map(col) :+
-              explode(map(ridPairs: _*)).as(Seq("__tree", "__rid"))): _*)
-            .filter(col("__rid") >= 0)
-            .withColumn("__w", wByTree)
-            .filter(col("__w") > 0)
-            .select(col("__tree"), col("__rid"), col("__cls").as("cls"),
-              col("__w"), explode(mapByTree).as(Seq("aid", "val")))
-            .filter(col("val").isNotNull)
-            .groupBy("__tree", "__rid", "aid", "val", "cls")
-            .agg(sum(col("__w")).as("cnt"))
-            .collect()
-            .groupBy(_.getInt(0)).view.mapValues(_.map(r =>
-              (r.getInt(1), r.getInt(2), r.getString(3), r.getString(4),
-                r.getLong(5)))).toMap
+          if (!fractional) {
+            data
+              .withColumn("__cls", col(clsCol).cast("string"))
+              .select((Seq(col("__cls")) ++ names.map(col) ++ wCols.map(col) :+
+                explode(map(ridPairs: _*)).as(Seq("__tree", "__rid"))): _*)
+              .filter(col("__rid") >= 0)
+              .withColumn("__w", wByTree)
+              .filter(col("__w") > 0)
+              .select(col("__tree"), col("__rid"), col("__cls").as("cls"),
+                col("__w"), explode(mapByTree).as(Seq("aid", "val")))
+              .filter(col("val").isNotNull)
+              .groupBy("__tree", "__rid", "aid", "val", "cls")
+              .agg(sum(col("__w")).as("cnt"))
+              .collect()
+              .groupBy(_.getInt(0)).view.mapValues(_.map(r =>
+                (r.getInt(1), r.getInt(2), r.getString(3), r.getString(4),
+                  r.getLong(5)))).toMap
+          } else {
+            // fractional mode — the fused fold fit's CLEAN/DIRTY split
+            // (C45.fitFolds) with the TREE tag riding the chain: only
+            // null-bearing rows can fan out, so only they ride the
+            // weighted RouteX broadcast-join chain (persisted state
+            // dirty×E[in-bag trees] per join-routed level); the
+            // null-free majority re-routes per level through the flat
+            // per-tree rid CASE over the caller's cache at weight
+            // multiplicity × 10⁶. One union, ONE aggregation job per
+            // level — exact long sums, order-independent.
+            import spark.implicits._
+            val base =
+              if (level == 0) rootFanout
+              else {
+                val xr = active.flatMap(t => state(t).routesX.map(x =>
+                  (t, x.prid, x.kind, x.aid, x.boundary, x.side, x.catval,
+                    x.crid, x.frac)))
+                val routeDf = xr.toDF("__ptree", "__prid", "__kind", "__aid",
+                  "__boundary", "__side", "__catval", "__crid", "__frac")
+                val routeAids = xr.map(_._4).toSet
+                val routeNum = numAttrs.filter(a =>
+                  routeAids(schema.attrIndex(a.name)))
+                val routeCat = catAttrs.filter(a =>
+                  routeAids(schema.attrIndex(a.name)))
+                prevBase
+                  .join(broadcast(routeDf),
+                    prevBase("__tree") === routeDf("__ptree") &&
+                      prevBase("__rid") === routeDf("__prid"))
+                  .withColumn("__wN", C45.routeXWeight(routeNum, routeCat, schema))
+                  .filter(col("__wN").isNotNull && col("__wN") > 0)
+                  .drop("__rid", "__w", "__ptree", "__prid", "__kind", "__aid",
+                    "__boundary", "__side", "__catval", "__frac")
+                  .withColumnRenamed("__crid", "__rid")
+                  .withColumnRenamed("__wN", "__w")
+              }
+            val based =
+              if (level >= 1 && level < params.base.maxDepth) {
+                val p = C45.persistUncompressed(base); routedPersists += p; p
+              } else base
+            val dirtySide = based
+              .select(col("__tree"), col("__rid"), col("__cls").as("cls"),
+                (col("__w") * col("__m")).as("__w"),
+                explode(mapByTree).as(Seq("aid", "val")))
+            val cleanSide = data
+              .filter(!dirtyCol)
+              .withColumn("__cls", col(clsCol).cast("string"))
+              .select((Seq(col("__cls")) ++ names.map(col) ++ wCols.map(col) :+
+                explode(map(ridPairs: _*)).as(Seq("__tree", "__rid"))): _*)
+              .filter(col("__rid") >= 0)
+              .withColumn("__w", wByTree * lit(W1))
+              .filter(col("__w") > 0)
+              .select(col("__tree"), col("__rid"), col("__cls").as("cls"),
+                col("__w"), explode(mapByTree).as(Seq("aid", "val")))
+            val rows = dirtySide.unionByName(cleanSide)
+              .filter(col("val").isNotNull)
+              .groupBy("__tree", "__rid", "aid", "val", "cls")
+              .agg(sum(col("__w")).as("cnt"))
+              .collect()
+            prevPersisted.foreach(_.unpersist())
+            prevPersisted =
+              if (level >= 1 && level < params.base.maxDepth) Some(based)
+              else None
+            prevBase = based
+            groupRows(rows)
+          }
         } finally sc.setJobDescription(prevDesc)
       active.foreach { t =>
         val s = state(t)
         val cells = cellsByTree.getOrElse(t, Array.empty[(Int, Int, String, String, Long)])
         val st = C45.levelStats(cells, schema, classLabels,
-          fractional = false, unit = 1.0, params.base)
+          fractional, unit, params.base)
         val dec = C45.decideLevel(s.open, level, st, schema, params.base,
-          classLabels, fractional = false, unit = 1.0, s.globalMajority)
+          classLabels, fractional, unit, s.globalMajority)
         dec.closedAdd.foreach { case (r, m, dd) =>
           s.closed :+= r; s.closedMass :+= m; s.closedDist :+= dd }
         dec.importanceAdd.foreach { case (aid, v) => s.imp(aid) += v }
         s.globalMajority = dec.globalMajority
         s.open = dec.nextOpen
+        s.routesX = dec.routesX
       }
       level += 1
     }
+    } finally routedPersists.foreach(_.unpersist())
     (C45Forest((0 until T).map { t =>
       val s = state(t)
       s.open.foreach { r =>

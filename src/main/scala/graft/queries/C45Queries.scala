@@ -1195,6 +1195,52 @@ object C45Queries {
       "AS t(tree, rule, label, depth, majority) ORDER BY tree, rule"
   }
 
+  // ---- O4 × ensemble × missing values: the fused bagged fit under
+  //      Quinlan's fractional unknown-value distribution — q_fit_missing's
+  //      null-planted view (~25% of l_tax nulled by pure key arithmetic,
+  //      the label computed from the ORIGINAL columns) trained with
+  //      q_forest's 5-tree rotating-subspace bootstrap. Null-bearing
+  //      rows ride the tree-tagged RouteX chain at per-copy micros ×
+  //      multiplicity (C45Forest scaladoc), so every tree is
+  //      bit-identical to a sequential fractional fit on its replicated
+  //      bootstrap sample (C45ForestSpec pins the property; this query
+  //      gates it end to end). Oracle: VALUES pin of the committed
+  //      sf0.01 golden; per-tier goldens above (bootstrap draws are
+  //      tier-specific). ----
+  def qForestMissing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = C45Schema(
+      Seq(AttrMeta("l_returnflag", isNumeric = false),
+        AttrMeta("l_linenumber", isNumeric = false),
+        AttrMeta("l_quantity", isNumeric = true),
+        AttrMeta("l_discount", isNumeric = true),
+        AttrMeta("l_tax", isNumeric = true)),
+      "cls", DeepClassLabels)
+    val df = li(s, dir)
+      .withColumn("cls",
+        when(col("l_quantity") <= 25,
+          when(col("l_returnflag") === "A",
+            when(col("l_tax") <= 0.04, lit("LAt0")).otherwise(lit("LAt1")))
+            .otherwise(concat(lit("L"), col("l_returnflag"))))
+          .otherwise(
+            when(col("l_discount") <= 0.05, lit("Hd0")).otherwise(lit("Hd1"))))
+      .withColumn("l_tax",
+        when(pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(4)) === 0,
+          lit(null).cast("double")).otherwise(col("l_tax")))
+      .withColumn("l_linenumber", col("l_linenumber").cast("string"))
+    val f = graft.fit.C45Forest.fit(df, schema, forestKey,
+      ForestParams.copy(base =
+        C45Params(maxDepth = 3, missingMode = "fractional")))
+    f.trees.zipWithIndex.flatMap { case (m, t) =>
+      m.leaves.map(r => (t, r.encode, r.label.getOrElse(""), r.depth,
+        m.majority))
+    }.toDF("tree", "rule", "label", "depth", "majority")
+      .orderBy("tree", "rule")
+  }
+
+  val qForestMissingSql: String =
+    goldenForestSql("golden/forest_missing_sf001_rules.txt")
+
   // ---- O4 × ensemble QA: out-of-bag evaluation. Every row is scored
   //      only by the trees whose bootstrap replicate EXCLUDED it (an
   //      unbiased held-out error estimate with zero extra fits); the
@@ -1814,6 +1860,7 @@ object C45Queries {
     "q_crossval_missing" -> (qCrossValMissing _),
     "q_model_roundtrip" -> (qModelRoundtrip _),
     "q_forest" -> (qForest _),
+    "q_forest_missing" -> (qForestMissing _),
     "q_forest_oob" -> (qForestOob _),
     "q_forest_proba" -> (qForestProba _),
     "q_forest_importance" -> (qForestImportance _),
@@ -1867,6 +1914,7 @@ object C45Queries {
     "q_crossval_missing" -> qCrossValMissingSql,
     "q_model_roundtrip" -> qModelRoundtripSql,
     "q_forest" -> qForestSql,
+    "q_forest_missing" -> qForestMissingSql,
     "q_forest_oob" -> qForestOobSql,
     "q_forest_proba" -> qForestProbaSql,
     "q_forest_importance" -> qForestImportanceSql,

@@ -66,6 +66,31 @@ class C45BoostSpec extends AnyFunSuite {
       s"mass drifted past per-row rounding: $w -> $w2")
   }
 
+  test("fractional missing-mode boost: round 0 ≡ the plain fractional " +
+    "C4.5 fit on a null-bearing corpus, and refits are bit-identical") {
+    // uniform round-0 weights (all 10⁶) mean the first weak learner
+    // must equal C45.fit(missingMode=fractional) exactly — rules,
+    // majority, AND the micro-mass distributions
+    val df = fixture.withColumn("x1",
+      when(pmod(col("x1").cast("long") * 7 + length(col("c1")), lit(5L)) === 0,
+        lit(null).cast("double")).otherwise(col("x1")))
+    val fp = C45BoostParams(rounds = 3,
+      base = C45Params(maxDepth = 2, missingMode = "fractional"))
+    val b = C45Boost.fit(df, schema, fp)
+    val plain = C45.fit(df, schema,
+      C45Params(maxDepth = 2, missingMode = "fractional"))
+    assert(b.trees.head.ruleStrings == plain.ruleStrings)
+    assert(b.trees.head.majority == plain.majority)
+    assert(b.trees.head.leafMass == plain.leafMass)
+    assert(b.trees.head.leafDist == plain.leafDist)
+    // later rounds reweight on top of the fractional fits; the whole
+    // sequence is deterministic under refit
+    val b2 = C45Boost.fit(df, schema, fp)
+    assert(b2.trees.map(_.ruleStrings) == b.trees.map(_.ruleStrings))
+    assert(b2.alphaMicros == b.alphaMicros)
+    assert(b2.errorMicros == b.errorMicros)
+  }
+
   test("a separable fixture stops after one perfect round (ε = 0, " +
     "α = the perfect-round stand-in)") {
     val df = spark.range(300).select(

@@ -72,6 +72,59 @@ class C45ForestSpec extends AnyFunSuite {
     }
   }
 
+  test("fractional missing-mode forest trees are bit-identical to " +
+    "sequential fractional fits on replicated bootstrap samples " +
+    "(null-bearing corpus)") {
+    // ~20% nulls on x1, keyed deterministically — the fractional
+    // machinery must engage (dirty rows ride the RouteX chain) and
+    // every tree must equal C45.fit(missingMode=fractional) on its
+    // explicitly replicated bootstrap sample, masses in exact micros
+    val df = fixture.withColumn("x1",
+      when(pmod(col("k").cast("long"), lit(5L)) === 0, lit(null).cast("double"))
+        .otherwise(col("x1")))
+    val fp = params.copy(
+      base = C45Params(maxDepth = 3, missingMode = "fractional"))
+    val forest = C45Forest.fit(df, schema, col("k"), fp)
+    assert(forest.trees.size == 3)
+    (0 until 3).foreach { t =>
+      val subset = C45Forest.attrSubset(t, 3, fp.attrsPerTree)
+      val rep = df
+        .withColumn("__w", C45Forest.bootstrapWeight(col("k"), lit(t), 7))
+        .filter(col("__w") > 0)
+        .withColumn("__dup",
+          explode(array_repeat(lit(1), col("__w").cast("int"))))
+        .drop("__w", "__dup")
+      val masked = schema.attrNames.zipWithIndex.foldLeft(rep) {
+        case (d, (n, i)) =>
+          if (subset(i)) d
+          else d.withColumn(n,
+            lit(null).cast(if (schema.isNumericAttr(i)) "double" else "string"))
+      }
+      val seq = C45.fit(masked, schema,
+        C45Params(maxDepth = 3, missingMode = "fractional"))
+      assert(seq.ruleStrings == forest.trees(t).ruleStrings,
+        s"tree $t diverged from its sequential fractional replay")
+      assert(seq.majority == forest.trees(t).majority)
+      assert(seq.leafMass == forest.trees(t).leafMass, s"tree $t mass")
+      assert(seq.leafDist == forest.trees(t).leafDist, s"tree $t dist")
+    }
+    // the planted null actually splits fractionally somewhere: at least
+    // one leaf's mass is not a whole multiple of 10⁶
+    assert(forest.trees.exists(_.leafMass.exists(m => m > 0 && m % 1000000L != 0)),
+      "fixture never exercised a fractional fan-out")
+  }
+
+  test("fractional mode on a NULL-FREE corpus takes the drop path " +
+    "bit-for-bit (mass scale included)") {
+    val df = fixture
+    val drop = C45Forest.fit(df, schema, col("k"), params)
+    val frac = C45Forest.fit(df, schema, col("k"), params.copy(
+      base = C45Params(maxDepth = 3, missingMode = "fractional")))
+    assert(frac.trees.map(_.ruleStrings) == drop.trees.map(_.ruleStrings))
+    assert(frac.trees.map(_.leafMass) == drop.trees.map(_.leafMass))
+    assert(frac.trees.map(_.leafDist) == drop.trees.map(_.leafDist))
+  }
+
   test("bootstrap draws have Poisson(1) marginals and are key-deterministic") {
     val n = 20000
     val w = spark.range(n).select(
