@@ -19,13 +19,21 @@ import org.apache.spark.storage.StorageLevel
   * "fractional" (canonical C4.5 unknown-value distribution — a
   * null-valued row descends EVERY child of its rule's split with
   * weight bootstrap-multiplicity × known-mass share, exact micros; see
-  * the [[C45Forest.fit]] scaladoc for the fused clean/dirty plan). */
+  * the [[C45Forest.fit]] scaladoc for the fused clean/dirty plan).
+  * `mtry` (0 = off) is Breiman-2001 per-NODE random feature sampling:
+  * each open node considers only a deterministic md5-ranked sample of
+  * `mtry` of its live attributes ([[C45Forest.mtrySample]]) — sampling
+  * per split decorrelates trees better than the per-tree subspace
+  * alone when attributes are few; the two restrictions compose (the
+  * sample draws from the subspace minus the path's used attrs). */
 case class C45ForestParams(nTrees: Int = 10,
                            attrsPerTree: Int = 0,
                            seed: Int = 42,
+                           mtry: Int = 0,
                            base: C45Params = C45Params(missingMode = "drop")) {
   require(nTrees >= 1, s"nTrees must be >= 1: $nTrees")
   require(attrsPerTree >= 0, s"attrsPerTree must be >= 0: $attrsPerTree")
+  require(mtry >= 0, s"mtry must be >= 0: $mtry")
 }
 
 /** A fitted bagged-C4.5 ensemble: `trees(t)` is the C4.5 model of the
@@ -266,6 +274,23 @@ object C45Forest {
     if (attrsPerTree <= 0 || attrsPerTree >= d) (0 until d).toSet
     else (0 until d).filter(i => (i + t) % d < attrsPerTree).toSet
 
+  /** The deterministic per-NODE feature sample (Breiman 2001's mtry):
+    * the `m` live attribute indices with the smallest
+    * md5("seed|tree|level|rid|aid") digests (hex order, aid
+    * tie-break) — a pure driver-side function of the node's identity,
+    * so any replay of the fit draws the identical sample with no RNG
+    * state. `m <= 0` or `m >= live.size` keeps every live attr. */
+  def mtrySample(live: Seq[Int], m: Int, seed: Int, tree: Int,
+                 level: Int, rid: Int): Set[Int] =
+    if (m <= 0 || m >= live.size) live.toSet
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      live.sortBy { aid =>
+        val d = md.digest(s"$seed|$tree|$level|$rid|$aid".getBytes("UTF-8"))
+        (d.map("%02x".format(_)).mkString, aid)
+      }.take(m).toSet
+    }
+
   /** Fit the ensemble. `key` must be a deterministic string-valued
     * expression over `df`'s columns (duplicate keys share a weight —
     * acceptable: the weight stays a pure row function). */
@@ -395,17 +420,36 @@ object C45Forest {
       // minus the attrs used on every open path (candidates the
       // decision pass would reject anyway), plus the aid=-1 class
       // marginal slice
-      val attrMaps: Seq[(Int, Column)] = active.map { t =>
-        val deadAids = state(t).open.map(_.usedAttrs).reduce(_ intersect _)
-        val live = (aid: Int) => subsets(t)(aid) && !deadAids(aid)
-        val liveCat = catAttrs.filter(a => live(schema.attrIndex(a.name)))
-        val liveNum = numAttrs.filter(a => live(schema.attrIndex(a.name)))
-        val pairs: Seq[Column] = Seq(lit(-1), col("__cls")) ++
+      def pairsFor(aids: Int => Boolean): Seq[Column] = {
+        val liveCat = catAttrs.filter(a => aids(schema.attrIndex(a.name)))
+        val liveNum = numAttrs.filter(a => aids(schema.attrIndex(a.name)))
+        Seq(lit(-1), col("__cls")) ++
           liveCat.flatMap(a =>
             Seq(lit(schema.attrIndex(a.name)), col(a.name).cast("string"))) ++
           liveNum.flatMap(a => Seq(lit(schema.attrIndex(a.name)),
             numValCol(a).cast("string")))
-        (t, map(pairs: _*))
+      }
+      val attrMaps: Seq[(Int, Column)] = active.map { t =>
+        if (params.mtry <= 0) {
+          val deadAids = state(t).open.map(_.usedAttrs).reduce(_ intersect _)
+          (t, map(pairsFor(aid => subsets(t)(aid) && !deadAids(aid)): _*))
+        } else {
+          // per-NODE sampling: one map per open rid (keyed on the
+          // routed __rid), each holding only that node's md5-drawn
+          // candidate attrs + the aid=-1 class marginal — unsampled
+          // attrs never even reach the histogram shuffle
+          val chain = state(t).open.zipWithIndex.map { case (r, rid) =>
+            val live = (0 until d).filter(aid =>
+              subsets(t)(aid) && !r.usedAttrs(aid))
+            val sampled = mtrySample(live, params.mtry, params.seed,
+              t, level, rid)
+            (rid, map(pairsFor(sampled): _*))
+          }
+          (t, chain.tail.foldLeft(
+            when(col("__rid") === chain.head._1, chain.head._2)) {
+            case (acc, (rid, m)) => acc.when(col("__rid") === rid, m)
+          })
+        }
       }
       val mapByTree: Column =
         if (attrMaps.size == 1) attrMaps.head._2

@@ -54,12 +54,16 @@ private[fit] trait C45ForestClassifierParams extends Params {
   final val attrsPerTree: IntParam = new IntParam(this, "attrsPerTree",
     "rotating random-subspace width: attributes each tree may split on " +
       "(0 = all)", ParamValidators.gtEq(0))
+  final val mtry: IntParam = new IntParam(this, "mtry",
+    "per-node random feature sample size (Breiman 2001; 0 = off): each " +
+      "open node considers only a deterministic md5-drawn sample of its " +
+      "live attributes", ParamValidators.gtEq(0))
   final val seed: IntParam = new IntParam(this, "seed",
     "salt of the deterministic bootstrap hash")
   setDefault(labelCol -> "label", predictionCol -> "prediction",
     probabilityCol -> "", featureCols -> Array.empty[String],
     keyCols -> Array.empty[String], maxDepth -> 8, maxBins -> 256,
-    numTrees -> 10, attrsPerTree -> 0, seed -> 42)
+    numTrees -> 10, attrsPerTree -> 0, mtry -> 0, seed -> 42)
 
   final def getLabelCol: String = $(labelCol)
   final def getPredictionCol: String = $(predictionCol)
@@ -130,6 +134,7 @@ class C45ForestClassifier(override val uid: String)
   def setMaxBins(v: Int): this.type = set(maxBins, v)
   def setNumTrees(v: Int): this.type = set(numTrees, v)
   def setAttrsPerTree(v: Int): this.type = set(attrsPerTree, v)
+  def setMtry(v: Int): this.type = set(mtry, v)
   def setSeed(v: Int): this.type = set(seed, v)
 
   override def fit(dataset: Dataset[_]): C45ForestClassificationModel = {
@@ -150,7 +155,7 @@ class C45ForestClassifier(override val uid: String)
       .toIndexedSeq: _*)
     val f = C45Forest.fit(train, schema, key, C45ForestParams(
       nTrees = $(numTrees), attrsPerTree = $(attrsPerTree),
-      seed = $(seed),
+      seed = $(seed), mtry = $(mtry),
       base = C45Params(maxDepth = $(maxDepth), maxBins = $(maxBins),
         missingMode = "drop")))
     copyValues(new C45ForestClassificationModel(uid, f, labelType)

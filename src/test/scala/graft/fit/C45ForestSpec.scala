@@ -125,6 +125,37 @@ class C45ForestSpec extends AnyFunSuite {
     assert(frac.trees.map(_.leafDist) == drop.trees.map(_.leafDist))
   }
 
+  test("mtry per-node feature sampling: full width ≡ off bit-for-bit, " +
+    "mtry=1 is deterministic, subspace-respecting, and decorrelating") {
+    val df = fixture
+    val off = C45Forest.fit(df, schema, col("k"), params)
+    // every tree's live set is <= attrsPerTree = 2, so mtry = 3 must
+    // keep every candidate — bit-identical to mtry off
+    val full = C45Forest.fit(df, schema, col("k"), params.copy(mtry = 3))
+    assert(full.trees.map(_.ruleStrings) == off.trees.map(_.ruleStrings))
+    assert(full.trees.map(_.leafDist) == off.trees.map(_.leafDist))
+    // mtry = 1: refits are bit-identical (pure md5 sampling, no RNG
+    // state) and split attrs stay inside each tree's subspace
+    val p1 = params.copy(mtry = 1)
+    val a = C45Forest.fit(df, schema, col("k"), p1)
+    val b = C45Forest.fit(df, schema, col("k"), p1)
+    assert(a.trees.map(_.ruleStrings) == b.trees.map(_.ruleStrings))
+    assert(a.trees.map(_.leafDist) == b.trees.map(_.leafDist))
+    a.trees.zipWithIndex.foreach { case (m, t) =>
+      val sub = C45Forest.attrSubset(t, 3, p1.attrsPerTree)
+      m.leaves.foreach(r =>
+        r.conditions.foreach { case (aid, _) => assert(sub(aid)) })
+    }
+    // restricting candidates per node changes at least one tree — the
+    // decorrelation the sampling exists for (deterministic fixture)
+    assert(a.trees.map(_.ruleStrings) != off.trees.map(_.ruleStrings))
+    // the sampler itself: deterministic, exact size, live-only
+    val s1 = C45Forest.mtrySample(Seq(0, 1, 2), 2, 7, 1, 0, 0)
+    assert(s1 == C45Forest.mtrySample(Seq(0, 1, 2), 2, 7, 1, 0, 0))
+    assert(s1.size == 2 && s1.subsetOf(Set(0, 1, 2)))
+    assert(C45Forest.mtrySample(Seq(0, 1, 2), 5, 7, 1, 0, 0) == Set(0, 1, 2))
+  }
+
   test("bootstrap draws have Poisson(1) marginals and are key-deterministic") {
     val n = 20000
     val w = spark.range(n).select(
