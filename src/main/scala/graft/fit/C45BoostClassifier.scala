@@ -42,9 +42,15 @@ private[fit] trait C45BoostClassifierParams extends Params {
   final val rounds: IntParam = new IntParam(this, "rounds",
     "boosting rounds cap (the loop also stops on the M1 conditions: " +
       "a perfect round or error >= 0.5)", ParamValidators.gtEq(1))
+  final val missingMode: Param[String] = new Param[String](this,
+    "missingMode", "null attribute handling at fit time: 'drop' (a null " +
+      "value leaves each histogram slice and routes to no leaf) or " +
+      "'fractional' (Quinlan's unknown-value distribution composed with " +
+      "the boost weights)",
+    ParamValidators.inArray(Array("drop", "fractional")))
   setDefault(labelCol -> "label", predictionCol -> "prediction",
     probabilityCol -> "", featureCols -> Array.empty[String], maxDepth -> 2,
-    maxBins -> 256, rounds -> 5)
+    maxBins -> 256, rounds -> 5, missingMode -> "drop")
 
   final def getLabelCol: String = $(labelCol)
   final def getPredictionCol: String = $(predictionCol)
@@ -97,6 +103,7 @@ class C45BoostClassifier(override val uid: String)
   def setMaxDepth(v: Int): this.type = set(maxDepth, v)
   def setMaxBins(v: Int): this.type = set(maxBins, v)
   def setRounds(v: Int): this.type = set(rounds, v)
+  def setMissingMode(v: String): this.type = set(missingMode, v)
 
   override def fit(dataset: Dataset[_]): C45BoostClassificationModel = {
     transformSchema(dataset.schema)
@@ -112,7 +119,7 @@ class C45BoostClassifier(override val uid: String)
     val b = C45Boost.fit(train, schema, C45BoostParams(
       rounds = $(rounds),
       base = C45Params(maxDepth = $(maxDepth), maxBins = $(maxBins),
-        missingMode = "drop")))
+        missingMode = $(missingMode))))
     copyValues(new C45BoostClassificationModel(uid, b, labelType)
       .setParent(this))
   }

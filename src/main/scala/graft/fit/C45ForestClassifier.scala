@@ -23,9 +23,10 @@ import org.apache.spark.sql.types.{DataType, NumericType, StructField,
   * `keyCols`, the columns whose concatenation is the DETERMINISTIC
   * bootstrap row key (C45Forest's md5 Poisson draws are a pure
   * function of it — no RNG state, identical samples on any replica of
-  * the data). Missing-value handling is the engine's drop mode (the
-  * forest's only mode); there is no fractional serving — the ensemble
-  * votes hard. */
+  * the data). `missingMode` picks the fit-time null semantics (drop
+  * default, fractional = Quinlan's unknown-value distribution composed
+  * with the bootstrap weights); there is no fractional serving — the
+  * ensemble votes hard. */
 private[fit] trait C45ForestClassifierParams extends Params {
   final val labelCol: Param[String] =
     new Param[String](this, "labelCol", "label column name")
@@ -60,10 +61,17 @@ private[fit] trait C45ForestClassifierParams extends Params {
       "live attributes", ParamValidators.gtEq(0))
   final val seed: IntParam = new IntParam(this, "seed",
     "salt of the deterministic bootstrap hash")
+  final val missingMode: Param[String] = new Param[String](this,
+    "missingMode", "null attribute handling at fit time: 'drop' (a null " +
+      "value leaves each histogram slice and routes to no leaf) or " +
+      "'fractional' (Quinlan's unknown-value distribution composed with " +
+      "the bootstrap multiplicities)",
+    ParamValidators.inArray(Array("drop", "fractional")))
   setDefault(labelCol -> "label", predictionCol -> "prediction",
     probabilityCol -> "", featureCols -> Array.empty[String],
     keyCols -> Array.empty[String], maxDepth -> 8, maxBins -> 256,
-    numTrees -> 10, attrsPerTree -> 0, mtry -> 0, seed -> 42)
+    numTrees -> 10, attrsPerTree -> 0, mtry -> 0, seed -> 42,
+    missingMode -> "drop")
 
   final def getLabelCol: String = $(labelCol)
   final def getPredictionCol: String = $(predictionCol)
@@ -136,6 +144,7 @@ class C45ForestClassifier(override val uid: String)
   def setAttrsPerTree(v: Int): this.type = set(attrsPerTree, v)
   def setMtry(v: Int): this.type = set(mtry, v)
   def setSeed(v: Int): this.type = set(seed, v)
+  def setMissingMode(v: String): this.type = set(missingMode, v)
 
   override def fit(dataset: Dataset[_]): C45ForestClassificationModel = {
     transformSchema(dataset.schema)
@@ -157,7 +166,7 @@ class C45ForestClassifier(override val uid: String)
       nTrees = $(numTrees), attrsPerTree = $(attrsPerTree),
       seed = $(seed), mtry = $(mtry),
       base = C45Params(maxDepth = $(maxDepth), maxBins = $(maxBins),
-        missingMode = "drop")))
+        missingMode = $(missingMode))))
     copyValues(new C45ForestClassificationModel(uid, f, labelType)
       .setParent(this))
   }

@@ -83,6 +83,27 @@ class C45ForestMlSpec extends AnyFunSuite {
     }
   }
 
+  test("missingMode=fractional forwards to the engine's fractional " +
+    "fused fit (null-bearing corpus)") {
+    val df = planted("/root/testdata/sf0.001").withColumn("l_discount",
+      when(pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(4)) === 0,
+        lit(null).cast("double")).otherwise(col("l_discount")))
+    val m = estimator.setPredictionCol("pred")
+      .setMissingMode("fractional").fit(df)
+    val schema = graft.meta.C45Schema(
+      features.map(f => graft.meta.AttrMeta(f, isNumeric = f != "l_returnflag")),
+      "cls", Nil)
+    val key = concat_ws("#",
+      col("l_orderkey").cast("string"), col("l_linenumber").cast("string"))
+    val native = C45Forest.fit(df, schema, key,
+      C45ForestParams(nTrees = 5, attrsPerTree = 2, seed = 11,
+        base = C45Params(maxDepth = 3, missingMode = "fractional")))
+    assert(m.forest.trees.map(_.ruleStrings) == native.trees.map(_.ruleStrings))
+    assert(m.forest.trees.map(_.leafDist) == native.trees.map(_.leafDist))
+    // fractional masses actually engaged (micros not whole multiples)
+    assert(m.forest.trees.exists(_.leafMass.exists(x => x > 0 && x % 1000000L != 0)))
+  }
+
   test("wrapper oobEval ≡ engine oobEval (key construction forwarded " +
     "from keyCols)") {
     val df = planted("/root/testdata/sf0.001")
