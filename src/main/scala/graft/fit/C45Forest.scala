@@ -109,14 +109,6 @@ case class C45Forest(trees: Vector[C45Model], seed: Int) {
         emitted(t).toSeq.map(c => s"__c45f_tp${t}_$c")): _*)
   }
 
-  /** Out-of-bag evaluation (Breiman's "out-of-bag estimates"): each row
-    * is scored ONLY by the trees whose bootstrap replicate excluded it
-    * (bootstrap weight 0, recomputed from `key` — the same hash the fit
-    * used, so the masks are exact). Rows in every tree's bag (prob
-    * ≈ 0.632^T) carry no out-of-bag vote and are excluded. Returns the
-    * confusion counts `(actual, oob_prediction, n)` — an unbiased
-    * held-out error estimate with ZERO extra fits and one tiny
-    * aggregation job. */
   /** FULL ensemble persistence: one [[C45Model.save]] directory per
     * tree (`dir/t<i>/` — reference text codec + parquet distribution
     * sidecar) plus a one-line `forest.txt` (`nTrees,seed`), all through
@@ -137,6 +129,16 @@ case class C45Forest(trees: Vector[C45Model], seed: Int) {
     }
   }
 
+  /** Out-of-bag evaluation (Breiman's "out-of-bag estimates"): each row
+    * is scored ONLY by the trees whose bootstrap replicate excluded it
+    * (bootstrap weight 0, recomputed from `key` — the same hash the fit
+    * used, so the masks are exact). Rows in every tree's bag (prob
+    * ≈ 0.632^T) carry no out-of-bag vote and are excluded. Returns the
+    * confusion counts `(actual, oob_prediction, n)` — an unbiased
+    * held-out error estimate with ZERO extra fits and one tiny
+    * aggregation job. Scoring uses [[transform]]'s deterministic hard
+    * routing (a null on a path falls to that tree's majority),
+    * regardless of the fit's missing mode. */
   def oobEval(df: DataFrame, key: Column, actualCol: String): DataFrame = {
     val preds = trees.indices.map(t => s"__c45f_p$t")
     val scored = trees.indices.foldLeft(df)((d, t) =>

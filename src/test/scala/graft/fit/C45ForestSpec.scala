@@ -156,6 +156,26 @@ class C45ForestSpec extends AnyFunSuite {
     assert(C45Forest.mtrySample(Seq(0, 1, 2), 5, 7, 1, 0, 0) == Set(0, 1, 2))
   }
 
+  test("mtry composes with fractional missing mode: deterministic " +
+    "refits, subspace-respecting splits, fractional masses engaged") {
+    val df = fixture.withColumn("x1",
+      when(pmod(col("k").cast("long"), lit(5L)) === 0, lit(null).cast("double"))
+        .otherwise(col("x1")))
+    val p = params.copy(mtry = 1,
+      base = C45Params(maxDepth = 3, missingMode = "fractional"))
+    val a = C45Forest.fit(df, schema, col("k"), p)
+    val b = C45Forest.fit(df, schema, col("k"), p)
+    assert(a.trees.map(_.ruleStrings) == b.trees.map(_.ruleStrings))
+    assert(a.trees.map(_.leafDist) == b.trees.map(_.leafDist))
+    a.trees.zipWithIndex.foreach { case (m, t) =>
+      val sub = C45Forest.attrSubset(t, 3, p.attrsPerTree)
+      m.leaves.foreach(r =>
+        r.conditions.foreach { case (aid, _) => assert(sub(aid)) })
+    }
+    assert(a.trees.exists(_.leafMass.exists(x => x > 0 && x % 1000000L != 0)),
+      "fractional fan-out never engaged under mtry")
+  }
+
   test("bootstrap draws have Poisson(1) marginals and are key-deterministic") {
     val n = 20000
     val w = spark.range(n).select(
