@@ -35,7 +35,7 @@ HEAVY = [
     "q_dedup_eval", "q_embed_pca", "q_event_transitions",
     "q_feature_importance", "q_fit_deep", "q_fit_missing", "q_fit_pruned",
     "q_fit_tree", "q_forest", "q_forest_importance", "q_forest_missing",
-    "q_forest_oob", "q_forest_proba",
+    "q_forest_oob", "q_forest_predict_missing", "q_forest_proba",
     "q_hits", "q_hll_groups", "q_hll_union", "q_kmeans",
     "q_kmv_overlap", "q_knn_brute", "q_label_prop", "q_link_pred",
     "q_minhash_lsh", "q_mmr", "q_model_roundtrip", "q_pagerank",

@@ -98,6 +98,12 @@ FOREST_GOLDENS = {  # bagged forest -> tier marker -> committed rules
         "sf1": "src/test/resources/golden/forest_missing_sf1_rules.txt",
     },
 }
+PRED_COUNTS_GOLDENS = {  # fractional-serving prediction counts per tier
+    "q_forest_predict_missing": {
+        "sf0.1": "src/test/resources/golden/forest_pm_sf01.txt",
+        "sf1": "src/test/resources/golden/forest_pm_sf1.txt",
+    },
+}
 FOREST_OOB_GOLDENS = {  # OOB confusion counts per tier (same reason)
     "q_forest_oob": {
         "sf0.1": "src/test/resources/golden/forest_oob_sf01.txt",
@@ -287,6 +293,19 @@ def boost_eval_golden_frame(path):
         columns={"oob_prediction": "prediction"})
 
 
+def pred_counts_golden_frame(path):
+    """golden counts txt (prediction,n lines) -> the (prediction, n)
+    frame qForestPredictMissing emits."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                p, n = line.split(",")
+                rows.append((p, int(n)))
+    return pd.DataFrame(rows, columns=["prediction", "n"])
+
+
 def boost_stages_golden_frame(path):
     """golden staged-confusion txt (stage,actual,pred,n lines) -> the
     (stage, actual, prediction, n) frame qBoostStages emits."""
@@ -364,7 +383,9 @@ def main():
                                    (BOOST_PROBA_GOLDENS.get(name),
                                     simplify_proba_golden_frame),
                                    (BOOST_STAGES_GOLDENS.get(name),
-                                    boost_stages_golden_frame))
+                                    boost_stages_golden_frame),
+                                   (PRED_COUNTS_GOLDENS.get(name),
+                                    pred_counts_golden_frame))
             if tiers), None)
         if golden_kind and tier != "sf0.01":
             tiers, builder = golden_kind

@@ -97,6 +97,20 @@ case class C45Boost(trees: Vector[C45Model], alphaMicros: Vector[Long],
     out.drop(preds: _*)
   }
 
+  /** Missing-value serving — each weak learner scores through its OWN
+    * [[C45Model.transformFractional]] (null split values descend every
+    * child weighted by fit-recorded leaf masses), then the α-weighted
+    * vote combines the per-round predictions exactly as [[transform]]
+    * does. Null-free rows get [[transform]]'s answer bit-for-bit. */
+  def transformFractional(df: DataFrame,
+                          outputCol: String = "prediction"): DataFrame = {
+    val preds = trees.indices.map(t => s"__c45b_p$t")
+    val scored = trees.indices.foldLeft(df)((d, t) =>
+      trees(t).transformFractional(d, preds(t)))
+    scored.withColumn(outputCol, voteColumn(preds, trees.size))
+      .drop(preds: _*)
+  }
+
   /** The standard AdaBoost diagnostic — error vs rounds: the confusion
     * counts of every PREFIX ensemble 1..T, from ONE scoring pass.
     * Staged predictions are free: each prefix's vote masses are prefix

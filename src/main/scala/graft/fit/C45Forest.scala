@@ -109,6 +109,25 @@ case class C45Forest(trees: Vector[C45Model], seed: Int) {
         emitted(t).toSeq.map(c => s"__c45f_tp${t}_$c")): _*)
   }
 
+  /** Missing-value serving — the ensemble counterpart of
+    * [[C45Model.transformFractional]]: each member scores through its
+    * OWN fractional-weight vote (a null split value descends every
+    * child weighted by the fit-recorded leaf masses), then the
+    * ensemble majority-votes those per-tree predictions exactly as
+    * [[transform]] does. Null-free rows get [[transform]]'s answer
+    * bit-for-bit (every member factor is 0 or 1). Needs fit-produced
+    * or sidecar-loaded members (rule-text-only trees carry no masses
+    * and must serve through [[transform]]). Flat map-only per member
+    * while models are narrow — zero joins, zero shuffles. */
+  def transformFractional(df: DataFrame,
+                          outputCol: String = "prediction"): DataFrame = {
+    val preds = trees.indices.map(t => s"__c45f_p$t")
+    val scored = trees.indices.foldLeft(df)((d, t) =>
+      trees(t).transformFractional(d, preds(t)))
+    scored.withColumn(outputCol, voteColumn(preds.map(col)))
+      .drop(preds: _*)
+  }
+
   /** FULL ensemble persistence: one [[C45Model.save]] directory per
     * tree (`dir/t<i>/` — reference text codec + parquet distribution
     * sidecar) plus a one-line `forest.txt` (`nTrees,seed`), all through

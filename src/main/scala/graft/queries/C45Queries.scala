@@ -1207,8 +1207,12 @@ object C45Queries {
   //      gates it end to end). Oracle: VALUES pin of the committed
   //      sf0.01 golden; per-tier goldens above (bootstrap draws are
   //      tier-specific). ----
-  def qForestMissing(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The shared q_forest_missing fixture: q_fit_missing's null-planted
+    * view plus the fractional 5-tree forest fitted on it (both
+    * q_forest_missing and q_forest_predict_missing consume the pair,
+    * so the view and params live here exactly once). */
+  private def forestMissingFixture(s: SparkSession, dir: String)
+      : (graft.fit.C45Forest, DataFrame) = {
     val schema = C45Schema(
       Seq(AttrMeta("l_returnflag", isNumeric = false),
         AttrMeta("l_linenumber", isNumeric = false),
@@ -1228,9 +1232,14 @@ object C45Queries {
         when(pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(4)) === 0,
           lit(null).cast("double")).otherwise(col("l_tax")))
       .withColumn("l_linenumber", col("l_linenumber").cast("string"))
-    val f = graft.fit.C45Forest.fit(df, schema, forestKey,
+    (graft.fit.C45Forest.fit(df, schema, forestKey,
       ForestParams.copy(base =
-        C45Params(maxDepth = 3, missingMode = "fractional")))
+        C45Params(maxDepth = 3, missingMode = "fractional"))), df)
+  }
+
+  def qForestMissing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (f, _) = forestMissingFixture(s, dir)
     f.trees.zipWithIndex.flatMap { case (m, t) =>
       m.leaves.map(r => (t, r.encode, r.label.getOrElse(""), r.depth,
         m.majority))
@@ -1240,6 +1249,38 @@ object C45Queries {
 
   val qForestMissingSql: String =
     goldenForestSql("golden/forest_missing_sf001_rules.txt")
+
+  // ---- O4 × ensemble × missing-value SERVING: the fractional forest
+  //      of q_forest_missing scores its own null-bearing view through
+  //      C45Forest.transformFractional — each member casts Quinlan's
+  //      fractional-weight vote over its fit-recorded leaf masses (a
+  //      null split value descends every child), then the ensemble
+  //      majority-votes. Pure map-side per member, zero joins. The
+  //      exact per-class prediction counts over all 60k rows pin every
+  //      per-row vote; committed golden at the gate, per-tier goldens
+  //      above (bootstrap draws are tier-specific). ----
+  def qForestPredictMissing(s: SparkSession, dir: String): DataFrame = {
+    val (f, df) = forestMissingFixture(s, dir)
+    f.transformFractional(df, "prediction")
+      .groupBy("prediction").agg(count(lit(1L)).as("n"))
+      .orderBy("prediction")
+  }
+
+  val qForestPredictMissingSql: String =
+    goldenPredCountsSql("golden/forest_pm_sf001.txt")
+
+  /** Committed golden prediction counts (`prediction,n` lines) → the
+    * VALUES oracle. */
+  private def goldenPredCountsSql(resource: String): String = {
+    val src = scala.io.Source.fromResource(resource)
+    val lines = try src.getLines().filter(_.nonEmpty).toVector finally src.close()
+    val rows = lines.map { l =>
+      val Array(p, n) = l.split(",", 2)
+      s"('${p.replace("'", "''")}', CAST($n AS BIGINT))"
+    }
+    s"SELECT prediction, n FROM (VALUES ${rows.mkString(", ")}) " +
+      "AS t(prediction, n) ORDER BY prediction"
+  }
 
   // ---- O4 × ensemble QA: out-of-bag evaluation. Every row is scored
   //      only by the trees whose bootstrap replicate EXCLUDED it (an
@@ -1861,6 +1902,7 @@ object C45Queries {
     "q_model_roundtrip" -> (qModelRoundtrip _),
     "q_forest" -> (qForest _),
     "q_forest_missing" -> (qForestMissing _),
+    "q_forest_predict_missing" -> (qForestPredictMissing _),
     "q_forest_oob" -> (qForestOob _),
     "q_forest_proba" -> (qForestProba _),
     "q_forest_importance" -> (qForestImportance _),
@@ -1915,6 +1957,7 @@ object C45Queries {
     "q_model_roundtrip" -> qModelRoundtripSql,
     "q_forest" -> qForestSql,
     "q_forest_missing" -> qForestMissingSql,
+    "q_forest_predict_missing" -> qForestPredictMissingSql,
     "q_forest_oob" -> qForestOobSql,
     "q_forest_proba" -> qForestProbaSql,
     "q_forest_importance" -> qForestImportanceSql,

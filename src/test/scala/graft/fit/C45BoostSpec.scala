@@ -189,6 +189,32 @@ class C45BoostSpec extends AnyFunSuite {
     assert(last == full)
   }
 
+  test("transformFractional votes fractionally per weak learner on null " +
+    "values and equals transform on null-free rows") {
+    // member: x1 <= 1 -> P (mass 3M), x1 > 1 -> N (mass 1M), majority N
+    val m = C45Model(schema,
+      Vector(
+        Rule(Vector(1 -> graft.model.NumLE(1.0)), Some("P")),
+        Rule(Vector(1 -> graft.model.NumGT(1.0)), Some("N"))),
+      majority = "N",
+      leafMass = Vector(3000000L, 1000000L),
+      leafDist = Vector(Map("P" -> 3000000L), Map("N" -> 1000000L)))
+    val b = C45Boost(Vector(m, m), Vector(5L, 7L), Vector(0L, 0L))
+    val rows = spark.sql(
+      "SELECT * FROM VALUES ('0', CAST(NULL AS DOUBLE), 'P', 'k1'), " +
+        "('0', 0.5, 'P', 'k2'), ('0', 2.0, 'N', 'k3') AS t(c1, x1, cls, k)")
+    val got = b.transformFractional(rows).select("k", "prediction")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("k1" -> "P", "k2" -> "P", "k3" -> "N"))
+    assert(b.transform(rows).filter(col("k") === "k1")
+      .select("prediction").head().getString(0) == "N")
+    // fitted, null-free corpus: both serving paths agree exactly
+    val df = fixture
+    val fit = C45Boost.fit(df, schema, params)
+    val both = fit.transformFractional(fit.transform(df, "h"), "fr")
+    assert(both.filter(col("h") =!= col("fr")).count() == 0)
+  }
+
   test("save -> load round-trips the boosted ensemble bit-exactly " +
     "(rules, α/ε micros, distributions, probabilities)") {
     val df = fixture

@@ -271,6 +271,37 @@ class C45ForestSpec extends AnyFunSuite {
     assert(got.getLong(1) == 875000L)
   }
 
+  test("transformFractional: null-free rows ≡ transform; a null split " +
+    "value votes fractionally per member instead of falling to majority") {
+    // hand-built member (labels from the schema's class set): x1 <= 1
+    // -> P (mass 3M micros), x1 > 1 -> N (mass 1M), majority N. A null
+    // x1 weighs P at 0.75 vs N at 0.25 — the fractional vote says P
+    // where transform's null-path fallback says N.
+    val m = C45Model(schema,
+      Vector(
+        Rule(Vector(1 -> graft.model.NumLE(1.0)), Some("P")),
+        Rule(Vector(1 -> graft.model.NumGT(1.0)), Some("N"))),
+      majority = "N",
+      leafMass = Vector(3000000L, 1000000L),
+      leafDist = Vector(Map("P" -> 3000000L), Map("N" -> 1000000L)))
+    val f = C45Forest(Vector(m, m), seed = 0)
+    val rows = spark.sql(
+      "SELECT * FROM VALUES ('c', CAST(NULL AS DOUBLE), 0.0, 'P', 'k1'), " +
+        "('c', 0.5, 0.0, 'P', 'k2'), ('c', 2.0, 0.0, 'N', 'k3') " +
+        "AS t(c1, x1, x2, cls, k)")
+    val got = f.transformFractional(rows).select("k", "prediction")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("k1" -> "P", "k2" -> "P", "k3" -> "N"))
+    val hard = f.transform(rows).select("k", "prediction")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(hard("k1") == "N") // the null-path fallback this API replaces
+    // on a fitted, null-free corpus the two serving paths agree exactly
+    val df = fixture
+    val fit = C45Forest.fit(df, schema, col("k"), params)
+    val both = fit.transformFractional(fit.transform(df, "h"), "fr")
+    assert(both.filter(col("h") =!= col("fr")).count() == 0)
+  }
+
   test("oobEval scores exactly the zero-weight rows with the tree's own " +
     "prediction (single-tree forest)") {
     val df = fixture
