@@ -45,6 +45,12 @@ FIT_GOLDENS = {  # fit query -> tier-basename marker -> committed golden
         "sf0.1": "src/test/resources/golden/fit_pruned_sf01_rules.txt",
         "sf1": "src/test/resources/golden/fit_pruned_sf01_rules.txt",
     },
+    # the window draw hashes the row key and sf1 re-keys per replica,
+    # so the windowed tree is tier-specific (unlike the plain fits)
+    "q_fit_windowed": {
+        "sf0.1": "src/test/resources/golden/fit_windowed_sf01_rules.txt",
+        "sf1": "src/test/resources/golden/fit_windowed_sf1_rules.txt",
+    },
     "q_rule_simplify": {
         "sf0.1": "src/test/resources/golden/rule_simplify_sf01_rules.txt",
         "sf1": "src/test/resources/golden/rule_simplify_sf01_rules.txt",
@@ -97,11 +103,19 @@ FOREST_GOLDENS = {  # bagged forest -> tier marker -> committed rules
         "sf0.1": "src/test/resources/golden/forest_missing_sf01_rules.txt",
         "sf1": "src/test/resources/golden/forest_missing_sf1_rules.txt",
     },
+    "q_forest_mtry": {
+        "sf0.1": "src/test/resources/golden/forest_mtry_sf01_rules.txt",
+        "sf1": "src/test/resources/golden/forest_mtry_sf1_rules.txt",
+    },
 }
 PRED_COUNTS_GOLDENS = {  # fractional-serving prediction counts per tier
     "q_forest_predict_missing": {
         "sf0.1": "src/test/resources/golden/forest_pm_sf01.txt",
         "sf1": "src/test/resources/golden/forest_pm_sf1.txt",
+    },
+    "q_boost_predict_missing": {
+        "sf0.1": "src/test/resources/golden/boost_pm_sf01.txt",
+        "sf1": "src/test/resources/golden/boost_pm_sf1.txt",
     },
 }
 FOREST_OOB_GOLDENS = {  # OOB confusion counts per tier (same reason)
@@ -133,6 +147,10 @@ BOOST_GOLDENS = {  # AdaBoost.M1 rounds per tier (weighted fits are
     "q_boost": {
         "sf0.1": "src/test/resources/golden/boost_sf01_rules.txt",
         "sf1": "src/test/resources/golden/boost_sf1_rules.txt",
+    },
+    "q_boost_missing": {
+        "sf0.1": "src/test/resources/golden/boost_missing_sf01_rules.txt",
+        "sf1": "src/test/resources/golden/boost_missing_sf1_rules.txt",
     },
 }
 BOOST_EVAL_GOLDENS = {  # boosted-vote confusion counts per tier

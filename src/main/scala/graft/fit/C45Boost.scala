@@ -72,22 +72,30 @@ case class C45Boost(trees: Vector[C45Model], alphaMicros: Vector[Long],
     * mass share in EXACT integer micros —
     * `floorDiv(mass_c·10⁶ + Σα/2, Σα)` where `mass_c = Σ_t α_t·[h_t(x)
     * = c]` and Σα is a driver-side constant. Integral `div` keeps the
-    * half-up rounding exact (the products stay far below 2⁶³: Σα ≤
-    * rounds · [[C45Boost.AlphaPerfectMicros]]); shares sum to 10⁶ ±
+    * half-up rounding exact (the products stay orders of magnitude
+    * below 2⁶³: each α ≤ ln(total weight mass)·10⁶ — a few tens of
+    * millions even at 10¹² training rows); shares sum to 10⁶ ±
     * (#classes−1) from rounding, mirroring [[C45Model.transformProba]]'s
-    * contract. Pure flat Columns — zero joins, zero shuffles. */
+    * contract. Pure flat Columns — zero joins, zero shuffles.
+    *
+    * Degenerate Σα = 0 (every kept round floored its α to 0 — ε
+    * marginally below 0.5 on a huge corpus) falls back to UNWEIGHTED
+    * vote-count shares (each round votes 1 micro-unit) instead of
+    * throwing: the hard vote column is already tie-broken
+    * deterministically, and a fitted ensemble must stay servable. */
   def transformProba(df: DataFrame, outputCol: String = "prediction",
                      probPrefix: String = "p_"): DataFrame = {
     val preds = trees.indices.map(t => s"__c45b_p$t")
     val scored = trees.indices.foldLeft(df)((d, t) =>
       trees(t).transform(d, preds(t)))
     val ls = labels
-    val sumA = alphaMicros.sum
-    require(sumA > 0, "transformProba needs a positive total vote mass")
+    val weights =
+      if (alphaMicros.sum > 0) alphaMicros else alphaMicros.map(_ => 1L)
+    val sumA = weights.sum
     val withVote = scored.withColumn(outputCol, voteColumn(preds, trees.size))
     val out = ls.foldLeft(withVote) { (d, l) =>
       val mass = trees.indices.map(t =>
-        when(col(preds(t)) === lit(l), lit(alphaMicros(t)))
+        when(col(preds(t)) === lit(l), lit(weights(t)))
           .otherwise(lit(0L))).reduce(_ + _)
       d.withColumn("__c45b_m", mass)
         .withColumn(s"$probPrefix$l",
@@ -209,9 +217,17 @@ object C45Boost {
     require(lines.size == n + 1,
       s"boost manifest $dir/boost.txt declares $n rounds but carries " +
         s"${lines.size - 1} alpha,error lines")
-    val ae = lines.tail.map { l =>
-      val Array(a, e) = l.trim.split(",")
-      (a.toLong, e.toLong)
+    val ae = lines.tail.zipWithIndex.map { case (l, i) =>
+      val fs = l.trim.split(",")
+      require(fs.length == 2,
+        s"boost manifest $dir/boost.txt line ${i + 2}: expected " +
+          s"'alpha,error', got '$l'")
+      try (fs(0).toLong, fs(1).toLong)
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"boost manifest $dir/boost.txt line ${i + 2}: non-numeric " +
+            s"alpha/error micros in '$l'")
+      }
     }
     C45Boost((0 until n).map(t => C45Model.load(spark,
       new org.apache.hadoop.fs.Path(dirPath, s"t$t").toString, schema))

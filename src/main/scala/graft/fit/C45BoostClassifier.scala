@@ -182,7 +182,14 @@ class C45BoostClassificationModel private[fit](
   * `metadata/` JSON + the ENGINE's own persistence ([[C45Boost.save]]:
   * `engine/t<i>/` round dirs + the `engine/boost.txt` α/ε manifest —
   * the wrapper delegates, it does not re-encode) + a one-row
-  * `wrapper/` parquet carrying the engine schema and label dtype. */
+  * `wrapper/` parquet carrying the engine schema and label dtype.
+  *
+  * FORMAT NOTE: this is save format v2 (round 19+). v1 saves carried
+  * α/ε as `alpha_micros`/`error_micros` columns in the wrapper parquet
+  * and no `engine/boost.txt`; v1 directories cannot be loaded by this
+  * reader (the manifest open fails with the path in the message) —
+  * re-save through [[C45Boost.save]]. No v1 saves exist in this
+  * repository's artifacts, so no compatibility shim is carried. */
 object C45BoostClassifier extends DefaultParamsReadable[C45BoostClassifier]
 
 object C45BoostClassificationModel

@@ -306,10 +306,12 @@ object C45Forest {
     if (m <= 0 || m >= live.size) live.toSet
     else {
       val md = java.security.MessageDigest.getInstance("MD5")
-      live.sortBy { aid =>
+      // digest once per aid (sortBy re-applies its key per comparison)
+      val keys: Map[Int, String] = live.map { aid =>
         val d = md.digest(s"$seed|$tree|$level|$rid|$aid".getBytes("UTF-8"))
-        (d.map("%02x".format(_)).mkString, aid)
-      }.take(m).toSet
+        aid -> d.map("%02x".format(_)).mkString
+      }.toMap
+      live.sortBy(aid => (keys(aid), aid)).take(m).toSet
     }
 
   /** Fit the ensemble. `key` must be a deterministic string-valued

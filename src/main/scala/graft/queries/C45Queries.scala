@@ -775,6 +775,44 @@ object C45Queries {
   }
   val qFitDeepSql: String = goldenValuesSql("golden/fit_deep_sf001_rules.txt")
 
+  // ---- O4 × windowing: Quinlan's iterative-training mode (ID3 1986;
+  //      C4.5 1993 "-t" trials) — the last canonical C4.5 TRAINING
+  //      feature: fit on a deterministic ~25% md5-keyed window of the
+  //      deep fixture, score the FULL corpus, grow the window by every
+  //      misclassified row, refit until a pass misclassifies nothing
+  //      outside its window. The window is never materialized — pass
+  //      k's membership is a pure column (initial slice ∪ prior
+  //      models' mistakes), so the loop is bit-deterministic under any
+  //      partitioning (C45Windowing scaladoc). Emits the CONVERGED
+  //      tree in q_fit_tree's frame; WindowingSpec pins convergence
+  //      and the no-worse-than-one-shot training accuracy. Oracle:
+  //      VALUES pin of the committed golden; tier goldens above the
+  //      gate (window draws are key-dependent and sf1 re-keys). ----
+  def qFitWindowed(s: SparkSession, dir: String): DataFrame = {
+    val schema = C45Schema(
+      Seq(AttrMeta("l_returnflag", isNumeric = false),
+        AttrMeta("l_linenumber", isNumeric = false),
+        AttrMeta("l_quantity", isNumeric = true),
+        AttrMeta("l_discount", isNumeric = true),
+        AttrMeta("l_tax", isNumeric = true)),
+      "cls", DeepClassLabels)
+    val df = li(s, dir)
+      .withColumn("l_linenumber", col("l_linenumber").cast("string"))
+      .withColumn("cls",
+        when(col("l_quantity") <= 25,
+          when(col("l_returnflag") === "A",
+            when(col("l_tax") <= 0.04, lit("LAt0")).otherwise(lit("LAt1")))
+            .otherwise(concat(lit("L"), col("l_returnflag"))))
+          .otherwise(
+            when(col("l_discount") <= 0.05, lit("Hd0")).otherwise(lit("Hd1"))))
+    graft.fit.C45Windowing.fit(df, schema, forestKey,
+      graft.fit.C45WindowParams(initialDenom = 4, maxPasses = 5,
+        base = C45Params(maxDepth = 3)))
+      .model.toDF(s).orderBy("rule")
+  }
+  val qFitWindowedSql: String =
+    goldenValuesSql("golden/fit_windowed_sf001_rules.txt")
+
   /** The fit under MISSING attribute values — canonical C4.5
     * fractional-weight distribution (C45Params.missingMode default),
     * the capability the reference outright lacks (it NPEs on any null,
@@ -1127,6 +1165,36 @@ object C45Queries {
     nTrees = 5, attrsPerTree = 3, seed = 42,
     base = C45Params(maxDepth = 3, missingMode = "drop"))
 
+  /** Per-(fixture, dir) memo for the shared fit models. Several
+    * queries consume the SAME deterministic ensemble (q_forest /
+    * q_forest_oob / q_forest_proba / q_forest_roundtrip /
+    * q_forest_importance one bagged fit; the five boost queries one
+    * AdaBoost fit; the two forest-missing queries one fractional fit)
+    * — each query stays self-contained (any one of them alone
+    * rebuilds the model from the raw parquet), the memo only elides
+    * refitting a pure deterministic value inside one JVM battery,
+    * exactly as ExtQueries memoizes LSH pairs and IVF centroids.
+    * Fitted models are plain case classes (rules + exact-micros
+    * stats, no Spark resources), so caching them is leak-free. */
+  private val FitMemoMax = 24
+  private val fitMemo =
+    new java.util.LinkedHashMap[String, AnyRef](32, 0.75f,
+      /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, AnyRef]): Boolean =
+        size() > FitMemoMax
+    }
+  private def memoizedFit[T <: AnyRef](key: String)(build: => T): T = {
+    // build OUTSIDE the lock (it runs Spark jobs); a racing duplicate
+    // fit is harmless — the model is deterministic by construction
+    val hit = fitMemo.synchronized(Option(fitMemo.get(key)))
+    hit.map(_.asInstanceOf[T]).getOrElse {
+      val v = build
+      fitMemo.synchronized(fitMemo.put(key, v))
+      v
+    }
+  }
+
   /** The bootstrap row key: `l_orderkey#l_linenumber` as text. NOT
     * unique in the testdata (FIXTURES.md) — deliberately fine: the
     * weight is a pure function of the row's columns, so duplicates
@@ -1136,18 +1204,28 @@ object C45Queries {
     concat(col("l_orderkey").cast("string"), lit("#"),
       col("l_linenumber").cast("string"))
 
-  private def forestFit(s: SparkSession, dir: String): graft.fit.C45Forest = {
-    val schema = C45Schema(
-      Seq(AttrMeta("l_returnflag", isNumeric = false),
-        AttrMeta("l_linenumber", isNumeric = false),
-        AttrMeta("l_quantity", isNumeric = true),
-        AttrMeta("l_discount", isNumeric = true),
-        AttrMeta("l_tax", isNumeric = true)),
-      "l_linestatus", ClassLabels)
-    val df = li(s, dir)
-      .withColumn("l_linenumber", col("l_linenumber").cast("string"))
-    graft.fit.C45Forest.fit(df, schema, forestKey, ForestParams)
-  }
+  /** The shared bagged ensemble: ONE `fitWithImportance` per dir feeds
+    * q_forest, q_forest_oob, q_forest_proba, q_forest_roundtrip AND
+    * q_forest_importance (importance falls out of the fused fit's own
+    * decision pass, so asking for it always costs nothing extra). */
+  private def forestFitWithImportance(s: SparkSession, dir: String)
+      : (graft.fit.C45Forest, Vector[Map[Int, Double]]) =
+    memoizedFit(s"forest|$dir") {
+      val schema = C45Schema(
+        Seq(AttrMeta("l_returnflag", isNumeric = false),
+          AttrMeta("l_linenumber", isNumeric = false),
+          AttrMeta("l_quantity", isNumeric = true),
+          AttrMeta("l_discount", isNumeric = true),
+          AttrMeta("l_tax", isNumeric = true)),
+        "l_linestatus", ClassLabels)
+      val df = li(s, dir)
+        .withColumn("l_linenumber", col("l_linenumber").cast("string"))
+      graft.fit.C45Forest.fitWithImportance(df, schema, forestKey,
+        ForestParams)
+    }
+
+  private def forestFit(s: SparkSession, dir: String): graft.fit.C45Forest =
+    forestFitWithImportance(s, dir)._1
 
   def qForest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1232,9 +1310,12 @@ object C45Queries {
         when(pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(4)) === 0,
           lit(null).cast("double")).otherwise(col("l_tax")))
       .withColumn("l_linenumber", col("l_linenumber").cast("string"))
-    (graft.fit.C45Forest.fit(df, schema, forestKey,
-      ForestParams.copy(base =
-        C45Params(maxDepth = 3, missingMode = "fractional"))), df)
+    val f = memoizedFit(s"forest_missing|$dir") {
+      graft.fit.C45Forest.fit(df, schema, forestKey,
+        ForestParams.copy(base =
+          C45Params(maxDepth = 3, missingMode = "fractional")))
+    }
+    (f, df)
   }
 
   def qForestMissing(s: SparkSession, dir: String): DataFrame = {
@@ -1249,6 +1330,50 @@ object C45Queries {
 
   val qForestMissingSql: String =
     goldenForestSql("golden/forest_missing_sf001_rules.txt")
+
+  // ---- O4 × ensemble × per-node feature sampling: Breiman 2001's
+  //      mtry ON — each node of each tree draws its split candidates
+  //      from a fresh md5-keyed sample of 2 of its live attributes
+  //      (C45Forest.mtrySample: a pure function of (seed, tree, level,
+  //      rid, aid), so the draw — and hence the whole ensemble — is
+  //      bit-deterministic under any partitioning and pinnable by a
+  //      committed golden). The deep hierarchical fixture makes the
+  //      sampling consequential: with 3-of-5 rotating subspaces AND
+  //      mtry=2, different nodes see different candidate sets and the
+  //      trees decorrelate beyond what bagging alone gives — the
+  //      actual random-forest recipe. C45ForestSpec pins mtry ≥ live
+  //      width ≡ off bit-for-bit; this query gates mtry ON end to
+  //      end. Oracle: VALUES pin of the committed golden; per-tier
+  //      goldens above the gate (bootstrap + mtry draws are
+  //      key-dependent, and sf1 re-keys per replica). ----
+  def qForestMtry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = C45Schema(
+      Seq(AttrMeta("l_returnflag", isNumeric = false),
+        AttrMeta("l_linenumber", isNumeric = false),
+        AttrMeta("l_quantity", isNumeric = true),
+        AttrMeta("l_discount", isNumeric = true),
+        AttrMeta("l_tax", isNumeric = true)),
+      "cls", DeepClassLabels)
+    val df = li(s, dir)
+      .withColumn("cls",
+        when(col("l_quantity") <= 25,
+          when(col("l_returnflag") === "A",
+            when(col("l_tax") <= 0.04, lit("LAt0")).otherwise(lit("LAt1")))
+            .otherwise(concat(lit("L"), col("l_returnflag"))))
+          .otherwise(
+            when(col("l_discount") <= 0.05, lit("Hd0")).otherwise(lit("Hd1"))))
+      .withColumn("l_linenumber", col("l_linenumber").cast("string"))
+    val f = graft.fit.C45Forest.fit(df, schema, forestKey,
+      ForestParams.copy(mtry = 2))
+    f.trees.zipWithIndex.flatMap { case (m, t) =>
+      m.leaves.map(r => (t, r.encode, r.label.getOrElse(""), r.depth,
+        m.majority))
+    }.toDF("tree", "rule", "label", "depth", "majority")
+      .orderBy("tree", "rule")
+  }
+  val qForestMtrySql: String =
+    goldenForestSql("golden/forest_mtry_sf001_rules.txt")
 
   // ---- O4 × ensemble × missing-value SERVING: the fractional forest
   //      of q_forest_missing scores its own null-bearing view through
@@ -1341,10 +1466,7 @@ object C45Queries {
         AttrMeta("l_discount", isNumeric = true),
         AttrMeta("l_tax", isNumeric = true)),
       "l_linestatus", ClassLabels)
-    val df = li(s, dir)
-      .withColumn("l_linenumber", col("l_linenumber").cast("string"))
-    val (_, imps) = graft.fit.C45Forest.fitWithImportance(
-      df, schema, forestKey, ForestParams)
+    val (_, imps) = forestFitWithImportance(s, dir)
     schema.attrNames.map { n =>
       val aid = schema.attrIndex(n)
       val mean = imps.map(_.getOrElse(aid, 0.0)).sum / imps.size
@@ -1582,7 +1704,9 @@ object C45Queries {
   }
 
   private def boostFit(s: SparkSession, dir: String): graft.fit.C45Boost =
-    graft.fit.C45Boost.fit(boostDf(s, dir), boostSchema, BoostParams)
+    memoizedFit(s"boost|$dir") {
+      graft.fit.C45Boost.fit(boostDf(s, dir), boostSchema, BoostParams)
+    }
 
   def qBoost(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1779,6 +1903,76 @@ object C45Queries {
        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   }
 
+  // ---- boosting × missing values: AdaBoost.M1 whose weak fits run
+  //      under Quinlan's fractional unknown-value semantics — the
+  //      q_fit_missing/q_forest_missing capability composed into the
+  //      boosted ensemble (the last fractional surface; everything
+  //      null-bearing + boosted goes through here). The fixture nulls
+  //      ~25% of l_quantity by pure key arithmetic AFTER the planted
+  //      class is stamped from the ORIGINAL value, so each weak fit
+  //      must recover the planted XOR from the 75% known mass while
+  //      null rows descend every split at boost-micros × known-share
+  //      (C45Boost scaladoc: the per-round RouteX chain carries the
+  //      BOOST weight as its starting mass). The per-round error/
+  //      reweight pass stays on deterministic hard routing, the same
+  //      eval contract as q_crossval_missing. Oracle: VALUES pin of
+  //      the committed golden (round|rule|α|ε|majority), per-tier
+  //      goldens above the gate (the weighted fits are
+  //      data-dependent), exactly the q_forest_missing pattern. ----
+  private val BoostMissingParams = graft.fit.C45BoostParams(
+    rounds = 3, base = C45Params(maxDepth = 2, missingMode = "fractional"))
+
+  /** [[boostDf]] with ~25% of l_quantity nulled by key arithmetic —
+    * the class is computed from the ORIGINAL columns first (ground
+    * truth survives the nulling, the same construction as
+    * q_fit_missing). */
+  private def boostMissingDf(s: SparkSession, dir: String): DataFrame =
+    boostDf(s, dir)
+      .withColumn("l_quantity",
+        when(pmod(col("l_orderkey") * 31 + col("l_linenumber"),
+          lit(4)) === 0, lit(null).cast("double"))
+          .otherwise(col("l_quantity")))
+
+  /** The shared fixture fit: one fractional 3-round AdaBoost per dir
+    * (q_boost_missing pins the rounds, q_boost_predict_missing its
+    * fractional serving). */
+  private def boostMissingFit(s: SparkSession, dir: String): graft.fit.C45Boost =
+    memoizedFit(s"boost_missing|$dir") {
+      graft.fit.C45Boost.fit(boostMissingDf(s, dir), boostSchema,
+        BoostMissingParams)
+    }
+
+  def qBoostMissing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = boostMissingFit(s, dir)
+    b.trees.zipWithIndex.flatMap { case (m, t) =>
+      m.leaves.map(r => (t, r.encode, r.label.getOrElse(""), r.depth,
+        b.alphaMicros(t), b.errorMicros(t), m.majority))
+    }.toDF("round", "rule", "label", "depth", "alpha_micros",
+      "error_micros", "majority")
+      .orderBy("round", "rule")
+  }
+  val qBoostMissingSql: String =
+    goldenBoostSql("golden/boost_missing_sf001_rules.txt")
+
+  // ---- boosting × missing-value SERVING: the fractional ensemble of
+  //      q_boost_missing scores its own null-bearing view through
+  //      C45Boost.transformFractional — every weak learner casts
+  //      Quinlan's fractional-weight vote over its fit-recorded leaf
+  //      masses (a null split value descends every child), then the
+  //      α-weighted ensemble vote combines the per-round predictions.
+  //      Pure map-side per member, zero joins. The exact per-class
+  //      prediction counts over all rows pin every per-row vote;
+  //      committed golden at the gate, per-tier goldens above. ----
+  def qBoostPredictMissing(s: SparkSession, dir: String): DataFrame = {
+    val b = boostMissingFit(s, dir)
+    b.transformFractional(boostMissingDf(s, dir), "prediction")
+      .groupBy("prediction").agg(count(lit(1L)).as("n"))
+      .orderBy("prediction")
+  }
+  val qBoostPredictMissingSql: String =
+    goldenPredCountsSql("golden/boost_pm_sf001.txt")
+
   /** The planted-class base CTE body shared by the boost oracles (the
     * same md5-noise construction [[boostDf]] plants, mirrored via
     * Hashing.hash60Sql). */
@@ -1895,6 +2089,7 @@ object C45Queries {
     "q_fit_deep" -> (qFitDeep _),
     "q_fit_missing" -> (qFitMissing _),
     "q_fit_pruned" -> (qFitPruned _),
+    "q_fit_windowed" -> (qFitWindowed _),
     "q_rule_simplify" -> (qRuleSimplify _),
     "q_simplify_proba" -> (qSimplifyProba _),
     "q_crossval" -> (qCrossVal _),
@@ -1902,6 +2097,7 @@ object C45Queries {
     "q_model_roundtrip" -> (qModelRoundtrip _),
     "q_forest" -> (qForest _),
     "q_forest_missing" -> (qForestMissing _),
+    "q_forest_mtry" -> (qForestMtry _),
     "q_forest_predict_missing" -> (qForestPredictMissing _),
     "q_forest_oob" -> (qForestOob _),
     "q_forest_proba" -> (qForestProba _),
@@ -1910,6 +2106,8 @@ object C45Queries {
     "q_forest_roundtrip" -> (qForestRoundtrip _),
     "q_boost" -> (qBoost _),
     "q_boost_eval" -> (qBoostEval _),
+    "q_boost_missing" -> (qBoostMissing _),
+    "q_boost_predict_missing" -> (qBoostPredictMissing _),
     "q_boost_proba" -> (qBoostProba _),
     "q_boost_roundtrip" -> (qBoostRoundtrip _),
     "q_boost_stages" -> (qBoostStages _),
@@ -1950,6 +2148,7 @@ object C45Queries {
     "q_fit_deep" -> qFitDeepSql,
     "q_fit_missing" -> qFitMissingSql,
     "q_fit_pruned" -> qFitPrunedSql,
+    "q_fit_windowed" -> qFitWindowedSql,
     "q_rule_simplify" -> qRuleSimplifySql,
     "q_simplify_proba" -> qSimplifyProbaSql,
     "q_crossval" -> qCrossValSql,
@@ -1957,6 +2156,7 @@ object C45Queries {
     "q_model_roundtrip" -> qModelRoundtripSql,
     "q_forest" -> qForestSql,
     "q_forest_missing" -> qForestMissingSql,
+    "q_forest_mtry" -> qForestMtrySql,
     "q_forest_predict_missing" -> qForestPredictMissingSql,
     "q_forest_oob" -> qForestOobSql,
     "q_forest_proba" -> qForestProbaSql,
@@ -1965,6 +2165,8 @@ object C45Queries {
     "q_forest_roundtrip" -> qForestRoundtripSql,
     "q_boost" -> qBoostSql,
     "q_boost_eval" -> qBoostEvalSql,
+    "q_boost_missing" -> qBoostMissingSql,
+    "q_boost_predict_missing" -> qBoostPredictMissingSql,
     "q_boost_proba" -> qBoostProbaSql,
     "q_boost_roundtrip" -> qBoostRoundtripSql,
     "q_boost_stages" -> qBoostStagesSql,
