@@ -26,15 +26,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HEAVY = [
     "q_ann_eval", "q_ann_ivf", "q_ann_ivfpq", "q_ann_pq", "q_annpq_eval",
     "q_basket_pairs", "q_bfs_hops", "q_bloom_semi", "q_boost",
-    "q_boost_eval", "q_boost_proba", "q_boost_stages",
+    "q_boost_eval", "q_boost_missing", "q_boost_predict_missing",
+    "q_boost_proba", "q_boost_stages",
     "q_bpe_encode",
-    "q_bpe_train", "q_cluster_terms", "q_cooccur", "q_corpus_drift",
+    "q_bpe_train", "q_cluster_terms", "q_cms_topk", "q_cooccur",
+    "q_corpus_drift",
     "q_crossval", "q_crossval_missing", "q_curate_full", "q_curate_stats",
     "q_dbscan",
     "q_dbscan_lsh", "q_dedup_apply",
     "q_dedup_eval", "q_embed_pca", "q_event_transitions",
     "q_feature_importance", "q_fit_deep", "q_fit_missing", "q_fit_pruned",
-    "q_fit_tree", "q_forest", "q_forest_importance", "q_forest_missing",
+    "q_fit_tree", "q_fit_windowed", "q_forest", "q_forest_importance",
+    "q_forest_missing", "q_forest_mtry",
     "q_forest_oob", "q_forest_predict_missing", "q_forest_proba",
     "q_hits", "q_hll_groups", "q_hll_union", "q_kmeans",
     "q_kmv_overlap", "q_knn_brute", "q_label_prop", "q_link_pred",

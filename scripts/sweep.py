@@ -45,6 +45,13 @@ FIT_GOLDENS = {  # fit query -> tier-basename marker -> committed golden
         "sf0.1": "src/test/resources/golden/fit_pruned_sf01_rules.txt",
         "sf1": "src/test/resources/golden/fit_pruned_sf01_rules.txt",
     },
+    # raising decisions are count-driven and decisive on this planted
+    # geometry; sf1's exact 10x replication scales every count by 10
+    # and leaves the raise in place, so the tiers share one golden
+    "q_fit_raised": {
+        "sf0.1": "src/test/resources/golden/fit_raised_sf01_rules.txt",
+        "sf1": "src/test/resources/golden/fit_raised_sf01_rules.txt",
+    },
     # the window draw hashes the row key and sf1 re-keys per replica,
     # so the windowed tree is tier-specific (unlike the plain fits)
     "q_fit_windowed": {

@@ -93,24 +93,75 @@ object C45Pruning {
 
   private case class Pruned(leaves: Vector[Rule], err: Double,
                             counts: Map[String, Long],
-                            dists: Vector[Map[String, Long]])
+                            dists: Vector[Map[String, Long]],
+                            origIdx: Vector[Vector[Int]],
+                            raisedInside: Boolean)
+
+  /** One subtree-RAISING candidate: at the internal node `prefix`
+    * (split at index `depth`), the largest-mass child's edge `branch`;
+    * `otherIdx` are the original leaf indices under the node's OTHER
+    * children (the rows raising must re-route), `targetIdx` the
+    * original leaves under `branch` (where they land). */
+  private case class RaiseCand(id: Int, prefix: Vector[(Int, graft.model.Split)],
+                               depth: Int, branch: (Int, graft.model.Split),
+                               otherIdx: Vector[Int], targetIdx: Vector[Int])
+
+  /** Per-candidate re-routed class counts from [[raiseScan]]:
+    * candidate id → (original target leaf index, or -1 for rows the
+    * raised splits cannot route) → class → row count. */
+  private type RaiseCounts = Map[Int, Map[Int, Map[String, Long]]]
 
   /** Prune `model` against data `df` (training or held-out). Returns a
     * model whose leaves are a subset-or-collapse of the input's: every
     * pruned leaf predicate is a prefix of one or more original leaf
     * predicates, so the leaves still partition the space.
     *
+    * With `raising = true`, each internal node additionally considers
+    * C4.5's SECOND pruning operator — replacing itself with its
+    * largest child's subtree (Quinlan 1993 §5.2: grafting the largest
+    * branch in place of the node). The other branches' rows are
+    * re-routed through the raised subtree by their actual attribute
+    * values (ONE extra Spark job for ALL candidates: the node's
+    * non-largest-branch rows × the raised subtree's leaf predicates,
+    * aggregated to per-(candidate, target-leaf, class) counts — still
+    * O(model) rows to the driver), raised leaves are re-labeled from
+    * their merged distributions, and the decision compares leaf /
+    * raised / kept errors under the same Wilson bound with C4.5's
+    * preference order (leaf ≤ raise ≤ keep on ties). Exactness rule:
+    * a node considers raising only if no raise already fired INSIDE
+    * its largest child (replacements below are fine — their counts
+    * merge by prefix; a nested raise would invalidate the precomputed
+    * original-geometry routing), so every accepted raise is scored on
+    * exact re-routed counts, never an estimate. Rows the raised
+    * subtree cannot route (null or unseen split values) are scored as
+    * one implicit majority leaf under the same bound and fall to the
+    * model majority at serving, like any unrouted row.
+    *
     * When `df` IS the training data and the model came straight from
-    * the fit, prefer [[pruneTraining]] — identical result, zero jobs. */
+    * the fit, prefer [[pruneTraining]] for replacement-only pruning —
+    * identical result, zero jobs (raising always needs the data: the
+    * re-route depends on attribute values the fit's per-leaf
+    * distributions no longer carry). */
   def prune(model: C45Model, df: DataFrame, z: Double = DefaultZ,
-            routeThreshold: Int = 64): C45Model = {
+            routeThreshold: Int = 64, raising: Boolean = false): C45Model = {
     if (model.leaves.isEmpty) return model
     require(!model.overlapping,
       "pruning is subtree replacement over a tree-form leaf partition; " +
         "generalized (C45RuleSimplify) rule sets overlap and cannot be " +
         "subtree-pruned — simplify already minimizes each rule")
-    pruneFromCounts(model, scanCounts(model, df, routeThreshold), z,
-      unit = 1.0)
+    val counts = scanCounts(model, df, routeThreshold)
+    // raising re-routes through flat leaf-predicate expressions — past
+    // routeThreshold leaves that expression would blow codegen exactly
+    // like the flat transform, so wide models prune replacement-only
+    val raise =
+      if (!raising || model.leaves.size > routeThreshold) None
+      else {
+        val cands = raiseCandidates(model.leaves, counts)
+        if (cands.isEmpty) None
+        else Some((cands.map(c => c.prefix -> c).toMap,
+          raiseScan(model, df, cands)))
+      }
+    pruneFromCounts(model, counts, z, unit = 1.0, raise)
   }
 
   /** Prune `model` against its own TRAINING distribution without
@@ -140,7 +191,77 @@ object C45Pruning {
         "C45Model.load produce them (loadRules text-only loads do not)")
     val counts = model.leafDist.zipWithIndex
       .collect { case (d, i) if d.nonEmpty => i -> d }.toMap
-    pruneFromCounts(model, counts, z, unit = 1e6)
+    pruneFromCounts(model, counts, z, unit = 1e6, raise = None)
+  }
+
+  /** Enumerate the raise candidates: every internal node of the leaf
+    * trie with ≥ 2 children, paired with its largest child by scanned
+    * mass (ties → smallest branch-condition string, the walk's own
+    * child order). Pure driver-side recursion over the leaf set. */
+  private def raiseCandidates(leaves: Vector[Rule],
+                              counts: Map[Int, Map[String, Long]])
+      : Vector[RaiseCand] = {
+    val out = Vector.newBuilder[RaiseCand]
+    var nextId = 0
+    def mass(g: Vector[(Rule, Int)]): Long =
+      g.map { case (_, i) => counts.getOrElse(i, Map.empty).values.sum }.sum
+    def walk(group: Vector[(Rule, Int)], depth: Int,
+             prefix: Vector[(Int, graft.model.Split)]): Unit = {
+      if (group.length == 1 && group.head._1.depth == depth) return
+      val children = group.groupBy(_._1.conditions(depth)).toSeq
+        .sortBy(_._1.toString)
+      if (children.size >= 2) {
+        val (branch, under) = children
+          .minBy { case (c, g) => (-mass(g), c.toString) }
+        out += RaiseCand(nextId, prefix, depth, branch,
+          group.collect { case (r, i) if r.conditions(depth) != branch => i },
+          under.map(_._2).toVector)
+        nextId += 1
+      }
+      children.foreach { case (c, g) => walk(g, depth + 1, prefix :+ c) }
+    }
+    walk(leaves.zipWithIndex, 0, Vector.empty)
+    out.result()
+  }
+
+  /** ONE job scoring every raise candidate: each row that routed to a
+    * non-largest branch of a candidate node is re-routed through the
+    * raised subtree's BELOW-conditions (the original leaf conjunctions
+    * minus the branch edge — still a disjoint tree partition of the
+    * node's region), then everything aggregates to per-(candidate,
+    * target original leaf, class) counts. Rows no below-conjunction
+    * accepts (null / unseen split values) count under target -1. The
+    * per-row work is |candidates| flat codegen'd CASE WHEN columns +
+    * one posexplode; output is O(candidates × leaves × classes). */
+  private def raiseScan(model: C45Model, df: DataFrame,
+                        cands: Vector[RaiseCand]): RaiseCounts = {
+    val names = model.schema.attrNames
+    val leaves = model.leaves
+    val candCols: Seq[org.apache.spark.sql.Column] = cands.map { c =>
+      val inOther = col("__rid").isin(c.otherIdx: _*)
+      val routed = c.targetIdx.foldLeft(lit(-1)) { (acc, j) =>
+        val below = leaves(j).conditions.drop(c.depth + 1)
+        if (below.isEmpty) lit(j) // raised subtree is a single leaf
+        else when(below.map { case (aid, sp) =>
+          sp.toPredicate(col(names(aid)))
+        }.reduce(_ && _), lit(j)).otherwise(acc)
+      }
+      when(inOther, routed).otherwise(lit(null))
+    }
+    df.withColumn("__rid", C45.flatRidColumn(leaves, names))
+      .filter(col("__rid") >= 0 && col(model.schema.classCol).isNotNull)
+      .select(col(model.schema.classCol).cast("string").as("cls"),
+        posexplode(array(candCols: _*)).as(Seq("__cand", "__tgt")))
+      .filter(col("__tgt").isNotNull)
+      .groupBy("__cand", "__tgt", "cls")
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cand, rows) =>
+        cand -> rows.groupBy(_.getInt(1)).map { case (tgt, rs) =>
+          tgt -> rs.map(r => r.getString(2) -> r.getLong(3)).toMap
+        }
+      }
   }
 
   /** One job: route every row to its (disjoint) leaf, count classes.
@@ -195,7 +316,9 @@ object C45Pruning {
     * long arithmetic. */
   private def pruneFromCounts(model: C45Model,
                               counts: Map[Int, Map[String, Long]],
-                              z: Double, unit: Double): C45Model = {
+                              z: Double, unit: Double,
+                              raise: Option[(Map[Vector[(Int, graft.model.Split)],
+                                RaiseCand], RaiseCounts)]): C45Model = {
     val leaves = model.leaves
 
     def leafErr(c: Map[String, Long]): Double = {
@@ -212,6 +335,46 @@ object C45Pruning {
         c.collect { case (l, n) if n == mx => l }.min
       }
 
+    def mergeCnt(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) }
+
+    /** The raise option at this node, if one is exact here: largest
+      * child structurally raise-safe (no nested raise), re-routed
+      * counts folded onto its pruned leaves, leaves re-labeled from
+      * the merged distributions. */
+    def raiseAt(prefix: Vector[(Int, graft.model.Split)], depth: Int,
+                results: Seq[((Int, graft.model.Split), Pruned)])
+        : Option[Pruned] =
+      raise.flatMap { case (byPrefix, rcounts) =>
+        byPrefix.get(prefix).flatMap { cand =>
+          val cRes = results.find(_._1 == cand.branch).get._2
+          if (cRes.raisedInside) None
+          else {
+            val posOf: Map[Int, Int] = cRes.origIdx.zipWithIndex
+              .flatMap { case (os, p) => os.map(_ -> p) }.toMap
+            val extra =
+              Array.fill(cRes.leaves.size)(Map.empty[String, Long])
+            var unrouted = Map.empty[String, Long]
+            rcounts.getOrElse(cand.id, Map.empty).foreach { case (j, c) =>
+              if (j < 0) unrouted = mergeCnt(unrouted, c)
+              else extra(posOf(j)) = mergeCnt(extra(posOf(j)), c)
+            }
+            val raisedDists = cRes.dists.zip(extra).map {
+              case (own, add) => mergeCnt(own, add)
+            }
+            val raisedErr = raisedDists.map(leafErr).sum + leafErr(unrouted)
+            val raisedLeaves = cRes.leaves.zip(raisedDists).map {
+              case (r, dc) => Rule(r.conditions.patch(depth, Nil, 1),
+                Some(if (dc.nonEmpty) majority(dc)
+                else r.label.getOrElse(model.majority)))
+            }
+            Some(Pruned(raisedLeaves, raisedErr,
+              Map.empty, // caller substitutes the node's merged counts
+              raisedDists, cRes.origIdx, raisedInside = true))
+          }
+        }
+      }
+
     /** Recursive bottom-up pass over leaves sharing the prefix up to
       * `depth`. Leaves' condition vectors are root-ordered, so the
       * group's split attribute at this depth is conditions(depth). */
@@ -220,21 +383,33 @@ object C45Pruning {
       if (group.length == 1 && group.head._1.depth == depth) {
         val (r, i) = group.head
         val c = counts.getOrElse(i, Map.empty)
-        return Pruned(Vector(r), leafErr(c), c, Vector(c))
+        return Pruned(Vector(r), leafErr(c), c, Vector(c),
+          Vector(Vector(i)), raisedInside = false)
       }
-      val children = group.groupBy(_._1.conditions(depth)).toSeq
+      val results = group.groupBy(_._1.conditions(depth)).toSeq
         .sortBy(_._1.toString)
-        .map { case (cond, rs) => walk(rs, depth + 1, prefix :+ cond) }
+        .map { case (cond, rs) => cond -> walk(rs, depth + 1, prefix :+ cond) }
+      val children = results.map(_._2)
       val subtreeErr = children.map(_.err).sum
       val merged = children.flatMap(_.counts.toSeq)
         .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
       val asLeafErr = leafErr(merged)
-      if (asLeafErr <= subtreeErr + 1e-9)
+      val raised = raiseAt(prefix, depth, results)
+      val raisedErr = raised.map(_.err).getOrElse(Double.PositiveInfinity)
+      // C4.5's preference on ties: leaf (simplest) ≤ raise ≤ keep
+      if (asLeafErr <= subtreeErr + 1e-9 && asLeafErr <= raisedErr + 1e-9)
         Pruned(Vector(Rule(prefix, Some(majority(merged)))), asLeafErr,
-          merged, Vector(merged))
+          merged, Vector(merged),
+          // a prefix leaf covers every original under the node — and
+          // RESETS raise-safety: prefix coverage is exact again
+          Vector(group.map(_._2)), raisedInside = false)
+      else if (raisedErr <= subtreeErr + 1e-9)
+        raised.get.copy(counts = merged)
       else
         Pruned(children.flatMap(_.leaves).toVector, subtreeErr, merged,
-          children.flatMap(_.dists).toVector)
+          children.flatMap(_.dists).toVector,
+          children.flatMap(_.origIdx).toVector,
+          children.exists(_.raisedInside))
     }
 
     val rooted = walk(leaves.zipWithIndex, 0, Vector.empty)

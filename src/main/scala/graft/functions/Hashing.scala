@@ -23,4 +23,19 @@ object Hashing {
   /** SQL fragment mirroring [[hash60]] for the DuckDB oracle. */
   def hash60Sql(expr: String, salt: Int = 0): String =
     s"CAST(('0x' || substr(md5(concat('$salt|', $expr)), 1, 15)) AS BIGINT)"
+
+  /** JVM mirror of [[hash60]] for executor-side aggregator buffers
+    * (e.g. the count-min UDAF, which needs `depth` hashes per input
+    * value inside `reduce`). HashingSpec pins hash60Jvm ≡ the Column
+    * form on a value sweep, so all three forms (Column, SQL, JVM) are
+    * one hash family. */
+  def hash60Jvm(v: String, salt: Int = 0): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"$salt|$v".getBytes("UTF-8"))
+    // first 15 hex chars = 7.5 bytes: build the 60-bit value directly
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >> 4)
+  }
 }

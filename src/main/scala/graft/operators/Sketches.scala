@@ -176,6 +176,45 @@ private[graft] class KmvAggregator(k: Int)
   * Hashes are the engine-portable salted-md5 family (Hashing.hash60,
   * salt = row index), so the whole sketch replays in the DuckDB
   * oracle. */
+/** Count-min sketch (Cormode & Muthukrishnan 2005) as a mergeable
+  * Aggregator over raw token strings: state is ONE flat depth×width
+  * long matrix per group (row r, column c at index r·width+c), partial
+  * aggregation merges map-side, and the merge is elementwise SUM —
+  * associative, commutative, deterministic, and (unlike the HLL/KMV
+  * estimates) LOSSLESS under sharding: summed shard cells equal the
+  * single-shot cells exactly, so sketch-as-data rollups pay zero
+  * accuracy for incremental builds. Hashes are the engine-portable
+  * salted-md5 family ([[Hashing.hash60Jvm]], row r salted with r), the
+  * same cells [[Sketches.cmsBuild]]'s relational path and the DuckDB
+  * oracle compute. */
+private[graft] class CmsAggregator(width: Int, depth: Int)
+  extends Aggregator[String, Array[Long], Array[Long]] {
+
+  override def zero: Array[Long] = new Array[Long](depth * width)
+
+  override def reduce(buf: Array[Long], v: String): Array[Long] = {
+    var r = 0
+    while (r < depth) {
+      buf(r * width + (Hashing.hash60Jvm(v, salt = r) % width).toInt) += 1L
+      r += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(cells: Array[Long]): Array[Long] = cells
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
 object Sketches {
 
   val CmsDepth = 4
@@ -199,6 +238,42 @@ object Sketches {
       .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Per-group count-min sketches via the mergeable [[CmsAggregator]]:
+    * one partial-aggregated shuffle carrying a flat depth×width long
+    * matrix per (group, partition) — the UDAF form composes with ANY
+    * grouping (shards, days, streaming windows), where [[cmsBuild]]'s
+    * relational cells build one global sketch. Output: (key, cms)
+    * with cms the flattened matrix. */
+  def cmsPerGroup(df: DataFrame, keyCol: String, textCol: String,
+                  width: Int, depth: Int = CmsDepth): DataFrame = {
+    require(width >= 2 && depth >= 1, s"bad cms shape $depth x $width")
+    val agg = org.apache.spark.sql.functions.udaf(
+      new CmsAggregator(width, depth), Encoders.STRING)
+    df.select(col(keyCol).as("key"), explode(toks(col(textCol))).as("__tok"))
+      .groupBy("key")
+      .agg(agg(col("__tok")).as("cms"))
+  }
+
+  /** Merge flattened CMS matrices across groups — elementwise sum via
+    * a higher-order fold over the collected sketch list (the list is
+    * #groups entries of depth×width longs: sketch-sized, never
+    * data-sized). Lossless: equals the single-shot sketch exactly. */
+  def cmsMerge(sketches: Column): Column =
+    aggregate(sketches,
+      lit(Array.empty[Long]),
+      (acc, x) => when(size(acc) === 0, x)
+        .otherwise(zip_with(acc, x, (a, b) => a + b)))
+
+  /** Point-estimate a token against a flattened CMS matrix column:
+    * min over the depth rows of the token's cell — pure codegen'd
+    * Columns (element_at is 1-indexed). */
+  def cmsPointEstimate(cms: Column, token: Column, width: Int,
+                       depth: Int = CmsDepth): Column =
+    least((0 until depth).map(r =>
+      element_at(cms, (lit(r * width) +
+        pmod(Hashing.hash60(token, salt = r), lit(width.toLong)) + 1)
+        .cast("int"))): _*)
 
   /** Point-estimates the probe tokens against a built sketch: joins
     * each probe's depth cells (a `depth × |probes|` build side — tiny,

@@ -854,14 +854,18 @@ object C45Queries {
   }
   val qFitMissingSql: String = goldenValuesSql("golden/fit_missing_sf001_rules.txt")
 
-  // ---- O4 + pruning: canonical C4.5's pessimistic subtree
-  //      replacement — the part of C4.5 the reference omits (SURVEY §0
-  //      "no pruning"). A planted 2-attribute structure plus
-  //      deterministic ~10% label noise (portable md5 of the row key,
-  //      so every tier reproduces bit-for-bit) makes the unpruned fit
-  //      grow spurious subtrees on the noise attributes; pruning must
-  //      collapse those and keep the real splits. PruningSpec asserts
-  //      the collapse; the golden pins the exact pruned rule set. ----
+  // ---- O4 + pruning: canonical C4.5's pessimistic pruning, BOTH
+  //      operators — subtree replacement AND subtree raising (Quinlan
+  //      1993 §5.2: a node may also be replaced by its largest child's
+  //      subtree, the other branches' rows re-routed by value) — the
+  //      part of C4.5 the reference omits (SURVEY §0 "no pruning"). A
+  //      planted 2-attribute structure plus deterministic ~10% label
+  //      noise (portable md5 of the row key, so every tier reproduces
+  //      bit-for-bit) makes the unpruned fit grow spurious subtrees on
+  //      the noise attributes; pruning must collapse those and keep
+  //      the real splits. PruningSpec asserts the collapse and a
+  //      planted raise-beats-replace geometry; the golden pins the
+  //      exact pruned rule set. ----
   def qFitPruned(s: SparkSession, dir: String): DataFrame = {
     val schema = C45Schema(
       Seq(AttrMeta("l_returnflag", isNumeric = false),
@@ -882,13 +886,52 @@ object C45Queries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val model = C45.fit(df, schema, C45Params(maxDepth = 5))
-      // pruning against the TRAINING data reuses the fit's recorded
-      // per-leaf distributions — zero extra jobs (PruningSpec pins
-      // pruneTraining ≡ prune(model, df) on this null-free corpus)
-      graft.fit.C45Pruning.pruneTraining(model).toDF(s).orderBy("rule")
+      // raising needs the data (it re-routes the non-largest branches'
+      // rows by their attribute values): one routing job + one
+      // all-candidates re-route job over the narrow cache
+      graft.fit.C45Pruning.prune(model, df, raising = true)
+        .toDF(s).orderBy("rule")
     } finally df.unpersist()
   }
   val qFitPrunedSql: String = goldenValuesSql("golden/fit_pruned_sf001_rules.txt")
+
+  // ---- O4 + pruning, RAISING exercised end to end: a DECLARED
+  //      overfit model (the q_ann_stored pattern — the model is the
+  //      query's input, like any externally-trained tree entering the
+  //      registry) whose root split on l_tax is USELESS against the
+  //      planted class (cls is a pure function of l_quantity,
+  //      identically across tax values), and whose quantity-subtree
+  //      only grew under the heavy branch — l_tax ≤ 0.06 covers ~7/9
+  //      of every tier (tax is uniform over the nine values 0.00–0.08),
+  //      so the largest-child selection is decisively tier-stable —
+  //      while the light tax>0.06 branch is a majority leaf
+  //      mislabeling every high-quantity row it holds. Subtree
+  //      replacement cannot fix this (the root collapse mislabels
+  //      half the corpus); RAISING the N-subtree re-routes the A/R
+  //      rows through the quantity split and classifies everything —
+  //      the geometry where Quinlan's second pruning operator is the
+  //      only right answer. The raised leaves' labels are re-derived
+  //      from the merged (own + re-routed) distributions. Oracle:
+  //      VALUES pin of the committed golden (the raise decision is
+  //      count-driven and decisive at every tier; sweep.py golden-
+  //      compares the upper tiers). ----
+  def qFitRaised(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.{NumLE, NumGT, Rule => MRule}
+    val schema = C45Schema(
+      Seq(AttrMeta("l_quantity", isNumeric = true),
+        AttrMeta("l_tax", isNumeric = true)),
+      "cls", Seq("A", "B"))
+    val declared = graft.fit.C45Model(schema, Vector(
+      MRule(Vector(1 -> NumLE(0.06), 0 -> NumLE(25.0)), Some("A")),
+      MRule(Vector(1 -> NumLE(0.06), 0 -> NumGT(25.0)), Some("B")),
+      MRule(Vector(1 -> NumGT(0.06)), Some("A"))), "A")
+    val df = li(s, dir).withColumn("cls",
+      when(col("l_quantity") <= 25, lit("A")).otherwise(lit("B")))
+    graft.fit.C45Pruning.prune(declared, df, raising = true)
+      .toDF(s).orderBy("rule")
+  }
+  val qFitRaisedSql: String =
+    goldenValuesSql("golden/fit_raised_sf001_rules.txt")
 
   // ---- O4 + rule generalization: C4.5rules' per-rule condition
   //      dropping (the other canonical post-processing step the
@@ -2089,6 +2132,7 @@ object C45Queries {
     "q_fit_deep" -> (qFitDeep _),
     "q_fit_missing" -> (qFitMissing _),
     "q_fit_pruned" -> (qFitPruned _),
+    "q_fit_raised" -> (qFitRaised _),
     "q_fit_windowed" -> (qFitWindowed _),
     "q_rule_simplify" -> (qRuleSimplify _),
     "q_simplify_proba" -> (qSimplifyProba _),
@@ -2148,6 +2192,7 @@ object C45Queries {
     "q_fit_deep" -> qFitDeepSql,
     "q_fit_missing" -> qFitMissingSql,
     "q_fit_pruned" -> qFitPrunedSql,
+    "q_fit_raised" -> qFitRaisedSql,
     "q_fit_windowed" -> qFitWindowedSql,
     "q_rule_simplify" -> qRuleSimplifySql,
     "q_simplify_proba" -> qSimplifyProbaSql,

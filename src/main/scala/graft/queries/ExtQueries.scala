@@ -1129,6 +1129,68 @@ object ExtQueries {
       .select(col("token"), col("exact_n"), col("cms_est"))
       .orderBy(desc("exact_n"), asc("token"))
   }
+  // ---- mergeable persisted CMS sketches: per-SHARD count-min
+  //      matrices merged across shards (sketch-as-data — the 100 TB
+  //      frequency-rollup shape: each ingest batch reduces to one
+  //      depth×width long matrix; corpus-wide term frequencies then
+  //      SUM matrices, never rescan raw text). Unlike HLL's register
+  //      max, the CMS merge is exact — summed shard cells EQUAL the
+  //      single-shot cells — so the query asserts that invariant
+  //      in-row: the merged-sketch estimate must equal the one-pass
+  //      relational sketch's estimate for every probe. Spark exercises
+  //      two independent code paths (CmsAggregator UDAF per shard +
+  //      higher-order zip_with fold vs cmsBuild's relational cells);
+  //      estimates are reported beside the exact counts of the SAME
+  //      top-10 tokens q_heavy_hitters ranks, est ≥ exact always. ----
+  def qCmsTopk(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val exact = d.select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("exact_n"))
+    val probes = exact.orderBy(desc("exact_n"), asc("token")).limit(10)
+    val shards = Sketches.cmsPerGroup(
+      d.withColumn("shard", pmod(col("doc_id"), lit(4L))),
+      "shard", "text", CmsWidth)
+    // 4 sketch rows → one merged matrix + the batch count (driver-tiny)
+    val merged = shards.agg(count(lit(1)).as("n_batches"),
+      Sketches.cmsMerge(collect_list(col("cms"))).as("cms"))
+    val single = Sketches.cmsEstimate(
+      Sketches.cmsBuild(d, "text", CmsWidth),
+      probes.select("token"), "token", CmsWidth)
+      .withColumnRenamed("cms_est", "single_est")
+    probes.crossJoin(broadcast(merged))
+      .withColumn("cms_est",
+        Sketches.cmsPointEstimate(col("cms"), col("token"), CmsWidth))
+      .join(single, Seq("token"))
+      .select(col("token"), col("exact_n"), col("cms_est"),
+        (col("cms_est") === col("single_est")).as("merge_invariant"),
+        col("n_batches"))
+      .orderBy(desc("exact_n"), asc("token"))
+  }
+  val qCmsTopkSql: String = {
+    val d = Sketches.CmsDepth
+    val cellArms = (0 until d).map(r =>
+      s"SELECT $r AS row, ${Hashing.hash60Sql("token", r)} % $CmsWidth AS cell, count(*) AS n FROM tok GROUP BY 1, 2")
+      .mkString("\n  UNION ALL ")
+    val probeArms = (0 until d).map(r =>
+      s"SELECT token, $r AS row, ${Hashing.hash60Sql("token", r)} % $CmsWidth AS cell FROM probes")
+      .mkString("\n  UNION ALL ")
+    s"""WITH tok AS (SELECT doc_id % 4 AS shard,
+       |    unnest($SplitToksLowerSql) AS token FROM documents),
+       |exact AS (SELECT token, count(*) AS exact_n FROM tok GROUP BY 1),
+       |probes AS (SELECT * FROM exact ORDER BY exact_n DESC, token LIMIT 10),
+       |nb AS (SELECT count(DISTINCT shard) AS n_batches FROM tok),
+       |cells AS (
+       |  $cellArms),
+       |pc AS (
+       |  $probeArms),
+       |est AS (SELECT token, min(coalesce(n, 0)) AS cms_est
+       |  FROM pc LEFT JOIN cells USING (row, cell) GROUP BY 1)
+       |SELECT probes.token, exact_n, cms_est, TRUE AS merge_invariant,
+       |  n_batches
+       |FROM probes JOIN est USING (token) CROSS JOIN nb
+       |ORDER BY exact_n DESC, token""".stripMargin
+  }
+
   val qCmsCountsSql: String = {
     val d = Sketches.CmsDepth
     val cellArms = (0 until d).map(r =>
@@ -2937,6 +2999,7 @@ object ExtQueries {
     "q_knn_brute" -> (qKnnBrute _),
     "q_array_ops" -> (qArrayOps _),
     "q_cms_counts" -> (qCmsCounts _),
+    "q_cms_topk" -> (qCmsTopk _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_eval" -> (qAnnEval _),
     "q_ann_pq" -> (qAnnPq _),
@@ -3018,6 +3081,7 @@ object ExtQueries {
     "q_knn_brute" -> qKnnBruteSql,
     "q_array_ops" -> qArrayOpsSql,
     "q_cms_counts" -> qCmsCountsSql,
+    "q_cms_topk" -> qCmsTopkSql,
     "q_sessionize" -> qSessionizeSql,
     "q_event_daily" -> qEventDailySql,
     "q_retention" -> qRetentionSql,

@@ -201,6 +201,70 @@ class PruningSpec extends AnyFunSuite {
     assert(routed.leaves.map(_.encode) == flat.leaves.map(_.encode))
   }
 
+  test("subtree raising: a useless root split is replaced by its " +
+    "largest child's subtree, re-routed rows re-label the raised leaves") {
+    val s = spark
+    import s.implicits._
+    val schema = C45Schema(Seq(
+      AttrMeta("c", isNumeric = false), AttrMeta("x", isNumeric = true)),
+      "cls", Seq("A", "B"))
+    // planted raise-beats-replace geometry: the root split on c is
+    // USELESS (the class depends only on x, identically for c=u and
+    // c=v), but the fitted tree split on c first and only grew the
+    // x-split under the heavy c=u branch — the light c=v branch is a
+    // majority leaf mislabeling all its x>5 rows.
+    val leaves = Vector(
+      Rule(Vector(0 -> CatEq("u"), 1 -> NumLE(5.0)), Some("A")),
+      Rule(Vector(0 -> CatEq("u"), 1 -> NumGT(5.0)), Some("B")),
+      Rule(Vector(0 -> CatEq("v")), Some("A")))
+    val model = C45Model(schema, leaves, "A")
+    val rows =
+      (1 to 40).map(_ => ("u", 3.0, "A")) ++ (1 to 40).map(_ => ("u", 8.0, "B")) ++
+        (1 to 10).map(_ => ("v", 3.0, "A")) ++ (1 to 10).map(_ => ("v", 8.0, "B"))
+    val df = rows.toDF("c", "x", "cls")
+    // KEEP pays the v-leaf's 10/20 errors; REPLACE (one root leaf)
+    // pays 50/100; RAISING the u-subtree re-routes the v rows through
+    // the x split and classifies everything — raise must win.
+    val raised = C45Pruning.prune(model, df, raising = true)
+    assert(raised.leaves.map(_.encode).toSet == Set("1,<=5.0:A", "1,>5.0:B"),
+      s"raise lifts the x-subtree over the useless c split: " +
+        s"${raised.leaves.map(_.encode)}")
+    // the raised leaves carry the MERGED (own + re-routed) counts
+    val dist = raised.leaves.map(_.encode).zip(raised.leafDist).toMap
+    assert(dist("1,<=5.0:A") == Map("A" -> 50000000L))
+    assert(dist("1,>5.0:B") == Map("B" -> 50000000L))
+    // replacement-only pruning cannot fix this tree: it keeps all 3
+    val kept = C45Pruning.prune(model, df)
+    assert(kept.leaves.map(_.encode).toSet ==
+      Set("0,u&1,<=5.0:A", "0,u&1,>5.0:B", "0,v:A"))
+  }
+
+  test("subtree raising does not fire when the kept tree is exact " +
+    "(raise ties lose to keep only when strictly worse; a perfect " +
+    "informative root survives)") {
+    val s = spark
+    import s.implicits._
+    val schema = C45Schema(Seq(
+      AttrMeta("c", isNumeric = false), AttrMeta("x", isNumeric = true)),
+      "cls", Seq("A", "B"))
+    // c genuinely matters: c=v rows are ALL class A regardless of x,
+    // and under c=u the x split is perfect. Raising the u-subtree
+    // would misclassify the v,x>5 rows as B — strictly worse.
+    val leaves = Vector(
+      Rule(Vector(0 -> CatEq("u"), 1 -> NumLE(5.0)), Some("A")),
+      Rule(Vector(0 -> CatEq("u"), 1 -> NumGT(5.0)), Some("B")),
+      Rule(Vector(0 -> CatEq("v")), Some("A")))
+    val model = C45Model(schema, leaves, "A")
+    val rows =
+      (1 to 40).map(_ => ("u", 3.0, "A")) ++ (1 to 40).map(_ => ("u", 8.0, "B")) ++
+        (1 to 15).map(_ => ("v", 3.0, "A")) ++ (1 to 15).map(_ => ("v", 8.0, "A"))
+    val df = rows.toDF("c", "x", "cls")
+    val pruned = C45Pruning.prune(model, df, raising = true)
+    assert(pruned.leaves.map(_.encode).toSet ==
+      Set("0,u&1,<=5.0:A", "0,u&1,>5.0:B", "0,v:A"),
+      s"informative root must survive raising: ${pruned.leaves.map(_.encode)}")
+  }
+
   test("pruned golden: sf0.01 committed rule set reproduces") {
     val got = graft.queries.C45Queries.qFitPruned(spark, "/root/testdata/sf0.01")
       .collect().map(_.getString(0)).toVector
