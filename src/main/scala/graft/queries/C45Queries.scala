@@ -1407,8 +1407,10 @@ object C45Queries {
           .otherwise(
             when(col("l_discount") <= 0.05, lit("Hd0")).otherwise(lit("Hd1"))))
       .withColumn("l_linenumber", col("l_linenumber").cast("string"))
-    val f = graft.fit.C45Forest.fit(df, schema, forestKey,
-      ForestParams.copy(mtry = 2))
+    val f = memoizedFit(s"forest_mtry|$dir") {
+      graft.fit.C45Forest.fit(df, schema, forestKey,
+        ForestParams.copy(mtry = 2))
+    }
     f.trees.zipWithIndex.flatMap { case (m, t) =>
       m.leaves.map(r => (t, r.encode, r.label.getOrElse(""), r.depth,
         m.majority))
