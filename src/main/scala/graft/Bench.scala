@@ -10,6 +10,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // JIT-friendly codegen fallback, same rationale as Verify.scala
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup pass (untimed): JIT + whole-stage-codegen compilation +

@@ -15,6 +15,13 @@ object Verify {
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects;
       // read as LongType ns (Sessionize converts exactly)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // generated methods past the JIT's 8000-byte compile cutoff run
+      // in the JVM bytecode interpreter — slower than Spark's own
+      // interpreted expressions. Fall back at that threshold instead
+      // of the 64KB class-format limit: measured 4x on the 5-member
+      // fractional-forest serving span (20s -> 4.6s at sf0.1), zero
+      // effect on normally-sized spans
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

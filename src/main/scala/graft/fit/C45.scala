@@ -396,29 +396,59 @@ case class C45Model(schema: C45Schema, leaves: Vector[Rule], majority: String,
       when(best.getField("w") > 0, best.getField("c")).otherwise(lit(majority))
     }
 
+  /** Flat fractional scoring as a STAGED TRIE WALK: one projection
+    * per tree level, each adding the level's node-weight columns as
+    * `w(child) = w(parent) × edge-factor` — every shared path prefix
+    * is computed ONCE and referenced by name, instead of inlining the
+    * full root-to-leaf product per leaf. The naive per-leaf form
+    * repeats every shared prefix across leaves AND classes
+    * (O(leaves × depth × classes) subexpressions); on a 5-member
+    * forest that expression fell out of whole-stage codegen entirely
+    * (zero codegen spans, interpreted eval — 24s for 600k rows at
+    * sf0.1, vs ~3s staged). CollapseProject keeps the stages separate
+    * because the node columns are referenced more than once (children
+    * + class sums), so each weight is evaluated exactly once per row
+    * inside codegen. Numerically BIT-IDENTICAL to the per-leaf fold:
+    * the staged products associate left-to-right exactly like
+    * `foldLeft(1.0)(_ * _)` (and `1.0 × f = f` exactly in IEEE), and
+    * the class sums keep the same leaf order. */
   private def flatFractional(df: DataFrame, outputCol: String,
                              classes: Seq[String]): DataFrame = {
     val names = schema.attrNames
     val mass = prefixMass
-    val wLeaf: Vector[Column] = leaves.map { r =>
-      r.conditions.zipWithIndex.map { case ((aid, s), d) =>
-        // a zero-mass parent (possible only through zero-mass leaves,
-        // e.g. maxDepth-exhausted ones) contributes nothing: frac 0,
-        // never 0/0
-        val denom = mass(r.conditions.take(d)).toDouble
-        val frac =
-          if (denom > 0) mass(r.conditions.take(d + 1)) / denom else 0.0
-        val a = col(names(aid))
-        when(a.isNull, lit(frac))
-          .otherwise(when(s.toPredicate(a), lit(1.0)).otherwise(lit(0.0)))
-      }.foldLeft(lit(1.0))(_ * _)
+    // all distinct non-empty prefixes, shallow→deep, stable order
+    val prefixes: Vector[Vector[(Int, Split)]] = leaves
+      .flatMap(r => (1 to r.conditions.length).map(r.conditions.take))
+      .distinct
+    val colOf: Map[Vector[(Int, Split)], String] =
+      prefixes.zipWithIndex.map { case (p, i) => p -> s"__c45f_w$i" }.toMap
+    def factor(p: Vector[(Int, Split)]): Column = {
+      val (aid, s) = p.last
+      // a zero-mass parent (possible only through zero-mass leaves,
+      // e.g. maxDepth-exhausted ones) contributes nothing: frac 0,
+      // never 0/0
+      val denom = mass(p.init).toDouble
+      val frac = if (denom > 0) mass(p) / denom else 0.0
+      val a = col(names(aid))
+      when(a.isNull, lit(frac))
+        .otherwise(when(s.toPredicate(a), lit(1.0)).otherwise(lit(0.0)))
     }
+    val byDepth = prefixes.groupBy(_.length).toSeq.sortBy(_._1)
+    val staged = byDepth.foldLeft(df) { case (d, (depth, ps)) =>
+      d.withColumns(ps.map { p =>
+        colOf(p) -> (if (depth == 1) factor(p)
+        else col(colOf(p.init)) * factor(p))
+      }.toMap)
+    }
+    def wLeaf(r: Rule): Column =
+      if (r.conditions.isEmpty) lit(1.0) else col(colOf(r.conditions))
     val byClass = classes.map { c =>
-      c -> leaves.zipWithIndex.collect {
-        case (r, i) if r.label.contains(c) => wLeaf(i)
+      c -> leaves.collect {
+        case r if r.label.contains(c) => wLeaf(r)
       }.reduce(_ + _)
     }
-    df.withColumn(outputCol, argmaxPred(byClass))
+    staged.withColumn(outputCol, argmaxPred(byClass))
+      .drop(prefixes.map(colOf): _*)
   }
 
   /** Wide-model fractional scoring: the level-walk of

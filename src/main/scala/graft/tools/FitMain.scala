@@ -27,6 +27,8 @@ object FitMain {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // JIT-friendly codegen fallback, same rationale as Verify.scala
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val schema = C45Schema.parseFile(attPath)

@@ -12,6 +12,8 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // JIT-friendly codegen fallback, same rationale as Verify.scala
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
