@@ -1088,12 +1088,10 @@ object C45 {
       s"C45.fit requires non-null class labels: column '$clsCol' contains NULLs")
     val fractional = params.missingMode == "fractional" && names.nonEmpty &&
       nullProbe.getLong(1) > 0L
-    // weights ride as exact long MICROS (1 row = 1_000_000): histogram
-    // cells stay order-independent integer sums under any partitioning;
-    // the driver divides by `unit` once when the math goes to doubles.
-    // In the unweighted path unit == 1.0 and c/unit == c.toDouble.
-    val W1 = 1000000L
-    val unit = if (fractional) 1e6 else 1.0
+    // the level loop below is always UNWEIGHTED (fractional mode
+    // delegates just past the label discovery): histogram cells are
+    // plain row counts and c/unit == c.toDouble
+    val unit = 1.0
 
     // closed class-label set: declared, else discovered once (the
     // reference requires the declared set, Main.java:154-158)
@@ -1101,6 +1099,30 @@ object C45 {
       if (schema.classLabels.nonEmpty) schema.classLabels
       else data.select(col(clsCol).cast("string")).distinct()
         .collect().map(_.getString(0)).sorted.toSeq
+
+    // FRACTIONAL mode delegates to the fused fold machinery at k = 1
+    // (fold stamp -1 → every row trains the single fit): decisions are
+    // bit-identical by the shared-math construction CrossValSpec pins
+    // (fitFolds ≡ sequential fractional fits), and the weighted RouteX
+    // chain then carries ONLY null-bearing rows (fitFolds' CLEAN/DIRTY
+    // split) — the sequential all-rows fan-out this replaces persisted
+    // and re-joined rows×1 per join-routed level regardless of the
+    // null rate, where the fused path persists dirty×1 and routes the
+    // null-free majority through the flat rid CASE over this cache.
+    // The probe's approx-distinct sketches ride along so the binning
+    // gate never re-scans.
+    if (fractional) {
+      val imp = Array.fill(1)(
+        scala.collection.mutable.Map.empty[Int, Double].withDefaultValue(0.0))
+      val dc =
+        if (params.maxBins <= 0 || numAttrs.isEmpty) None
+        else Some(numAttrs.map(a =>
+          (0, a.name) -> nullProbe.getAs[Long](s"__dc_${a.name}")).toMap)
+      val models = fitFolds(data.withColumn("__fold", lit(-1)), "__fold", 1,
+        schema.copy(classLabels = classLabels), params, dc,
+        fractional = true, importanceOut = imp)
+      return (models.head, imp(0).toMap)
+    }
 
     // explode(map(aid -> value)) = the F2 candidate emission, one row
     // per (record, candidate attr), typed per attribute kind
@@ -1156,7 +1178,6 @@ object C45 {
     // free once the next level has materialized on top of it
     var prevBase: DataFrame = null
     var pendingRoutes: Seq[Route] = Nil
-    var pendingRoutesX: Seq[RouteX] = Nil
     var prevPersisted: Option[DataFrame] = None
     // every join-routed base ever persisted; unpersist is idempotent,
     // so the finally can sweep the whole list even though each level
@@ -1179,11 +1200,10 @@ object C45 {
       //    Constant expression size per level, one broadcast hash join,
       //    no shuffle — the Spark analogue of the reference's
       //    distributed-cache rule queue (Main.java:189).
-      // fractional mode always join-routes past the root: a flat
-      // root-to-leaf CASE WHEN can assign a row only ONE rule id, and
-      // fractional membership needs one row per (row, child) edge
-      val useJoin = level > 0 &&
-        (open.size > params.routeJoinThreshold || fractional)
+      // (fractional mode never reaches this loop — it delegated to the
+      // fused fold machinery above, whose weighted RouteX chain is the
+      // one-row-per-(row, child) fan-out a flat rid cannot express)
+      val useJoin = level > 0 && open.size > params.routeJoinThreshold
       // attributes used on EVERY open path are dead: the once-per-path
       // rule bars them as candidates for every open rule and therefore
       // for every future route. Drop them from the routed base's cache
@@ -1198,39 +1218,9 @@ object C45 {
       val base =
         if (!useJoin) {
           val ridCol = flatRidColumn(open, names)
-          val flat = data.withColumn("__rid", ridCol)
+          data.withColumn("__rid", ridCol)
             .filter(col("__rid") >= 0)
             .withColumn("__cls", col(clsCol).cast("string"))
-          if (fractional) flat.withColumn("__w", lit(W1)) else flat
-        } else if (fractional) {
-          import spark.implicits._
-          val routeDf = pendingRoutesX.toDF(
-            "__prid", "__kind", "__aid", "__boundary", "__side", "__catval",
-            "__crid", "__frac")
-          val routeAids = pendingRoutesX.map(_.aid).toSet
-          val routeNum = numAttrs.filter(a => routeAids(schema.attrIndex(a.name)))
-          val routeCat = catAttrs.filter(a => routeAids(schema.attrIndex(a.name)))
-          // fan every parent row out to its children (broadcast hash
-          // join on prid, one row per edge) and weight each branch via
-          // the shared routeXWeight expression: full weight where the
-          // value selects this child, frac-scaled weight on EVERY
-          // child where the value is null, nothing otherwise.
-          val routed = prevBase
-            .join(broadcast(routeDf), prevBase("__rid") === routeDf("__prid"))
-            .withColumn("__wN", routeXWeight(routeNum, routeCat, schema))
-            .filter(col("__wN").isNotNull && col("__wN") > 0)
-            .drop("__rid", "__w", "__prid", "__kind", "__aid", "__boundary",
-              "__side", "__catval", "__frac")
-            .withColumnRenamed("__crid", "__rid")
-            .withColumnRenamed("__wN", "__w")
-            .drop(names.filter(n => deadAids(schema.attrIndex(n))): _*)
-          if (sys.props.get("graft.fit.capturePlans").contains("1"))
-            capturedRoutePlans.synchronized {
-              capturedRoutePlans += s"routes=${pendingRoutesX.size}\n" +
-                routed.queryExecution.executedPlan.toString
-            }
-          if (level < params.maxDepth) persistUncompressed(routed)
-          else routed
         } else {
           import spark.implicits._
           val routeDf = pendingRoutes.toDF(
@@ -1322,12 +1312,12 @@ object C45 {
         Seq(lit(-1), col("__cls")) ++ attrPairs(liveCatAttrs, "string") ++
           liveNumAttrs.flatMap(a => Seq(lit(schema.attrIndex(a.name)),
             numValCol(a).cast("string")))
-      // cell counts are plain row counts, or exact micro-weight sums in
-      // fractional mode — either way an order-independent integer agg
+      // cell counts are plain row counts — an order-independent
+      // integer agg
       val tLevel0 = System.nanoTime()
       val cells: Array[(Int, Int, String, String, Long)] = {
         val b0 = base.select(col("__rid"), col("__cls").as("cls"),
-          (if (fractional) col("__w") else lit(1L)).as("__w"),
+          lit(1L).as("__w"),
           explode(map(allPairs: _*)).as(Seq("aid", "val")))
         b0.filter(col("val").isNotNull)
           .groupBy("__rid", "aid", "val", "cls")
@@ -1337,20 +1327,20 @@ object C45 {
             r.getLong(4)))
       }
 
-      val st = levelStats(cells, schema, classLabels, fractional, unit, params)
+      val st = levelStats(cells, schema, classLabels, fractional = false,
+        unit, params)
       if (profile) {
         val t = (System.nanoTime() - tLevel0) / 1e9
         println(f"[fit] level=$level rules=${open.size} cells=${cells.length} stats=$t%.2fs")
       }
       val d = decideLevel(open, level, st, schema, params, classLabels,
-        fractional, unit, globalMajority)
+        fractional = false, unit, globalMajority)
       d.closedAdd.foreach { case (r, m, dd) =>
         closed :+= r; closedMass :+= m; closedDist :+= dd }
       d.importanceAdd.foreach { case (a, v) => attrImportance(a) += v }
       globalMajority = d.globalMajority
       open = d.nextOpen
       pendingRoutes = d.routes
-      pendingRoutesX = d.routesX
       // the next level (if join-routed) chains off THIS level's base;
       // the previous persisted base is now safe to free — this level's
       // stat jobs have already materialized on top of it
@@ -1452,7 +1442,9 @@ object C45 {
   private[fit] def fitFolds(stamped: DataFrame, foldCol: String, k: Int,
       schema: C45Schema, params: C45Params,
       approxDistinct: Option[Map[(Int, String), Long]] = None,
-      fractional: Boolean = false): Seq[C45Model] = {
+      fractional: Boolean = false,
+      importanceOut: Array[scala.collection.mutable.Map[Int, Double]] = null)
+      : Seq[C45Model] = {
     val names = schema.attrNames
     val clsCol = schema.classCol
     val catAttrs = schema.categoricalAttrs
@@ -1748,6 +1740,8 @@ object C45 {
           classLabelsByFit(f), fractional, unit, s.globalMajority)
         d.closedAdd.foreach { case (r, m, dd) =>
           s.closed :+= r; s.closedMass :+= m; s.closedDist :+= dd }
+        if (importanceOut != null)
+          d.importanceAdd.foreach { case (a, v) => importanceOut(f)(a) += v }
         s.globalMajority = d.globalMajority
         s.open = d.nextOpen
         s.routesX = d.routesX

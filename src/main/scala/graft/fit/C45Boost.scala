@@ -43,6 +43,16 @@ case class C45Boost(trees: Vector[C45Model], alphaMicros: Vector[Long],
   def labels: Seq[String] =
     trees.flatMap(_.schema.classLabels).distinct.sorted
 
+  /** The ONE weight vector every serving path votes with: α-micros,
+    * except the degenerate Σα = 0 ensemble (every kept round floored
+    * its α to 0) falls back to unit weights — so the hard vote and
+    * [[transformProba]]'s probability shares can never contradict each
+    * other in the same output row (r20 ADVICE: the fallback previously
+    * applied to the shares only, leaving the hard vote an all-zero tie
+    * to the smallest label). Non-degenerate ensembles are untouched. */
+  private lazy val serveWeights: Vector[Long] =
+    if (alphaMicros.sum > 0) alphaMicros else alphaMicros.map(_ => 1L)
+
   /** The α-weighted vote over the member prediction columns `preds`
     * (restricted to the first `upTo` rounds — the staged-diagnostic
     * hook), ties to the lexicographically smallest label. */
@@ -51,7 +61,7 @@ case class C45Boost(trees: Vector[C45Model], alphaMicros: Vector[Long],
     if (ls.size == 1) return lit(ls.head)
     greatest(ls.zipWithIndex.map { case (l, i) =>
       val mass = (0 until upTo).map(t =>
-        when(col(preds(t)) === lit(l), lit(alphaMicros(t)))
+        when(col(preds(t)) === lit(l), lit(serveWeights(t)))
           .otherwise(lit(0L))).reduce(_ + _)
       struct(mass.as("m"), lit(ls.size - i).as("r"), lit(l).as("l"))
     }: _*).getField("l")
@@ -89,8 +99,7 @@ case class C45Boost(trees: Vector[C45Model], alphaMicros: Vector[Long],
     val scored = trees.indices.foldLeft(df)((d, t) =>
       trees(t).transform(d, preds(t)))
     val ls = labels
-    val weights =
-      if (alphaMicros.sum > 0) alphaMicros else alphaMicros.map(_ => 1L)
+    val weights = serveWeights
     val sumA = weights.sum
     val withVote = scored.withColumn(outputCol, voteColumn(preds, trees.size))
     val out = ls.foldLeft(withVote) { (d, l) =>

@@ -255,8 +255,8 @@ object C45Forest {
     * as [[graft.functions.Hashing.hash60]] with the tree id riding in
     * the salt — and the same exact SQL mirror ([[bootstrapUSql]]). */
   def bootstrapU(key: Column, tree: Column, seed: Int): Column =
-    conv(substring(md5(concat(lit(s"$seed|"), tree.cast("string"),
-      lit("|"), key)), 1, 15), 16, 10).cast("long")
+    graft.functions.HexSlice60.slice(
+      md5(concat(lit(s"$seed|"), tree.cast("string"), lit("|"), key)), 1)
 
   /** The Poisson(1) bootstrap multiplicity for (seed, tree, key). */
   def bootstrapWeight(key: Column, tree: Column, seed: Int): Column = {

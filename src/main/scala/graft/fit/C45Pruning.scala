@@ -102,7 +102,7 @@ object C45Pruning {
     * `otherIdx` are the original leaf indices under the node's OTHER
     * children (the rows raising must re-route), `targetIdx` the
     * original leaves under `branch` (where they land). */
-  private case class RaiseCand(id: Int, prefix: Vector[(Int, graft.model.Split)],
+  private[fit] case class RaiseCand(id: Int, prefix: Vector[(Int, graft.model.Split)],
                                depth: Int, branch: (Int, graft.model.Split),
                                otherIdx: Vector[Int], targetIdx: Vector[Int])
 
@@ -124,18 +124,27 @@ object C45Pruning {
     * values (ONE extra Spark job for ALL candidates: the node's
     * non-largest-branch rows × the raised subtree's leaf predicates,
     * aggregated to per-(candidate, target-leaf, class) counts — still
-    * O(model) rows to the driver), raised leaves are re-labeled from
-    * their merged distributions, and the decision compares leaf /
-    * raised / kept errors under the same Wilson bound with C4.5's
-    * preference order (leaf ≤ raise ≤ keep on ties). Exactness rule:
+    * O(model) rows to the driver; which child is "largest" comes from
+    * the counts job, so the two jobs are inherently ordered — scoring
+    * every branch in one fused job was measured SLOWER, see
+    * OPTIMIZATION_r21.md, and [[pruneTrainingRaising]] is the one-job
+    * path when the counts are already recorded). Raised leaves are
+    * re-labeled from their merged distributions, and the decision
+    * compares leaf / raised / kept errors under the same Wilson bound
+    * with C4.5's preference order (leaf ≤ raise ≤ keep on ties).
+    * Exactness rule:
     * a node considers raising only if no raise already fired INSIDE
     * its largest child (replacements below are fine — their counts
     * merge by prefix; a nested raise would invalidate the precomputed
     * original-geometry routing), so every accepted raise is scored on
-    * exact re-routed counts, never an estimate. Rows the raised
-    * subtree cannot route (null or unseen split values) are scored as
-    * one implicit majority leaf under the same bound and fall to the
-    * model majority at serving, like any unrouted row.
+    * exact re-routed counts. One corner IS an approximation (r20
+    * ADVICE): rows the raised subtree cannot route (null or unseen
+    * split values) are scored as one implicit leaf labeled by their
+    * OWN majority, while at serving such rows fall to the model
+    * majority (or into a covering collapsed prefix leaf) — an accepted
+    * raise's scored error can diverge from true serving error on
+    * exactly that unroutable slice; everywhere else the counts are
+    * exact.
     *
     * When `df` IS the training data and the model came straight from
     * the fit, prefer [[pruneTraining]] for replacement-only pruning —
@@ -156,12 +165,51 @@ object C45Pruning {
     val raise =
       if (!raising || model.leaves.size > routeThreshold) None
       else {
-        val cands = raiseCandidates(model.leaves, counts)
+        val cands = selectLargest(raiseCandidatesAll(model.leaves), counts)
         if (cands.isEmpty) None
         else Some((cands.map(c => c.prefix -> c).toMap,
-          raiseScan(model, df, cands)))
+          raiseScan(model, df, cands, unit = 1.0)))
       }
     pruneFromCounts(model, counts, z, unit = 1.0, raise)
+  }
+
+  /** Raising-enabled pruning of a model against its OWN training data
+    * in ONE Spark job instead of [[prune]]'s two. The base (leaf,
+    * class) counts — which also pick each node's largest child — come
+    * from the exact per-leaf distributions the fit recorded as leaves
+    * closed (`C45Model.leafDist`, long micros; the same source
+    * [[pruneTraining]] uses, pinned ≡ scan counts on a null-free
+    * corpus by PruningSpec), so the counts scan is free and only the
+    * raise re-route job touches the corpus. Raise counts collect in
+    * row units and convert to exact micros (×10⁶, exact long
+    * arithmetic), so every Wilson-bound double below is bit-identical
+    * to `prune(model, df, raising = true)`: n = Σmicros/1e6 recovers
+    * the integer row count exactly (both factors and the true quotient
+    * are representable). `df` must be the frame the model was fitted
+    * on; wide models (past `routeThreshold`) fall back to
+    * replacement-only [[pruneTraining]], mirroring [[prune]]'s raising
+    * gate. */
+  def pruneTrainingRaising(model: C45Model, df: DataFrame,
+                           z: Double = DefaultZ,
+                           routeThreshold: Int = 64): C45Model = {
+    if (model.leaves.isEmpty) return model
+    require(!model.overlapping,
+      "pruning is subtree replacement over a tree-form leaf partition; " +
+        "generalized (C45RuleSimplify) rule sets overlap and cannot be " +
+        "subtree-pruned — simplify already minimizes each rule")
+    require(model.leafDist.size == model.leaves.size,
+      "pruneTrainingRaising needs per-leaf class distributions: fit/prune/" +
+        "C45Model.load produce them (loadRules text-only loads do not)")
+    if (model.leaves.size > routeThreshold) return pruneTraining(model, z)
+    val counts = model.leafDist.zipWithIndex
+      .collect { case (d, i) if d.nonEmpty => i -> d }.toMap
+    val raise = {
+      val cands = selectLargest(raiseCandidatesAll(model.leaves), counts)
+      if (cands.isEmpty) None
+      else Some((cands.map(c => c.prefix -> c).toMap,
+        raiseScan(model, df, cands, unit = 1e6)))
+    }
+    pruneFromCounts(model, counts, z, unit = 1e6, raise)
   }
 
   /** Prune `model` against its own TRAINING distribution without
@@ -194,34 +242,47 @@ object C45Pruning {
     pruneFromCounts(model, counts, z, unit = 1e6, raise = None)
   }
 
-  /** Enumerate the raise candidates: every internal node of the leaf
-    * trie with ≥ 2 children, paired with its largest child by scanned
-    * mass (ties → smallest branch-condition string, the walk's own
-    * child order). Pure driver-side recursion over the leaf set. */
-  private def raiseCandidates(leaves: Vector[Rule],
-                              counts: Map[Int, Map[String, Long]])
+  /** Enumerate every STRUCTURAL raise candidate: each internal node of
+    * the leaf trie with ≥ 2 children × each of its child branches. The
+    * data decides which branch is largest only AFTER the scan, so
+    * enumerating all branches up front is what lets the re-route job
+    * fuse with the base-count job ([[fusedScan]]). Pure driver-side
+    * recursion over the leaf set, O(edges) candidates. */
+  private[fit] def raiseCandidatesAll(leaves: Vector[Rule])
       : Vector[RaiseCand] = {
     val out = Vector.newBuilder[RaiseCand]
     var nextId = 0
-    def mass(g: Vector[(Rule, Int)]): Long =
-      g.map { case (_, i) => counts.getOrElse(i, Map.empty).values.sum }.sum
     def walk(group: Vector[(Rule, Int)], depth: Int,
              prefix: Vector[(Int, graft.model.Split)]): Unit = {
       if (group.length == 1 && group.head._1.depth == depth) return
       val children = group.groupBy(_._1.conditions(depth)).toSeq
         .sortBy(_._1.toString)
       if (children.size >= 2) {
-        val (branch, under) = children
-          .minBy { case (c, g) => (-mass(g), c.toString) }
-        out += RaiseCand(nextId, prefix, depth, branch,
-          group.collect { case (r, i) if r.conditions(depth) != branch => i },
-          under.map(_._2).toVector)
-        nextId += 1
+        children.foreach { case (branch, under) =>
+          out += RaiseCand(nextId, prefix, depth, branch,
+            group.collect { case (r, i) if r.conditions(depth) != branch => i },
+            under.map(_._2).toVector)
+          nextId += 1
+        }
       }
       children.foreach { case (c, g) => walk(g, depth + 1, prefix :+ c) }
     }
     walk(leaves.zipWithIndex, 0, Vector.empty)
     out.result()
+  }
+
+  /** The branch C4.5 raises at each node: largest scanned mass, ties →
+    * smallest branch-condition string — the identical selection the
+    * former two-job path made from its separate counts pass (mass of a
+    * branch = Σ of its leaves' scanned class counts). */
+  private[fit] def selectLargest(cands: Vector[RaiseCand],
+                                 counts: Map[Int, Map[String, Long]])
+      : Vector[RaiseCand] = {
+    def mass(idx: Vector[Int]): Long =
+      idx.map(i => counts.getOrElse(i, Map.empty).values.sum).sum
+    cands.groupBy(_.prefix).valuesIterator
+      .map(_.minBy(c => (-mass(c.targetIdx), c.branch.toString)))
+      .toVector
   }
 
   /** ONE job scoring every raise candidate: each row that routed to a
@@ -232,11 +293,14 @@ object C45Pruning {
     * target original leaf, class) counts. Rows no below-conjunction
     * accepts (null / unseen split values) count under target -1. The
     * per-row work is |candidates| flat codegen'd CASE WHEN columns +
-    * one posexplode; output is O(candidates × leaves × classes). */
+    * one posexplode; output is O(candidates × leaves × classes).
+    * Counts return in the caller's `unit` (×unit, exact long
+    * arithmetic) so they merge with the caller's base counts. */
   private def raiseScan(model: C45Model, df: DataFrame,
-                        cands: Vector[RaiseCand]): RaiseCounts = {
+                        cands: Vector[RaiseCand], unit: Double): RaiseCounts = {
     val names = model.schema.attrNames
     val leaves = model.leaves
+    val toUnit = math.round(unit)
     val candCols: Seq[org.apache.spark.sql.Column] = cands.map { c =>
       val inOther = col("__rid").isin(c.otherIdx: _*)
       val routed = c.targetIdx.foldLeft(lit(-1)) { (acc, j) =>
@@ -248,18 +312,25 @@ object C45Pruning {
       }
       when(inOther, routed).otherwise(lit(null))
     }
-    df.withColumn("__rid", C45.flatRidColumn(leaves, names))
-      .filter(col("__rid") >= 0 && col(model.schema.classCol).isNotNull)
-      .select(col(model.schema.classCol).cast("string").as("cls"),
-        posexplode(array(candCols: _*)).as(Seq("__cand", "__tgt")))
-      .filter(col("__tgt").isNotNull)
-      .groupBy("__cand", "__tgt", "cls")
-      .agg(count(lit(1)).as("n"))
-      .collect()
-      .groupBy(_.getInt(0))
-      .map { case (cand, rows) =>
-        cand -> rows.groupBy(_.getInt(1)).map { case (tgt, rs) =>
-          tgt -> rs.map(r => r.getString(2) -> r.getLong(3)).toMap
+    val sc = df.sparkSession.sparkContext
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(
+      s"graft.prune raise scan (${cands.size} candidates)")
+    val rows =
+      try {
+        df.withColumn("__rid", C45.flatRidColumn(leaves, names))
+          .filter(col("__rid") >= 0 && col(model.schema.classCol).isNotNull)
+          .select(col(model.schema.classCol).cast("string").as("cls"),
+            posexplode(array(candCols: _*)).as(Seq("__cand", "__tgt")))
+          .filter(col("__tgt").isNotNull)
+          .groupBy("__cand", "__tgt", "cls")
+          .agg(count(lit(1)).as("n"))
+          .collect()
+      } finally sc.setJobDescription(prevDesc)
+    rows.groupBy(r => cands(r.getInt(0)).id)
+      .map { case (cid, rs) =>
+        cid -> rs.groupBy(_.getInt(1)).map { case (tgt, g) =>
+          tgt -> g.map(r => r.getString(2) -> r.getLong(3) * toUnit).toMap
         }
       }
   }
@@ -276,6 +347,10 @@ object C45Pruning {
     val names = model.schema.attrNames
     val leaves = model.leaves
     val clsCol = col(model.schema.classCol).cast("string").as("cls")
+    val sc = df.sparkSession.sparkContext
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription("graft.prune scan counts")
+    try {
     val routed: Option[Map[Int, Map[String, Long]]] =
       if (leaves.size <= routeThreshold) None
       else model.routedNid(df).map { case (cur, nid) =>
@@ -306,6 +381,7 @@ object C45Pruning {
           k -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
         }
     }
+    } finally sc.setJobDescription(prevDesc)
   }
 
   /** The driver-side bottom-up pass, shared by both counts sources.

@@ -440,8 +440,10 @@ object Dedup {
     val digest = md5(concat(lit("0|"), col("s")))
     exploded
       .withColumn("d", digest)
-      .withColumn("h0", conv(substring(col("d"), 1, 15), 16, 10).cast("long") % MinHashMod)
-      .withColumn("h1", conv(substring(col("d"), 16, 15), 16, 10).cast("long") % MinHashMod)
+      .withColumn("h0",
+        graft.functions.HexSlice60.slice(col("d"), 1) % MinHashMod)
+      .withColumn("h1",
+        graft.functions.HexSlice60.slice(col("d"), 16) % MinHashMod)
       .drop("d")
       .groupBy("id")
       .agg(min(col("h0")).as("m0"),

@@ -419,10 +419,21 @@ object Similarity {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     nCentroids: Int, nIter: Int = 5,
                     simThreshold: Double = 0.3,
-                    scope: CacheScope = CacheScope.unmanaged()): DataFrame = {
+                    scope: CacheScope = CacheScope.unmanaged()): DataFrame =
+    semanticDedupWith(df, idCol, vecCol,
+      kmeansCentroids(df, idCol, vecCol, nCentroids, nIter),
+      simThreshold, scope)
+
+  /** [[semanticDedup]] over an already-TRAINED centroid table — the
+    * stored-model serve path (the [[ivfTopKWith]] discipline): at
+    * corpus scale the quantizer is trained once and every batch loads
+    * it; identical output to the training entry point by construction
+    * (that one delegates here). */
+  def semanticDedupWith(df: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame, simThreshold: Double = 0.3,
+                        scope: CacheScope = CacheScope.unmanaged()): DataFrame = {
     require(simThreshold <= 1.0,
       "simThreshold > 1 keeps everything; the duplicate prefilter assumes <= 1")
-    val centroids = kmeansCentroids(df, idCol, vecCol, nCentroids, nIter)
     val assigned = scope.persist(
       assignBuckets(df, idCol, vecCol, centroids))
     // duplicate-mass guard (the banded-join discipline, simHashPairs'

@@ -272,13 +272,22 @@ object C45Queries {
 
   // ---- O3: deterministic per-group top-1 (argmax) ----
   def qArgmax(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("l_returnflag")
-      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    // per-group argmax as ONE partially-aggregated min(struct(...)):
+    // the lexicographic struct order (-price, orderkey, linenumber)
+    // encodes exactly the former window's (price DESC, orderkey,
+    // linenumber) total order, so the selected row — and every output
+    // byte — is identical, but the map side reduces each partition to
+    // ≤ |groups| rows and the shuffle carries 3 structs instead of
+    // sorting the whole corpus inside 3 window partitions (the
+    // single-task-per-group sort is the actual 100 TB hazard here).
+    // Negating the decimal is exact; the original price rides along.
     li(s, dir)
-      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-        col("l_extendedprice"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+      .groupBy("l_returnflag")
+      .agg(min(struct((-col("l_extendedprice")).as("np"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))).as("m"))
+      .select(col("l_returnflag"), col("m.l_orderkey"),
+        col("m.l_linenumber"), col("m.l_extendedprice"))
       .orderBy("l_returnflag")
   }
   val qArgmaxSql: String =
@@ -600,17 +609,34 @@ object C45Queries {
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---- O4: the full iterative fit ----
-  def qFitTree(s: SparkSession, dir: String): DataFrame = {
-    val schema = C45Schema(
-      Seq(AttrMeta("l_returnflag", isNumeric = false),
-        AttrMeta("l_linenumber", isNumeric = false),
-        AttrMeta("l_quantity", isNumeric = true),
-        AttrMeta("l_discount", isNumeric = true),
-        AttrMeta("l_tax", isNumeric = true)),
-      "l_linestatus", ClassLabels)
-    val df = li(s, dir).withColumn("l_linenumber", col("l_linenumber").cast("string"))
-    C45.fit(df, schema, C45Params(maxDepth = 3)).toDF(s).orderBy("rule")
-  }
+  /** The natural-label training schema shared by q_fit_tree,
+    * q_predict_proba and q_model_roundtrip (and re-stated by the
+    * ensemble fixtures below). */
+  private def linestatusSchema: C45Schema = C45Schema(
+    Seq(AttrMeta("l_returnflag", isNumeric = false),
+      AttrMeta("l_linenumber", isNumeric = false),
+      AttrMeta("l_quantity", isNumeric = true),
+      AttrMeta("l_discount", isNumeric = true),
+      AttrMeta("l_tax", isNumeric = true)),
+    "l_linestatus", ClassLabels)
+
+  private def linestatusDf(s: SparkSession, dir: String): DataFrame =
+    li(s, dir).withColumn("l_linenumber", col("l_linenumber").cast("string"))
+
+  /** ONE deterministic maxDepth-3 fit per dir feeds q_fit_tree,
+    * q_predict_proba AND q_model_roundtrip — all three previously
+    * re-ran the byte-identical fit (same frame, same schema, same
+    * params). Memoized exactly as the ensemble fixtures are (see
+    * [[memoizedFit]]): each query alone still rebuilds the model from
+    * the raw parquet, the memo only elides refitting a pure
+    * deterministic value inside one JVM battery. */
+  private def linestatusFit(s: SparkSession, dir: String): graft.fit.C45Model =
+    memoizedFit(s"c45fit|$dir") {
+      C45.fit(linestatusDf(s, dir), linestatusSchema, C45Params(maxDepth = 3))
+    }
+
+  def qFitTree(s: SparkSession, dir: String): DataFrame =
+    linestatusFit(s, dir).toDF(s).orderBy("rule")
 
   /** Oracle for the iterative fit. No SQL can re-derive a level-wise
     * C4.5 fit, so the oracle is the committed golden rule set for the
@@ -655,17 +681,8 @@ object C45Queries {
     * q_model_roundtrip onto q_predict_proba's tier files), so the
     * fit + aggregation live here exactly once. */
   private def probaFixture(s: SparkSession, dir: String)
-      : (graft.fit.C45Model, DataFrame) = {
-    val schema = C45Schema(
-      Seq(AttrMeta("l_returnflag", isNumeric = false),
-        AttrMeta("l_linenumber", isNumeric = false),
-        AttrMeta("l_quantity", isNumeric = true),
-        AttrMeta("l_discount", isNumeric = true),
-        AttrMeta("l_tax", isNumeric = true)),
-      "l_linestatus", ClassLabels)
-    val df = li(s, dir).withColumn("l_linenumber", col("l_linenumber").cast("string"))
-    (C45.fit(df, schema, C45Params(maxDepth = 3)), df)
-  }
+      : (graft.fit.C45Model, DataFrame) =
+    (linestatusFit(s, dir), linestatusDf(s, dir))
 
   private def probaSummary(model: graft.fit.C45Model, df: DataFrame): DataFrame =
     model.transformProba(df, "prediction", "p_")
@@ -887,9 +904,12 @@ object C45Queries {
     try {
       val model = C45.fit(df, schema, C45Params(maxDepth = 5))
       // raising needs the data (it re-routes the non-largest branches'
-      // rows by their attribute values): one routing job + one
-      // all-candidates re-route job over the narrow cache
-      graft.fit.C45Pruning.prune(model, df, raising = true)
+      // rows by their attribute values) — but the base counts do NOT:
+      // the fit just recorded every leaf's exact training distribution,
+      // so pruneTrainingRaising runs ONE corpus job (the re-route) where
+      // prune(raising = true) would scan-count first — identical result
+      // on this null-free fixture (PruningSpec pins the equality)
+      graft.fit.C45Pruning.pruneTrainingRaising(model, df)
         .toDF(s).orderBy("rule")
     } finally df.unpersist()
   }
@@ -942,36 +962,49 @@ object C45Queries {
   //      the opposite-label region and the pessimistic rate jumps).
   //      Simplified rules overlap — the canonical C4.5rules outcome —
   //      ordered best-rate-first; the golden pins the exact set. ----
-  /** The shared rule-generalization fixture: the planted-XOR-plus-noise
-    * 3-attribute fit at depth 4, simplified. Returns the simplified
-    * model plus the (persisted) training frame — callers unpersist. */
-  private def simplifiedFixture(s: SparkSession, dir: String)
-      : (graft.fit.C45Model, DataFrame) = {
-    val schema = C45Schema(
-      Seq(AttrMeta("l_returnflag", isNumeric = false),
-        AttrMeta("l_quantity", isNumeric = true),
-        AttrMeta("l_discount", isNumeric = true)),
-      "cls", Seq("N", "P"))
+  /** The planted-XOR-plus-noise 3-attribute training schema shared by
+    * q_feature_importance, q_rule_simplify and q_simplify_proba. */
+  private def xorSchema: C45Schema = C45Schema(
+    Seq(AttrMeta("l_returnflag", isNumeric = false),
+      AttrMeta("l_quantity", isNumeric = true),
+      AttrMeta("l_discount", isNumeric = true)),
+    "cls", Seq("N", "P"))
+
+  /** The XOR battery's training frame: XOR(base) label with ~10%
+    * deterministic hash noise, projected to the 3 fit attributes +
+    * label (narrow — the cache this feeds, and every serving scan,
+    * carries nothing table-wide). */
+  private def xorDf(s: SparkSession, dir: String): DataFrame = {
     val noisy = graft.functions.Hashing.hash60(
       concat_ws("|", col("l_orderkey"), col("l_linenumber"))) % 10 === 0
     val base = (col("l_returnflag") === "A") === (col("l_quantity") <= lit(25.0))
-    // narrow cache, same rationale as qFitPruned: stamp cls, then keep
-    // only the 3 fit attributes + label in the persisted projection
-    val df = li(s, dir).withColumn("cls",
+    li(s, dir).withColumn("cls",
       when(base =!= noisy, lit("P")).otherwise(lit("N")))
-      .select((schema.attrNames :+ "cls").map(col): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model = C45.fit(df, schema, C45Params(maxDepth = 4))
-    // the greedy rounds' conditional aggs all re-scan df; simplify()
-    // finishes eagerly (incl. its first-match distribution job), so
-    // the returned model no longer needs the cache
-    (graft.fit.C45RuleSimplify.simplify(model, df), df)
+      .select((xorSchema.attrNames :+ "cls").map(col): _*)
   }
 
-  def qRuleSimplify(s: SparkSession, dir: String): DataFrame = {
-    val (simplified, df) = simplifiedFixture(s, dir)
-    try simplified.toDF(s).orderBy("rule") finally df.unpersist()
-  }
+  /** The shared XOR depth-4 battery: ONE fitWithImportance + ONE
+    * C4.5rules simplify per dir feed q_feature_importance (the fit's
+    * own driver-side importance pass), q_rule_simplify and
+    * q_simplify_proba — all three previously re-ran the byte-identical
+    * depth-4 fit. Memoized exactly as the ensemble fixtures are (see
+    * [[memoizedFit]]). The training projection is persisted only while
+    * the fit + simplify's greedy conditional aggs re-scan it; the
+    * returned models are plain case classes. */
+  private def xorFixture(s: SparkSession, dir: String)
+      : (graft.fit.C45Model, Map[Int, Double], graft.fit.C45Model) =
+    memoizedFit(s"xor|$dir") {
+      val df = xorDf(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val (model, imp) =
+          C45.fitWithImportance(df, xorSchema, C45Params(maxDepth = 4))
+        (model, imp, graft.fit.C45RuleSimplify.simplify(model, df))
+      } finally df.unpersist()
+    }
+
+  def qRuleSimplify(s: SparkSession, dir: String): DataFrame =
+    xorFixture(s, dir)._3.toDF(s).orderBy("rule")
   val qRuleSimplifySql: String = goldenValuesSql("golden/rule_simplify_sf001_rules.txt")
 
   // ---- rule generalization + proba serving: the simplified model's
@@ -983,18 +1016,14 @@ object C45Queries {
   //      as q_predict_proba; oracle = VALUES pin of the committed
   //      golden, sweep.py golden-compares the higher tiers (sf1 counts
   //      are 10× sf0.1's; the micros are replication-invariant). ----
-  def qSimplifyProba(s: SparkSession, dir: String): DataFrame = {
-    val (simplified, df) = simplifiedFixture(s, dir)
-    try {
-      simplified.transformProba(df, "prediction", "p_")
-        .select(col("prediction"), col("p_N").as("p_n"), col("p_P").as("p_p"))
-        .groupBy("prediction", "p_n", "p_p")
-        .agg(count(lit(1)).as("n"))
-        .orderBy("prediction", "p_n", "p_p")
-      // the returned plan re-reads only the parquet scan after the
-      // fixture cache releases — the model's literals are driver-side
-    } finally df.unpersist()
-  }
+  def qSimplifyProba(s: SparkSession, dir: String): DataFrame =
+    // serving re-reads the narrow parquet projection (one scan); the
+    // model's literals are driver-side
+    xorFixture(s, dir)._3.transformProba(xorDf(s, dir), "prediction", "p_")
+      .select(col("prediction"), col("p_N").as("p_n"), col("p_P").as("p_p"))
+      .groupBy("prediction", "p_n", "p_p")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prediction", "p_n", "p_p")
   val qSimplifyProbaSql: String =
     goldenProbaSql("golden/simplify_proba_sf001.txt", "p_n", "p_p")
 
@@ -1066,19 +1095,11 @@ object C45Queries {
   //      gets only the crumbs of spurious deep splits. ----
   def qFeatureImportance(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val schema = C45Schema(
-      Seq(AttrMeta("l_returnflag", isNumeric = false),
-        AttrMeta("l_quantity", isNumeric = true),
-        AttrMeta("l_discount", isNumeric = true)),
-      "cls", Seq("N", "P"))
-    val noisy = graft.functions.Hashing.hash60(
-      concat_ws("|", col("l_orderkey"), col("l_linenumber"))) % 10 === 0
-    val base = (col("l_returnflag") === "A") === (col("l_quantity") <= lit(25.0))
-    val df = li(s, dir).withColumn("cls",
-      when(base =!= noisy, lit("P")).otherwise(lit("N")))
-    val (_, imp) = C45.fitWithImportance(df, schema, C45Params(maxDepth = 4))
-    schema.attrNames.map(n => (n,
-      math.floor(imp.getOrElse(schema.attrIndex(n), 0.0) * 1e6 + 0.5).toLong))
+    // the shared XOR battery fit (identical schema, label and params):
+    // importance falls out of its driver-side decision pass
+    val (_, imp, _) = xorFixture(s, dir)
+    xorSchema.attrNames.map(n => (n,
+      math.floor(imp.getOrElse(xorSchema.attrIndex(n), 0.0) * 1e6 + 0.5).toLong))
       .toDF("attr", "importance_micros").orderBy("attr")
   }
   val qFeatureImportanceSql: String =

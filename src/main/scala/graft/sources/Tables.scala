@@ -15,9 +15,25 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Parquet SCHEMA memo, keyed by file path: every `load` without an
+    * explicit schema pays a footer-inference pass (a one-task Spark
+    * job + driver planning) before the real scan — pure fixed overhead
+    * repeated by all ~200 bench queries × reps over the same static
+    * files. The memo caches METADATA only (a StructType, bytes-stable
+    * for static testdata), never rows: each query still computes its
+    * result from the parquet scan. All sessions in this repo read
+    * under the same parquet confs (nanosAsLong), so one schema per
+    * path is well-defined. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
   /** Load one testdata table: `dir/name.parquet`. */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaMemo.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** Session timezones under which a TIMESTAMP_NTZ→TIMESTAMP cast is the
     * identity on the underlying micros (what the epoch helpers rely on). */

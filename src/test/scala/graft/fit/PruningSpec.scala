@@ -265,6 +265,86 @@ class PruningSpec extends AnyFunSuite {
       s"informative root must survive raising: ${pruned.leaves.map(_.encode)}")
   }
 
+  test("raising selects the LARGEST branch by mass, not the first in " +
+    "sort order (fused all-branch enumeration + driver-side pick)") {
+    val s = spark
+    import s.implicits._
+    val schema = C45Schema(Seq(
+      AttrMeta("c", isNumeric = false), AttrMeta("x", isNumeric = true)),
+      "cls", Seq("A", "B"))
+    // same raise-beats-replace geometry as above, but the subtree-
+    // bearing branch is c=v (lexicographically SECOND): selection must
+    // follow mass, so v's x-subtree is what gets raised
+    val leaves = Vector(
+      Rule(Vector(0 -> CatEq("v"), 1 -> NumLE(5.0)), Some("A")),
+      Rule(Vector(0 -> CatEq("v"), 1 -> NumGT(5.0)), Some("B")),
+      Rule(Vector(0 -> CatEq("u")), Some("A")))
+    val model = C45Model(schema, leaves, "A")
+    val rows =
+      (1 to 40).map(_ => ("v", 3.0, "A")) ++ (1 to 40).map(_ => ("v", 8.0, "B")) ++
+        (1 to 10).map(_ => ("u", 3.0, "A")) ++ (1 to 10).map(_ => ("u", 8.0, "B"))
+    val raised = C45Pruning.prune(model, rows.toDF("c", "x", "cls"),
+      raising = true)
+    assert(raised.leaves.map(_.encode).toSet == Set("1,<=5.0:A", "1,>5.0:B"),
+      s"the heavy v-subtree must be the one raised: " +
+        s"${raised.leaves.map(_.encode)}")
+  }
+
+  test("pruneTrainingRaising ≡ prune(raising = true) on the training " +
+    "frame, in ONE corpus job (the raise scan; no counts scan runs)") {
+    val s = spark
+    import s.implicits._
+    val schema = C45Schema(Seq(
+      AttrMeta("c", isNumeric = false), AttrMeta("x", isNumeric = true)),
+      "cls", Seq("A", "B"))
+    val leaves = Vector(
+      Rule(Vector(0 -> CatEq("u"), 1 -> NumLE(5.0)), Some("A")),
+      Rule(Vector(0 -> CatEq("u"), 1 -> NumGT(5.0)), Some("B")),
+      Rule(Vector(0 -> CatEq("v")), Some("A")))
+    val rows =
+      (1 to 40).map(_ => ("u", 3.0, "A")) ++ (1 to 40).map(_ => ("u", 8.0, "B")) ++
+        (1 to 10).map(_ => ("v", 3.0, "A")) ++ (1 to 10).map(_ => ("v", 8.0, "B"))
+    val df = rows.toDF("c", "x", "cls")
+    // the model as a FIT would have recorded it: exact per-leaf
+    // training distributions in micros
+    val dists = Vector(
+      Map("A" -> 40000000L), Map("B" -> 40000000L),
+      Map("A" -> 10000000L, "B" -> 10000000L))
+    val model = C45Model(schema, leaves, "A",
+      dists.map(_.values.sum), dists)
+    val viaScan = C45Pruning.prune(model, df, raising = true)
+    // job descriptions stamp the two scan kinds; inside a job group,
+    // the training path must show ONLY the raise scan (the general
+    // path additionally runs "graft.prune scan counts")
+    val groupId = s"prune-training-raise-${System.nanoTime()}"
+    val descs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (e.properties != null &&
+            groupId == e.properties.getProperty("spark.jobGroup.id")) {
+          val d = e.properties.getProperty("spark.job.description", "")
+          if (d.startsWith("graft.prune")) descs.add(d)
+        }
+    }
+    spark.sparkContext.addSparkListener(l)
+    spark.sparkContext.setJobGroup(groupId, "one-job raising prune under test")
+    val viaDist =
+      try C45Pruning.pruneTrainingRaising(model, df)
+      finally {
+        spark.sparkContext.clearJobGroup()
+        spark.sparkContext.removeSparkListener(l)
+      }
+    assert(viaDist.leaves.map(_.encode) == viaScan.leaves.map(_.encode))
+    assert(viaDist.leafDist == viaScan.leafDist)
+    assert(viaDist.majority == viaScan.majority)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (descs.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(descs.size == 1 &&
+      descs.iterator().next().startsWith("graft.prune raise scan"),
+      s"training raising must run exactly the raise scan, saw $descs")
+  }
+
   test("pruned golden: sf0.01 committed rule set reproduces") {
     val got = graft.queries.C45Queries.qFitPruned(spark, "/root/testdata/sf0.01")
       .collect().map(_.getString(0)).toVector

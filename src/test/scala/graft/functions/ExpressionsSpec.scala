@@ -129,6 +129,37 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r == "é")
   }
 
+  test("HexSlice60 ≡ conv(substring(h, start, 15), 16, 10) on md5 hex, " +
+    "both slices, null-safe") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val df = ((1 to 200).map(i => s"val|$i") :+ null).toDF("v")
+      .withColumn("d", md5(col("v")))
+    val got = df.select(
+      graft.functions.HexSlice60.slice(col("d"), 1).as("a"),
+      graft.functions.HexSlice60.slice(col("d"), 16).as("b"),
+      conv(substring(col("d"), 1, 15), 16, 10).cast("long").as("ca"),
+      conv(substring(col("d"), 16, 15), 16, 10).cast("long").as("cb"))
+      .collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(2))
+      if (!r.isNullAt(0)) {
+        assert(r.getLong(0) == r.getLong(2), "first slice diverged from conv")
+        assert(r.getLong(1) == r.getLong(3), "second slice diverged from conv")
+      }
+    }
+    // loud contract failures instead of silent garbage
+    intercept[Exception] {
+      Seq("abc").toDF("h").select(
+        graft.functions.HexSlice60.slice(col("h"), 1)).collect()
+    }
+    intercept[Exception] {
+      Seq("zzzzzzzzzzzzzzzz").toDF("h").select(
+        graft.functions.HexSlice60.slice(col("h"), 1)).collect()
+    }
+  }
+
   test("expressions survive both codegen and interpreted paths") {
     val s = spark
     import s.implicits._
