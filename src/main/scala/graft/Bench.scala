@@ -55,9 +55,20 @@ object Bench {
     // "regressions" on byte-identical code (q_pagerank 4.9s->13.4s) from
     // exactly this cache churn. The clear is OUTSIDE the timed window:
     // we measure the query, not the teardown.
+    // Memos.resetAll() before every timed query: JVM result memos
+    // (fit models, trained centroids, mined pair tables) are cleared
+    // so each timed rep computes the query's DECLARED work from the
+    // parquet inputs — without the reset, the untimed warmup pass (or
+    // an earlier query in the same pass) populates the memo and the
+    // timed rep measures a HashMap lookup instead of the fit it
+    // claims (r21 verdict item 2). The reset sits OUTSIDE the timed
+    // window, like clearCache: we measure the query, not the
+    // teardown. Metadata-only memos (parquet schemas) are exempt by
+    // not being registered.
     val samples = (1 to reps).flatMap { _ =>
       names.map { name =>
         val fn = SparkEntry.queries(name)
+        Memos.resetAll()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9

@@ -1054,7 +1054,13 @@ object C45 {
       inputCacheBacked(df)
     val data = {
       val proj = df.select((names :+ clsCol).map(col): _*)
-      if (prePersisted) proj else proj.persist(StorageLevel.MEMORY_AND_DISK)
+      // widen a narrow-source projection to the session parallelism
+      // before caching: the level loop re-scans this cache once per
+      // level, and a 1-3-partition cache (one small parquet file)
+      // would run every histogram on 1-3 cores (Widen scaladoc)
+      if (prePersisted) proj
+      else graft.operators.Widen.toParallelism(proj)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     }
     try {
 

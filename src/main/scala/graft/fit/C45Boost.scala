@@ -425,8 +425,9 @@ object C45Boost {
     val trees = Vector.newBuilder[C45Model]
     val alphas = Vector.newBuilder[Long]
     val errors = Vector.newBuilder[Long]
-    var cur = proj0.withColumn("__cls", col(clsCol).cast("string"))
-      .withColumn("__w", lit(W1))
+    var cur = graft.operators.Widen.toParallelism(
+        proj0.withColumn("__cls", col(clsCol).cast("string"))
+          .withColumn("__w", lit(W1)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       var round = 0

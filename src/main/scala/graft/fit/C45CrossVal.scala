@@ -45,10 +45,10 @@ object C45CrossVal {
     // ONE materialization serves all k fits and all k eval passes: the
     // fused fit's per-level histogram and the fallback's per-fit
     // filters both read through this cache
-    val stamped = df
+    val stamped = graft.operators.Widen.toParallelism(df
       .withColumn("__fold", fold) // stamp BEFORE projecting the key away
       .select(("__fold" +: names :+ clsCol)
-        .map(org.apache.spark.sql.functions.col): _*)
+        .map(org.apache.spark.sql.functions.col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // phase wall-clock diagnostics: -Dgraft.fit.profile=1 (or env
     // GRAFT_FIT_PROFILE=1 through a forked runner), same switch as fit

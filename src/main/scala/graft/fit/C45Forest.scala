@@ -353,7 +353,8 @@ object C45Forest {
       (0 until T).map(t =>
         bootstrapWeight(key, lit(t), params.seed).as(wCols(t))): _*)
     val data = if (prePersisted) proj
-      else proj.persist(StorageLevel.MEMORY_AND_DISK)
+      else graft.operators.Widen.toParallelism(proj)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     try {
 
     // up-front probes in ONE agg job, mirroring C45.fit: non-null

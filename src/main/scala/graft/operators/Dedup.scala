@@ -764,14 +764,36 @@ object Dedup {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("cluster_id"))
-      val next = viaNeighbor.union(labels)
+      val mined = viaNeighbor.union(labels)
         .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      // pointer-jump (path doubling): additionally follow each label's
+      // OWN label — a node whose cluster_id is k also learns k's
+      // current cluster_id. The remaining hop distance to each
+      // component's minimum roughly HALVES per round on top of the
+      // one-hop neighbor step, so rounds drop from O(diameter) to
+      // O(log diameter) — the standard CC acceleration
+      // (large-star/small-star family). Pure schedule change of the
+      // same monotone fixpoint: labels only ever decrease and only to
+      // ids reachable in the similarity graph, so the converged table
+      // is the IDENTICAL exact min-label component labeling. Every
+      // cluster_id is some node's id (init: own id; propagated:
+      // another node's), so the left join misses only defensively.
+      val parent = mined.select(col("id").as("__pid"),
+        col("cluster_id").as("__pcid"))
+      val next = mined.join(parent, mined("cluster_id") === parent("__pid"),
+          "left")
+        .select(mined("id").as("id"),
+          least(mined("cluster_id"),
+            coalesce(col("__pcid"), mined("cluster_id"))).as("cluster_id"))
         .localCheckpoint()
       val nextSum = checksum(next)
       // next is eagerly checkpointed (its lineage no longer references
-      // labels), so the superseded round's blocks can be released NOW —
-      // otherwise every round of every invocation pins a dead label
-      // table until driver GC, steady memory pressure on a shared JVM
+      // labels or mined), so the superseded tables' blocks can be
+      // released NOW — otherwise every round of every invocation pins
+      // dead label tables until driver GC, steady memory pressure on a
+      // shared JVM
+      org.apache.spark.sql.graft.CheckpointBridge.freeLocalCheckpoint(mined)
       org.apache.spark.sql.graft.CheckpointBridge.freeLocalCheckpoint(labels)
       labels = next
       converged = nextSum == prevSum

@@ -164,7 +164,8 @@ object Similarity {
                       nCentroids: Int, nIter: Int = 5): DataFrame = {
     require(nCentroids >= 1, "nCentroids must be positive")
     val spark = df.sparkSession
-    val u = df.select(col(idCol).as("id"), unitVector(col(vecCol)).as("u"))
+    val u = Widen.toParallelism(
+        df.select(col(idCol).as("id"), unitVector(col(vecCol)).as("u")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     var centroids: Array[Array[Double]] = u
@@ -790,7 +791,7 @@ object Similarity {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
     val subDim = dim / nSub
-    val sub = subVectors(df, idCol, vecCol, nSub, subDim)
+    val sub = Widen.toParallelism(subVectors(df, idCol, vecCol, nSub, subDim))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     import spark.implicits._

@@ -897,9 +897,10 @@ object C45Queries {
     // full row first, then the other 7 lineitem columns leave the plan
     // — the cache this builds (and every fit/prune scan through it) is
     // attrs+cls wide, not table-wide
-    val df = li(s, dir).withColumn("cls",
-      when(base =!= noisy, lit("P")).otherwise(lit("N")))
-      .select((schema.attrNames :+ "cls").map(col): _*)
+    val df = graft.operators.Widen.toParallelism(
+        li(s, dir).withColumn("cls",
+          when(base =!= noisy, lit("P")).otherwise(lit("N")))
+          .select((schema.attrNames :+ "cls").map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val model = C45.fit(df, schema, C45Params(maxDepth = 5))
@@ -994,7 +995,7 @@ object C45Queries {
   private def xorFixture(s: SparkSession, dir: String)
       : (graft.fit.C45Model, Map[Int, Double], graft.fit.C45Model) =
     memoizedFit(s"xor|$dir") {
-      val df = xorDf(s, dir)
+      val df = graft.operators.Widen.toParallelism(xorDf(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val (model, imp) =
@@ -1248,6 +1249,7 @@ object C45Queries {
           e: java.util.Map.Entry[String, AnyRef]): Boolean =
         size() > FitMemoMax
     }
+  graft.Memos.register(() => fitMemo.synchronized(fitMemo.clear()))
   private def memoizedFit[T <: AnyRef](key: String)(build: => T): T = {
     // build OUTSIDE the lock (it runs Spark jobs); a racing duplicate
     // fit is harmless — the model is deterministic by construction

@@ -549,6 +549,7 @@ object ExtQueries {
           e: java.util.Map.Entry[String, Array[(Long, Long, Double)]]): Boolean =
         size() > LshMemoMaxDirs
     }
+  graft.Memos.register(() => lshPairsMemo.synchronized(lshPairsMemo.clear()))
   private def lshDupPairs(s: SparkSession, dir: String): DataFrame = {
     // mine OUTSIDE the lock (it runs Spark jobs); a racing duplicate
     // mine is harmless — the content is deterministic by construction
@@ -1352,6 +1353,7 @@ object ExtQueries {
     * stored-model table the `*With` serve paths exist for. */
   private val ivfCentroidMemo = new java.util.concurrent.ConcurrentHashMap[
     String, Array[(Long, Seq[Double])]]()
+  graft.Memos.register(() => ivfCentroidMemo.clear())
   private def ivfCentroids(s: SparkSession, dir: String): DataFrame = {
     val rows = ivfCentroidMemo.computeIfAbsent(dir, _ =>
       Similarity.kmeansCentroids(emb(s, dir), "vec_id", "embedding",
@@ -1362,6 +1364,7 @@ object ExtQueries {
   }
   private val pqCodebookMemo = new java.util.concurrent.ConcurrentHashMap[
     String, Array[(Int, Int, Seq[Double])]]()
+  graft.Memos.register(() => pqCodebookMemo.clear())
   private def pqCodebooks(s: SparkSession, dir: String): DataFrame = {
     val rows = pqCodebookMemo.computeIfAbsent(dir, _ =>
       Similarity.pqCodebooks(emb(s, dir), "vec_id", "embedding",
@@ -1807,6 +1810,7 @@ object ExtQueries {
     * collect + re-literal bit-exactly, so every output is unchanged. */
   private val kmCentroidMemo = new java.util.concurrent.ConcurrentHashMap[
     String, Array[(Long, Seq[Double])]]()
+  graft.Memos.register(() => kmCentroidMemo.clear())
   private def kmCentroids(s: SparkSession, dir: String): DataFrame = {
     val rows = kmCentroidMemo.computeIfAbsent(dir, _ =>
       Similarity.kmeansCentroids(emb(s, dir), "vec_id", "embedding",

@@ -33,6 +33,20 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       s"CC left ${after - before} persistent RDDs behind (want <= 1: the result)")
   }
 
+  test("pointer-jumping converges a diameter-80 path inside maxIter") {
+    val s = spark
+    import s.implicits._
+    // an 81-node path needs 80 one-hop rounds — beyond maxIter = 50 —
+    // so this passes only because each round ALSO pointer-jumps
+    // (follow the label's own label), which makes rounds O(log
+    // diameter). Exactness is unchanged: same min-label fixpoint.
+    val pairs = (200L until 280L).map(i => (i, i + 1)).toDF("i", "j")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(200L))
+    assert(got.keySet == (200L to 280L).toSet)
+  }
+
   test("long path converges to the true minimum (diameter > 1 iteration)") {
     val s = spark
     import s.implicits._
