@@ -429,18 +429,28 @@ object C45Boost {
         proj0.withColumn("__cls", col(clsCol).cast("string"))
           .withColumn("__w", lit(W1)))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // phase wall-clock diagnostics: GRAFT_FIT_PROFILE=1, same switch
+    // as C45.fit / fitFolds / crossValidate
+    val profile = sys.props.get("graft.fit.profile").contains("1") ||
+      sys.env.get("GRAFT_FIT_PROFILE").contains("1")
+    def tick[T](what: String)(body: => T): T = {
+      val t0 = System.nanoTime(); val r = body
+      if (profile)
+        println(f"[boost] $what: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
     try {
       var round = 0
       var stop = false
       while (round < params.rounds && !stop) {
-        val model = fitWeighted(cur)
+        val model = tick(s"round $round fit")(fitWeighted(cur))
         // score + error mass + total mass + max weight in ONE agg job
         val scored = model.transform(cur, "__pred")
         val wrong = col("__pred") =!= col("__cls")
-        val r = scored.agg(
+        val r = tick(s"round $round eval")(scored.agg(
           sum(when(wrong, col("__w")).otherwise(lit(0L))).as("e"),
           sum(col("__w")).as("w"),
-          max(col("__w")).as("mx")).head()
+          max(col("__w")).as("mx")).head())
         val e = r.getLong(0); val w = r.getLong(1); val mx = r.getLong(2)
         if (e == 0L) {
           // perfect weak learner: keep with the exact-micros stand-in
@@ -474,7 +484,8 @@ object C45Boost {
             .withColumn("__w", expr(s"__wn div $W1"))
             .drop("__pred", "__wn")
             .persist(StorageLevel.MEMORY_AND_DISK)
-          next.count() // materialize before freeing the parent
+          tick(s"round $round reweight")(
+            next.count()) // materialize before freeing the parent
           cur.unpersist()
           cur = next
         }

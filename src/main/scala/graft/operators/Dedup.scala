@@ -739,7 +739,27 @@ object Dedup {
     val nParts = math.max(2, math.min(
       pairs.sparkSession.sparkContext.defaultParallelism,
       (nEdges / 100000L).toInt + 1))
-    val edges = undirected
+    // the loop's shuffle width follows the MEASURED edge count, not
+    // the session default — GraphRank.hits' discipline: an iterative
+    // fixpoint over a tiny label table at corpus-tuned width pays
+    // rounds × the full per-partition fixed cost for nothing. Small
+    // graphs run in a conf-isolated session CLONE at the loop width
+    // (shared context and cache — the persisted edge table stays
+    // warm); big graphs stay in the caller's session untouched. The
+    // final label table re-roots back to the caller's session.
+    val sess = pairs.sparkSession
+    val sessSp = math.max(1L,
+      scala.util.Try(sess.conf.get("spark.sql.shuffle.partitions").toLong)
+        .getOrElse(200L)) // defensive: non-numeric conf ("auto") → wide
+    val bridge = org.apache.spark.sql.graft.SessionBridge
+    val small = nParts < sessSp &&
+      !sys.env.get("GRAFT_CC_LOOPWIDTH").contains("0")
+    val loopSess =
+      if (small) bridge.cloneWithConf(sess,
+        "spark.sql.shuffle.partitions" -> nParts.toString)
+      else sess
+    val und = if (small) bridge.reRoot(undirected, loopSess) else undirected
+    val edges = und
       .repartition(nParts, col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -760,6 +780,15 @@ object Dedup {
     var prevSum = checksum(labels)
     var iter = 0
     var converged = false
+    // pointer-jumping engages only past this many plain one-hop
+    // rounds: near-dup cluster graphs have tiny diameters and usually
+    // converge before it, so the common case never pays the jump's
+    // extra join/checkpoint — while a pathological long-path component
+    // still converges in O(log diameter) extra rounds instead of
+    // exceeding maxIter (measured: jump-every-round cost more than it
+    // saved on the bench graphs; diameter ≤ 3 is the norm there)
+    val JumpAfter =
+      sys.env.get("GRAFT_CC_JUMP_AFTER").map(_.toInt).getOrElse(3)
     while (!converged && iter < maxIter) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -771,39 +800,45 @@ object Dedup {
       // OWN label — a node whose cluster_id is k also learns k's
       // current cluster_id. The remaining hop distance to each
       // component's minimum roughly HALVES per round on top of the
-      // one-hop neighbor step, so rounds drop from O(diameter) to
-      // O(log diameter) — the standard CC acceleration
+      // one-hop neighbor step — the standard CC acceleration
       // (large-star/small-star family). Pure schedule change of the
       // same monotone fixpoint: labels only ever decrease and only to
       // ids reachable in the similarity graph, so the converged table
       // is the IDENTICAL exact min-label component labeling. Every
       // cluster_id is some node's id (init: own id; propagated:
       // another node's), so the left join misses only defensively.
-      val parent = mined.select(col("id").as("__pid"),
-        col("cluster_id").as("__pcid"))
-      val next = mined.join(parent, mined("cluster_id") === parent("__pid"),
-          "left")
-        .select(mined("id").as("id"),
-          least(mined("cluster_id"),
-            coalesce(col("__pcid"), mined("cluster_id"))).as("cluster_id"))
-        .localCheckpoint()
+      val next =
+        if (iter < JumpAfter) mined
+        else {
+          val parent = mined.select(col("id").as("__pid"),
+            col("cluster_id").as("__pcid"))
+          val jumped = mined
+            .join(parent, mined("cluster_id") === parent("__pid"), "left")
+            .select(mined("id").as("id"),
+              least(mined("cluster_id"),
+                coalesce(col("__pcid"), mined("cluster_id")))
+                .as("cluster_id"))
+            .localCheckpoint()
+          org.apache.spark.sql.graft.CheckpointBridge.freeLocalCheckpoint(mined)
+          jumped
+        }
       val nextSum = checksum(next)
       // next is eagerly checkpointed (its lineage no longer references
-      // labels or mined), so the superseded tables' blocks can be
-      // released NOW — otherwise every round of every invocation pins
-      // dead label tables until driver GC, steady memory pressure on a
-      // shared JVM
-      org.apache.spark.sql.graft.CheckpointBridge.freeLocalCheckpoint(mined)
+      // labels), so the superseded round's blocks can be released NOW —
+      // otherwise every round of every invocation pins a dead label
+      // table until driver GC, steady memory pressure on a shared JVM
       org.apache.spark.sql.graft.CheckpointBridge.freeLocalCheckpoint(labels)
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
       iter += 1
     }
+    if (sys.env.contains("GRAFT_CC_PROFILE"))
+      println(s"[cc] converged=$converged rounds=$iter edges=$nEdges")
     // the RETURNED label table stays checkpointed (callers read it);
     // its blocks are one bounded table, reclaimed when the caller
     // drops the Dataset and the driver GCs the RDD
-    labels
+    if (small) bridge.reRoot(labels, sess) else labels
     } finally edges.unpersist()
     // the whole loop is eager, so failures must not leak cached tables
     // (unpersist on an already-released table is a harmless no-op)

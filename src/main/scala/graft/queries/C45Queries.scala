@@ -1454,7 +1454,12 @@ object C45Queries {
   //      above (bootstrap draws are tier-specific). ----
   def qForestPredictMissing(s: SparkSession, dir: String): DataFrame = {
     val (f, df) = forestMissingFixture(s, dir)
-    f.transformFractional(df, "prediction")
+    // the fractional vote is T wide per-leaf branch-share expressions
+    // per row — heavy map work that a 1-3-partition parquet scan would
+    // run on 1-3 cores; one narrow round-robin exchange first lets the
+    // whole session serve it (no-op at corpus scale — Widen scaladoc)
+    f.transformFractional(graft.operators.Widen.toParallelism(df),
+        "prediction")
       .groupBy("prediction").agg(count(lit(1L)).as("n"))
       .orderBy("prediction")
   }
@@ -1488,8 +1493,10 @@ object C45Queries {
   //      the confusion aggregation end to end. ----
   def qForestOob(s: SparkSession, dir: String): DataFrame = {
     val f = forestFit(s, dir)
-    val df = li(s, dir)
-      .withColumn("l_linenumber", col("l_linenumber").cast("string"))
+    // heavy map pass (T transforms + T md5 OOB masks + gated vote per
+    // row) over a 1-3-partition scan — widen first (Widen scaladoc)
+    val df = graft.operators.Widen.toParallelism(li(s, dir)
+      .withColumn("l_linenumber", col("l_linenumber").cast("string")))
     f.oobEval(df, forestKey, "l_linestatus")
       .orderBy("actual", "oob_prediction")
   }

@@ -41,9 +41,27 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("all queries run at sf0.001 and return rows") {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, "/root/testdata/sf0.001").count()
-      assert(n > 0, s"$name returned no rows")
-    }
+    // a small thread pool overlaps independent queries' jobs (Spark's
+    // FIFO scheduler back-fills executors from the next query while
+    // one query waits on its tail — guide §2.6); every query is
+    // independent and partitioning-independent, and streaming sink
+    // names are atomic-counter-unique, so concurrency cannot change
+    // any result. 3 threads ≈ cuts this smoke pass from ~5 min to ~2
+    // on local[4] — the single largest line item in the suite's wall
+    // (the driver's test leg has a hard budget; r21's timed out).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+        scala.concurrent.Future {
+          val n = fn(spark, "/root/testdata/sf0.001").count()
+          assert(n > 0, s"$name returned no rows")
+        }
+      }
+      import scala.concurrent.duration._
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures), 20.minutes)
+    } finally pool.shutdown()
   }
 }
