@@ -301,17 +301,40 @@ object C45Pruning {
     val names = model.schema.attrNames
     val leaves = model.leaves
     val toUnit = math.round(unit)
-    val candCols: Seq[org.apache.spark.sql.Column] = cands.map { c =>
-      val inOther = col("__rid").isin(c.otherIdx: _*)
-      val routed = c.targetIdx.foldLeft(lit(-1)) { (acc, j) =>
+    // the per-candidate re-route through the raised subtree's
+    // BELOW-conditions (the original leaf conjunctions minus the
+    // branch edge — still a disjoint tree partition of the node's
+    // region); -1 = no below-conjunction accepts (null/unseen values)
+    def routedFor(c: RaiseCand): org.apache.spark.sql.Column =
+      c.targetIdx.foldLeft(lit(-1)) { (acc, j) =>
         val below = leaves(j).conditions.drop(c.depth + 1)
         if (below.isEmpty) lit(j) // raised subtree is a single leaf
         else when(below.map { case (aid, sp) =>
           sp.toPredicate(col(names(aid)))
         }.reduce(_ && _), lit(j)).otherwise(acc)
       }
-      when(inOther, routed).otherwise(lit(null))
-    }
+    // candidates keyed by the leaves whose rows they re-route: a row
+    // evaluates ONLY its own leaf's affecting candidates (at most one
+    // per ancestor node, ≤ depth of them) instead of |cands| guarded
+    // columns — the per-row cost drops from O(cands × subtree) to
+    // O(depth × subtree) and the explode emits ≤ depth entries per
+    // row instead of |cands| mostly-null slots. Same (cand, target,
+    // class) count set bit-for-bit: a candidate used to contribute
+    // exactly when __rid ∈ otherIdx, which is exactly the arms the
+    // row's rid now carries.
+    val armsByRid: Seq[(Int, org.apache.spark.sql.Column)] =
+      leaves.indices.flatMap { i =>
+        val cis = cands.indices.filter(ci => cands(ci).otherIdx.contains(i))
+        if (cis.isEmpty) None
+        else Some(i -> array(cis.map(ci =>
+          struct(lit(ci).as("__cand"),
+            routedFor(cands(ci)).as("__tgt"))): _*))
+      }
+    if (armsByRid.isEmpty) return Map.empty
+    val armCol = armsByRid.tail.foldLeft(
+      when(col("__rid") === armsByRid.head._1, armsByRid.head._2)) {
+      case (acc, (rid, a)) => acc.when(col("__rid") === rid, a)
+    } // rids no candidate touches fall to null → explode emits nothing
     val sc = df.sparkSession.sparkContext
     val prevDesc = sc.getLocalProperty("spark.job.description")
     sc.setJobDescription(
@@ -321,8 +344,9 @@ object C45Pruning {
         df.withColumn("__rid", C45.flatRidColumn(leaves, names))
           .filter(col("__rid") >= 0 && col(model.schema.classCol).isNotNull)
           .select(col(model.schema.classCol).cast("string").as("cls"),
-            posexplode(array(candCols: _*)).as(Seq("__cand", "__tgt")))
-          .filter(col("__tgt").isNotNull)
+            explode(armCol).as("__ct"))
+          .select(col("__ct.__cand").as("__cand"),
+            col("__ct.__tgt").as("__tgt"), col("cls"))
           .groupBy("__cand", "__tgt", "cls")
           .agg(count(lit(1)).as("n"))
           .collect()

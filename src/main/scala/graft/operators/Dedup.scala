@@ -283,10 +283,14 @@ object Dedup {
     * Jaccard denominator, so it is off by default and mirrored in the
     * oracle where used.
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+  def ngramJaccardPairs(df0: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         maxShingleDf: Long = 0L,
                         scope: CacheScope = CacheScope.unmanaged()): DataFrame = {
+    // the shingle explode + tokenization below is the pipeline's heavy
+    // map phase and runs BEFORE any shuffle — a one-file doc scan
+    // would do all of it on 1-3 cores (Widen scaladoc; no-op at scale)
+    val df = Widen.toParallelism(df0)
     val ex0 = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
     val dfreq = ex0.groupBy("s").agg(count(lit(1)).as("df"))
     val capped = if (maxShingleDf > 0) dfreq.filter(col("df") <= maxShingleDf) else dfreq
@@ -471,11 +475,14 @@ object Dedup {
     * expand back to id pairs afterwards (output-bound) and every pair
     * is still individually verified by exact Jaccard, so the result
     * is exactly the naive banded join's. */
-  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+  def minHashLshPairs(df0: DataFrame, idCol: String, textCol: String,
                       k: Int, rowsPerBand: Int, threshold: Double,
                       n: Int = 1, maxShingleDf: Long = 0L,
                       scope: CacheScope = CacheScope.unmanaged()): DataFrame = {
     require(k % rowsPerBand == 0, "k must be a multiple of rowsPerBand")
+    // heavy pre-shuffle map phase (shingle explode + k md5 draws per
+    // shingle) — widen a narrow one-file scan first (Widen scaladoc)
+    val df = Widen.toParallelism(df0)
     val ex0 = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
     val ex =
       if (maxShingleDf <= 0) ex0
@@ -930,8 +937,11 @@ object Dedup {
     val mask = (1L << bandBits) - 1
     // signatures feed the distinct-banding, both expansion joins and
     // the intra-signature pairing; persist once (lifetime: caller's
-    // scope), sized one row per document
-    val sigs = scope.persist(simHash(df, idCol, textCol, bits))
+    // scope), sized one row per document. The signature computation's
+    // per-token hashing is the heavy pre-shuffle map phase — widen a
+    // narrow one-file scan first (Widen scaladoc)
+    val sigs = scope.persist(simHash(Widen.toParallelism(df), idCol,
+      textCol, bits))
     val distinctSigs = sigs.select(col("simhash")).distinct()
     // feeds both sides of the candidate self-join; distinct-signature-
     // sized, so the persist is tiny

@@ -410,7 +410,10 @@ object TextAnalysis {
     require(nMerges >= 1, "nMerges must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    val words0 = docs
+    // tokenize+explode is the corpus-sized pre-shuffle map phase —
+    // widen a narrow one-file scan first (Widen scaladoc; no-op at
+    // corpus scale)
+    val words0 = graft.operators.Widen.toParallelism(docs)
       .select(explode(tokens(lower(col(textCol)))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -505,7 +508,9 @@ object TextAnalysis {
     // split(trim(''), "\\s+") yields [""] — size 1 — so empty /
     // whitespace-only docs must short-circuit to 0, or they'd each
     // claim one phantom token against packing budgets.
-    docs.select(col(idCol).as("id"),
+    // The chained-replace tokenization is heavy per-row map work over
+    // a possibly 1-partition scan — widen first (Widen scaladoc).
+    graft.operators.Widen.toParallelism(docs).select(col(idCol).as("id"),
       when(length(trim(applied)) === 0, lit(0L))
         .otherwise(size(split(trim(applied), "\\s+")).cast("long"))
         .as("n_tokens"),

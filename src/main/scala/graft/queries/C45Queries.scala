@@ -992,17 +992,31 @@ object C45Queries {
     * [[memoizedFit]]). The training projection is persisted only while
     * the fit + simplify's greedy conditional aggs re-scan it; the
     * returned models are plain case classes. */
-  private def xorFixture(s: SparkSession, dir: String)
-      : (graft.fit.C45Model, Map[Int, Double], graft.fit.C45Model) =
+  /** The fit half of the battery: q_feature_importance consumes ONLY
+    * this (the importance falls out of the fit's own decision pass),
+    * so it must not pay for the C4.5rules simplify the other two
+    * queries declare — the two halves memoize separately and the
+    * simplify half builds on the fit half. */
+  private def xorFit(s: SparkSession, dir: String)
+      : (graft.fit.C45Model, Map[Int, Double]) =
     memoizedFit(s"xor|$dir") {
       val df = graft.operators.Widen.toParallelism(xorDf(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val (model, imp) =
-          C45.fitWithImportance(df, xorSchema, C45Params(maxDepth = 4))
-        (model, imp, graft.fit.C45RuleSimplify.simplify(model, df))
-      } finally df.unpersist()
+      try C45.fitWithImportance(df, xorSchema, C45Params(maxDepth = 4))
+      finally df.unpersist()
     }
+
+  private def xorFixture(s: SparkSession, dir: String)
+      : (graft.fit.C45Model, Map[Int, Double], graft.fit.C45Model) = {
+    val (model, imp) = xorFit(s, dir)
+    val simplified = memoizedFit(s"xorsimp|$dir") {
+      val df = graft.operators.Widen.toParallelism(xorDf(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try graft.fit.C45RuleSimplify.simplify(model, df)
+      finally df.unpersist()
+    }
+    (model, imp, simplified)
+  }
 
   def qRuleSimplify(s: SparkSession, dir: String): DataFrame =
     xorFixture(s, dir)._3.toDF(s).orderBy("rule")
@@ -1097,8 +1111,10 @@ object C45Queries {
   def qFeatureImportance(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // the shared XOR battery fit (identical schema, label and params):
-    // importance falls out of its driver-side decision pass
-    val (_, imp, _) = xorFixture(s, dir)
+    // importance falls out of its driver-side decision pass — the
+    // C4.5rules simplify half of the battery is NOT this query's work
+    // and is deliberately not computed here
+    val (_, imp) = xorFit(s, dir)
     xorSchema.attrNames.map(n => (n,
       math.floor(imp.getOrElse(xorSchema.attrIndex(n), 0.0) * 1e6 + 0.5).toLong))
       .toDF("attr", "importance_micros").orderBy("attr")

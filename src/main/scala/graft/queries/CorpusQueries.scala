@@ -203,7 +203,11 @@ object CorpusQueries {
     // duplicate and the dup-offset set the excision merges grows ~100×
     // per 10× docs. (doc_id, text) is all the downstream stages need —
     // the cache stays two columns wide.
-    val red = scope.persist(docs(s, dir)
+    // widen the narrow one-file doc scan before the redaction persist:
+    // every downstream stage (window hashing, excision, dedup, quality
+    // tokenization) re-scans this cache with heavy per-row text work,
+    // which a 1-partition cache would run on one core (Widen scaladoc)
+    val red = scope.persist(graft.operators.Widen.toParallelism(docs(s, dir))
       .select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("text")))
     val exc = scope.persist(
       Dedup.exciseDuplicateWindows(red, "doc_id", "text", CurWin, CurStride)
