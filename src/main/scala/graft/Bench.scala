@@ -12,6 +12,15 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // JIT-friendly codegen fallback, same rationale as Verify.scala
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      // The generated-class cache (static conf, default 100 entries) must
+      // hold the suite's working set for the warmup pass to do its job:
+      // the timed reps re-run IDENTICAL deterministic plans, and with the
+      // default cache ~197 queries × dozens of codegen units evict each
+      // other between reps, so every rep re-pays Janino compilation
+      // instead of measuring execution. Parameterized, local default
+      // sized to the suite; harmless (bounded class metadata) elsewhere.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "20000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup pass (untimed): JIT + whole-stage-codegen compilation +

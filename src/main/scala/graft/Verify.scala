@@ -22,6 +22,11 @@ object Verify {
       // fractional-forest serving span (20s -> 4.6s at sf0.1), zero
       // effect on normally-sized spans
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      // generated-class cache sized to the full query suite (static
+      // conf, default 100): the verify pass runs 197 queries, many
+      // sharing fit/serve plans — see Bench.scala's rationale
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "20000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

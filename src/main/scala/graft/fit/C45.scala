@@ -899,6 +899,47 @@ object C45 {
     LevelStats(clsCounts, catStats.result(), catValues.result(), numStats.result())
   }
 
+  /** Derive the FINAL level's per-child class distributions from the
+    * PARENT level's histogram cells and its split routes — so a fit
+    * whose frontier reaches `maxDepth` never runs the last (widest)
+    * histogram job. Exact by construction: a child's rows are exactly
+    * its parent's rows selected by the one new split condition, and
+    * the parent's cells already carry the (rid, splitAttr, value,
+    * class) → Σweight table that condition partitions — numeric
+    * children by `value <= boundary` over the snapped value the
+    * boundary scan itself ranked (raw `v <= b ⟺ snap(v) <= b`, the
+    * binning contract), categorical children by their exact value
+    * slice. Rows with a NULL split value appear in no slice and route
+    * to no child at serve time either — identical exclusion. Only the
+    * weight-rounding FRACTIONAL fan-out is non-derivable (per-row
+    * micro rounding happens at routing); fractional fits keep their
+    * final histogram. GoldenFitSpec/C45ForestSpec/C45BoostSpec pin
+    * bit-identity of the resulting models. */
+  private[fit] def deriveFinalCounts(
+      cells: Array[(Int, Int, String, String, Long)],
+      routes: Seq[Route]): Map[Int, Map[String, Long]] = {
+    val out = Map.newBuilder[Int, Map[String, Long]]
+    routes.foreach { rt =>
+      val slice = cells.filter(c => c._1 == rt.prid && c._2 == rt.aid)
+      if (rt.kind == "num") {
+        val le = scala.collection.mutable.Map.empty[String, Long]
+          .withDefaultValue(0L)
+        val gt = scala.collection.mutable.Map.empty[String, Long]
+          .withDefaultValue(0L)
+        slice.foreach { case (_, _, v, cls, n) =>
+          if (v.toDouble <= rt.boundary) le(cls) += n else gt(cls) += n
+        }
+        if (le.nonEmpty) out += rt.lrid -> le.toMap
+        if (gt.nonEmpty) out += rt.rrid -> gt.toMap
+      } else rt.children.foreach { case (v, crid) =>
+        val m = slice.iterator.filter(_._3 == v).toSeq.groupBy(_._4)
+          .map { case (c, g) => c -> g.map(_._5).sum }
+        if (m.nonEmpty) out += crid -> m
+      }
+    }
+    out.result()
+  }
+
   /** Driver-side per-rule decision (O3/O4): tiny tables only. The
     * same pass records each split as a Route row so the next level
     * can broadcast-join its way to child rids if its frontier is
@@ -1184,6 +1225,11 @@ object C45 {
     // free once the next level has materialized on top of it
     var prevBase: DataFrame = null
     var pendingRoutes: Seq[Route] = Nil
+    // the previous level's collected cells: at level == maxDepth every
+    // open rule closes on its class marginal alone, which these cells
+    // derive exactly (deriveFinalCounts) — the final histogram job is
+    // skipped outright
+    var prevCells: Array[(Int, Int, String, String, Long)] = null
     var prevPersisted: Option[DataFrame] = None
     // every join-routed base ever persisted; unpersist is idempotent,
     // so the finally can sweep the whole list even though each level
@@ -1193,6 +1239,21 @@ object C45 {
     try {
 
     while (open.nonEmpty && level <= params.maxDepth) {
+      if (level == params.maxDepth && level > 0 && prevCells != null) {
+        // final level: every open rule closes on its class marginal,
+        // derived exactly from the parent's cells — no histogram job
+        val st = LevelStats(deriveFinalCounts(prevCells, pendingRoutes),
+          Map.empty, Map.empty, Map.empty)
+        if (profile)
+          println(f"[fit] level=$level rules=${open.size} derived (no job)")
+        val d = decideLevel(open, level, st, schema, params, classLabels,
+          fractional = false, unit, globalMajority)
+        d.closedAdd.foreach { case (r, m, dd) =>
+          closed :+= r; closedMass :+= m; closedDist :+= dd }
+        globalMajority = d.globalMajority
+        open = d.nextOpen
+        level += 1
+      } else {
       // Routing each row to its (disjoint) open rule. Two plans:
       //  - small frontier: one flat CASE WHEN over the full root-to-leaf
       //    conjunctions — no extra shuffle/persist, and the expression
@@ -1347,6 +1408,7 @@ object C45 {
       globalMajority = d.globalMajority
       open = d.nextOpen
       pendingRoutes = d.routes
+      prevCells = cells
       // the next level (if join-routed) chains off THIS level's base;
       // the previous persisted base is now safe to free — this level's
       // stat jobs have already materialized on top of it
@@ -1354,6 +1416,7 @@ object C45 {
       prevPersisted = if (useJoin) Some(base) else None
       prevBase = base
       level += 1
+      }
     }
     // maxDepth exhaustion: close any survivors as majority leaves (#4)
     open.foreach { r =>
@@ -1524,6 +1587,11 @@ object C45 {
       var closedDist: Vector[Map[String, Long]] = Vector.empty
       var globalMajority: Option[String] = None
       var routesX: Seq[RouteX] = Nil
+      // previous level's routes + cells: lets the final level close on
+      // derived class marginals with no histogram job (drop mode only
+      // — see deriveFinalCounts)
+      var routes: Seq[Route] = Nil
+      var cells: Array[(Int, Int, String, String, Long)] = null
     }
     val state = Array.fill(k)(new FState)
     val W1 = 1000000L
@@ -1538,6 +1606,26 @@ object C45 {
     while (state.exists(_.open.nonEmpty) && level <= params.maxDepth) {
       val tLevel0 = System.nanoTime()
       val active = fits.filter(f => state(f).open.nonEmpty)
+      if (!fractional && level == params.maxDepth && level > 0 &&
+          active.forall(f => state(f).cells != null)) {
+        // final level, drop mode: every open rule closes on its class
+        // marginal, derived exactly from the parent's cells — the
+        // widest histogram job of the fused fit is skipped outright
+        active.foreach { f =>
+          val s = state(f)
+          val st = LevelStats(deriveFinalCounts(s.cells, s.routes),
+            Map.empty, Map.empty, Map.empty)
+          val d = decideLevel(s.open, level, st, schema, params,
+            classLabelsByFit(f), fractional, unit, s.globalMajority)
+          d.closedAdd.foreach { case (r, m, dd) =>
+            s.closed :+= r; s.closedMass :+= m; s.closedDist :+= dd }
+          s.globalMajority = d.globalMajority
+          s.open = d.nextOpen
+        }
+        if (profile)
+          println(f"[fitFolds] level=$level fits=${active.size} derived (no job)")
+        level += 1
+      } else {
       val attrMaps: Seq[(Int, Column)] = active.map { f =>
         val deadAids = state(f).open.map(_.usedAttrs).reduce(_ intersect _)
         val liveCat = catAttrs.filterNot(a => deadAids(schema.attrIndex(a.name)))
@@ -1751,8 +1839,11 @@ object C45 {
         s.globalMajority = d.globalMajority
         s.open = d.nextOpen
         s.routesX = d.routesX
+        s.routes = d.routes
+        s.cells = cells
       }
       level += 1
+      }
     }
     } finally routedPersists.foreach(_.unpersist())
     fits.map { f =>

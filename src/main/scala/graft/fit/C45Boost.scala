@@ -315,6 +315,11 @@ object C45Boost {
       var closedDist = Vector.empty[Map[String, Long]]
       var globalMajority: Option[String] = None
       var routesXPrev: Seq[RouteX] = Nil
+      // previous level's routes + cells (drop mode): the final level
+      // closes on derived class marginals with no histogram job
+      // (C45.deriveFinalCounts; weighted sums derive exactly too)
+      var routesPrev: Seq[Route] = Nil
+      var prevCells: Array[(Int, Int, String, String, Long)] = null
       var prevBase: DataFrame = null
       var prevPersisted: Option[DataFrame] = None
       val routedPersists =
@@ -324,6 +329,22 @@ object C45Boost {
       var level = 0
       try {
       while (open.nonEmpty && level <= params.base.maxDepth) {
+        if (!fractional && level == params.base.maxDepth && level > 0 &&
+            prevCells != null) {
+          // final level, drop mode: every open rule closes on its
+          // weighted class marginal, derived exactly from the parent's
+          // cells — one histogram job per round saved
+          val st = C45.LevelStats(
+            C45.deriveFinalCounts(prevCells, routesPrev),
+            Map.empty, Map.empty, Map.empty)
+          val dec = C45.decideLevel(open, level, st, schema, params.base,
+            classLabels, fractional = true, unit = 1e6, globalMajority)
+          dec.closedAdd.foreach { case (r, m, dd) =>
+            closed :+= r; closedMass :+= m; closedDist :+= dd }
+          globalMajority = dec.globalMajority
+          open = dec.nextOpen
+          level += 1
+        } else {
         val deadAids = open.map(_.usedAttrs).reduce(_ intersect _)
         val liveCat = catAttrs.filterNot(a => deadAids(schema.attrIndex(a.name)))
         val liveNum = numAttrs.filterNot(a => deadAids(schema.attrIndex(a.name)))
@@ -410,7 +431,10 @@ object C45Boost {
         globalMajority = dec.globalMajority
         open = dec.nextOpen
         routesXPrev = dec.routesX
+        routesPrev = dec.routes
+        prevCells = cells
         level += 1
+        }
       }
       } finally routedPersists.foreach(_.unpersist())
       open.foreach { r =>
@@ -442,8 +466,14 @@ object C45Boost {
     try {
       var round = 0
       var stop = false
+      // the previous round's cache, freed only after the current
+      // round's first histogram job has materialized `cur` on top of
+      // it (lazy reweight materialization — see below)
+      var pendingFree: Option[DataFrame] = None
       while (round < params.rounds && !stop) {
         val model = tick(s"round $round fit")(fitWeighted(cur))
+        pendingFree.foreach(_.unpersist())
+        pendingFree = None
         // score + error mass + total mass + max weight in ONE agg job
         val scored = model.transform(cur, "__pred")
         val wrong = col("__pred") =!= col("__cls")
@@ -484,13 +514,18 @@ object C45Boost {
             .withColumn("__w", expr(s"__wn div $W1"))
             .drop("__pred", "__wn")
             .persist(StorageLevel.MEMORY_AND_DISK)
-          tick(s"round $round reweight")(
-            next.count()) // materialize before freeing the parent
-          cur.unpersist()
+          // LAZY materialization: the next round's first histogram job
+          // computes `next` straight through the still-cached parent —
+          // the per-round count() job is gone, and the final round's
+          // reweight (whose output no job ever reads) never executes.
+          // The parent cache is freed right after that job (pendingFree).
+          if (profile) println(s"[boost] round $round reweight: deferred")
+          pendingFree = Some(cur)
           cur = next
         }
         round += 1
       }
+      pendingFree.foreach(_.unpersist())
     } finally cur.unpersist()
     val ts = trees.result()
     require(ts.nonEmpty,

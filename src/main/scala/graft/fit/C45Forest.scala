@@ -424,6 +424,11 @@ object C45Forest {
       var closedDist: Vector[Map[String, Long]] = Vector.empty
       var globalMajority: Option[String] = None
       var routesX: Seq[RouteX] = Nil
+      // previous level's routes + cells: the final level closes on
+      // derived class marginals with no histogram job (drop mode —
+      // C45.deriveFinalCounts)
+      var routes: Seq[Route] = Nil
+      var cells: Array[(Int, Int, String, String, Long)] = null
       val imp = scala.collection.mutable.Map.empty[Int, Double]
         .withDefaultValue(0.0)
     }
@@ -440,6 +445,25 @@ object C45Forest {
     var level = 0
     while (state.exists(_.open.nonEmpty) && level <= params.base.maxDepth) {
       val active = (0 until T).filter(t => state(t).open.nonEmpty)
+      if (!fractional && level == params.base.maxDepth && level > 0 &&
+          active.forall(t => state(t).cells != null)) {
+        // final level, drop mode: every open rule of every tree closes
+        // on its class marginal, derived exactly from that tree's
+        // parent cells — the widest fused histogram job is skipped
+        active.foreach { t =>
+          val s = state(t)
+          val st = C45.LevelStats(C45.deriveFinalCounts(s.cells, s.routes),
+            Map.empty, Map.empty, Map.empty)
+          val dec = C45.decideLevel(s.open, level, st, schema, params.base,
+            classLabels, fractional, unit, s.globalMajority)
+          dec.closedAdd.foreach { case (r, m, dd) =>
+            s.closed :+= r; s.closedMass :+= m; s.closedDist :+= dd }
+          dec.importanceAdd.foreach { case (aid, v) => s.imp(aid) += v }
+          s.globalMajority = dec.globalMajority
+          s.open = dec.nextOpen
+        }
+        level += 1
+      } else {
       // per-tree histogram map over its LIVE attrs: the tree's subspace
       // minus the attrs used on every open path (candidates the
       // decision pass would reject anyway), plus the aid=-1 class
@@ -613,8 +637,11 @@ object C45Forest {
         s.globalMajority = dec.globalMajority
         s.open = dec.nextOpen
         s.routesX = dec.routesX
+        s.routes = dec.routes
+        s.cells = cells
       }
       level += 1
+      }
     }
     } finally routedPersists.foreach(_.unpersist())
     (C45Forest((0 until T).map { t =>

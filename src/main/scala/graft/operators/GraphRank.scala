@@ -56,15 +56,37 @@ object GraphRank {
     val n = ns.count()
     require(n > 0, "empty node set")
     val base = (1000L - dampPermille) * U / 1000L / n
-    var pr = ns.select(col("id"), lit(U / n).as("pr")).localCheckpoint()
+    // loop width sized from the MEASURED edge count in a conf-isolated
+    // session clone — [[hits]]' discipline (see its scaladoc): node-
+    // sized iterative state at corpus-tuned width pays iters × the
+    // full per-partition fixed cost for nothing. The count also
+    // materializes the edge cache at the CALLER's width before the
+    // clone exists, so an expensive upstream miner never runs narrow.
+    // Exact integer arithmetic throughout: the labeling is width-
+    // independent and the final plan re-roots back to the caller.
+    val sess = pairs.sparkSession
+    val sessSp = math.max(1L,
+      scala.util.Try(sess.conf.get("spark.sql.shuffle.partitions").toLong)
+        .getOrElse(200L))
+    val loopSp = math.max(1L, math.min(sessSp, edges.count() / 500000L + 1))
+    val bridge = org.apache.spark.sql.graft.SessionBridge
+    val small = loopSp < sessSp
+    val loopSess = if (small) bridge.cloneWithConf(sess,
+      "spark.sql.shuffle.partitions" -> loopSp.toString) else sess
+    def inLoop(df: DataFrame): DataFrame =
+      if (small) bridge.reRoot(df, loopSess) else df
+    val edgesL = inLoop(edges)
+    val degL = inLoop(deg)
+    val nsL = inLoop(ns)
+    var pr = nsL.select(col("id"), lit(U / n).as("pr")).localCheckpoint()
     for (_ <- 1 to iters) {
-      val contribs = edges
-        .join(pr, edges("u") === pr("id")).drop("id")
-        .join(deg, "u")
+      val contribs = edgesL
+        .join(pr, edgesL("u") === pr("id")).drop("id")
+        .join(degL, "u")
         .select(col("v").as("id"),
           expr(s"((pr * $dampPermille) div 1000) div deg").as("c"))
         .groupBy("id").agg(sum(col("c")).as("s"))
-      val next = ns
+      val next = nsL
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + coalesce(col("s"), lit(0L))).as("pr"))
@@ -75,9 +97,10 @@ object GraphRank {
     // the returned table reads the final round's checkpoint; its
     // blocks are one node-sized table, reclaimed when the caller
     // drops the Dataset
-    pr.join(deg, pr("id") === deg("u"), "left")
+    val out = pr.join(degL, pr("id") === degL("u"), "left")
       .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"),
         col("pr").as("pr_picos"))
+    if (small) bridge.reRoot(out, sess) else out
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007) over a
@@ -110,12 +133,29 @@ object GraphRank {
       p2.select(col("i").as("u"), col("j").as("v"))
         .union(p2.select(col("j").as("u"), col("i").as("v"))))
     val ns = scope.persist(nodes.select(col(idCol).as("id")))
-    var lbl = ns.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    // loop width from the measured edge count in a conf-isolated clone
+    // ([[hits]]' discipline); the count materializes the edge cache at
+    // the caller's width first. Votes/argmax are exact integer aggs —
+    // width-independent.
+    val sess = pairs.sparkSession
+    val sessSp = math.max(1L,
+      scala.util.Try(sess.conf.get("spark.sql.shuffle.partitions").toLong)
+        .getOrElse(200L))
+    val loopSp = math.max(1L, math.min(sessSp, edges.count() / 500000L + 1))
+    val bridge = org.apache.spark.sql.graft.SessionBridge
+    val small = loopSp < sessSp
+    val loopSess = if (small) bridge.cloneWithConf(sess,
+      "spark.sql.shuffle.partitions" -> loopSp.toString) else sess
+    def inLoop(df: DataFrame): DataFrame =
+      if (small) bridge.reRoot(df, loopSess) else df
+    val edgesL = inLoop(edges)
+    val nsL = inLoop(ns)
+    var lbl = nsL.select(col("id"), col("id").as("lbl")).localCheckpoint()
     for (_ <- 1 to iters) {
       // per-neighbor label votes → (node, label) counts → argmax by
       // (count desc, label asc) via one partial-aggregating struct max
-      val votes = edges
-        .join(lbl, edges("u") === lbl("id")).drop("id")
+      val votes = edgesL
+        .join(lbl, edgesL("u") === lbl("id")).drop("id")
         .groupBy(col("v").as("id"), col("lbl"))
         .agg(count(lit(1)).as("c"))
         .groupBy("id")
@@ -128,7 +168,8 @@ object GraphRank {
       org.apache.spark.sql.graft.CheckpointBridge.freeLocalCheckpoint(lbl)
       lbl = next
     }
-    lbl.select(col("id"), col("lbl").as("community"))
+    val out = lbl.select(col("id"), col("lbl").as("community"))
+    if (small) bridge.reRoot(out, sess) else out
   }
 
   /** Per-node triangle counts + local clustering coefficient over a
@@ -220,6 +261,20 @@ object GraphRank {
     var edges = und.select(col("i").as("u"), col("j").as("v"))
       .union(und.select(col("j").as("u"), col("i").as("v")))
       .localCheckpoint()
+    // loop width from the measured (checkpointed) edge count in a
+    // conf-isolated clone ([[hits]]' discipline); peel rounds are
+    // degree counts + semi-joins over a shrinking edge table — exact
+    // and width-independent.
+    val sess = pairs.sparkSession
+    val sessSp = math.max(1L,
+      scala.util.Try(sess.conf.get("spark.sql.shuffle.partitions").toLong)
+        .getOrElse(200L))
+    val loopSp = math.max(1L, math.min(sessSp, edges.count() / 500000L + 1))
+    val bridge = org.apache.spark.sql.graft.SessionBridge
+    val small = loopSp < sessSp
+    val loopSess = if (small) bridge.cloneWithConf(sess,
+      "spark.sql.shuffle.partitions" -> loopSp.toString) else sess
+    if (small) edges = bridge.reRoot(edges, loopSess)
     for (_ <- 1 to rounds) {
       val keep = edges.groupBy("u").agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k).select(col("u"))
@@ -231,7 +286,8 @@ object GraphRank {
       org.apache.spark.sql.graft.CheckpointBridge.freeLocalCheckpoint(edges)
       edges = next
     }
-    edges.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    val out = edges.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    if (small) bridge.reRoot(out, sess) else out
   }
 
   /** Multi-source BFS hop distance over a pair table: the minimum
@@ -266,8 +322,23 @@ object GraphRank {
     val edges = scope.persist(
       p2.select(col("i").as("u"), col("j").as("v"))
         .union(p2.select(col("j").as("u"), col("i").as("v"))))
+    // loop width from the measured edge count in a conf-isolated clone
+    // ([[hits]]' discipline); the count materializes the edge cache at
+    // the caller's width first. Frontier expansion is distinct/anti-
+    // join over exact ids — width-independent.
+    val sess = pairs.sparkSession
+    val sessSp = math.max(1L,
+      scala.util.Try(sess.conf.get("spark.sql.shuffle.partitions").toLong)
+        .getOrElse(200L))
+    val loopSp = math.max(1L, math.min(sessSp, edges.count() / 500000L + 1))
+    val bridge = org.apache.spark.sql.graft.SessionBridge
+    val small = loopSp < sessSp
+    val loopSess = if (small) bridge.cloneWithConf(sess,
+      "spark.sql.shuffle.partitions" -> loopSp.toString) else sess
+    val edgesL = if (small) bridge.reRoot(edges, loopSess) else edges
+    val sourcesL = if (small) bridge.reRoot(sources, loopSess) else sources
     val frontiers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var frontier = sources.select(col(idCol).as("id")).distinct()
+    var frontier = sourcesL.select(col(idCol).as("id")).distinct()
       .select(col("id"), lit(0L).as("hops")).localCheckpoint()
     frontiers += frontier
     // the visited set is the LAZY union of the per-round frontier
@@ -280,8 +351,8 @@ object GraphRank {
     var r = 1
     var done = false
     while (r <= maxHops && !done) {
-      val next = edges
-        .join(frontier, edges("u") === frontier("id"))
+      val next = edgesL
+        .join(frontier, edgesL("u") === frontier("id"))
         .select(col("v").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
         .select(col("id"), lit(r.toLong).as("hops"))
@@ -296,7 +367,8 @@ object GraphRank {
       }
       r += 1
     }
-    frontiers.reduce(_.union(_))
+    val out = frontiers.reduce(_.union(_))
+    if (small) bridge.reRoot(out, sess) else out
   }
 
   /** HITS hub/authority scores (Kleinberg, JACM 1999) over a DIRECTED

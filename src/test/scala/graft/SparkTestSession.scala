@@ -14,6 +14,9 @@ object SparkTestSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // JIT-friendly codegen fallback, same rationale as Verify.scala
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      // generated-class cache sized to the suite (default 100 thrashes
+      // across 80+ suites re-running shared fit plans — Bench.scala)
+      .config("spark.sql.codegen.cache.maxEntries", "20000")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
