@@ -1375,8 +1375,14 @@ object C45 {
       // still count for every other attribute); the class label is
       // never null (checked up front), so the aid = -1 slice is the
       // exact (rid, cls) marginal and majority/pure checks are unskewed.
+      // at the final level only the class marginal (aid = -1) is ever
+      // consumed — every open rule closes on it (decideLevel's depth
+      // gate), so the attribute slices would be exploded, shuffled and
+      // thrown away (reached only when the elision above could not
+      // fire; kept exact either way)
       val allPairs: Seq[Column] =
-        Seq(lit(-1), col("__cls")) ++ attrPairs(liveCatAttrs, "string") ++
+        if (level == params.maxDepth) Seq(lit(-1), col("__cls"))
+        else Seq(lit(-1), col("__cls")) ++ attrPairs(liveCatAttrs, "string") ++
           liveNumAttrs.flatMap(a => Seq(lit(schema.attrIndex(a.name)),
             numValCol(a).cast("string")))
       // cell counts are plain row counts — an order-independent
@@ -1630,11 +1636,15 @@ object C45 {
         val deadAids = state(f).open.map(_.usedAttrs).reduce(_ intersect _)
         val liveCat = catAttrs.filterNot(a => deadAids(schema.attrIndex(a.name)))
         val liveNum = numAttrs.filterNot(a => deadAids(schema.attrIndex(a.name)))
-        val pairs: Seq[Column] = Seq(lit(-1), col("__cls")) ++
-          liveCat.flatMap(a =>
-            Seq(lit(schema.attrIndex(a.name)), col(a.name).cast("string"))) ++
-          liveNum.flatMap(a => Seq(lit(schema.attrIndex(a.name)),
-            numValColF(f)(a).cast("string")))
+        // final level: only the class marginal is consumed (every open
+        // rule closes on depth) — skip the attribute slices outright
+        val pairs: Seq[Column] =
+          if (level == params.maxDepth) Seq(lit(-1), col("__cls"))
+          else Seq(lit(-1), col("__cls")) ++
+            liveCat.flatMap(a =>
+              Seq(lit(schema.attrIndex(a.name)), col(a.name).cast("string"))) ++
+            liveNum.flatMap(a => Seq(lit(schema.attrIndex(a.name)),
+              numValColF(f)(a).cast("string")))
         (f, map(pairs: _*))
       }
       val mapByFit: Column =

@@ -348,11 +348,15 @@ object C45Boost {
         val deadAids = open.map(_.usedAttrs).reduce(_ intersect _)
         val liveCat = catAttrs.filterNot(a => deadAids(schema.attrIndex(a.name)))
         val liveNum = numAttrs.filterNot(a => deadAids(schema.attrIndex(a.name)))
-        val pairs: Seq[Column] = Seq(lit(-1), col("__cls")) ++
-          liveCat.flatMap(a =>
-            Seq(lit(schema.attrIndex(a.name)), col(a.name).cast("string"))) ++
-          liveNum.flatMap(a => Seq(lit(schema.attrIndex(a.name)),
-            numValCol(a).cast("string")))
+        // final level: only the class marginal is consumed (every open
+        // rule closes on depth) — skip the attribute slices outright
+        val pairs: Seq[Column] =
+          if (level == params.base.maxDepth) Seq(lit(-1), col("__cls"))
+          else Seq(lit(-1), col("__cls")) ++
+            liveCat.flatMap(a =>
+              Seq(lit(schema.attrIndex(a.name)), col(a.name).cast("string"))) ++
+            liveNum.flatMap(a => Seq(lit(schema.attrIndex(a.name)),
+              numValCol(a).cast("string")))
         val cells =
           if (!fractional) {
             base

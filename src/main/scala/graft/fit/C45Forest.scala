@@ -469,6 +469,10 @@ object C45Forest {
       // decision pass would reject anyway), plus the aid=-1 class
       // marginal slice
       def pairsFor(aids: Int => Boolean): Seq[Column] = {
+        // final level: only the class marginal is consumed (every open
+        // rule closes on depth) — skip the attribute slices outright
+        if (level == params.base.maxDepth)
+          return Seq(lit(-1), col("__cls"))
         val liveCat = catAttrs.filter(a => aids(schema.attrIndex(a.name)))
         val liveNum = numAttrs.filter(a => aids(schema.attrIndex(a.name)))
         Seq(lit(-1), col("__cls")) ++
