@@ -434,6 +434,10 @@ object C45Forest {
     }
     val state = Array.fill(T)(new TState)
     val sc = spark.sparkContext
+    // per-level wall diagnostics — the same GRAFT_FIT_PROFILE switch
+    // as C45.fit / fitFolds / C45Boost
+    val profile = sys.props.get("graft.fit.profile").contains("1") ||
+      sys.env.get("GRAFT_FIT_PROFILE").contains("1")
     // fractional routing state, mirroring C45.fitFolds': the previous
     // level's fused DIRTY routed base (null-bearing rows only — see the
     // histogram branch below) and the persisted handle to free once the
@@ -516,6 +520,7 @@ object C45Forest {
         array(wCols.map(col): _*), col("__tree") + 1)
       val prevDesc = sc.getLocalProperty("spark.job.description")
       sc.setJobDescription(s"graft.fitForest level=$level T=$T histogram")
+      val tLevel0 = System.nanoTime()
       def groupRows(rows: Array[org.apache.spark.sql.Row])
           : Map[Int, Array[(Int, Int, String, String, Long)]] =
         rows.groupBy(_.getInt(0)).view.mapValues(_.map(r =>
@@ -628,6 +633,10 @@ object C45Forest {
             groupRows(rows)
           }
         } finally sc.setJobDescription(prevDesc)
+      if (profile)
+        println(f"[fitForest] level=$level trees=${active.size} " +
+          f"cells=${cellsByTree.values.map(_.length).sum} " +
+          f"hist=${(System.nanoTime() - tLevel0) / 1e9}%.2fs")
       active.foreach { t =>
         val s = state(t)
         val cells = cellsByTree.getOrElse(t, Array.empty[(Int, Int, String, String, Long)])
